@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Typed loaders for the test star schema (see TESTDATA.md).
+  *
+  * All reads go through here so every operator benefits from the same
+  * pushdown-friendly scan: `spark.read.parquet` exposes min/max stats,
+  * predicate pushdown and column pruning to Catalyst. At cluster scale
+  * the same call reads a partitioned table — operators never assume a
+  * single file.
+  */
+object Tables {
+  private def p(dir: String, name: String) = s"$dir/$name.parquet"
+
+  def region(s: SparkSession, dir: String): DataFrame    = s.read.parquet(p(dir, "region"))
+  def nation(s: SparkSession, dir: String): DataFrame    = s.read.parquet(p(dir, "nation"))
+  def customer(s: SparkSession, dir: String): DataFrame  = s.read.parquet(p(dir, "customer"))
+  def supplier(s: SparkSession, dir: String): DataFrame  = s.read.parquet(p(dir, "supplier"))
+  def part(s: SparkSession, dir: String): DataFrame      = s.read.parquet(p(dir, "part"))
+  def orders(s: SparkSession, dir: String): DataFrame    = s.read.parquet(p(dir, "orders"))
+  def lineitem(s: SparkSession, dir: String): DataFrame  = s.read.parquet(p(dir, "lineitem"))
+  def events(s: SparkSession, dir: String): DataFrame    = s.read.parquet(p(dir, "events"))
+  def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "documents"))
+  def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "embeddings"))
+}

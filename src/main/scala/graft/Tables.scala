@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 
 /** Typed loaders for the test star schema (see TESTDATA.md).
   *
@@ -20,7 +21,14 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = s.read.parquet(p(dir, "part"))
   def orders(s: SparkSession, dir: String): DataFrame    = s.read.parquet(p(dir, "orders"))
   def lineitem(s: SparkSession, dir: String): DataFrame  = s.read.parquet(p(dir, "lineitem"))
-  def events(s: SparkSession, dir: String): DataFrame    = s.read.parquet(p(dir, "events"))
+  /** `events.ts` is parquet INT64(TIMESTAMP(NANOS)) which Spark cannot map
+    * to TimestampType; read nanos as long and convert to a micros timestamp
+    * (session TZ is UTC, matching the naive-UTC semantics of the writer). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(p(dir, "events"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
   def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "documents"))
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "embeddings"))
 }

@@ -1,0 +1,419 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Core relational operators — the reference's query surface re-expressed
+  * as declarative Spark plans (reference: kjam/data-pipelines-course;
+  * file:line cites on each query).
+  *
+  * Scale notes (local[32] tests, 100 TB design):
+  *  - every aggregation here is map-side combinable (sum/count/min/max in
+  *    partial agg), medians only over already-grouped small groups;
+  *  - dimension joins (nation/region) are broadcast, fact-fact joins
+  *    shuffle on the join key only after scan-level pushdown;
+  *  - every query carries an ORDER BY so output is a deterministic total
+  *    order for the DuckDB oracle compare.
+  */
+object Relational {
+
+  /** q1: per-key multi-metric summary — the stock aggregate
+    * (celery_app/tasks.py:10-36: groupBy key → min/max/mean/median). */
+  def q1MultiAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        Exact.dsum(col("l_quantity")).as("sum_qty"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"),
+        Exact.davg(col("l_quantity")).as("avg_qty"),
+        expr("median(l_quantity)").as("med_qty"),
+        Exact.dsum(col("l_extendedprice")).as("sum_price"),
+        Exact.davg(col("l_extendedprice")).as("avg_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q2: price-range classification — latest value vs per-key extremes
+    * (celery_app/tasks.py:39-92). Window picks the latest order
+    * deterministically; the agg and the window share one shuffle key. */
+  def q2PriceRange(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val agg = o.groupBy("o_custkey").agg(
+      max("o_totalprice").as("max_price"),
+      min("o_totalprice").as("min_price"),
+      Exact.davg(col("o_totalprice")).as("avg_price"))
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val latest = o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_totalprice").as("latest_price"))
+    agg.join(latest, "o_custkey")
+      .withColumn("pct_vs_max",
+        round((col("latest_price") / col("max_price") - 1) * 100, 2))
+      .withColumn("range_class",
+        when(col("latest_price") >= col("max_price") * 0.9, "near_high")
+          .when(col("latest_price") <= col("min_price") * 1.1, "near_low")
+          .otherwise("mid"))
+      .orderBy("o_custkey")
+  }
+
+  /** q3: first-vs-last percent change over a date-ordered series
+    * (celery_app/more_tasks.py:21-32 — YoY change). */
+  def q3YoyChange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        first("o_totalprice").over(w).as("first_price"),
+        last("o_totalprice").over(w).as("last_price"))
+      .distinct()
+      .withColumn("pct_change",
+        round((col("last_price") / col("first_price") - 1) * 100, 2))
+      .orderBy("o_custkey")
+  }
+
+  /** q4: sort by metric, take k (celery_app/tasks.py:95-105, Dask topk). */
+  def q4SortTopk(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(10)
+
+  /** q5: single-column frequency table (Dask value_counts). */
+  def q5ValueCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("event_type"))
+
+  /** q6: calendar-derived groupBy (Dask: groupby(DayOfWeek).count). */
+  def q6GroupbyDayofweek(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(dayofweek(col("o_orderdate")).as("dow"))
+      .groupBy("dow").agg(count(lit(1)).as("cnt"))
+      .orderBy("dow")
+
+  /** q7: extract hour → frequency → top-k (Dask bags ex. — tweet hours). */
+  def q7HourlyTopk(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(hour(col("ts")).as("hr"))
+      .groupBy("hr").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("hr"))
+      .limit(5)
+
+  /** q8: foldby-style keyed sum — map-side-combinable by construction
+    * (Dask bags foldby). */
+  def q8FoldbySum(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(hour(col("ts")).as("hr"))
+      .agg(Exact.dsum(col("value")).as("sum_value"))
+      .orderBy("hr")
+
+  /** q9: filter → explode → global frequency → top-5
+    * (airflow/dags/twitter_airflow.py:110-137 — popular links). */
+  def q9PopularLinks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("lang") === "en")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(5)
+
+  /** q10: star-schema enrichment join (luigi/taxi_data_import.py reverse-geo
+    * enrich; Dask weather merge). Dims broadcast, fact shuffles once. */
+  def q10StarJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(r("r_name").as("r_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.dsum(o("o_totalprice")).as("revenue"))
+      .orderBy("r_name")
+  }
+
+  /** q11: fact-fact join + revenue aggregate (course's join+agg patterns).
+    * Product stays double (IEEE-identical to the oracle), the sum is exact
+    * decimal, converted to double at the edge. */
+  def q11JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum((li("l_extendedprice") * (lit(1.0) - li("l_discount")))
+          .cast(DecimalType(18, 4))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** q12: substring filters + union + grouped count
+    * (notebooks/Chapter 6 - Introduction to PySpark.ipynb). */
+  def q12UnionFilterContains(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val a = d.filter(col("text").contains("join")).withColumn("tag", lit("join"))
+    val b = d.filter(col("text").contains("filter")).withColumn("tag", lit("filter"))
+    a.unionAll(b)
+      .groupBy("tag", "source").agg(count(lit(1)).as("cnt"))
+      .orderBy("tag", "source")
+  }
+
+  /** q13: word-count map-reduce (luigi/wordcount_map_reduce.py:24-43,
+    * PySpark notebook): split → explode → count per word. */
+  def q13Wordcount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
+  /** q14: regex tokenization word frequencies (PySpark notebook
+    * lower/regex split variant). */
+  def q14RegexTokenize(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy("tok")
+
+  /** q15: JSON payload field extraction + keyed agg (Dask bags JSON ex.). */
+  def q15JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .withColumn("k_bucket", expr("k % 10"))
+      .groupBy("k_bucket")
+      .agg(count(lit(1)).as("cnt"), Exact.dsum(col("value")).as("sum_value"))
+      .orderBy("k_bucket")
+
+  /** q16: typed ETL — schema coercion chain + filter + typed projection
+    * (luigi/taxi_data_import.py 26-column coercion). */
+  def q16CsvEtl(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(
+        col("l_orderkey").as("order_id"),
+        col("l_linenumber").as("line_no"),
+        col("l_quantity").cast("int").as("qty"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("price_cents"),
+        year(col("l_shipdate")).as("ship_year"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+        concat(col("l_returnflag"), lit("/"), col("l_linestatus")).as("status"))
+      .filter(col("qty").between(10, 40) && col("ship_year") === 1995)
+      .orderBy("order_id", "line_no")
+
+  /** q17: trailing-time-window filter ("last day") — data-relative so the
+    * result is deterministic (twitter_airflow.py:126 uses now()-1d). The
+    * scalar max is broadcast, not collected. */
+  def q17TimeRangeFilter(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val mx = e.agg(max(col("ts")).as("max_ts"))
+    e.crossJoin(broadcast(mx))
+      .filter(col("ts") > col("max_ts") - expr("INTERVAL 1 DAY"))
+      .groupBy("event_type").agg(count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+  }
+
+  /** q18: distinct pairs — dedup-by-key append semantics
+    * (airflow csv_to_sqlite read-once). */
+  def q18Distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select("o_orderstatus", "o_orderpriority").distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** q19: pivoted wide summary — stock-agg-style metric grid
+    * (celery_app/tasks.py wide per-ticker frames). */
+  def q19PivotAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(hour(col("ts")).as("hr"), col("event_type"))
+      .groupBy("hr")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0)
+      .orderBy("hr")
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "or", "and", "of", "to", "in", "is", "on", "for")
+
+  /** q20: stop-word-filtered word frequencies, top-20 (Dask bags ch.4). */
+  def q20StopwordTopk(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "" && !col("word").isin(stopwords: _*))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(20)
+
+  // ---------------------------------------------------------------- oracle
+
+  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** DuckDB oracle SQL, value-identical to the Spark plans above. */
+  val oracle: Map[String, String] = Map(
+    "q1_multi_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(count(*) AS BIGINT) AS cnt,
+         |  ${Exact.sqlDsum("l_quantity")} AS sum_qty,
+         |  min(l_quantity) AS min_qty,
+         |  max(l_quantity) AS max_qty,
+         |  ${Exact.sqlDavg("l_quantity")} AS avg_qty,
+         |  median(l_quantity) AS med_qty,
+         |  ${Exact.sqlDsum("l_extendedprice")} AS sum_price,
+         |  ${Exact.sqlDavg("l_extendedprice")} AS avg_price
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_price_range" ->
+      s"""WITH agg AS (
+         |  SELECT o_custkey, max(o_totalprice) AS max_price,
+         |         min(o_totalprice) AS min_price,
+         |         ${Exact.sqlDavg("o_totalprice")} AS avg_price
+         |  FROM orders GROUP BY o_custkey),
+         |latest AS (
+         |  SELECT o_custkey, o_totalprice AS latest_price FROM (
+         |    SELECT o_custkey, o_totalprice, row_number() OVER (
+         |      PARTITION BY o_custkey
+         |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+         |    FROM orders) t WHERE rn = 1)
+         |SELECT a.o_custkey, max_price, min_price, avg_price, latest_price,
+         |  round((latest_price / max_price - 1) * 100, 2) AS pct_vs_max,
+         |  CASE WHEN latest_price >= max_price * 0.9 THEN 'near_high'
+         |       WHEN latest_price <= min_price * 1.1 THEN 'near_low'
+         |       ELSE 'mid' END AS range_class
+         |FROM agg a JOIN latest l ON a.o_custkey = l.o_custkey
+         |ORDER BY a.o_custkey""".stripMargin,
+    "q3_yoy_change" ->
+      """SELECT o_custkey, first_price, last_price,
+        |  round((last_price / first_price - 1) * 100, 2) AS pct_change
+        |FROM (
+        |  SELECT DISTINCT o_custkey,
+        |    first_value(o_totalprice) OVER w AS first_price,
+        |    last_value(o_totalprice) OVER w AS last_price
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) t
+        |ORDER BY o_custkey""".stripMargin,
+    "q4_sort_topk" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey LIMIT 10""".stripMargin,
+    "q5_value_counts" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events
+        |GROUP BY event_type ORDER BY cnt DESC, event_type""".stripMargin,
+    "q6_groupby_dayofweek" ->
+      """SELECT CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY dow""".stripMargin,
+    "q7_hourly_topk" ->
+      """SELECT CAST(hour(ts) AS INTEGER) AS hr,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY 1 ORDER BY cnt DESC, hr LIMIT 5""".stripMargin,
+    "q8_foldby_sum" ->
+      s"""SELECT CAST(hour(ts) AS INTEGER) AS hr,
+         |  ${Exact.sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY hr""".stripMargin,
+    "q9_popular_links" ->
+      """SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word
+        |  FROM documents WHERE lang = 'en') t
+        |WHERE word <> '' GROUP BY word
+        |ORDER BY cnt DESC, word LIMIT 5""".stripMargin,
+    "q10_star_join" ->
+      s"""SELECT r_name, CAST(count(*) AS BIGINT) AS n_orders,
+         |  ${Exact.sqlDsum("o_totalprice")} AS revenue
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q11_join_agg" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q12_union_filter_contains" ->
+      """SELECT tag, source, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |  SELECT 'join' AS tag, source FROM documents
+        |    WHERE contains(text, 'join')
+        |  UNION ALL
+        |  SELECT 'filter' AS tag, source FROM documents
+        |    WHERE contains(text, 'filter')) t
+        |GROUP BY tag, source ORDER BY tag, source""".stripMargin,
+    "q13_wordcount" ->
+      """SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
+    "q14_regex_tokenize" ->
+      """SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |  SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS tok
+        |  FROM documents) t
+        |GROUP BY tok ORDER BY tok""".stripMargin,
+    "q15_json_extract" ->
+      s"""SELECT CAST(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1)
+         |    AS INTEGER) % 10 AS INTEGER) AS k_bucket,
+         |  CAST(count(*) AS BIGINT) AS cnt,
+         |  ${Exact.sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+    "q16_csv_etl" ->
+      """SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+        |  CAST(l_quantity AS INTEGER) AS qty,
+        |  CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS price_cents,
+        |  CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+        |  l_returnflag || '/' || l_linestatus AS status
+        |FROM lineitem
+        |WHERE CAST(l_quantity AS INTEGER) BETWEEN 10 AND 40
+        |  AND year(l_shipdate) = 1995
+        |ORDER BY order_id, line_no""".stripMargin,
+    "q17_time_range_filter" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS cnt FROM events
+        |WHERE ts > (SELECT max(ts) - INTERVAL 1 DAY FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q18_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q19_pivot_agg" ->
+      """SELECT CAST(hour(ts) AS INTEGER) AS hr,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY hr""".stripMargin,
+    "q20_stopword_topk" ->
+      s"""SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+         |WHERE word <> '' AND word NOT IN ($stopList)
+         |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+  )
+
+  /** Query registry (name → runner), keys match [[oracle]]. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_multi_agg" -> q1MultiAgg,
+    "q2_price_range" -> q2PriceRange,
+    "q3_yoy_change" -> q3YoyChange,
+    "q4_sort_topk" -> q4SortTopk,
+    "q5_value_counts" -> q5ValueCounts,
+    "q6_groupby_dayofweek" -> q6GroupbyDayofweek,
+    "q7_hourly_topk" -> q7HourlyTopk,
+    "q8_foldby_sum" -> q8FoldbySum,
+    "q9_popular_links" -> q9PopularLinks,
+    "q10_star_join" -> q10StarJoin,
+    "q11_join_agg" -> q11JoinAgg,
+    "q12_union_filter_contains" -> q12UnionFilterContains,
+    "q13_wordcount" -> q13Wordcount,
+    "q14_regex_tokenize" -> q14RegexTokenize,
+    "q15_json_extract" -> q15JsonExtract,
+    "q16_csv_etl" -> q16CsvEtl,
+    "q17_time_range_filter" -> q17TimeRangeFilter,
+    "q18_distinct" -> q18Distinct,
+    "q19_pivot_agg" -> q19PivotAgg,
+    "q20_stopword_topk" -> q20StopwordTopk,
+  )
+}

@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication family for LLM-scale corpus pipelines.
+  *
+  * Design rule (SURVEY.md §5): candidate generation is ALWAYS via blocking
+  * (a hash-keyed shuffle on a signature/band/bucket), never a cross join —
+  * each operator is a per-row map plus one keyed shuffle, linear in corpus
+  * size, so the same plan holds on a 1000-executor cluster at 100 TB.
+  *
+  * Hashes are md5-based so the DuckDB oracle can reproduce them exactly.
+  */
+object Dedup {
+
+  /** d1: exact dedup by normalized-text hash. Output is the dedup map:
+    * one row per distinct content hash with its multiplicity and the
+    * kept (minimum) doc_id. */
+  def d1Exact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("h", md5(TextOps.normText(col("text"))))
+      .groupBy("h")
+      .agg(count(lit(1)).as("cnt"), min("doc_id").as("keep_doc_id"))
+      .orderBy("h")
+
+  val NumHashes = 12
+  val Bands = 4
+  private val RowsPerBand = NumHashes / Bands
+
+  /** Per-seed minhash: lexicographic min of md5("<seed>|" + shingle).
+    * String-min is hash-min under a uniform hash, and is exactly
+    * reproducible in SQL. */
+  private def minhashExpr(seed: Int): String =
+    s"array_min(transform(shingles, x -> md5(concat('$seed|', x))))"
+
+  /** doc_id + one band-key column per LSH band. */
+  def minhashBands(s: SparkSession, dir: String): DataFrame = {
+    val sig = (0 until NumHashes).foldLeft(
+      TextOps.withShingles(Tables.documents(s, dir))) {
+      (df, j) => df.withColumn(s"h$j", expr(minhashExpr(j)))
+    }
+    (0 until Bands).foldLeft(sig) { (df, b) =>
+      val cols = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+      df.withColumn(s"band_$b", md5(concat(cols: _*)))
+    }.select(col("doc_id") +: (0 until Bands).map(b => col(s"band_$b")): _*)
+  }
+
+  /** d2: MinHash + LSH banding → candidate near-dup pairs.
+    * Explode (doc, band) rows, shuffle once on the band key, self-join
+    * inside buckets only — no quadratic blow-up. */
+  def d2Minhash(s: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(s, dir).select(
+      col("doc_id"),
+      explode(array((0 until Bands).map(b =>
+        struct(lit(b).as("band_id"), col(s"band_$b").as("band_key"))): _*)).as("bd"))
+      .select(col("doc_id"), col("bd.band_id").as("band_id"),
+        col("bd.band_key").as("band_key"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Simhash bit width (60 = 15 md5 hex chars, avoids int64 sign games). */
+  val SimhashBits = 60
+
+  /** d3: SimHash fingerprint per document.
+    * One pass per row with higher-order functions: per-token md5 →
+    * per-bit ±1 contributions → sign vector → 60-bit fingerprint.
+    * No explode, no shuffle — the whole operator is a projection. */
+  def d3Simhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("norm", TextOps.normText(col("text")))
+      .withColumn("toks", expr(TextOps.toksExpr))
+    docs
+      .withColumn("hs", expr("transform(toks, t -> substring(md5(t), 1, 15))"))
+      .withColumn("bitsums", expr(
+        s"""aggregate(hs, transform(sequence(0, ${SimhashBits - 1}), j -> 0),
+           |  (acc, h) -> zip_with(acc,
+           |    transform(sequence(0, ${SimhashBits - 1}), j ->
+           |      IF((shiftright(locate(substring(h, 15 - (j div 4), 1),
+           |            '0123456789abcdef') - 1, j % 4) & 1) = 1, 1, -1)),
+           |    (a, b) -> a + b))""".stripMargin))
+      .withColumn("simhash", expr(
+        s"""aggregate(transform(sequence(0, ${SimhashBits - 1}),
+           |    j -> IF(element_at(bitsums, j + 1) > 0,
+           |            shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
+           |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin))
+      .withColumn("bucket", expr("CAST(shiftright(simhash, 48) AS INT)"))
+      .select("doc_id", "simhash", "bucket")
+      .orderBy("doc_id")
+  }
+
+  /** d4: n-gram Jaccard similarity over blocked candidate pairs.
+    * Blocking key: (lang, n_chars bucket). Intersections come from a
+    * single shuffle on (block, shingle) — pairs sharing no shingle are
+    * never materialized. */
+  def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val ex = TextOps.withShingles(Tables.documents(s, dir))
+      .withColumn("shset", expr("array_distinct(shingles)"))
+      .withColumn("cb", expr("n_chars div 100"))
+      .select(col("doc_id"), col("lang"), col("cb"),
+        size(col("shset")).as("nsh"), explode(col("shset")).as("sh"))
+    ex.as("x").join(ex.as("y"),
+        col("x.lang") === col("y.lang") && col("x.cb") === col("y.cb") &&
+          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.nsh").as("na"), col("y.nsh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("union_sz", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard", col("inter") / col("union_sz"))
+      .filter(col("jaccard") >= 0.2)
+      .select("doc_a", "doc_b", "inter", "union_sz", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d5: embedding-cosine near-dup candidates.
+    * Blocking: 8-bit sign-bucket over the leading components (a trivially
+    * deterministic random-hyperplane LSH); cosine only inside buckets;
+    * global top-20 so the operator is observable even when the corpus has
+    * no true near-dups. */
+  def d5Embedding(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .withColumn("bucket", expr(
+        """aggregate(transform(sequence(0, 7),
+          |    j -> IF(element_at(embedding, j + 1) > CAST(0 AS FLOAT),
+          |            shiftleft(1, j), 0)),
+          |  0, (a, b) -> a + b)""".stripMargin))
+      .select("vec_id", "embedding", "bucket")
+    val joined = e.as("x").join(e.as("y"),
+      col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+    joined
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        VectorOps.cosine("x.embedding", "y.embedding").as("cos"))
+      .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+      .limit(20)
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  private def sqlMinhash(seed: Int): String =
+    s"list_min(list_transform(shingles, x -> md5('$seed|' || x)))"
+
+  val oracle: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      s"""SELECT md5(${TextOps.sqlNormText}) AS h,
+         |  CAST(count(*) AS BIGINT) AS cnt,
+         |  min(doc_id) AS keep_doc_id
+         |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
+    "d2_dedup_minhash" -> {
+      val sigCols = (0 until NumHashes)
+        .map(j => s"  ${sqlMinhash(j)} AS h$j").mkString(",\n")
+      val bandSelects = (0 until Bands).map { b =>
+        val concat = (0 until RowsPerBand)
+          .map(r => s"h${b * RowsPerBand + r}").mkString(" || ")
+        s"  SELECT doc_id, $b AS band_id, md5($concat) AS band_key FROM sig"
+      }.mkString("\n  UNION ALL\n")
+      s"""${TextOps.sqlShingleCte},
+         |sig AS (SELECT doc_id,
+         |$sigCols
+         |FROM shingle_t),
+         |bands AS (
+         |$bandSelects)
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |FROM bands x JOIN bands y
+         |  ON x.band_id = y.band_id AND x.band_key = y.band_key
+         |  AND x.doc_id < y.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "d3_dedup_simhash" ->
+      s"""WITH norm_t AS (
+         |  SELECT doc_id, ${TextOps.sqlNormText} AS norm FROM documents),
+         |tok_t AS (
+         |  SELECT doc_id, unnest(${TextOps.sqlToks}) AS t FROM norm_t),
+         |h_t AS (SELECT doc_id, substr(md5(t), 1, 15) AS h FROM tok_t),
+         |bits AS (
+         |  SELECT doc_id, j,
+         |    SUM(CASE WHEN (((strpos('0123456789abcdef',
+         |        substr(h, 15 - (j // 4), 1)) - 1) >> (j % 4)) & 1) = 1
+         |      THEN 1 ELSE -1 END) AS sgn
+         |  FROM h_t, range(0, $SimhashBits) r(j) GROUP BY doc_id, j),
+         |fp AS (
+         |  SELECT doc_id, CAST(SUM(CASE WHEN sgn > 0
+         |    THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)
+         |    AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id)
+         |SELECT doc_id, simhash, CAST(simhash >> 48 AS INTEGER) AS bucket
+         |FROM fp ORDER BY doc_id""".stripMargin,
+    "d4_ngram_jaccard" ->
+      s"""${TextOps.sqlShingleCte},
+         |d AS (SELECT doc_id, lang, n_chars // 100 AS cb,
+         |        list_distinct(shingles) AS shset FROM shingle_t),
+         |ex AS (SELECT doc_id, lang, cb, len(shset) AS nsh,
+         |         unnest(shset) AS sh FROM d)
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS inter,
+         |  CAST(x.nsh + y.nsh - count(*) AS BIGINT) AS union_sz,
+         |  count(*) / (x.nsh + y.nsh - count(*)) AS jaccard
+         |FROM ex x JOIN ex y
+         |  ON x.lang = y.lang AND x.cb = y.cb AND x.sh = y.sh
+         |  AND x.doc_id < y.doc_id
+         |GROUP BY x.doc_id, y.doc_id, x.nsh, y.nsh
+         |HAVING count(*) / (x.nsh + y.nsh - count(*)) >= 0.2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d5_dedup_embedding" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding,
+         |    list_reduce(list_transform(generate_series(0, 7),
+         |      j -> CASE WHEN embedding[j + 1] > CAST(0 AS FLOAT)
+         |           THEN (1 << j) ELSE 0 END), (a, b) -> a + b) AS bucket
+         |  FROM embeddings)
+         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |  ${VectorOps.sqlCosine("x.embedding", "y.embedding")} AS cos
+         |FROM e x JOIN e y
+         |  ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |ORDER BY cos DESC, vec_a, vec_b LIMIT 20""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_dedup_exact" -> d1Exact,
+    "d2_dedup_minhash" -> d2Minhash,
+    "d3_dedup_simhash" -> d3Simhash,
+    "d4_ngram_jaccard" -> d4NgramJaccard,
+    "d5_dedup_embedding" -> d5Embedding,
+  )
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal column plumbing: opaque `binary` payloads with typed
+  * metadata, batch-decoded per partition.
+  *
+  * The decode step is a clearly-marked deterministic STUB (the container
+  * has no image/audio codecs); everything Spark-side is real — binary
+  * column, metadata struct, partition-batched decode with a typed
+  * Dataset, flat numeric feature output. Swapping [[stubDecode]] for a
+  * JNI/codec call changes nothing in the plan shape.
+  */
+object Multimodal {
+
+  /** Typed record entering the decoder: payload + metadata. */
+  case class MediaRecord(doc_id: Long, payload: Array[Byte],
+      media_type: String, declared_len: Long)
+
+  /** Typed decoded feature row. */
+  case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Int,
+      f_first: Double, f_mean: Double, f_hash: Double)
+
+  /** STUB decoder: a real implementation would decode the image/audio
+    * payload here; this one derives a deterministic fake feature vector
+    * from the raw bytes so the plumbing is testable end-to-end. */
+  def stubDecode(r: MediaRecord): MediaFeatures = {
+    val bs = r.payload
+    val n = bs.length
+    val first = if (n > 0) (bs(0) & 0xff).toDouble else 0.0
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += (bs(i) & 0xff); i += 1 }
+    val mean = if (n > 0) sum.toDouble / n else 0.0
+    val hash = (sum * 31 + n) % 997
+    MediaFeatures(r.doc_id, r.media_type, n, first, mean, hash.toDouble)
+  }
+
+  /** Stage documents as a multimodal table: binary payload + metadata
+    * struct. In production the payload column is real image/audio bytes;
+    * here it's the utf-8 text so results are deterministic. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        concat(lit("synthetic/"), col("source")).as("media_type"),
+        col("n_chars").as("declared_len"),
+        col("lang").as("lang")).as("meta"))
+
+  /** m1: decode the binary column per-partition into flat features.
+    * mapPartitions keeps the decode batched (one iterator per task) —
+    * the Scala analog of a vectorized/batched python UDF — and the
+    * output is a flat numeric schema ready for downstream SQL. */
+  def m1Decode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ds: Dataset[MediaRecord] = mediaTable(s, dir).select(
+      col("doc_id"), col("payload"),
+      col("meta.media_type").as("media_type"),
+      col("meta.declared_len").as("declared_len")).as[MediaRecord]
+    ds.mapPartitions(_.map(stubDecode)).toDF()
+      .orderBy("doc_id")
+  }
+
+  /** rows-only (no SQL-expressible oracle for the binary decode path) */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_multimodal_meta" -> m1Decode,
+  )
+}

@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text analysis for training-data curation: language ID, quality
+  * scoring, token counting, fingerprinting. All single-pass projections
+  * (no shuffle except the final presentation ORDER BY), built from
+  * codegen'd built-ins + higher-order functions.
+  */
+object TextAnalysis {
+
+  /** Marker stopwords per language for the n-gram/stopword heuristic.
+    * (The synthetic corpus is English-flavored regardless of its `lang`
+    * label, so the heuristic honestly reports what the text looks like;
+    * `is_match` records agreement with the label.) */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "las", "que", "y"),
+    "fr" -> Seq("le", "les", "une", "est", "et"),
+  )
+
+  private def markerCount(lang: String): String = {
+    val list = markers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+    s"size(filter(toks, t -> t IN ($list)))"
+  }
+
+  private def sqlMarkerCount(lang: String): String = {
+    val list = markers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
+    s"CAST(len(list_filter(toks, t -> t IN ($list))) AS INTEGER)"
+  }
+
+  /** t1: heuristic language ID by per-language marker-token hits, with a
+    * deterministic priority order on ties. */
+  def t1LangId(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .withColumn("norm", TextOps.normText(col("text")))
+      .withColumn("toks", expr(TextOps.toksExpr))
+      .withColumn("s_en", expr(markerCount("en")))
+      .withColumn("s_de", expr(markerCount("de")))
+      .withColumn("s_es", expr(markerCount("es")))
+      .withColumn("s_fr", expr(markerCount("fr")))
+    base.withColumn("predicted",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+          col("s_en") >= col("s_fr"), "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr"))
+      .withColumn("is_match", col("predicted") === col("lang"))
+      .select("doc_id", "s_en", "s_de", "s_es", "s_fr", "predicted", "is_match")
+      .orderBy("doc_id")
+  }
+
+  /** t2: quality scoring from surface statistics (length, token shape,
+    * stopword ratio) — the usual cheap pre-filter before expensive
+    * model-based scoring. */
+  def t2QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val stopList = Relational.stopwords.map(w => s"'$w'").mkString(", ")
+    Tables.documents(s, dir)
+      .withColumn("norm", TextOps.normText(col("text")))
+      .withColumn("toks", expr(TextOps.toksExpr))
+      .withColumn("n_tok", size(col("toks")))
+      .withColumn("avg_tok_len",
+        (length(col("norm")) - (col("n_tok") - 1)) / col("n_tok"))
+      .withColumn("stop_ratio",
+        expr(s"size(filter(toks, t -> t IN ($stopList)))") / col("n_tok"))
+      .withColumn("len_score",
+        least(col("n_tok").cast("double") / 100.0, lit(1.0)))
+      .withColumn("score", col("stop_ratio") * 0.5 + col("len_score") * 0.5)
+      .select("doc_id", "n_tok", "avg_tok_len", "stop_ratio", "score")
+      .orderBy("doc_id")
+  }
+
+  /** t3: token counting — whitespace tokens, regex word tokens, and a
+    * BPE-ish bounded-piece count (greedy ≤4-char chunks). */
+  def t3TokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("ws_tokens",
+        size(expr("filter(split(text, ' '), t -> t <> '')")))
+      .withColumn("re_tokens",
+        size(expr("regexp_extract_all(text, '[a-z]+', 0)")))
+      .withColumn("bpe_pieces",
+        size(expr("regexp_extract_all(text, '[a-z]{1,4}', 0)")))
+      .select("doc_id", "ws_tokens", "re_tokens", "bpe_pieces")
+      .orderBy("doc_id")
+
+  /** t4: deterministic document fingerprints — content md5 plus a
+    * polynomial rolling hash mod 1e9+7 (one fold over the chars). */
+  def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("norm", TextOps.normText(col("text")))
+      .withColumn("fp_md5", md5(col("norm")))
+      .withColumn("fp_roll", expr(
+        // filter: Spark's regex split keeps a trailing empty string that
+        // DuckDB's string_split does not produce
+        """aggregate(filter(split(norm, ''), c -> c <> ''), CAST(0 AS BIGINT),
+          |  (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)""".stripMargin))
+      .select("doc_id", "fp_md5", "fp_roll")
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- oracle
+
+  private val sqlToksCte: String =
+    s"""WITH norm_t AS (
+       |  SELECT doc_id, lang, ${TextOps.sqlNormText} AS norm FROM documents),
+       |tok_t AS (SELECT *, ${TextOps.sqlToks} AS toks FROM norm_t)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "t1_lang_id" -> {
+      s"""$sqlToksCte
+         |SELECT doc_id,
+         |  ${sqlMarkerCount("en")} AS s_en,
+         |  ${sqlMarkerCount("de")} AS s_de,
+         |  ${sqlMarkerCount("es")} AS s_es,
+         |  ${sqlMarkerCount("fr")} AS s_fr,
+         |  CASE
+         |    WHEN ${sqlMarkerCount("en")} >= ${sqlMarkerCount("de")}
+         |     AND ${sqlMarkerCount("en")} >= ${sqlMarkerCount("es")}
+         |     AND ${sqlMarkerCount("en")} >= ${sqlMarkerCount("fr")} THEN 'en'
+         |    WHEN ${sqlMarkerCount("de")} >= ${sqlMarkerCount("es")}
+         |     AND ${sqlMarkerCount("de")} >= ${sqlMarkerCount("fr")} THEN 'de'
+         |    WHEN ${sqlMarkerCount("es")} >= ${sqlMarkerCount("fr")} THEN 'es'
+         |    ELSE 'fr' END AS predicted,
+         |  (CASE
+         |    WHEN ${sqlMarkerCount("en")} >= ${sqlMarkerCount("de")}
+         |     AND ${sqlMarkerCount("en")} >= ${sqlMarkerCount("es")}
+         |     AND ${sqlMarkerCount("en")} >= ${sqlMarkerCount("fr")} THEN 'en'
+         |    WHEN ${sqlMarkerCount("de")} >= ${sqlMarkerCount("es")}
+         |     AND ${sqlMarkerCount("de")} >= ${sqlMarkerCount("fr")} THEN 'de'
+         |    WHEN ${sqlMarkerCount("es")} >= ${sqlMarkerCount("fr")} THEN 'es'
+         |    ELSE 'fr' END) = lang AS is_match
+         |FROM tok_t ORDER BY doc_id""".stripMargin
+    },
+    "t2_quality_score" -> {
+      val stopList = Relational.stopwords.map(w => s"'$w'").mkString(", ")
+      s"""$sqlToksCte,
+         |m AS (SELECT doc_id, norm, toks,
+         |  CAST(len(toks) AS INTEGER) AS n_tok,
+         |  CAST(len(list_filter(toks, t -> t IN ($stopList))) AS BIGINT)
+         |    AS n_stop
+         |FROM tok_t)
+         |SELECT doc_id, n_tok,
+         |  (length(norm) - (n_tok - 1)) / n_tok AS avg_tok_len,
+         |  n_stop / n_tok AS stop_ratio,
+         |  (n_stop / n_tok) * 0.5
+         |    + least(CAST(n_tok AS DOUBLE) / 100.0, CAST(1.0 AS DOUBLE)) * 0.5
+         |    AS score
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+    "t3_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+        |    AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER)
+        |    AS re_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS INTEGER)
+        |    AS bpe_pieces
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t4_fingerprint" ->
+      s"""WITH norm_t AS (
+         |  SELECT doc_id, ${TextOps.sqlNormText} AS norm FROM documents)
+         |SELECT doc_id, md5(norm) AS fp_md5,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(norm, ''),
+         |        c -> CAST(ascii(c) AS BIGINT))),
+         |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_roll
+         |FROM norm_t ORDER BY doc_id""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_lang_id" -> t1LangId,
+    "t2_quality_score" -> t2QualityScore,
+    "t3_token_count" -> t3TokenCount,
+    "t4_fingerprint" -> t4Fingerprint,
+  )
+}

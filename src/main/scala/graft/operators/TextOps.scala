@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Shared text primitives for the dedup / text-analysis operators.
+  *
+  * Everything here is built from codegen'd `functions._` / higher-order
+  * functions — a single map pass per row, no UDFs, no shuffle — so the
+  * token/shingle pipeline scales linearly with input bytes.
+  *
+  * Each primitive has an exact DuckDB mirror (the `sql*` members) used by
+  * the oracle queries; keeping them adjacent keeps the two in lockstep.
+  */
+object TextOps {
+  /** Whitespace-normalized, lower-cased text. */
+  def normText(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  val sqlNormText: String =
+    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+  /** Non-empty whitespace tokens of an already-normalized column named `norm`. */
+  val toksExpr: String = "filter(split(norm, ' '), t -> t <> '')"
+
+  val sqlToks: String = "list_filter(string_split(norm, ' '), t -> t <> '')"
+
+  /** Word 3-gram shingles over a token array column named `toks`.
+    * `slice` clamps at the end so short documents yield their full text
+    * as a single shingle. */
+  val shinglesExpr: String =
+    "transform(sequence(1, greatest(size(toks) - 2, 1)), " +
+      "i -> array_join(slice(toks, i, 3), ' '))"
+
+  val sqlShingles: String =
+    "list_transform(generate_series(1, greatest(len(toks) - 2, 1)), " +
+      "i -> array_to_string(toks[i:i+2], ' '))"
+
+  /** documents + `norm`, `toks`, `shingles` columns. */
+  def withShingles(docs: DataFrame): DataFrame =
+    docs.withColumn("norm", normText(col("text")))
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("shingles", expr(shinglesExpr))
+
+  /** Oracle CTE prefix mirroring [[withShingles]] over `documents`. */
+  val sqlShingleCte: String =
+    s"""WITH norm_t AS (
+       |  SELECT *, $sqlNormText AS norm FROM documents),
+       |tok_t AS (
+       |  SELECT *, $sqlToks AS toks FROM norm_t),
+       |shingle_t AS (
+       |  SELECT *, $sqlShingles AS shingles FROM tok_t)""".stripMargin
+}

@@ -1,0 +1,144 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.Tables
+import graft.operators.Exact
+
+/** Structured Streaming operators (reference: Chapter 6 Spark Streaming
+  * notebook's socket word-count; streaming/tweepy_stream.py).
+  *
+  * The transforms are plain DataFrame→DataFrame functions, so the same
+  * logic runs over `readStream` sources in production and over batch
+  * DataFrames in the oracle gate. Streaming specs drive them with
+  * MemoryStream.
+  */
+object Streams {
+
+  /** st1: split → explode → count per word. Append a watermark-free
+    * complete-mode count in streaming; identical semantics in batch. */
+  def wordCounts(lines: DataFrame): DataFrame =
+    lines.select(explode(split(col("value"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** st2: tumbling 6h window + per-type aggregate. In streaming the
+    * caller adds `.withWatermark("ts", ...)` upstream; bucket emitted as
+    * epoch seconds so the oracle compare is precision-proof. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), Exact.dsum(col("value")).as("sum_value"))
+      .select(col("w.start").cast("long").as("bucket_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Session gap: a new session starts when the inter-event gap exceeds
+    * 30 minutes (compared in exact microseconds on both engines). */
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  /** st3 (batch formulation): per-user sessionization with window
+    * functions — lag/flag/cumsum, then two map-side-combinable rollups. */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    val cum = Window.partitionBy("user_id").orderBy("tus", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("tus", unix_micros(col("ts")))
+      .withColumn("prev", lag("tus", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("tus") - col("prev") > SessionGapUs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("new_sess").over(cum))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max("n_events").as("max_session_events"),
+        sum("n_events").as("total_events"))
+      .orderBy("user_id")
+  }
+
+  // ------------------------------------------------- streaming-only state
+
+  case class Evt(user_id: Long, event_id: Long, tus: Long)
+  case class SessState(lastTus: Long, curCount: Int, sessions: Int,
+      maxCount: Int, total: Long)
+  case class SessOut(user_id: Long, n_sessions: Int, max_session_events: Int,
+      total_events: Long)
+
+  /** st3 (streaming formulation): custom state machine over
+    * flatMapGroupsWithState — the scale path for live sessionization.
+    * Emits one summary row per user per trigger (update mode). */
+  def sessionizeStreaming(events: Dataset[Evt]): Dataset[SessOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evts: Iterator[Evt], state: GroupState[SessState]) =>
+          val sorted = evts.toSeq.sortBy(e => (e.tus, e.event_id))
+          var st = state.getOption.getOrElse(SessState(Long.MinValue, 0, 0, 0, 0L))
+          for (e <- sorted) {
+            st = if (st.sessions == 0 || e.tus - st.lastTus > SessionGapUs)
+              SessState(e.tus, 1, st.sessions + 1,
+                math.max(st.maxCount, 1), st.total + 1)
+            else {
+              val c = st.curCount + 1
+              SessState(e.tus, c, st.sessions, math.max(st.maxCount, c),
+                st.total + 1)
+            }
+          }
+          state.update(st)
+          Iterator(SessOut(user, st.sessions, st.maxCount, st.total))
+      }
+  }
+
+  /** Batch entries for the oracle gate (same transforms, batch input). */
+  def st2Query(s: SparkSession, dir: String): DataFrame =
+    windowedAgg(Tables.events(s, dir))
+      .orderBy("bucket_start", "event_type")
+
+  def st3Query(s: SparkSession, dir: String): DataFrame =
+    sessionizeBatch(Tables.events(s, dir))
+
+  val oracle: Map[String, String] = Map(
+    "st2_windowed_agg" ->
+      s"""SELECT CAST(epoch(time_bucket(INTERVAL '6 hours', ts)) AS BIGINT)
+         |    AS bucket_start,
+         |  event_type, CAST(count(*) AS BIGINT) AS cnt,
+         |  ${Exact.sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2
+         |ORDER BY bucket_start, event_type""".stripMargin,
+    "st3_sessionize" ->
+      s"""WITH x AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+         |y AS (
+         |  SELECT user_id, tus, event_id,
+         |    CASE WHEN lag(tus) OVER w IS NULL
+         |           OR tus - lag(tus) OVER w > $SessionGapUs
+         |      THEN 1 ELSE 0 END AS new_sess
+         |  FROM x
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+         |z AS (
+         |  SELECT user_id,
+         |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM y),
+         |per_sess AS (
+         |  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
+         |  FROM z GROUP BY user_id, session_id)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+         |  max(n_events) AS max_session_events,
+         |  CAST(sum(n_events) AS BIGINT) AS total_events
+         |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st2_windowed_agg" -> st2Query,
+    "st3_sessionize" -> st3Query,
+  )
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val dir = TestSpark.SfDir
+
+  test("d1 multiplicities account for every document") {
+    import org.apache.spark.sql.functions._
+    val total = Dedup.d1Exact(s, dir).agg(sum("cnt")).collect()(0).getLong(0)
+    assert(total == Tables.documents(s, dir).count())
+  }
+
+  test("d2 candidate pairs are ordered and deduplicated") {
+    val rows = Dedup.d2Minhash(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.forall { case (a, b) => a < b })
+    assert(rows.distinct.length == rows.length)
+  }
+
+  test("d2 finds the planted near-duplicates that d4 confirms") {
+    val cands = Dedup.d2Minhash(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val confirmed = Dedup.d4NgramJaccard(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // high-jaccard pairs should also collide in at least one minhash band
+    assert(confirmed.nonEmpty)
+    assert((confirmed -- cands).isEmpty,
+      s"jaccard-confirmed pairs missed by LSH: ${confirmed -- cands}")
+  }
+
+  test("d3 simhash is a 60-bit fingerprint, one per doc") {
+    val rows = Dedup.d3Simhash(s, dir).collect()
+    assert(rows.length == Tables.documents(s, dir).count())
+    rows.foreach { r =>
+      val h = r.getLong(1)
+      assert(h >= 0L && h < (1L << 60))
+    }
+  }
+
+  test("d3 near-dup docs have close simhashes") {
+    val sim = Dedup.d3Simhash(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.d4NgramJaccard(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      val dist = java.lang.Long.bitCount(sim(a) ^ sim(b))
+      assert(dist <= 20, s"hamming($a,$b)=$dist for a jaccard>=0.2 pair")
+    }
+  }
+
+  test("d5 returns top cosine pairs within sign buckets") {
+    val rows = Dedup.d5Embedding(s, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val cs = rows.map(_.getDouble(2))
+    assert(cs.sameElements(cs.sortBy(-_)))
+    assert(cs.forall(c => c <= 1.0 + 1e-9 && c >= -1.0 - 1e-9))
+  }
+}

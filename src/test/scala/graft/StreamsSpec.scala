@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+
+class StreamsSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val dir = TestSpark.SfDir
+
+  test("st1: streaming word count over a memory stream matches batch") {
+    val sess = s
+    import sess.implicits._
+    val input = MemoryStream[String](s)
+    val q = Streams.wordCounts(input.toDF())
+      .writeStream.format("memory").queryName("st1_out")
+      .outputMode("complete").start()
+    try {
+      input.addData("spark joins data", "data joins spark", "spark")
+      q.processAllAvailable()
+      val got = s.table("st1_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("spark" -> 3L, "joins" -> 2L, "data" -> 2L))
+    } finally q.stop()
+  }
+
+  test("st2: windowed agg over a watermarked stream matches the batch plan") {
+    val sess = s
+    import sess.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)](s)
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.windowedAgg(events.withWatermark("ts", "1 hour"))
+      .writeStream.format("memory").queryName("st2_out")
+      .outputMode("complete").start()
+    try {
+      def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      input.addData(
+        (t(0, 10), "click", 1.0), (t(5, 59), "click", 2.0),
+        (t(6, 0), "click", 4.0), (t(13, 30), "view", 8.0))
+      q.processAllAvailable()
+      val got = s.table("st2_out").collect()
+        .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      val day = java.time.LocalDate.of(2024, 1, 1)
+        .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+      assert(got == Map(
+        (day, "click") -> (2L, 3.0),
+        (day + 6 * 3600, "click") -> (1L, 4.0),
+        (day + 12 * 3600, "view") -> (1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("st3: flatMapGroupsWithState sessionization agrees with the batch window formulation") {
+    val sess = s
+    import sess.implicits._
+    val evts = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .as[Streams.Evt]
+    val input = MemoryStream[Streams.Evt](s)
+    val q = Streams.sessionizeStreaming(input.toDS())
+      .writeStream.format("memory").queryName("st3_out")
+      .outputMode("update").start()
+    try {
+      input.addData(evts.collect().toSeq)
+      q.processAllAvailable()
+      val got = s.table("st3_out").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3))))
+        .toMap
+      val expected = Streams.sessionizeBatch(Tables.events(s, dir)).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1).toInt, r.getLong(2).toInt,
+          r.getLong(3)))).toMap
+      assert(got == expected)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native codegen'd cosine similarity over two `array<float>` columns.
+  *
+  * One fused loop computes dot(a,b), |a|² and |b|² per row — replacing
+  * three separate higher-order-function folds (each of which allocates an
+  * intermediate array via `zip_with`/`transform`). Stays inside
+  * whole-stage codegen, so the ANN scoring loop (s1/s2/d5) is a tight
+  * branch-free Java loop over Tungsten array data.
+  *
+  * Accumulation order is the exact left-to-right double fold of the HOF
+  * formulation and of the DuckDB `list_reduce` oracle mirror
+  * (graft.operators.VectorOps), so results are bit-identical across all
+  * three implementations — required by the hash-compare oracle gate.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override val nullIntolerant: Boolean = true
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = xs.getFloat(i).toDouble
+      val y = ys.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  double $y = (double) $b.getFloat($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registry for graft's native SQL functions. Idempotent — every operator
+  * that needs a function calls [[GraftFunctions.register]] with its
+  * session first, so the functions exist no matter who built the session
+  * (graft.GraftSession, the round driver, or a user's own builder). */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    def reg(name: String, clazz: Class[_],
+            builder: Seq[Expression] => Expression): Unit =
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name), builder)
+    reg("cosine_sim", classOf[CosineSim], cs => CosineSim(cs(0), cs(1)))
+    reg("simhash60", classOf[SimHash60], cs => SimHash60(cs(0)))
+    reg("minhash_min", classOf[MinHashMin], cs => MinHashMin(cs(0), cs(1)))
+    reg("roll_hash", classOf[RollHash], cs => RollHash(cs(0)))
+  }
+}

@@ -1,0 +1,157 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DataTypes, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native per-row text-hash kernels for the dedup/fingerprint operators.
+  *
+  * These replace nested higher-order-function expressions which Spark
+  * evaluates interpreted (per-element closures, no codegen) — profiled as
+  * the dominant cost of d2/d3/t4. Each kernel is one tight JVM loop,
+  * invoked from whole-stage codegen via a static call, and reproduces the
+  * DuckDB oracle SQL formulation bit-for-bit (the SQL mirrors live next
+  * to each operator in graft.operators).
+  */
+object TextHashKernels {
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def md5hex(bytes: Array[Byte]): Array[Char] = {
+    val d = MessageDigest.getInstance("MD5").digest(bytes)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    out
+  }
+
+  /** SimHash over the md5 of each token: bit j (0..59) of the fingerprint
+    * is the sign of Σ_tokens (±1 from bit (j%4) of hex digit 15-(j/4) of
+    * md5(token)) — exactly DuckDB's
+    * `(strpos('0123456789abcdef', substr(md5(t),15-(j//4),1))-1 >> (j%4)) & 1`. */
+  def simhash60(toks: ArrayData): Long = {
+    val counts = new Array[Int](60)
+    val n = toks.numElements()
+    var t = 0
+    while (t < n) {
+      val hex = md5hex(toks.getUTF8String(t).getBytes)
+      var j = 0
+      while (j < 60) {
+        // 1-indexed hex position 15-(j/4)  →  0-indexed 14-(j/4)
+        val v = Character.digit(hex(14 - j / 4), 16)
+        counts(j) += (if (((v >> (j % 4)) & 1) == 1) 1 else -1)
+        j += 1
+      }
+      t += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 60) {
+      if (counts(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
+  /** Lexicographic min over shingles of md5("<seed>|" + shingle) — one
+    * minhash coordinate; equals DuckDB's
+    * `list_min(list_transform(shingles, x -> md5(seed || '|' || x)))`. */
+  def minhashMin(shingles: ArrayData, seed: UTF8String): UTF8String = {
+    val n = shingles.numElements()
+    if (n == 0) return null
+    val prefix = (seed.toString + "|").getBytes("UTF-8")
+    var best: String = null
+    var i = 0
+    while (i < n) {
+      val sh = shingles.getUTF8String(i).getBytes
+      val buf = new Array[Byte](prefix.length + sh.length)
+      System.arraycopy(prefix, 0, buf, 0, prefix.length)
+      System.arraycopy(sh, 0, buf, prefix.length, sh.length)
+      val hex = new String(md5hex(buf))
+      if (best == null || hex.compareTo(best) < 0) best = hex
+      i += 1
+    }
+    UTF8String.fromString(best)
+  }
+
+  /** Polynomial rolling hash over codepoints: acc = (acc*31 + cp) mod 1e9+7,
+    * left-to-right — equals the DuckDB list_reduce over string_split('')
+    * + ascii(c) (ascii() yields the codepoint of the character). */
+  def rollHash(s: UTF8String): Long = {
+    val str = s.toString
+    var acc = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+}
+
+/** `simhash60(array<string>) -> bigint` — 60-bit SimHash fingerprint. */
+case class SimHash60(child: Expression)
+    extends UnaryExpression {
+  override val nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+
+  override def nullSafeEval(a: Any): Any =
+    TextHashKernels.simhash60(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashKernels.simhash60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+/** `minhash_min(array<string>, seed string) -> string` — one minhash
+  * coordinate (md5-based, SQL-reproducible). */
+case class MinHashMin(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DataTypes.StringType
+  override def prettyName: String = "minhash_min"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashKernels.minhashMin(a.asInstanceOf[ArrayData], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |${ev.value} = graft.functions.TextHashKernels.minhashMin($a, $b);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashMin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `roll_hash(string) -> bigint` — polynomial rolling hash mod 1e9+7. */
+case class RollHash(child: Expression)
+    extends UnaryExpression {
+  override val nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "roll_hash"
+
+  override def nullSafeEval(a: Any): Any =
+    TextHashKernels.rollHash(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHashKernels.rollHash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollHash =
+    copy(child = newChild)
+}

@@ -32,12 +32,16 @@ object Dedup {
 
   /** Per-seed minhash: lexicographic min of md5("<seed>|" + shingle).
     * String-min is hash-min under a uniform hash, and is exactly
-    * reproducible in SQL. */
+    * reproducible in SQL. Computed by the native codegen'd kernel
+    * (graft.functions.MinHashMin) — the HOF spelling
+    * `array_min(transform(shingles, x -> md5(concat('$seed|', x))))`
+    * is interpreted per-element and was the d2 hot spot. */
   private def minhashExpr(seed: Int): String =
-    s"array_min(transform(shingles, x -> md5(concat('$seed|', x))))"
+    s"minhash_min(shingles, '$seed')"
 
   /** doc_id + one band-key column per LSH band. */
   def minhashBands(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val sig = (0 until NumHashes).foldLeft(
       TextOps.withShingles(Tables.documents(s, dir))) {
       (df, j) => df.withColumn(s"h$j", expr(minhashExpr(j)))
@@ -70,28 +74,18 @@ object Dedup {
   /** Simhash bit width (60 = 15 md5 hex chars, avoids int64 sign games). */
   val SimhashBits = 60
 
-  /** d3: SimHash fingerprint per document.
-    * One pass per row with higher-order functions: per-token md5 →
-    * per-bit ±1 contributions → sign vector → 60-bit fingerprint.
-    * No explode, no shuffle — the whole operator is a projection. */
+  /** d3: SimHash fingerprint per document — per-token md5 → per-bit ±1
+    * contributions → sign vector → 60-bit fingerprint, fused into the
+    * native codegen'd kernel (graft.functions.SimHash60; the equivalent
+    * nested-HOF spelling is interpreted per element and profiled ~1000×
+    * slower). No explode, no shuffle — the whole operator is a
+    * projection. */
   def d3Simhash(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, dir)
       .withColumn("norm", TextOps.normText(col("text")))
       .withColumn("toks", expr(TextOps.toksExpr))
-    docs
-      .withColumn("hs", expr("transform(toks, t -> substring(md5(t), 1, 15))"))
-      .withColumn("bitsums", expr(
-        s"""aggregate(hs, transform(sequence(0, ${SimhashBits - 1}), j -> 0),
-           |  (acc, h) -> zip_with(acc,
-           |    transform(sequence(0, ${SimhashBits - 1}), j ->
-           |      IF((shiftright(locate(substring(h, 15 - (j div 4), 1),
-           |            '0123456789abcdef') - 1, j % 4) & 1) = 1, 1, -1)),
-           |    (a, b) -> a + b))""".stripMargin))
-      .withColumn("simhash", expr(
-        s"""aggregate(transform(sequence(0, ${SimhashBits - 1}),
-           |    j -> IF(element_at(bitsums, j + 1) > 0,
-           |            shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
-           |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin))
+      .withColumn("simhash", expr("simhash60(toks)"))
       .withColumn("bucket", expr("CAST(shiftright(simhash, 48) AS INT)"))
       .select("doc_id", "simhash", "bucket")
       .orderBy("doc_id")
@@ -126,6 +120,7 @@ object Dedup {
     * global top-20 so the operator is observable even when the corpus has
     * no true near-dups. */
   def d5Embedding(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
       .withColumn("bucket", expr(
         """aggregate(transform(sequence(0, 7),

@@ -27,6 +27,7 @@ object Similarity {
 
   /** s1: brute-force cosine top-k per query vector. */
   def s1BruteForce(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val cand = Tables.embeddings(s, dir)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
     val w = Window.partitionBy("query_id")
@@ -68,6 +69,7 @@ object Similarity {
 
   /** s2: LSH-bucketed ANN — score only within the query's sign bucket. */
   def s2Lsh(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val bucketed = Tables.embeddings(s, dir)
       .withColumn("bucket", bucketCol("embedding"))
     val q = bucketed.filter(col("vec_id") < NumQueries)

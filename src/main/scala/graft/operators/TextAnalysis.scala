@@ -89,17 +89,18 @@ object TextAnalysis {
 
   /** t4: deterministic document fingerprints — content md5 plus a
     * polynomial rolling hash mod 1e9+7 (one fold over the chars). */
-  def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
+  def t4Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
       .withColumn("norm", TextOps.normText(col("text")))
       .withColumn("fp_md5", md5(col("norm")))
-      .withColumn("fp_roll", expr(
-        // filter: Spark's regex split keeps a trailing empty string that
-        // DuckDB's string_split does not produce
-        """aggregate(filter(split(norm, ''), c -> c <> ''), CAST(0 AS BIGINT),
-          |  (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)""".stripMargin))
+      // native codegen'd fold (graft.functions.RollHash); the HOF
+      // spelling (split to one-char strings + aggregate) is interpreted
+      // and allocates one array element per character
+      .withColumn("fp_roll", expr("roll_hash(norm)"))
       .select("doc_id", "fp_md5", "fp_roll")
       .orderBy("doc_id")
+  }
 
   // ---------------------------------------------------------------- oracle
 

@@ -18,8 +18,16 @@ object VectorOps {
        |    (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
        |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)
 
-  /** Cosine similarity of two array<float> columns. */
-  def cosine(a: String, b: String): Column = expr(
+  /** Cosine similarity of two array<float> columns — the native fused
+    * expression (graft.functions.CosineSim); call sites must have run
+    * `GraftFunctions.register(spark)` first. Bit-identical to
+    * [[cosineHof]] and to [[sqlCosine]]. */
+  def cosine(a: String, b: String): Column = expr(s"cosine_sim($a, $b)")
+
+  /** Higher-order-function formulation of cosine (kept as the
+    * registration-free fallback and as executable documentation of the
+    * fold order the native expression reproduces). */
+  def cosineHof(a: String, b: String): Column = expr(
     s"""${dotSql(a, b, spark = true)} /
        |  (sqrt(${dotSql(a, a, spark = true)}) *
        |   sqrt(${dotSql(b, b, spark = true)}))""".stripMargin)

@@ -98,6 +98,10 @@ object Streams {
   }
 
   /** Batch entries for the oracle gate (same transforms, batch input). */
+  def st1Query(s: SparkSession, dir: String): DataFrame =
+    wordCounts(Tables.documents(s, dir).select(col("text").as("value")))
+      .orderBy("word")
+
   def st2Query(s: SparkSession, dir: String): DataFrame =
     windowedAgg(Tables.events(s, dir))
       .orderBy("bucket_start", "event_type")
@@ -106,6 +110,10 @@ object Streams {
     sessionizeBatch(Tables.events(s, dir))
 
   val oracle: Map[String, String] = Map(
+    "st1_stream_wordcount" ->
+      """SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
     "st2_windowed_agg" ->
       s"""SELECT CAST(epoch(time_bucket(INTERVAL '6 hours', ts)) AS BIGINT)
          |    AS bucket_start,
@@ -138,6 +146,7 @@ object Streams {
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st1_stream_wordcount" -> st1Query,
     "st2_windowed_agg" -> st2Query,
     "st3_sessionize" -> st3Query,
   )

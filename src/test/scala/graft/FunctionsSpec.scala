@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+import graft.operators.VectorOps
+
+class FunctionsSpec extends AnyFunSuite {
+
+  test("cosine_sim native expression is bit-identical to the HOF fold") {
+    val s = TestSpark.spark
+    GraftFunctions.register(s)
+    import s.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(-1.0f, 0.5f, 2.0f)),
+      (Array(0.1f, 0.0f, -0.3f), Array(0.1f, 0.0f, -0.3f)),
+      (Array(5.0f, -5.0f, 0.25f), Array(1.0f, 1.0f, 1.0f)))
+      .toDF("a", "b")
+    val rows = df.select(
+      VectorOps.cosine("a", "b").as("native"),
+      VectorOps.cosineHof("a", "b").as("hof")).collect()
+    rows.foreach { r =>
+      // exact bit equality, not tolerance — the oracle gate hash-compares
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("simhash60 / minhash_min / roll_hash match their HOF formulations") {
+    val s = TestSpark.spark
+    GraftFunctions.register(s)
+    import s.implicits._
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b c d e f g h i j k l m n o p",
+      "sphinx of black quartz judge my vow",
+      "x").toDF("norm")
+      .selectExpr("norm", "filter(split(norm, ' '), t -> t <> '') AS toks",
+        """transform(sequence(1, greatest(size(toks) - 2, 1)),
+          |  i -> array_join(slice(toks, i, 3), ' ')) AS shingles""".stripMargin)
+
+    val got = docs.selectExpr(
+      "simhash60(toks) AS sh_native",
+      """aggregate(transform(toks, t -> substring(md5(t), 1, 15)),
+        |  transform(sequence(0, 59), j -> 0),
+        |  (acc, h) -> zip_with(acc, transform(sequence(0, 59), j ->
+        |    IF((shiftright(locate(substring(h, 15 - (j div 4), 1),
+        |      '0123456789abcdef') - 1, j % 4) & 1) = 1, 1, -1)),
+        |    (a, b) -> a + b))""".stripMargin + " AS bitsums",
+      "minhash_min(shingles, '7') AS mh_native",
+      "array_min(transform(shingles, x -> md5(concat('7|', x)))) AS mh_hof",
+      "roll_hash(norm) AS rh_native",
+      """aggregate(filter(split(norm, ''), c -> c <> ''), CAST(0 AS BIGINT),
+        |  (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)""".stripMargin
+        + " AS rh_hof")
+      .selectExpr("sh_native",
+        """aggregate(transform(sequence(0, 59),
+          |  j -> IF(element_at(bitsums, j + 1) > 0,
+          |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
+          |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin + " AS sh_hof",
+        "mh_native", "mh_hof", "rh_native", "rh_hof")
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1), "simhash")
+      assert(r.getString(2) === r.getString(3), "minhash")
+      assert(r.getLong(4) === r.getLong(5), "rollhash")
+    }
+  }
+
+  test("cosine_sim participates in whole-stage codegen") {
+    val s = TestSpark.spark
+    GraftFunctions.register(s)
+    val df = Tables.embeddings(s, TestSpark.SfDir)
+      .select(expr("cosine_sim(embedding, embedding)").as("c"))
+    // "*(1) Project [cosine_sim(...)]" — the *(n) prefix marks the
+    // WholeStageCodegen span containing the projection
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [cosine_sim"))
+    // self-cosine is exactly 1 up to fp rounding
+    assert(df.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
+  }
+}

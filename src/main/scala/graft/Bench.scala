@@ -31,10 +31,18 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    /** Untimed inter-query cleanup: drop cached relations and collect the
+      * previous query's broadcast/codegen garbage so one query's GC debt
+      * doesn't land in the next query's wall time. */
+    def cleanup(): Unit = {
+      spark.catalog.clearCache()
+      System.gc()
+    }
+
     run("q1_multi_agg") // warmup, untimed
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> run(n))
+    val results = names.map { n => cleanup(); n -> run(n) }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -24,10 +24,15 @@ object Tables {
   /** `events.ts` is parquet INT64(TIMESTAMP(NANOS)) which Spark cannot map
     * to TimestampType; read nanos as long and convert to a micros timestamp
     * (session TZ is UTC, matching the naive-UTC semantics of the writer). */
-  def events(s: SparkSession, dir: String): DataFrame = {
+  def events(s: SparkSession, dir: String): DataFrame =
+    eventsRaw(s, dir).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** events with `ts` still the raw int64 nanos — predicates built from
+    * literals against this column push down to the parquet scan (see
+    * Relational.q17TimeRangeFilter). */
+  def eventsRaw(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(p(dir, "events"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
   def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "documents"))
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "embeddings"))

@@ -83,5 +83,6 @@ object GraftFunctions {
     reg("simhash60", classOf[SimHash60], cs => SimHash60(cs(0)))
     reg("minhash_min", classOf[MinHashMin], cs => MinHashMin(cs(0), cs(1)))
     reg("roll_hash", classOf[RollHash], cs => RollHash(cs(0)))
+    reg("word_shingles", classOf[WordShingles], cs => WordShingles(cs(0)))
   }
 }

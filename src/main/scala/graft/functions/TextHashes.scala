@@ -81,6 +81,33 @@ object TextHashKernels {
     UTF8String.fromString(best)
   }
 
+  /** Word 3-gram shingles over a token array — equals the HOF spelling
+    * `transform(sequence(1, greatest(size(toks)-2, 1)),
+    *            i -> array_join(slice(toks, i, 3), ' '))`
+    * and DuckDB's `list_transform(generate_series(1, greatest(len(toks)-2,1)),
+    * i -> array_to_string(toks[i:i+2], ' '))`, including the degenerate
+    * cases (0 tokens → [""], 1–2 tokens → one shingle of the full text). */
+  def wordShingles3(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val m = math.max(n - 2, 1)
+    val out = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) {
+      val end = math.min(i + 3, n)
+      val sb = new java.lang.StringBuilder()
+      var k = i
+      while (k < end) {
+        if (k > i) sb.append(' ')
+        sb.append(toks.getUTF8String(k).toString)
+        k += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.asInstanceOf[Array[Any]])
+  }
+
   /** Polynomial rolling hash over codepoints: acc = (acc*31 + cp) mod 1e9+7,
     * left-to-right — equals the DuckDB list_reduce over string_split('')
     * + ascii(c) (ascii() yields the codepoint of the character). */
@@ -137,6 +164,25 @@ case class MinHashMin(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): MinHashMin =
     copy(left = newLeft, right = newRight)
+}
+
+/** `word_shingles(array<string>) -> array<string>` — word 3-gram shingles. */
+case class WordShingles(child: Expression) extends UnaryExpression {
+  override val nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(a: Any): Any =
+    TextHashKernels.wordShingles3(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashKernels.wordShingles3($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
 }
 
 /** `roll_hash(string) -> bigint` — polynomial rolling hash mod 1e9+7. */

@@ -208,13 +208,22 @@ object Relational {
       .orderBy("order_id", "line_no")
 
   /** q17: trailing-time-window filter ("last day") — data-relative so the
-    * result is deterministic (twitter_airflow.py:126 uses now()-1d). The
-    * scalar max is broadcast, not collected. */
+    * result is deterministic (twitter_airflow.py:126 uses now()-1d).
+    *
+    * Two-phase for scan pruning: phase 1 is a column-pruned max over the
+    * raw int64-nanos column (at cluster scale parquet footer stats make
+    * this near-free); phase 2 filters with the resulting LITERAL on the
+    * raw column, so the predicate reaches the parquet reader
+    * (PushedFilters) and row groups outside the trailing day are skipped
+    * entirely — the one-shot lazy formulation (crossJoin of a broadcast
+    * scalar) must stream every row group instead. */
   def q17TimeRangeFilter(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(s, dir)
-    val mx = e.agg(max(col("ts")).as("max_ts"))
-    e.crossJoin(broadcast(mx))
-      .filter(col("ts") > col("max_ts") - expr("INTERVAL 1 DAY"))
+    val raw = Tables.eventsRaw(s, dir)
+    val maxNanos = raw.agg(max("ts")).head.getLong(0)
+    // ts_micros > max_micros − 1 day, expressed on the raw nanos column:
+    // (ts div 1000) > T  ⟺  ts ≥ (T+1)·1000
+    val tMicros = maxNanos / 1000L - 86400L * 1000000L
+    raw.filter(col("ts") >= lit((tMicros + 1L) * 1000L))
       .groupBy("event_type").agg(count(lit(1)).as("cnt"))
       .orderBy("event_type")
   }

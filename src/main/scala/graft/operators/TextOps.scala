@@ -36,11 +36,16 @@ object TextOps {
     "list_transform(generate_series(1, greatest(len(toks) - 2, 1)), " +
       "i -> array_to_string(toks[i:i+2], ' '))"
 
-  /** documents + `norm`, `toks`, `shingles` columns. */
-  def withShingles(docs: DataFrame): DataFrame =
+  /** documents + `norm`, `toks`, `shingles` columns. Shingles come from
+    * the native codegen'd kernel (graft.functions.WordShingles), which is
+    * value-identical to [[shinglesExpr]] — the interpreted HOF spelling
+    * was the d2/d4 map-side hot spot. */
+  def withShingles(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.withColumn("norm", normText(col("text")))
       .withColumn("toks", expr(toksExpr))
-      .withColumn("shingles", expr(shinglesExpr))
+      .withColumn("shingles", expr("word_shingles(toks)"))
+  }
 
   /** Oracle CTE prefix mirroring [[withShingles]] over `documents`. */
   val sqlShingleCte: String =

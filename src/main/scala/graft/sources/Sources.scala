@@ -1,0 +1,89 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingest paths the reference supports, re-expressed as Spark sources.
+  *
+  * Reference surface:
+  *  - CSV with explicit typed schema + coercion + bad-row policy
+  *    (luigi/taxi_data_import.py: 26-column taxi schema, pandas dtype map);
+  *  - newline-delimited JSON with nested records and list columns
+  *    (Dask bags notebooks; airflow/dags/twitter_airflow.py tweet dumps);
+  *  - append-once sink: re-running an ingest must not duplicate rows
+  *    (airflow csv_to_sqlite's dedup-by-file append).
+  *
+  * All of these scale by construction: file sources split by input file /
+  * row group across executors, and the append-once sink dedups via a
+  * broadcast-able anti-join on the key, not a global rewrite.
+  */
+object Sources {
+
+  /** Typed CSV read: explicit schema (no inference pass over the data —
+    * schema inference reads the whole input once, a non-starter at scale),
+    * PERMISSIVE coercion with the malformed rows quarantined in
+    * `_corrupt_record` so ETL can route them to a dead-letter sink. */
+  def csv(s: SparkSession, path: String, schema: StructType,
+          header: Boolean = true): DataFrame =
+    s.read
+      .schema(schema.add("_corrupt_record", StringType))
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+
+  /** The taxi-trip schema from the reference's ETL, typed
+    * (luigi/taxi_data_import.py's 26-column dtype map, trimmed to the
+    * columns its pipeline actually selects + coerces). */
+  val taxiSchema: StructType = StructType(Seq(
+    StructField("trip_id", LongType),
+    StructField("vendor_id", StringType),
+    StructField("pickup_datetime", TimestampType),
+    StructField("dropoff_datetime", TimestampType),
+    StructField("passenger_count", IntegerType),
+    StructField("trip_distance", DoubleType),
+    StructField("pickup_longitude", DoubleType),
+    StructField("pickup_latitude", DoubleType),
+    StructField("dropoff_longitude", DoubleType),
+    StructField("dropoff_latitude", DoubleType),
+    StructField("payment_type", StringType),
+    StructField("fare_amount", DoubleType),
+    StructField("tip_amount", DoubleType),
+    StructField("total_amount", DoubleType)))
+
+  /** Newline-delimited JSON with an explicit schema. Nested structs and
+    * array columns (hashtags/mentions/urls in the tweet dumps) map to
+    * StructType/ArrayType and can be flattened with `col("a.b")` /
+    * `explode` downstream. */
+  def jsonl(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).json(path)
+
+  /** Flatten one level of a struct column into top-level columns —
+    * the tweet-record flatten (twitter_airflow.py:35-66). */
+  def flattenStruct(df: DataFrame, structCol: String): DataFrame = {
+    val fields = df.schema(structCol).dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq
+    val flat = fields.map(f => col(s"$structCol.$f").as(s"${structCol}_$f"))
+    df.select((df.columns.filterNot(_ == structCol).map(col).toSeq ++ flat): _*)
+  }
+
+  /** Append-once: append `incoming` rows to the parquet table at `path`,
+    * skipping rows whose `key` already exists there (the reference dedups
+    * re-runs of the same ingest file). The existing-key set is only the
+    * key column — prunable at scan — and joins as a broadcast/shuffle
+    * anti-join; no global rewrite of the sink. */
+  def appendOnce(s: SparkSession, incoming: DataFrame, path: String,
+                 key: String): Long = {
+    val fresh =
+      if (new java.io.File(path).exists()) {
+        val existing = s.read.parquet(path).select(key)
+        incoming.join(existing, Seq(key), "left_anti")
+      } else incoming
+    val staged = fresh.cache()
+    val n = staged.count()
+    if (n > 0) staged.write.mode(SaveMode.Append).parquet(path)
+    staged.unpersist()
+    n
+  }
+}

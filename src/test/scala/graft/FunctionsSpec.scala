@@ -68,6 +68,21 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("word_shingles matches the HOF formulation incl. degenerate sizes") {
+    val s = TestSpark.spark
+    GraftFunctions.register(s)
+    import s.implicits._
+    val got = Seq("", "one", "one two", "a b c", "a b c d e")
+      .toDF("norm")
+      .selectExpr("filter(split(norm, ' '), t -> t <> '') AS toks")
+      .selectExpr(
+        "word_shingles(toks) AS native",
+        """transform(sequence(1, greatest(size(toks) - 2, 1)),
+          |  i -> array_join(slice(toks, i, 3), ' ')) AS hof""".stripMargin)
+      .collect()
+    got.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
+  }
+
   test("cosine_sim participates in whole-stage codegen") {
     val s = TestSpark.spark
     GraftFunctions.register(s)

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Sources
+
+class SourcesSpec extends AnyFunSuite {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft_sources").toString
+
+  test("typed csv ingest coerces columns and quarantines malformed rows") {
+    val s = TestSpark.spark
+    val dir = tmpDir()
+    val csv = s"""trip_id,vendor_id,pickup_datetime,dropoff_datetime,passenger_count,trip_distance,pickup_longitude,pickup_latitude,dropoff_longitude,dropoff_latitude,payment_type,fare_amount,tip_amount,total_amount
+                 |1,VTS,2015-01-01 00:01:00,2015-01-01 00:11:00,2,1.5,-73.99,40.75,-73.98,40.76,CRD,9.5,1.0,10.5
+                 |2,CMT,2015-01-01 00:02:00,2015-01-01 00:12:00,1,3.2,-73.97,40.74,-73.95,40.71,CSH,12.0,0.0,12.0
+                 |notanumber,XXX,zzz,zzz,a,b,c,d,e,f,g,h,i,j""".stripMargin
+    Files.write(java.nio.file.Paths.get(dir, "taxi.csv"), csv.getBytes)
+
+    // cache first: Spark disallows queries that touch only the internal
+    // corrupt-record column of a raw CSV scan
+    val df = Sources.csv(s, s"$dir/taxi.csv", Sources.taxiSchema).cache()
+    assert(df.schema("passenger_count").dataType === IntegerType)
+    assert(df.schema("pickup_datetime").dataType === TimestampType)
+    val good = df.filter(col("_corrupt_record").isNull)
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    assert(good.count() === 2)
+    assert(bad.count() === 1)
+    assert(good.agg(sum("fare_amount")).head.getDouble(0) === 21.5)
+  }
+
+  test("jsonl ingest reads nested records and array columns, flattens") {
+    val s = TestSpark.spark
+    val dir = tmpDir()
+    val jsonl =
+      """{"id": 1, "user": {"name": "ann", "followers": 10}, "tags": ["a", "b"]}
+        |{"id": 2, "user": {"name": "bo", "followers": 20}, "tags": []}""".stripMargin
+    Files.write(java.nio.file.Paths.get(dir, "tweets.jsonl"), jsonl.getBytes)
+
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("user", StructType(Seq(
+        StructField("name", StringType),
+        StructField("followers", LongType)))),
+      StructField("tags", ArrayType(StringType))))
+    val df = Sources.jsonl(s, s"$dir/tweets.jsonl", schema)
+    val flat = Sources.flattenStruct(df, "user")
+    assert(flat.columns.toSet === Set("id", "tags", "user_name", "user_followers"))
+    assert(flat.filter(col("user_name") === "ann").head.getAs[Long]("user_followers") === 10L)
+    val exploded = df.select(explode(col("tags")).as("tag"))
+    assert(exploded.count() === 2)
+  }
+
+  test("appendOnce is idempotent per key across re-runs") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val sink = tmpDir() + "/sink"
+    val batch1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val batch2 = Seq((2L, "b"), (3L, "c")).toDF("k", "v") // overlaps on k=2
+
+    assert(Sources.appendOnce(s, batch1, sink, "k") === 2)
+    assert(Sources.appendOnce(s, batch1, sink, "k") === 0) // exact re-run: no-op
+    assert(Sources.appendOnce(s, batch2, sink, "k") === 1) // only k=3 lands
+    val out = s.read.parquet(sink).orderBy("k").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+  }
+}

@@ -39,11 +39,19 @@ object Dedup {
   private def minhashExpr(seed: Int): String =
     s"minhash_min(shingles, '$seed')"
 
+  /** Skew guard shared by the blocking dedup ops: documents too short to
+    * form one true 3-shingle would all carry the SAME degenerate
+    * signature, turning one band bucket into an O(n²) hot key at corpus
+    * scale. They are excluded from candidate generation (exact dedup d1
+    * still covers them); a no-op on corpora without such docs. */
+  val MinToks = 3
+
   /** doc_id + one band-key column per LSH band. */
   def minhashBands(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val sig = (0 until NumHashes).foldLeft(
-      TextOps.withShingles(Tables.documents(s, dir))) {
+      TextOps.withShingles(Tables.documents(s, dir))
+        .filter(size(col("toks")) >= MinToks)) {
       (df, j) => df.withColumn(s"h$j", expr(minhashExpr(j)))
     }
     (0 until Bands).foldLeft(sig) { (df, b) =>
@@ -97,6 +105,7 @@ object Dedup {
     * never materialized. */
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val ex = TextOps.withShingles(Tables.documents(s, dir))
+      .filter(size(col("toks")) >= MinToks)
       .withColumn("shset", expr("array_distinct(shingles)"))
       .withColumn("cb", expr("n_chars div 100"))
       .select(col("doc_id"), col("lang"), col("cb"),
@@ -159,7 +168,7 @@ object Dedup {
       s"""${TextOps.sqlShingleCte},
          |sig AS (SELECT doc_id,
          |$sigCols
-         |FROM shingle_t),
+         |FROM shingle_t WHERE len(toks) >= $MinToks),
          |bands AS (
          |$bandSelects)
          |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -190,7 +199,8 @@ object Dedup {
     "d4_ngram_jaccard" ->
       s"""${TextOps.sqlShingleCte},
          |d AS (SELECT doc_id, lang, n_chars // 100 AS cb,
-         |        list_distinct(shingles) AS shset FROM shingle_t),
+         |        list_distinct(shingles) AS shset FROM shingle_t
+         |        WHERE len(toks) >= $MinToks),
          |ex AS (SELECT doc_id, lang, cb, len(shset) AS nsh,
          |         unnest(shset) AS sh FROM d)
          |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextHashKernels
+import graft.streaming.Streams
+
+/** Property-based tests over the core transforms — the ScalaCheck
+  * counterpart of the reference's Hypothesis chapter
+  * (notebooks/Chapter 7 - Testing with Hypothesis.ipynb), which
+  * property-tests dataframe transforms instead of fixing examples.
+  * Deterministic seeds keep the suite reproducible. */
+class PropertiesSpec extends AnyFunSuite {
+
+  private def samples[A](g: Gen[A], n: Int, seed: Long = 42L): Seq[A] =
+    (0 until n).flatMap(i => g(Gen.Parameters.default, Seed(seed + i)))
+
+  private val word: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val doc: Gen[String] = Gen.listOf(word).map(_.mkString(" "))
+
+  test("property: wordcount totals equal the token count of the corpus") {
+    samples(Gen.nonEmptyListOf(doc), 10).foreach { docs =>
+      val s = TestSpark.spark
+      import s.implicits._
+      val counted = Streams.wordCounts(docs.toDF("value"))
+        .agg(coalesce(sum("cnt"), lit(0L))).as[Long].head()
+      val expected = docs.flatMap(_.split(" ")).count(_.nonEmpty).toLong
+      assert(counted === expected)
+    }
+  }
+
+  test("property: exact-dedup groups partition the corpus") {
+    samples(Gen.nonEmptyListOf(doc), 10, seed = 7L).foreach { docs =>
+      val s = TestSpark.spark
+      import s.implicits._
+      val rows = docs.zipWithIndex.toDF("text", "doc_id")
+        .withColumn("h", md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))))
+        .groupBy("h").agg(count(lit(1)).as("cnt"))
+        .collect()
+      assert(rows.map(_.getLong(1)).sum === docs.size.toLong)
+      assert(rows.forall(_.getLong(1) >= 1))
+    }
+  }
+
+  test("property: simhash60 is deterministic and stays within 60 bits") {
+    samples(Gen.nonEmptyListOf(word), 50, seed = 11L).foreach { toks =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+          .toArray[Any])
+      val a = TextHashKernels.simhash60(arr)
+      assert(a === TextHashKernels.simhash60(arr))
+      assert(a >= 0L && a < (1L << 60))
+    }
+  }
+
+  test("property: rolling hash is prefix-composable: roll(a++b) == fold(roll(a), b)") {
+    val M = 1000000007L
+    samples(Gen.zip(Gen.alphaNumStr, Gen.alphaNumStr), 100, seed = 13L)
+      .foreach { case (a, b) =>
+        val whole = TextHashKernels.rollHash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(a + b))
+        var acc = TextHashKernels.rollHash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(a))
+        b.foreach { c => acc = (acc * 31 + c.toInt) % M }
+        assert(whole === acc)
+      }
+  }
+
+  test("property: word_shingles count is max(n-2,1), each a contiguous slice") {
+    samples(Gen.listOf(word), 50, seed = 17L).foreach { toks =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+          .toArray[Any])
+      val sh = TextHashKernels.wordShingles3(arr)
+      assert(sh.numElements() === math.max(toks.size - 2, 1))
+      val joined = toks.mkString(" ")
+      (0 until sh.numElements()).foreach { i =>
+        assert(joined.contains(sh.getUTF8String(i).toString))
+      }
+    }
+  }
+
+  test("property: sessionization conserves events; session count matches gaps") {
+    val gapUs = Streams.SessionGapUs
+    val evGen = for {
+      n <- Gen.choose(1, 30)
+      // ms-aligned gaps: java.sql.Timestamp carries milliseconds, so a
+      // +1µs margin would truncate away
+      gaps <- Gen.listOfN(n, Gen.oneOf(1000L, 60L * 1000000, gapUs + 1000))
+    } yield gaps
+    samples(evGen, 10, seed = 23L).foreach { gaps =>
+      val s = TestSpark.spark
+      import s.implicits._
+      var t = 1700000000000000L
+      val evts = gaps.zipWithIndex.map { case (g, i) =>
+        t += g; (1L, i.toLong, new java.sql.Timestamp(t / 1000))
+      }
+      val out = Streams.sessionizeBatch(
+        evts.toDF("user_id", "event_id", "ts")).collect()
+      assert(out.length === 1)
+      val row = out.head
+      val expectedSessions = 1 + gaps.drop(1).count(_ > gapUs)
+      assert(row.getAs[Long]("total_events") === gaps.size.toLong)
+      assert(row.getAs[Long]("n_sessions") === expectedSessions.toLong)
+    }
+  }
+}

@@ -29,6 +29,9 @@ object GraftSession {
       // all graft operators guard their own arithmetic explicitly.
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
+      // bucketed tables (Sources.writeBucketed) land here, not in cwd
+      .config("spark.sql.warehouse.dir",
+        sys.props("java.io.tmpdir") + "/graft-warehouse")
 
   def get(): SparkSession = {
     val s = builder().getOrCreate()

@@ -68,6 +68,20 @@ object Sources {
     df.select((df.columns.filterNot(_ == structCol).map(col).toSeq ++ flat): _*)
   }
 
+  /** Write `df` as a bucketed (and bucket-sorted) parquet table: rows are
+    * hash-distributed into `buckets` files per partition by `bucketCol`.
+    * Two tables bucketed the same way join WITHOUT a shuffle — the scan
+    * itself reports hash partitioning, so repeated large joins on the
+    * same key (fact-to-fact at 100 TB) pay the distribution cost once at
+    * write time instead of once per query. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Append-once: append `incoming` rows to the parquet table at `path`,
     * skipping rows whose `key` already exists there (the reference dedups
     * re-runs of the same ingest file). The existing-key set is only the

@@ -56,6 +56,32 @@ class SourcesSpec extends AnyFunSuite {
     assert(exploded.count() === 2)
   }
 
+  test("bucketed tables co-locate: same-bucket join plans with no shuffle") {
+    val s = TestSpark.spark
+    Sources.writeBucketed(
+      Tables.orders(s, TestSpark.SfDir).select("o_orderkey", "o_custkey", "o_totalprice"),
+      "orders_b", "o_custkey", 4)
+    Sources.writeBucketed(
+      Tables.customer(s, TestSpark.SfDir).select("c_custkey", "c_nationkey"),
+      "customer_b", "c_custkey", 4)
+    // force the shuffle-or-not decision to be about bucketing, not size
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = s.table("orders_b").join(
+        s.table("customer_b"), col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() === Tables.orders(s, TestSpark.SfDir).count())
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      s.sql("DROP TABLE IF EXISTS orders_b")
+      s.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
   test("appendOnce is idempotent per key across re-runs") {
     val s = TestSpark.spark
     import s.implicits._

@@ -97,6 +97,20 @@ object Streams {
       }
   }
 
+  /** Durable stream→parquet sink: exactly-once via checkpointed file
+    * sink; `Trigger.AvailableNow` drains whatever the source currently
+    * has and stops, so scheduled micro-batch ingestion (the
+    * tweepy_stream.py → dump-file pattern) and always-on streaming share
+    * one code path. Returns once the drain completes. */
+  def toParquet(df: DataFrame, path: String, checkpoint: String): Unit =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
   /** Batch entries for the oracle gate (same transforms, batch input). */
   def st1Query(s: SparkSession, dir: String): DataFrame =
     wordCounts(Tables.documents(s, dir).select(col("text").as("value")))

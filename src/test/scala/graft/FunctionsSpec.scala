@@ -83,6 +83,17 @@ class FunctionsSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
   }
 
+  test("hyperplane_bucket matches the HOF projection on real embeddings") {
+    val s = TestSpark.spark
+    GraftFunctions.register(s)
+    val rows = Tables.embeddings(s, TestSpark.SfDir).select(
+      expr(s"hyperplane_bucket(embedding, ${operators.Similarity.HyperPlanes})")
+        .as("native"),
+      operators.Similarity.bucketColHof("embedding").as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
+
   test("cosine_sim participates in whole-stage codegen") {
     val s = TestSpark.spark
     GraftFunctions.register(s)

@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions installer for graft's native functions — the
+  * standard plug-in path for a Spark library:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions ...
+  *   // or
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  *
+  * Operators also call [[GraftFunctions.register]] defensively, so either
+  * path (or none) works; this class exists so a cluster admin can make
+  * `cosine_sim` & co. available to plain `spark.sql(...)` users without
+  * any graft code running first.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String, clazz: Class[_],
+               builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name), builder))
+    inject("cosine_sim", classOf[CosineSim], cs => CosineSim(cs(0), cs(1)))
+    inject("simhash60", classOf[SimHash60], cs => SimHash60(cs(0)))
+    inject("minhash_min", classOf[MinHashMin], cs => MinHashMin(cs(0), cs(1)))
+    inject("roll_hash", classOf[RollHash], cs => RollHash(cs(0)))
+    inject("word_shingles", classOf[WordShingles], cs => WordShingles(cs(0)))
+    inject("hyperplane_bucket", classOf[HyperplaneBucket],
+      cs => HyperplaneBucket(cs(0), cs(1)))
+    inject("lead_sign_bucket", classOf[LeadSignBucket],
+      cs => LeadSignBucket(cs(0), cs(1)))
+  }
+}

@@ -256,11 +256,9 @@ object Dedup {
   def d5Embedding(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-      .withColumn("bucket", expr(
-        """aggregate(transform(sequence(0, 7),
-          |    j -> IF(element_at(embedding, j + 1) > CAST(0 AS FLOAT),
-          |            shiftleft(1, j), 0)),
-          |  0, (a, b) -> a + b)""".stripMargin))
+      // native kernel (graft.functions.LeadSignBucket); the HOF spelling
+      // is interpreted per element
+      .withColumn("bucket", expr("lead_sign_bucket(embedding, 8)"))
       .select("vec_id", "embedding", "bucket")
     val joined = e.as("x").join(e.as("y"),
       col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))

@@ -94,6 +94,39 @@ class FunctionsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getInt(0) === r.getInt(1)))
   }
 
+  test("lead_sign_bucket matches the HOF spelling; GraftExtensions installs all functions") {
+    val s = TestSpark.spark
+    GraftFunctions.register(s)
+    val rows = Tables.embeddings(s, TestSpark.SfDir).selectExpr(
+      "lead_sign_bucket(embedding, 8) AS native",
+      """aggregate(transform(sequence(0, 7),
+        |  j -> IF(element_at(embedding, j + 1) > CAST(0 AS FLOAT),
+        |  shiftleft(1, j), 0)), 0, (a, b) -> a + b) AS hof""".stripMargin)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+
+    // extensions path: a genuinely new session (shared context) with only
+    // the installer configured — clear the default so getOrCreate builds
+    // one instead of returning the test session, and don't stop() it
+    // (that would stop the shared SparkContext)
+    import org.apache.spark.sql.SparkSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val v = s2.sql(
+        "SELECT cosine_sim(array(1.0F, 2.0F), array(1.0F, 2.0F)) AS c")
+        .head.getDouble(0)
+      assert(math.abs(v - 1.0) < 1e-12)
+    } finally {
+      SparkSession.setDefaultSession(s)
+      SparkSession.setActiveSession(s)
+    }
+  }
+
   test("cosine_sim participates in whole-stage codegen") {
     val s = TestSpark.spark
     GraftFunctions.register(s)

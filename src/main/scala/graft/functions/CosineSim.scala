@@ -175,5 +175,6 @@ object GraftFunctions {
       cs => HyperplaneBucket(cs(0), cs(1)))
     reg("lead_sign_bucket", classOf[LeadSignBucket],
       cs => LeadSignBucket(cs(0), cs(1)))
+    reg("count_in", classOf[CountTokensIn], cs => CountTokensIn(cs(0), cs(1)))
   }
 }

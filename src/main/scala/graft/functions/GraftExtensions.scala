@@ -33,5 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       cs => HyperplaneBucket(cs(0), cs(1)))
     inject("lead_sign_bucket", classOf[LeadSignBucket],
       cs => LeadSignBucket(cs(0), cs(1)))
+    inject("count_in", classOf[CountTokensIn],
+      cs => CountTokensIn(cs(0), cs(1)))
   }
 }

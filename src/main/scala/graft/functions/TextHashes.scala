@@ -185,6 +185,46 @@ case class WordShingles(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `count_in(array<string>, 'w1,w2,...') -> int` — number of tokens that
+  * appear in the comma-separated word list; equals the interpreted HOF
+  * spelling `size(filter(toks, t -> t IN (...)))` (occurrences counted,
+  * not distinct membership). The parsed word set is memoized per list
+  * literal, so per-row work is one hash probe per token. */
+case class CountTokensIn(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override val nullIntolerant: Boolean = true
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "count_in"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CountTokensIn.count(a.asInstanceOf[ArrayData], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.CountTokensIn.count($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CountTokensIn =
+    copy(left = newLeft, right = newRight)
+}
+
+object CountTokensIn {
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
+  def count(toks: ArrayData, csv: UTF8String): Int = {
+    val set = memo.computeIfAbsent(csv.toString, s => s.split(',').toSet)
+    var c = 0
+    var i = 0
+    val n = toks.numElements()
+    while (i < n) {
+      if (set.contains(toks.getUTF8String(i).toString)) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
 /** `roll_hash(string) -> bigint` — polynomial rolling hash mod 1e9+7. */
 case class RollHash(child: Expression)
     extends UnaryExpression {

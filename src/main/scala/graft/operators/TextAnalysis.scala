@@ -24,8 +24,10 @@ object TextAnalysis {
   )
 
   private def markerCount(lang: String): String = {
-    val list = markers.toMap.apply(lang).map(w => s"'$w'").mkString(", ")
-    s"size(filter(toks, t -> t IN ($list)))"
+    // native kernel (graft.functions.CountTokensIn); equals the
+    // interpreted HOF `size(filter(toks, t -> t IN (...)))`
+    val list = markers.toMap.apply(lang).mkString(",")
+    s"count_in(toks, '$list')"
   }
 
   private def sqlMarkerCount(lang: String): String = {
@@ -36,6 +38,7 @@ object TextAnalysis {
   /** t1: heuristic language ID by per-language marker-token hits, with a
     * deterministic priority order on ties. */
   def t1LangId(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val base = Tables.documents(s, dir)
       .withColumn("norm", TextOps.normText(col("text")))
       .withColumn("toks", expr(TextOps.toksExpr))
@@ -58,7 +61,8 @@ object TextAnalysis {
     * stopword ratio) — the usual cheap pre-filter before expensive
     * model-based scoring. */
   def t2QualityScore(s: SparkSession, dir: String): DataFrame = {
-    val stopList = Relational.stopwords.map(w => s"'$w'").mkString(", ")
+    graft.functions.GraftFunctions.register(s)
+    val stopCsv = Relational.stopwords.mkString(",")
     Tables.documents(s, dir)
       .withColumn("norm", TextOps.normText(col("text")))
       .withColumn("toks", expr(TextOps.toksExpr))
@@ -66,7 +70,7 @@ object TextAnalysis {
       .withColumn("avg_tok_len",
         (length(col("norm")) - (col("n_tok") - 1)) / col("n_tok"))
       .withColumn("stop_ratio",
-        expr(s"size(filter(toks, t -> t IN ($stopList)))") / col("n_tok"))
+        expr(s"count_in(toks, '$stopCsv')") / col("n_tok"))
       .withColumn("len_score",
         least(col("n_tok").cast("double") / 100.0, lit(1.0)))
       .withColumn("score", col("stop_ratio") * 0.5 + col("len_score") * 0.5)

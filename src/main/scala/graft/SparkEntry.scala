@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -14,12 +14,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Dedup.queries ++ Similarity.queries ++
-      TextAnalysis.queries ++ Multimodal.queries ++ Streams.queries
+      TextAnalysis.queries ++ Multimodal.queries ++ Streams.queries ++
+      AsOf.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (m1_multimodal_meta: binary decode) → rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Dedup.oracle ++ Similarity.oracle ++
-      TextAnalysis.oracle ++ Streams.oracle
+      TextAnalysis.oracle ++ Streams.oracle ++ AsOf.oracle
 }

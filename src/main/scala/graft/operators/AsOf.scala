@@ -85,7 +85,49 @@ object AsOf {
       .orderBy("event_id")
   }
 
+  /** Range-join bucket width: ±5 minutes, in microseconds. */
+  val RangeUs: Long = 5L * 60 * 1000000
+
+  /** q22: range (interval) join — pairs of (error, click) events of the
+    * same user within ±5 minutes. Spark plans a raw inequality join as a
+    * nested loop; instead both sides bucket to fixed 5-minute bins and
+    * the error side probes its bin ±1 — an equi-join on (user, bin) plus
+    * a post-filter, linear in events and shuffle-partitioned on the
+    * (user, bin) key. The DuckDB oracle is the plain inequality join, so
+    * the gate proves the banding loses no pairs. */
+  def q22RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).withColumn("tus", unix_micros(col("ts")))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("tus").as("ets"))
+      .withColumn("bin", explode(array(
+        (col("ets") / RangeUs).cast("long") - 1,
+        (col("ets") / RangeUs).cast("long"),
+        (col("ets") / RangeUs).cast("long") + 1)))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("tus").as("cts"))
+      .withColumn("bin", (col("cts") / RangeUs).cast("long"))
+      .hint("shuffle_hash")
+    errors.join(clicks,
+        errors("user_id") === clicks("c_user") &&
+          errors("bin") === clicks("bin"))
+      .filter(abs(col("ets") - col("cts")) <= RangeUs)
+      .select(col("error_id"), col("click_id"), col("user_id"),
+        (col("cts") - col("ets")).as("delta_us"))
+      .distinct() // bin±1 probing can see the same pair twice at edges
+      .orderBy("error_id", "click_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "q22_range_join" ->
+      s"""SELECT x.event_id AS error_id, y.event_id AS click_id,
+         |  x.user_id, epoch_us(y.ts) - epoch_us(x.ts) AS delta_us
+         |FROM (SELECT * FROM events WHERE event_type = 'error') x
+         |JOIN (SELECT * FROM events WHERE event_type = 'click') y
+         |  ON x.user_id = y.user_id
+         |  AND abs(epoch_us(x.ts) - epoch_us(y.ts)) <= $RangeUs
+         |ORDER BY error_id, click_id""".stripMargin,
     "q21_asof_attribution" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS pts,
         |  v.event_id AS view_event_id
@@ -97,5 +139,6 @@ object AsOf {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q21_asof_attribution" -> q21AsofAttribution,
+    "q22_range_join" -> q22RangeJoin,
   )
 }

@@ -31,6 +31,19 @@ class AsOfSpec extends AnyFunSuite {
       (2L, 100L, "q1", -1L))) // key has no right rows at all
   }
 
+  test("q22 banding equals brute force on sf0.001 (inclusive boundaries)") {
+    val s = TestSpark.spark
+    val banded = AsOf.q22RangeJoin(s, TestSpark.SfDir).collect()
+    val e = Tables.events(s, TestSpark.SfDir)
+      .withColumn("tus", unix_micros(col("ts")))
+    val brute = e.filter(col("event_type") === "error").as("x")
+      .crossJoin(e.filter(col("event_type") === "click").as("y"))
+      .filter(col("x.user_id") === col("y.user_id") &&
+        abs(col("x.tus") - col("y.tus")) <= AsOf.RangeUs)
+      .count()
+    assert(banded.length.toLong === brute)
+  }
+
   test("q21 attribution runs on the events table with sane coverage") {
     val s = TestSpark.spark
     val out = AsOf.q21AsofAttribution(s, TestSpark.SfDir)

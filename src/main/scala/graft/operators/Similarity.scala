@@ -97,6 +97,54 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** Number of IVF cells (coarse-quantizer centroids). */
+  val IvfCells = 16
+
+  /** s3: IVF ANN — the other standard production scale path next to LSH.
+    *
+    * Coarse quantizer: [[IvfCells]] deterministic centroids (the lowest
+    * vec_ids; production would k-means a sample offline and persist).
+    * Every vector is assigned to its max-cosine centroid by a fixed-size
+    * argmax — 16 native cosine_sim calls + array_max over (cos, id)
+    * structs, all codegen'd, no per-row lambda — and a query scans only
+    * its own cell. The centroid set is collected once at plan build
+    * (16×64 floats) and inlined as literals, so the assignment runs
+    * scan-local with zero extra shuffle; corpus-side work is one keyed
+    * shuffle on the cell id. Rows-only (spec measures recall vs s1). */
+  def s3Ivf(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val centroids: Array[(Int, Array[Float])] = Tables.embeddings(s, dir)
+      .filter(col("vec_id") < IvfCells)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+    require(centroids.length == IvfCells, s"corpus smaller than $IvfCells")
+
+    def litVec(v: Array[Float]) =
+      s"array(${v.map(x => s"CAST($x AS FLOAT)").mkString(",")})"
+    val cellExpr = expr(
+      "array_max(array(" + centroids.map { case (id, v) =>
+        s"struct(cosine_sim(embedding, ${litVec(v)}) AS cos, $id AS id)"
+      }.mkString(",") + ")).id")
+
+    val assigned = Tables.embeddings(s, dir)
+      .withColumn("cell", cellExpr)
+    val q = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("cell").as("qc"))
+    val cand = assigned
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        col("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(broadcast(q),
+        col("cell") === col("qc") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorOps.cosine("qe", "ce"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select("query_id", "rnk", "neighbor_id", "cos")
+      .orderBy("query_id", "rnk")
+  }
+
   // ---------------------------------------------------------------- oracle
 
   val oracle: Map[String, String] = Map(
@@ -134,5 +182,6 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_ann_bruteforce" -> s1BruteForce,
     "s2_ann_lsh" -> s2Lsh,
+    "s3_ann_ivf" -> s3Ivf, // rows-only: recall measured in SimilaritySpec
   )
 }

@@ -38,4 +38,22 @@ class SimilaritySpec extends AnyFunSuite {
     // every approx hit is a real vector pair; recall is reported not asserted
     info(s"s2 recall vs s1: ${(exact & approx).size}/${exact.size}")
   }
+
+  test("s3 IVF returns ranked neighbors and overlaps s1 ground truth") {
+    val ivf = Similarity.s3Ivf(s, dir).collect()
+    assert(ivf.nonEmpty)
+    // structure: per query at most TopK ranked rows
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= Similarity.TopK)
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length))
+    }
+    // recall vs exact: IVF with a single probe finds a meaningful share
+    // of the true neighbors that live in the query's own cell
+    val truth = Similarity.s1BruteForce(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val found = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (found & truth).size.toDouble / truth.size
+    info(f"IVF recall@${Similarity.TopK} = $recall%.2f")
+    assert(recall >= 0.5)
+  }
 }

@@ -169,6 +169,10 @@ object GraftFunctions {
     reg("cosine_sim", classOf[CosineSim], cs => CosineSim(cs(0), cs(1)))
     reg("simhash60", classOf[SimHash60], cs => SimHash60(cs(0)))
     reg("minhash_min", classOf[MinHashMin], cs => MinHashMin(cs(0), cs(1)))
+    reg("minhash_sig", classOf[MinHashSig], cs => MinHashSig(cs(0), cs(1)))
+    reg("minhash_band_keys", classOf[MinHashBandKeys], cs =>
+      MinHashBandKeys(cs(0),
+        cs(1).eval().asInstanceOf[Int], cs(2).eval().asInstanceOf[Int]))
     reg("roll_hash", classOf[RollHash], cs => RollHash(cs(0)))
     reg("word_shingles", classOf[WordShingles], cs => WordShingles(cs(0)))
     reg("hyperplane_bucket", classOf[HyperplaneBucket],

@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("cosine_sim", classOf[CosineSim], cs => CosineSim(cs(0), cs(1)))
     inject("simhash60", classOf[SimHash60], cs => SimHash60(cs(0)))
     inject("minhash_min", classOf[MinHashMin], cs => MinHashMin(cs(0), cs(1)))
+    inject("minhash_sig", classOf[MinHashSig], cs => MinHashSig(cs(0), cs(1)))
+    inject("minhash_band_keys", classOf[MinHashBandKeys], cs =>
+      MinHashBandKeys(cs(0),
+        cs(1).eval().asInstanceOf[Int], cs(2).eval().asInstanceOf[Int]))
     inject("roll_hash", classOf[RollHash], cs => RollHash(cs(0)))
     inject("word_shingles", classOf[WordShingles], cs => WordShingles(cs(0)))
     inject("hyperplane_bucket", classOf[HyperplaneBucket],

@@ -20,8 +20,13 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextHashKernels {
   private val hexChars = "0123456789abcdef".toCharArray
 
+  // MessageDigest.getInstance allocates per call; digests are reusable
+  // after digest() resets them, so keep one per executor thread
+  private val md5Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   private def md5hex(bytes: Array[Byte]): Array[Char] = {
-    val d = MessageDigest.getInstance("MD5").digest(bytes)
+    val d = md5Local.get().digest(bytes)
     val out = new Array[Char](32)
     var i = 0
     while (i < 16) {
@@ -30,6 +35,42 @@ object TextHashKernels {
       i += 1
     }
     out
+  }
+
+  /** All `n` minhash coordinates in ONE pass over the shingle array:
+    * element j equals [[minhashMin]](shingles, "j") — md5("<j>|"+shingle)
+    * minimized lexicographically — but each shingle's bytes are
+    * materialized once and fed to the n digests, instead of n separate
+    * array traversals with n conversions each. */
+  def minhashSig(shingles: ArrayData, n: Int): ArrayData = {
+    val m = shingles.numElements()
+    if (m == 0) return null
+    val md = md5Local.get()
+    val prefixes = Array.tabulate(n)(j => (j.toString + "|").getBytes("UTF-8"))
+    val best = new Array[String](n)
+    var i = 0
+    while (i < m) {
+      val sh = shingles.getUTF8String(i).getBytes
+      var j = 0
+      while (j < n) {
+        md.update(prefixes(j))
+        md.update(sh)
+        val d = md.digest()
+        val hex = new Array[Char](32)
+        var b = 0
+        while (b < 16) {
+          hex(2 * b) = hexChars((d(b) >> 4) & 0xf)
+          hex(2 * b + 1) = hexChars(d(b) & 0xf)
+          b += 1
+        }
+        val s = new String(hex)
+        if (best(j) == null || s.compareTo(best(j)) < 0) best(j) = s
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      best.map(UTF8String.fromString).asInstanceOf[Array[Any]])
   }
 
   /** SimHash over the md5 of each token: bit j (0..59) of the fingerprint
@@ -103,6 +144,36 @@ object TextHashKernels {
       }
       out(i) = UTF8String.fromString(sb.toString)
       i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.asInstanceOf[Array[Any]])
+  }
+
+  /** LSH band keys straight from the shingles: minhash signature (one
+    * fused pass, see [[minhashSig]]) grouped into `nBands` rows of
+    * `nHashes / nBands`, each band key = md5 of the concatenated hex
+    * minima — exactly `md5(h0 || h1 || h2)` of the per-seed coordinates.
+    * Returning the band keys as ONE array column keeps the whole
+    * computation behind a single generator reference, so Catalyst's
+    * project-collapsing can't inline (and thus re-evaluate) the
+    * signature per band. */
+  def minhashBandKeys(shingles: ArrayData, nHashes: Int,
+                      nBands: Int): ArrayData = {
+    val sig = minhashSig(shingles, nHashes)
+    if (sig == null) return null
+    val rows = nHashes / nBands
+    val out = new Array[UTF8String](nBands)
+    var b = 0
+    while (b < nBands) {
+      val sb = new java.lang.StringBuilder(32 * rows)
+      var r = 0
+      while (r < rows) {
+        sb.append(sig.getUTF8String(b * rows + r).toString)
+        r += 1
+      }
+      out(b) = UTF8String.fromString(
+        new String(md5hex(sb.toString.getBytes("UTF-8"))))
+      b += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       out.asInstanceOf[Array[Any]])
@@ -223,6 +294,56 @@ object CountTokensIn {
     }
     c
   }
+}
+
+/** `minhash_sig(array<string>, n) -> array<string>` — all n minhash
+  * coordinates in one pass (see TextHashKernels.minhashSig). */
+case class MinHashSig(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextHashKernels.minhashSig(a.asInstanceOf[ArrayData], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |${ev.value} = graft.functions.TextHashKernels.minhashSig($a, $b);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashSig =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `minhash_band_keys(array<string>, nHashes, nBands) -> array<string>` —
+  * LSH band keys from shingles in one fused pass. */
+case class MinHashBandKeys(child: Expression, nHashes: Int, nBands: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "minhash_band_keys"
+
+  override def nullSafeEval(a: Any): Any =
+    TextHashKernels.minhashBandKeys(a.asInstanceOf[ArrayData], nHashes, nBands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.TextHashKernels.minhashBandKeys(
+         |  $a, $nHashes, $nBands);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandKeys =
+    copy(child = newChild)
 }
 
 /** `roll_hash(string) -> bigint` — polynomial rolling hash mod 1e9+7. */

@@ -99,19 +99,14 @@ object Dedup {
       .withColumn("toks", expr(TextOps.toksExpr))
       .filter(size(col("toks")) >= MinToks)
       .withColumn("shingles", expr("word_shingles(toks)"))
-    val sig = (0 until NumHashes).foldLeft(groups) {
-      (df, j) => df.withColumn(s"h$j", expr(minhashExpr(j)))
-    }
-    val banded = (0 until Bands).foldLeft(sig) { (df, b) =>
-      val cols = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
-      df.withColumn(s"band_$b", md5(concat(cols: _*)))
-    }
-    val bands = banded.select(
-        col("h").as("ch"), col("members"),
-        explode(array((0 until Bands).map(b =>
-          struct(lit(b).as("band_id"), col(s"band_$b").as("band_key"))): _*)).as("bd"))
-      .select(col("ch"), col("members"), col("bd.band_id").as("band_id"),
-        col("bd.band_key").as("band_key"))
+    // band keys in one fused kernel pass (graft.functions.MinHashBandKeys),
+    // exposed as a single array column consumed once by posexplode — so
+    // project-collapsing can't duplicate the signature computation
+    val bands = groups
+      .select(col("h").as("ch"), col("members"),
+        posexplode(expr(s"minhash_band_keys(shingles, $NumHashes, $Bands)")))
+      .withColumnRenamed("pos", "band_id")
+      .withColumnRenamed("col", "band_key")
       .hint("shuffle_hash")
 
     // distinct CONTENT pairs sharing ≥1 band (a pair can match in several

@@ -50,6 +50,7 @@ class FunctionsSpec extends AnyFunSuite {
         |    (a, b) -> a + b))""".stripMargin + " AS bitsums",
       "minhash_min(shingles, '7') AS mh_native",
       "array_min(transform(shingles, x -> md5(concat('7|', x)))) AS mh_hof",
+      "element_at(minhash_sig(shingles, 12), 8) AS mh_sig7", // seed 7 = element 8
       "roll_hash(norm) AS rh_native",
       """aggregate(filter(split(norm, ''), c -> c <> ''), CAST(0 AS BIGINT),
         |  (acc, c) -> (acc * 31 + ascii(c)) % 1000000007)""".stripMargin
@@ -59,13 +60,36 @@ class FunctionsSpec extends AnyFunSuite {
           |  j -> IF(element_at(bitsums, j + 1) > 0,
           |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
           |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin + " AS sh_hof",
-        "mh_native", "mh_hof", "rh_native", "rh_hof")
+        "mh_native", "mh_hof", "mh_sig7", "rh_native", "rh_hof")
       .collect()
     got.foreach { r =>
       assert(r.getLong(0) === r.getLong(1), "simhash")
       assert(r.getString(2) === r.getString(3), "minhash")
-      assert(r.getLong(4) === r.getLong(5), "rollhash")
+      assert(r.getString(2) === r.getString(4), "minhash_sig fused")
+      assert(r.getLong(5) === r.getLong(6), "rollhash")
     }
+  }
+
+  test("minhash_band_keys equals md5 of concatenated minhash_min coordinates") {
+    val s = TestSpark.spark
+    GraftFunctions.register(s)
+    import s.implicits._
+    val rows = Seq("the quick brown fox jumps over the lazy dog",
+        "a b c d e f g")
+      .toDF("norm")
+      .selectExpr("filter(split(norm, ' '), t -> t <> '') AS toks")
+      .selectExpr("word_shingles(toks) AS shingles")
+      .selectExpr(
+        "minhash_band_keys(shingles, 12, 4) AS native",
+        """array(
+          |  md5(concat(minhash_min(shingles,'0'), minhash_min(shingles,'1'), minhash_min(shingles,'2'))),
+          |  md5(concat(minhash_min(shingles,'3'), minhash_min(shingles,'4'), minhash_min(shingles,'5'))),
+          |  md5(concat(minhash_min(shingles,'6'), minhash_min(shingles,'7'), minhash_min(shingles,'8'))),
+          |  md5(concat(minhash_min(shingles,'9'), minhash_min(shingles,'10'), minhash_min(shingles,'11')))
+          |) AS reference""".stripMargin)
+      .collect()
+    rows.foreach(r =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1)))
   }
 
   test("word_shingles matches the HOF formulation incl. degenerate sizes") {

@@ -111,6 +111,25 @@ object Streams {
       .start()
       .awaitTermination()
 
+  /** Durable stream→parquet sink with key-level dedup: every micro-batch
+    * goes through the append-once anti-join (graft.sources.Sources), so
+    * the sink is idempotent under BOTH re-delivered batches (checkpoint
+    * replay) and re-sent keys inside new batches — the
+    * csv_to_sqlite "read-once" semantics (airflow/dags/
+    * twitter_airflow.py:69-107) as an exactly-once streaming sink. */
+  def toParquetDedup(df: DataFrame, path: String, checkpoint: String,
+                     key: String): Unit =
+    df.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.Sources.appendOnce(
+          batch.sparkSession, batch.toDF(), path, key)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
   /** Batch entries for the oracle gate (same transforms, batch input). */
   def st1Query(s: SparkSession, dir: String): DataFrame =
     wordCounts(Tables.documents(s, dir).select(col("text").as("value")))

@@ -55,4 +55,24 @@ class SkewSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(words === Seq("a", "b", "b", "c", "d"))
   }
+
+  test("dedup streaming sink is idempotent per key across batches") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val root = Files.createTempDirectory("graft_dedup_sink")
+    val out = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+
+    val input = MemoryStream[(Long, String)](s)
+    def src = input.toDF().toDF("k", "v")
+
+    input.addData((1L, "a"), (2L, "b"))
+    Streams.toParquetDedup(src, out, ckpt, key = "k")
+    // new batch re-sends k=2 and adds k=3: only k=3 lands
+    input.addData((2L, "b"), (3L, "c"))
+    Streams.toParquetDedup(src, out, ckpt, key = "k")
+
+    val ks = s.read.parquet(out).orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(ks === Seq(1L, 2L, 3L))
+  }
 }

@@ -18,9 +18,11 @@ object SparkEntry {
       AsOf.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (m1_multimodal_meta: binary decode) → rows-only check. */
+    * the same parquet tables. Omitted only for s3_ann_ivf (iterative
+    * k-means centroids are not SQL-expressible) → rows-only check with
+    * recall measured against s1 in SimilaritySpec. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Dedup.oracle ++ Similarity.oracle ++
-      TextAnalysis.oracle ++ Streams.oracle ++ AsOf.oracle
+      TextAnalysis.oracle ++ Streams.oracle ++ AsOf.oracle ++
+      Multimodal.oracle
 }

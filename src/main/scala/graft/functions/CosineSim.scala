@@ -116,6 +116,73 @@ object HyperplaneBucket {
   }
 }
 
+/** `hyperplane_band_keys(array<float>, nBands, bitsPerBand) -> array<int>`
+  * — banded random-hyperplane sign-LSH: band B's key has bit j set iff
+  * the projection onto deterministic ±1 hyperplane p = B·bitsPerBand + j
+  * is strictly positive, with the same weight formula as
+  * [[HyperplaneBucket]] (w(i, p) = +1 iff ((i-1)·31 + p·17) mod 7 < 3
+  * over 1-indexed components) — so
+  * `hyperplane_band_keys(v, 1, k)[0] == hyperplane_bucket(v, k)`.
+  *
+  * One fused pass emits every band key; call sites consume the array
+  * through a single posexplode reference so CollapseProject cannot
+  * re-evaluate the projections per band (the d2 minhash_band_keys
+  * pattern). Used by the embedding near-dup blocker
+  * (graft.operators.Dedup.d5Embedding): bitsPerBand scales with corpus
+  * size there, keeping expected bucket occupancy O(1). */
+case class HyperplaneBandKeys(child: Expression, nBands: Int, bitsPerBand: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override val nullIntolerant: Boolean = true
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "hyperplane_band_keys"
+
+  override def nullSafeEval(a: Any): Any =
+    HyperplaneBandKeys.bandKeys(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      nBands, bitsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.HyperplaneBandKeys.bandKeys(
+         |  $a, $nBands, $bitsPerBand);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HyperplaneBandKeys = copy(child = newChild)
+}
+
+object HyperplaneBandKeys {
+  def bandKeys(v: org.apache.spark.sql.catalyst.util.ArrayData,
+               nBands: Int, bits: Int): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Int](nBands)
+    var band = 0
+    while (band < nBands) {
+      var key = 0
+      var j = 0
+      while (j < bits) {
+        val p = band * bits + j
+        var proj = 0.0
+        var i = 1
+        while (i <= n) {
+          val w = if (((i - 1) * 31 + p * 17) % 7 < 3) 1.0 else -1.0
+          proj += v.getFloat(i - 1).toDouble * w
+          i += 1
+        }
+        if (proj > 0) key |= (1 << j)
+        j += 1
+      }
+      out(band) = key
+      band += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** `lead_sign_bucket(array<float>, n) -> int` — bit j (0-based, j < n) is
   * set iff component j+1 of the vector is strictly positive; the trivial
   * leading-components sign LSH used by the embedding near-dup blocker
@@ -177,6 +244,9 @@ object GraftFunctions {
     reg("word_shingles", classOf[WordShingles], cs => WordShingles(cs(0)))
     reg("hyperplane_bucket", classOf[HyperplaneBucket],
       cs => HyperplaneBucket(cs(0), cs(1)))
+    reg("hyperplane_band_keys", classOf[HyperplaneBandKeys], cs =>
+      HyperplaneBandKeys(cs(0),
+        cs(1).eval().asInstanceOf[Int], cs(2).eval().asInstanceOf[Int]))
     reg("lead_sign_bucket", classOf[LeadSignBucket],
       cs => LeadSignBucket(cs(0), cs(1)))
     reg("count_in", classOf[CountTokensIn], cs => CountTokensIn(cs(0), cs(1)))

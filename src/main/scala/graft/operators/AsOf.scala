@@ -68,14 +68,22 @@ object AsOf {
       (left.columns.toSeq ++ carry.map(c => s"asof_$c")).map(col): _*)
   }
 
-  /** q21: purchase→last-view attribution over the events table. */
+  /** q21: purchase→last-view attribution over the events table.
+    *
+    * The right side is pre-deduped to one row per (user, ts) with the
+    * max event id as the defined winner: asofJoin's own tie-break is
+    * already "larger tieBreak wins", but DuckDB's native ASOF JOIN makes
+    * an UNSPECIFIED choice among equal-timestamp matches, so without the
+    * pre-dedup the oracle gate could flake on same-user same-microsecond
+    * view events. The dedup applies the same winner rule on both engines
+    * before the join, making both results defined. */
   def q21AsofAttribution(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
     val views = e.filter(col("event_type") === "view")
-      .select(col("user_id"), col("ts"),
-        col("event_id").as("view_event_id"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_event_id"))
     asofJoin(purchases, views, key = "user_id",
         leftTs = "ts", rightTs = "ts",
         carry = Seq("view_event_id"), tieBreak = "view_event_id")
@@ -130,9 +138,11 @@ object AsOf {
          |ORDER BY error_id, click_id""".stripMargin,
     "q21_asof_attribution" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS pts,
-        |  v.event_id AS view_event_id
+        |  v.view_event_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |ASOF LEFT JOIN (
+        |  SELECT user_id, ts, max(event_id) AS view_event_id
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts) v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY p.event_id""".stripMargin,
   )

@@ -159,23 +159,64 @@ object Dedup {
   }
 
   /** d3 companion: hamming-close candidate pairs from the simhash
-    * fingerprints. Blocking on the 12-bit bucket (top fingerprint bits:
-    * near-identical docs agree on high bits with overwhelming
-    * probability), then exact hamming distance via bit_count(xor) inside
-    * buckets only — same linear-shuffle shape as d2. Rows-only (spec
-    * asserts the planted near-dups surface; threshold in bits). */
+    * fingerprints. Rows-only (spec asserts the planted near-dups
+    * surface; threshold in bits).
+    *
+    * Round-2 rework of both round-1 scale flaws:
+    *  - the bucket join runs at DISTINCT-fingerprint level (exact
+    *    duplicates share a fingerprint, so a cluster of m copies is one
+    *    bucket member, not an O(m²) hot spot — the d2/d4 contentGroups
+    *    lesson) and membership expands into doc pairs afterwards;
+    *  - blocking is pigeonhole banding instead of one fixed 12-bit
+    *    prefix: the 60 fingerprint bits split into (maxHamming + 1)
+    *    contiguous blocks, and a pair within `maxHamming` flipped bits
+    *    must agree EXACTLY on ≥ 1 block — so recall is 1.0 by
+    *    construction (the round-1 prefix block missed any near-dup whose
+    *    flips touched the prefix). Per-band bucket cardinality is
+    *    2^(60/(maxHamming+1)); `maxHamming` is the documented
+    *    occupancy-vs-tolerance dial at corpus scale (tighter thresholds
+    *    give exponentially more buckets). */
   def d3Candidates(s: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
-    val fp = d3Simhash(s, dir).select("doc_id", "simhash", "bucket")
+    val nBands = maxHamming + 1
+    // split 60 bits into nBands near-even contiguous blocks
+    val widths = Array.tabulate(nBands)(b =>
+      SimhashBits / nBands + (if (b < SimhashBits % nBands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val groups = d3Simhash(s, dir)
+      .groupBy("simhash")
+      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
+    val bandCols = (0 until nBands).map { b =>
+      expr(s"CAST(shiftright(simhash, ${offsets(b)}) & " +
+        s"${(1L << widths(b)) - 1} AS BIGINT)")
+    }
+    val bands = groups
+      .select(col("simhash"), col("members"),
+        posexplode(array(bandCols: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bkey")
       .hint("shuffle_hash")
-    fp.as("x").join(fp.as("y"),
-        col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .withColumn("hamming",
-        expr("bit_count(x.simhash ^ y.simhash)"))
+    val groupPairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.simhash") < col("y.simhash"))
+      .withColumn("hamming", expr("bit_count(x.simhash ^ y.simhash)"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+      .select(col("x.simhash").as("sa"), col("y.simhash").as("sb"),
+        col("x.members").as("ma"), col("y.members").as("mb"),
         col("hamming"))
-      .orderBy("doc_a", "doc_b")
+      .dropDuplicates("sa", "sb") // a pair can agree in several bands
+    val cross = groupPairs
+      .select(explode(col("ma")).as("a"), col("mb"), col("hamming"))
+      .select(col("a"), explode(col("mb")).as("b"), col("hamming"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"), col("hamming"))
+    // identical fingerprints: hamming 0 by definition
+    val within = groups.filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        lit(0).cast("int").as("hamming"))
+    cross.unionAll(within).orderBy("doc_a", "doc_b")
   }
 
   /** d4: n-gram Jaccard similarity over blocked candidate pairs.
@@ -243,23 +284,91 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** d5: embedding-cosine near-dup candidates.
-    * Blocking: 8-bit sign-bucket over the leading components (a trivially
-    * deterministic random-hyperplane LSH); cosine only inside buckets;
-    * global top-20 so the operator is observable even when the corpus has
-    * no true near-dups. */
+  /** d5 banding parameters. Bands fixed at 4 (recall knob: a near-dup
+    * pair is a candidate if it agrees in ANY band); bits per band scale
+    * with the corpus so expected bucket occupancy stays O(1) — the
+    * round-1 version's fixed 256 buckets made the within-bucket
+    * self-join O(n²/256), unrunnable at 10⁹ vectors. */
+  val D5Bands = 4
+  val D5TargetOccupancy = 64
+  /** Group-level candidates kept per (band, bucket) before the global
+    * merge — a map-side WindowGroupLimit, so a skewed bucket can emit at
+    * most this many pairs downstream instead of its full O(occ²). */
+  val D5PerBucketTopK = 50
+
+  def d5BitsPerBand(n: Long): Int =
+    math.max(8, math.ceil(
+      math.log(math.max(n, 2L).toDouble / D5TargetOccupancy) /
+        math.log(2.0)).toInt)
+
+  /** d5: embedding-cosine near-dup candidates, global top-20 pairs (so
+    * the operator is observable even when the corpus has no true
+    * near-dups).
+    *
+    * Scale shape (each piece mirrors a d2 lesson):
+    *  - identical embeddings collapse to one group first (min vec_id as
+    *    representative), so an exact-duplicate cluster of m vectors costs
+    *    one bucket member, not an O(m²) bucket hot spot; member pairs are
+    *    expanded after candidate selection;
+    *  - blocking is banded sign-LSH from one fused codegen'd kernel
+    *    (graft.functions.HyperplaneBandKeys) consumed through a single
+    *    posexplode reference; [[d5BitsPerBand]] grows with corpus size
+    *    (two-phase: a cheap count-star picks the literal, like q17), so
+    *    bucket cardinality scales with n and within-bucket work stays
+    *    ~O(n · occupancy) — linear — instead of O(n²/constant);
+    *  - per-bucket top-k (WindowGroupLimit: partial limit below the
+    *    shuffle) runs before the global top-20 merge, so no bucket can
+    *    flood the final sort. Keeping k ≥ the global limit makes the
+    *    two-stage top-k lossless: a pair in the global top-20 has ≤ 19
+    *    pairs ahead of it in ANY bucket that contains it.
+    * The embedding rides through the band shuffle (256 B × 4 bands per
+    * group) so scoring is bucket-local with no join-back — fewer
+    * shuffles at the cost of shuffle width, the same tradeoff d2 makes
+    * carrying `members`. */
   def d5Embedding(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-      // native kernel (graft.functions.LeadSignBucket); the HOF spelling
-      // is interpreted per element
-      .withColumn("bucket", expr("lead_sign_bucket(embedding, 8)"))
-      .select("vec_id", "embedding", "bucket")
-    val joined = e.as("x").join(e.as("y"),
-      col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-    joined
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        VectorOps.cosine("x.embedding", "y.embedding").as("cos"))
+    val bb = d5BitsPerBand(e.count())
+    val g = e.groupBy("embedding")
+      .agg(min("vec_id").as("rep"),
+        sort_array(collect_list(col("vec_id"))).as("members"))
+    val bands = g
+      .select(col("rep"), col("embedding"), col("members"),
+        posexplode(expr(s"hyperplane_band_keys(embedding, $D5Bands, $bb)")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bkey")
+      .hint("shuffle_hash") // see d2Minhash: stage reuse beats broadcast
+    val scored = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.rep") < col("y.rep"))
+      .select(col("x.rep").as("ra"), col("y.rep").as("rb"),
+        col("x.band").as("band"), col("x.bkey").as("bkey"),
+        VectorOps.cosine("x.embedding", "y.embedding").as("cos"),
+        col("x.members").as("ma"), col("y.members").as("mb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "bkey")
+      .orderBy(col("cos").desc, col("ra"), col("rb"))
+    val gp = scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= D5PerBucketTopK)
+      // a pair can match in several bands; cos/members are identical
+      // across its copies, so any surviving row represents it
+      .dropDuplicates("ra", "rb")
+    val cross = gp
+      .select(explode(col("ma")).as("a"), col("mb"), col("cos"))
+      .select(col("a"), explode(col("mb")).as("b"), col("cos"))
+      .select(least(col("a"), col("b")).as("vec_a"),
+        greatest(col("a"), col("b")).as("vec_b"), col("cos"))
+    // exact-duplicate embeddings: all within-group pairs, scored by the
+    // same fold (cosine of a vector with itself, ≈1 up to fp rounding)
+    val within = g.filter(size(col("members")) > 1)
+      .select(col("members"),
+        VectorOps.cosine("embedding", "embedding").as("cos"))
+      .select(explode(col("members")).as("a"), col("members"), col("cos"))
+      .select(col("a"), explode(col("members")).as("b"), col("cos"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("vec_a"), col("b").as("vec_b"), col("cos"))
+    cross.unionAll(within)
       .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
       .limit(20)
   }
@@ -332,16 +441,57 @@ object Dedup {
          |HAVING count(*) / (x.nsh + y.nsh - count(*)) >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d5_dedup_embedding" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding,
-         |    list_reduce(list_transform(generate_series(0, 7),
-         |      j -> CASE WHEN embedding[j + 1] > CAST(0 AS FLOAT)
-         |           THEN (1 << j) ELSE 0 END), (a, b) -> a + b) AS bucket
-         |  FROM embeddings)
-         |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-         |  ${VectorOps.sqlCosine("x.embedding", "y.embedding")} AS cos
-         |FROM e x JOIN e y
-         |  ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      s"""WITH params AS (
+         |  SELECT GREATEST(8, CAST(ceil(log2(GREATEST(count(*), 2)
+         |    / ${Dedup.D5TargetOccupancy}.0)) AS INT)) AS bb
+         |  FROM embeddings),
+         |g AS (
+         |  SELECT embedding, min(vec_id) AS rep,
+         |    list_sort(list(vec_id)) AS members
+         |  FROM embeddings GROUP BY embedding),
+         |pj AS (
+         |  SELECT g.rep, b.band, j.j,
+         |    list_reduce(list_transform(generate_series(1, 64),
+         |      i -> CAST(g.embedding[i] AS DOUBLE) *
+         |           (CASE WHEN (((i - 1) * 31 + (b.band * p.bb + j.j) * 17)
+         |                 % 7) < 3
+         |            THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)),
+         |      (x, y) -> x + y) AS proj
+         |  FROM g, params p,
+         |       (SELECT unnest(generate_series(0, ${Dedup.D5Bands - 1}))
+         |          AS band) b,
+         |       (SELECT unnest(generate_series(0,
+         |          (SELECT bb FROM params) - 1)) AS j) j),
+         |bk AS (
+         |  SELECT rep, band,
+         |    CAST(SUM(CASE WHEN proj > 0 THEN (1 << j) ELSE 0 END) AS INT)
+         |      AS bkey
+         |  FROM pj GROUP BY rep, band),
+         |cand AS (
+         |  SELECT x.rep AS ra, y.rep AS rb, x.band, x.bkey
+         |  FROM bk x JOIN bk y
+         |    ON x.band = y.band AND x.bkey = y.bkey AND x.rep < y.rep),
+         |scored AS (
+         |  SELECT c.ra, c.rb, c.band, c.bkey,
+         |    ${VectorOps.sqlCosine("gx.embedding", "gy.embedding")} AS cos,
+         |    gx.members AS ma, gy.members AS mb
+         |  FROM cand c JOIN g gx ON gx.rep = c.ra JOIN g gy ON gy.rep = c.rb),
+         |topb AS (
+         |  SELECT * FROM scored QUALIFY row_number() OVER (
+         |    PARTITION BY band, bkey ORDER BY cos DESC, ra, rb)
+         |      <= ${Dedup.D5PerBucketTopK}),
+         |gp AS (SELECT DISTINCT ra, rb, cos, ma, mb FROM topb),
+         |crosspairs AS (
+         |  SELECT least(t1.a, t2.b) AS vec_a, greatest(t1.a, t2.b) AS vec_b,
+         |    cos
+         |  FROM gp, unnest(gp.ma) AS t1(a), unnest(gp.mb) AS t2(b)),
+         |within AS (
+         |  SELECT t1.a AS vec_a, t2.b AS vec_b,
+         |    ${VectorOps.sqlCosine("g.embedding", "g.embedding")} AS cos
+         |  FROM g, unnest(g.members) AS t1(a), unnest(g.members) AS t2(b)
+         |  WHERE len(g.members) > 1 AND t1.a < t2.b)
+         |SELECT vec_a, vec_b, cos FROM
+         |  (SELECT * FROM crosspairs UNION ALL SELECT * FROM within)
          |ORDER BY cos DESC, vec_a, vec_b LIMIT 20""".stripMargin,
   )
 

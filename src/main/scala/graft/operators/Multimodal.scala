@@ -106,7 +106,38 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "frame")
   }
 
-  /** rows-only (no SQL-expressible oracle for the binary decode path) */
+  /** DuckDB mirror of [[m1Decode]]: the stub decode is deterministic
+    * arithmetic over the utf-8 payload bytes, so it IS SQL-expressible —
+    * bytes recovered by hex-ing the encoded blob and folding nibble
+    * pairs (the d3 oracle's strpos-on-hex trick). f_mean divides the
+    * exact integer byte sum, so doubles are bit-identical across engines
+    * with no rounding. */
+  val oracle: Map[String, String] = Map(
+    "m1_multimodal_meta" ->
+      """WITH b AS (
+        |  SELECT doc_id, 'synthetic/' || source AS media_type,
+        |    hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        |  FROM documents),
+        |bytes AS (
+        |  SELECT doc_id, media_type, n,
+        |    list_transform(generate_series(0, n - 1), i ->
+        |      (strpos('0123456789ABCDEF', substr(hx, 2*i + 1, 1)) - 1) * 16 +
+        |      (strpos('0123456789ABCDEF', substr(hx, 2*i + 2, 1)) - 1)) AS bl
+        |  FROM b),
+        |s AS (
+        |  SELECT doc_id, media_type, n,
+        |    CASE WHEN n > 0 THEN bl[1] ELSE 0 END AS fb,
+        |    CASE WHEN n > 0 THEN list_reduce(bl, (x, y) -> x + y) ELSE 0 END
+        |      AS bsum
+        |  FROM bytes)
+        |SELECT doc_id, media_type, CAST(n AS INTEGER) AS n_bytes,
+        |  CAST(fb AS DOUBLE) AS f_first,
+        |  CASE WHEN n > 0 THEN CAST(bsum AS DOUBLE) / n
+        |       ELSE CAST(0 AS DOUBLE) END AS f_mean,
+        |  CAST((bsum * 31 + n) % 997 AS DOUBLE) AS f_hash
+        |FROM s ORDER BY doc_id""".stripMargin,
+  )
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> m1Decode,
   )

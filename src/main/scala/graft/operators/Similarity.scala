@@ -99,39 +99,132 @@ object Similarity {
 
   /** Number of IVF cells (coarse-quantizer centroids). */
   val IvfCells = 16
+  /** Sample cap for the offline k-means pass (driver-side:
+    * ≤ KmeansSample × 64 floats, ~0.5 MB). */
+  val KmeansSample = 2048
+  val KmeansIters = 8
+
+  /** Coarse quantizer: Lloyd k-means (max-cosine assignment, mean
+    * update) over a deterministic hash-spread sample of the corpus.
+    *
+    * Production shape: the sample filter `hash(vec_id) % step == 0` is a
+    * single scan-local predicate (no ordering assumption — a permutation
+    * of vec_ids just picks a different random-ish sample, so cell
+    * quality is NOT an artifact of id order, unlike the round-1 "lowest
+    * 16 vec_ids" quantizer); the Lloyd iterations run on the driver over
+    * ≤ [[KmeansSample]] vectors and the resulting 16×64 floats persist
+    * into the plan as literals. Init is deterministic farthest-point
+    * (maxmin cosine) from the id-sorted sample. */
+  private[graft] def kmeansCentroids(s: SparkSession, dir: String): Array[Array[Float]] = {
+    val e = Tables.embeddings(s, dir)
+    val n = e.count()
+    val step = math.max(1L, n / KmeansSample)
+    val sample: Array[Array[Float]] = e
+      .filter(pmod(hash(col("vec_id")), lit(step)) === 0)
+      .orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.length >= IvfCells, s"sample smaller than $IvfCells")
+    val dim = sample.head.length
+
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    // farthest-point init: greedily add the sample vector least similar
+    // to its closest already-chosen centroid (ties: first in id order);
+    // nearest-similarity is maintained incrementally, O(sample · cells)
+    val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
+    val nearest = sample.map(v => cos(v, sample.head))
+    while (chosen.length < IvfCells) {
+      var bestIdx = 0; var bestScore = Double.MaxValue
+      var i = 0
+      while (i < sample.length) {
+        if (nearest(i) < bestScore) { bestScore = nearest(i); bestIdx = i }
+        i += 1
+      }
+      val added = sample(bestIdx)
+      chosen += added
+      i = 0
+      while (i < sample.length) {
+        nearest(i) = math.max(nearest(i), cos(sample(i), added))
+        i += 1
+      }
+    }
+    var centroids = chosen.toArray
+
+    var iter = 0
+    while (iter < KmeansIters) {
+      val sums = Array.fill(IvfCells)(new Array[Double](dim))
+      val counts = new Array[Int](IvfCells)
+      sample.foreach { v =>
+        var best = 0; var bestCos = -2.0; var c = 0
+        while (c < IvfCells) {
+          val cs = cos(v, centroids(c))
+          if (cs > bestCos) { bestCos = cs; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(IvfCells) { c =>
+        if (counts(c) == 0) centroids(c) // empty cell keeps its centroid
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
+      }
+      iter += 1
+    }
+    centroids
+  }
+
+  /** Cells probed per query (nprobe). Balanced k-means cells mean a
+    * query's true neighbors straddle cell boundaries, so single-probe
+    * recall is structurally poor — multi-probe is how production IVF
+    * (FAISS-style) buys recall back while still scanning only
+    * nprobe/cells of the corpus. */
+  val IvfProbes = 10
 
   /** s3: IVF ANN — the other standard production scale path next to LSH.
     *
-    * Coarse quantizer: [[IvfCells]] deterministic centroids (the lowest
-    * vec_ids; production would k-means a sample offline and persist).
-    * Every vector is assigned to its max-cosine centroid by a fixed-size
-    * argmax — 16 native cosine_sim calls + array_max over (cos, id)
-    * structs, all codegen'd, no per-row lambda — and a query scans only
-    * its own cell. The centroid set is collected once at plan build
-    * (16×64 floats) and inlined as literals, so the assignment runs
-    * scan-local with zero extra shuffle; corpus-side work is one keyed
-    * shuffle on the cell id. Rows-only (spec measures recall vs s1). */
+    * Coarse quantizer: [[IvfCells]] k-means centroids from
+    * [[kmeansCentroids]] (deterministic sampled Lloyd — production would
+    * run this offline and persist; here it runs once at plan build).
+    * Every corpus vector is assigned to its max-cosine centroid by a
+    * fixed-size argmax — 16 native cosine_sim calls + array_max over
+    * (cos, id) structs, all codegen'd, no per-row lambda. Each query
+    * probes its [[IvfProbes]] nearest cells (the HOF slice/transform on
+    * the query side is interpreted, but runs only per QUERY row — the
+    * corpus side stays pure codegen). The centroid set is inlined as
+    * literals, so the assignment runs scan-local with zero extra
+    * shuffle; corpus-side work is one keyed shuffle on the cell id.
+    * Rows-only (spec measures recall vs s1, including on an id-shuffled
+    * corpus). */
   def s3Ivf(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val centroids: Array[(Int, Array[Float])] = Tables.embeddings(s, dir)
-      .filter(col("vec_id") < IvfCells)
-      .select("vec_id", "embedding").collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
-    require(centroids.length == IvfCells, s"corpus smaller than $IvfCells")
+    val centroids: Array[(Int, Array[Float])] =
+      kmeansCentroids(s, dir).zipWithIndex.map { case (v, i) => (i, v) }
 
     def litVec(v: Array[Float]) =
       s"array(${v.map(x => s"CAST($x AS FLOAT)").mkString(",")})"
-    val cellExpr = expr(
-      "array_max(array(" + centroids.map { case (id, v) =>
+    val structsArr =
+      "array(" + centroids.map { case (id, v) =>
         s"struct(cosine_sim(embedding, ${litVec(v)}) AS cos, $id AS id)"
-      }.mkString(",") + ")).id")
+      }.mkString(",") + ")"
+    val cellExpr = expr(s"array_max($structsArr).id")
+    val probeExpr = expr(
+      s"transform(slice(reverse(array_sort($structsArr)), 1, $IvfProbes)," +
+        " x -> x.id)")
 
-    val assigned = Tables.embeddings(s, dir)
-      .withColumn("cell", cellExpr)
-    val q = assigned.filter(col("vec_id") < NumQueries)
+    val q = Tables.embeddings(s, dir).filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("cell").as("qc"))
-    val cand = assigned
+        explode(probeExpr).as("qc"))
+    val cand = Tables.embeddings(s, dir)
+      .withColumn("cell", cellExpr)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
         col("cell"))
     val w = Window.partitionBy("query_id")

@@ -118,6 +118,37 @@ class FunctionsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getInt(0) === r.getInt(1)))
   }
 
+  test("hyperplane_band_keys: band 0 of a 1-band split equals hyperplane_bucket") {
+    val s = TestSpark.spark
+    GraftFunctions.register(s)
+    val k = operators.Similarity.HyperPlanes
+    val rows = Tables.embeddings(s, TestSpark.SfDir).selectExpr(
+      s"hyperplane_band_keys(embedding, 1, $k)[0] AS banded",
+      s"hyperplane_bucket(embedding, $k) AS direct").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
+
+  test("hyperplane_band_keys band b uses plane indices offset by b*bits") {
+    val s = TestSpark.spark
+    GraftFunctions.register(s)
+    // band 1 of an 8-bit split uses planes 8..15; reproduce with the
+    // per-plane HOF projection at the shifted indices
+    val hof = (0 until 8).map { j =>
+      val p = 8 + j
+      s"""IF(aggregate(transform(sequence(1, 64),
+         |  i -> CAST(element_at(embedding, i) AS DOUBLE) *
+         |       IF((((i - 1) * 31 + $p * 17) % 7) < 3,
+         |          CAST(1 AS DOUBLE), CAST(-1 AS DOUBLE))),
+         |  CAST(0 AS DOUBLE), (a, b) -> a + b) > 0, ${1 << j}, 0)""".stripMargin
+    }.mkString("(", " + ", ")")
+    val rows = Tables.embeddings(s, TestSpark.SfDir).selectExpr(
+      "hyperplane_band_keys(embedding, 4, 8)[1] AS banded",
+      s"$hof AS hof").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
+
   test("lead_sign_bucket matches the HOF spelling; GraftExtensions installs all functions") {
     val s = TestSpark.spark
     GraftFunctions.register(s)

@@ -1,23 +1,32 @@
 package graft.pipeline
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.UUID
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Batch-pipeline orchestration with the reference's Luigi/Airflow task
-  * semantics (luigi/taxi_data_import.py, luigi/top_10_question_tags.py,
+  * semantics (luigi/taxi_data_import.py, luigi/wordcount_map_reduce.py,
   * airflow/dags/twitter_airflow.py), re-expressed Spark-first:
   *
   *  - a task = a DataFrame transform + a parquet output target;
   *  - `requires` declares upstream tasks (Luigi `requires()`);
-  *  - a task is complete iff its target exists (Luigi `Target.exists()`),
-  *    so re-running a pipeline only builds what's missing — idempotent
-  *    re-runs, the property the reference gets from Luigi and emulates in
-  *    airflow's csv_to_sqlite dedup;
-  *  - outputs commit atomically (write to a scratch dir, rename into
-  *    place) so a killed run never leaves a half-written target that a
-  *    re-run would mistake for complete.
+  *  - a task is complete iff its commit marker exists (Luigi
+  *    `Target.exists()`), so re-running a pipeline only builds what's
+  *    missing — idempotent re-runs, the property the reference gets from
+  *    Luigi and emulates in airflow's csv_to_sqlite dedup;
+  *  - transient failures retry with backoff (Celery `self.retry(exc)`,
+  *    celery_app/tasks.py:78-81; Luigi's scheduler retries), and a
+  *    permanently-failed task skips only its downstream dependents —
+  *    independent branches still build;
+  *  - all filesystem access goes through the Hadoop `FileSystem`
+  *    resolved from the session's hadoopConfiguration, so targets can
+  *    live on HDFS/S3/local alike. Publication is marker-file commit:
+  *    the output directory is written first, then a zero-byte
+  *    `_GRAFT_COMMITTED` marker is created with create-no-overwrite —
+  *    atomic on HDFS AND object stores, where directory rename is not.
+  *    A crash mid-write leaves data files but no marker; the re-run
+  *    sees "incomplete" and overwrites.
   *
   * Unlike Luigi's worker pool, execution here is just topological order
   * on the driver — the parallelism that matters lives INSIDE each task's
@@ -32,38 +41,93 @@ abstract class Task {
     * each task is independently re-runnable and the DAG can resume. */
   def build(spark: SparkSession): DataFrame
 
-  final def complete: Boolean = Files.exists(Paths.get(output, "_SUCCESS"))
+  /** Transient-failure budget: total attempts = retries + 1. */
+  def retries: Int = 0
+  /** Backoff before attempt k+1, multiplied by k (linear backoff). */
+  def retryBackoffMs: Long = 100
+
+  final def markerPath: Path = new Path(output, Task.Marker)
+
+  final def complete(spark: SparkSession): Boolean = {
+    val p = markerPath
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** Read this task's materialized output (for downstream tasks). */
   final def read(spark: SparkSession): DataFrame = spark.read.parquet(output)
 
+  /** One attempt: (over)write the target, then commit the marker. If a
+    * concurrent run committed first, the marker create fails and its
+    * output wins — this run's files were an identical overwrite. */
   final def run(spark: SparkSession): Unit = {
-    val target = Paths.get(output)
-    val scratch = Paths.get(output + ".inprogress-" + UUID.randomUUID())
-    build(spark).write.mode("overwrite").parquet(scratch.toString)
-    // atomic publish: a target either doesn't exist or is fully written
-    if (Files.exists(target)) {
-      // a concurrent/previous run won the race; keep its output
-      delete(scratch)
-    } else {
-      Files.move(scratch, target, StandardCopyOption.ATOMIC_MOVE)
-    }
+    val target = new Path(output)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    build(spark).write.mode("overwrite").parquet(output)
+    try fs.create(markerPath, /* overwrite = */ false).close()
+    catch { case _: java.io.IOException if fs.exists(markerPath) => () }
   }
+}
 
-  private def delete(p: java.nio.file.Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).forEach(delete)
-    Files.deleteIfExists(p)
-  }
+object Task {
+  /** Commit-marker filename. Distinct from Spark's `_SUCCESS` (which the
+    * parquet committer writes per job, including for half-published
+    * multi-job outputs a crashed run may leave behind): only graft's own
+    * publish protocol creates this file, and only after the write
+    * finished. */
+  val Marker = "_GRAFT_COMMITTED"
+}
+
+/** Outcome of a [[Pipeline.runReport]] pass. `failed` maps task name →
+  * the final attempt's exception; `skipped` lists tasks not attempted
+  * because an upstream dependency failed. */
+final case class PipelineReport(ran: Seq[String],
+    failed: Map[String, Throwable], skipped: Seq[String]) {
+  def ok: Boolean = failed.isEmpty && skipped.isEmpty
 }
 
 object Pipeline {
   /** Run every incomplete task reachable from `targets`, upstream-first.
     * Returns the names of the tasks that actually ran (complete tasks
     * are skipped — Luigi's "only build what's missing"). */
-  def run(spark: SparkSession, targets: Seq[Task]): Seq[String] = {
+  def run(spark: SparkSession, targets: Seq[Task]): Seq[String] =
+    runReport(spark, targets).ran
+
+  /** [[run]] with failure isolation: a task failing all its attempts
+    * marks its downstream dependents skipped, but independent branches
+    * still build (Luigi keeps scheduling unaffected subtrees; one flaky
+    * leaf must not abort a 1000-task DAG). */
+  def runReport(spark: SparkSession, targets: Seq[Task]): PipelineReport = {
     val order = topoSort(targets)
-    order.filterNot(_.complete).map { t => t.run(spark); t.name }
+    val ran = scala.collection.mutable.ListBuffer.empty[String]
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, Throwable]
+    val dead = scala.collection.mutable.Set.empty[String] // failed ∪ skipped
+    val skipped = scala.collection.mutable.ListBuffer.empty[String]
+    order.foreach { t =>
+      if (t.requires.exists(r => dead.contains(r.name))) {
+        dead += t.name
+        skipped += t.name
+      } else if (!t.complete(spark)) {
+        runWithRetries(spark, t) match {
+          case None => ran += t.name
+          case Some(e) =>
+            failed += t.name -> e
+            dead += t.name
+        }
+      }
+    }
+    PipelineReport(ran.toList, failed.toMap, skipped.toList)
+  }
+
+  /** None = succeeded (possibly after retries); Some(e) = exhausted. */
+  private def runWithRetries(spark: SparkSession, t: Task): Option[Throwable] = {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt <= t.retries) {
+      if (attempt > 0) Thread.sleep(t.retryBackoffMs * attempt)
+      try { t.run(spark); return None }
+      catch { case e: Exception => last = e; attempt += 1 }
+    }
+    Some(last)
   }
 
   /** Upstream-first topological order over the task DAG; cycles are a
@@ -85,4 +149,33 @@ object Pipeline {
     targets.foreach(visit)
     out.toList
   }
+}
+
+/** Schedule-interval semantics (airflow/dags/twitter_airflow.py:30-33:
+  * `schedule_interval=timedelta(days=1)` with catch-up): a logical run
+  * date parameterizes each task, targets are date-partitioned, and
+  * backfilling a date range only builds the dates whose targets are
+  * missing — re-running a past date is a no-op. */
+abstract class DatedTask(val runDate: java.time.LocalDate) extends Task {
+  /** Base target directory; the date partition is appended. */
+  def baseOutput: String
+  final def output: String = s"$baseOutput/dt=$runDate"
+}
+
+object Schedule {
+  /** Daily schedule dates in [start, endExclusive) — the catch-up window
+    * Airflow derives from start_date + schedule_interval. */
+  def dailyDates(start: java.time.LocalDate,
+                 endExclusive: java.time.LocalDate): Seq[java.time.LocalDate] =
+    Iterator.iterate(start)(_.plusDays(1)).takeWhile(_.isBefore(endExclusive))
+      .toSeq
+
+  /** Backfill: run the DAG for every schedule date; complete dates
+    * no-op. `mkTargets` builds the date's task graph (tasks close over
+    * their run date, like Airflow templating the execution_date into
+    * each operator). */
+  def backfill(spark: SparkSession, dates: Seq[java.time.LocalDate],
+               mkTargets: java.time.LocalDate => Seq[Task])
+      : Map[java.time.LocalDate, PipelineReport] =
+    dates.map(d => d -> Pipeline.runReport(spark, mkTargets(d))).toMap
 }

@@ -82,22 +82,76 @@ object Sources {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Parallel-fetch ingest fan-out (luigi/taxi_data_import.py:40-76:
+    * DownloadTaxiData spawns one Luigi task per month URL; the Dask
+    * Distributed notebook does the same with `client.submit`): each
+    * (file_id, sourcePath) pair is fetched by its own executor task into
+    * `landingDir/<file_id>`, and the result is a manifest DataFrame
+    * `(file_id, source, dest, bytes, ok, error)` — failures land as
+    * quarantine rows (ok = false), not exceptions, so one dead URL
+    * doesn't abort a 10k-file ingest and the bad rows can route to a
+    * dead-letter table like [[csv]]'s `_corrupt_record`.
+    *
+    * The sandbox has no egress, so the per-task "download" is a Hadoop
+    * `FileSystem` copy (works across local/HDFS/S3 paths); swapping in
+    * an HTTP GET changes one line inside the task. One input file per
+    * partition: fetch parallelism = executor slots, exactly the
+    * reference's per-URL task fan-out. */
+  def fetchMany(s: SparkSession, files: Seq[(String, String)],
+                landingDir: String): DataFrame = {
+    import s.implicits._
+    val slices = math.max(1, files.length)
+    s.sparkContext.parallelize(files, slices).map { case (id, src) =>
+      try {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val srcP = new org.apache.hadoop.fs.Path(src)
+        val srcFs = srcP.getFileSystem(conf)
+        val dstP = new org.apache.hadoop.fs.Path(landingDir, id)
+        val dstFs = dstP.getFileSystem(conf)
+        val len = srcFs.getFileStatus(srcP).getLen
+        org.apache.hadoop.fs.FileUtil.copy(
+          srcFs, srcP, dstFs, dstP,
+          /* deleteSource = */ false, /* overwrite = */ true, conf)
+        (id, src, dstP.toString, len, true, null: String)
+      } catch {
+        case e: Exception =>
+          (id, src, null: String, 0L, false, String.valueOf(e.getMessage))
+      }
+    }.toDF("file_id", "source", "dest", "bytes", "ok", "error")
+  }
+
   /** Append-once: append `incoming` rows to the parquet table at `path`,
     * skipping rows whose `key` already exists there (the reference dedups
     * re-runs of the same ingest file). The existing-key set is only the
     * key column — prunable at scan — and joins as a broadcast/shuffle
-    * anti-join; no global rewrite of the sink. */
+    * anti-join; no global rewrite of the sink.
+    *
+    * Filesystem access goes through the Hadoop `FileSystem` resolved
+    * from the session's hadoopConfiguration (a `java.io.File` existence
+    * check silently reports "no table" on HDFS/S3 and would duplicate
+    * every row on re-run). The anti-joined rows are MATERIALIZED to a
+    * scratch directory before the append: with only `cache()`, eviction
+    * or executor loss mid-append would recompute the anti-join against
+    * the very sink being appended to — double-counting the in-flight
+    * writes. The scratch write pins the row set once; the append then
+    * copies pinned bytes. */
   def appendOnce(s: SparkSession, incoming: DataFrame, path: String,
                  key: String): Long = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
     val fresh =
-      if (new java.io.File(path).exists()) {
+      if (fs.exists(target)) {
         val existing = s.read.parquet(path).select(key)
         incoming.join(existing, Seq(key), "left_anti")
       } else incoming
-    val staged = fresh.cache()
-    val n = staged.count()
-    if (n > 0) staged.write.mode(SaveMode.Append).parquet(path)
-    staged.unpersist()
-    n
+    val scratch = new org.apache.hadoop.fs.Path(
+      path + ".staging-" + java.util.UUID.randomUUID())
+    fresh.write.mode(SaveMode.Overwrite).parquet(scratch.toString)
+    try {
+      val staged = s.read.parquet(scratch.toString)
+      val n = staged.count()
+      if (n > 0) staged.write.mode(SaveMode.Append).parquet(path)
+      n
+    } finally fs.delete(scratch, /* recursive = */ true)
   }
 }

@@ -62,6 +62,83 @@ class PipelineSpec extends AnyFunSuite {
     assert(Pipeline.run(s, Seq(report2)) === Seq("nation_report"))
   }
 
+  test("a transiently-failing task succeeds on retry and the DAG completes") {
+    val s = TestSpark.spark
+    val root = Files.createTempDirectory("graft_pipe_retry").toString
+    var attempts = 0
+    val flaky = new Task {
+      val name = "flaky_ingest"
+      val output = s"$root/flaky"
+      override def retries = 2
+      override def retryBackoffMs = 1L
+      def build(sp: SparkSession): DataFrame = {
+        attempts += 1
+        if (attempts < 3) throw new RuntimeException("transient fetch error")
+        Tables.region(sp, TestSpark.SfDir)
+      }
+    }
+    val report = Pipeline.runReport(s, Seq(flaky))
+    assert(report.ok)
+    assert(report.ran === Seq("flaky_ingest"))
+    assert(attempts === 3)
+    assert(flaky.read(s).count() === 5)
+  }
+
+  test("a permanently-failing leaf skips its dependents; siblings still build") {
+    val s = TestSpark.spark
+    val root = Files.createTempDirectory("graft_pipe_fail").toString
+    val bad = new Task {
+      val name = "bad"
+      val output = s"$root/bad"
+      def build(sp: SparkSession): DataFrame =
+        throw new RuntimeException("permanent")
+    }
+    val badChild = new Task {
+      val name = "bad_child"
+      override val requires = Seq(bad)
+      val output = s"$root/bad_child"
+      def build(sp: SparkSession): DataFrame = bad.read(sp)
+    }
+    val good = new Task {
+      val name = "good"
+      val output = s"$root/good"
+      def build(sp: SparkSession): DataFrame = Tables.nation(sp, TestSpark.SfDir)
+    }
+    val report = Pipeline.runReport(s, Seq(badChild, good))
+    assert(report.failed.keySet === Set("bad"))
+    assert(report.skipped === Seq("bad_child"))
+    assert(report.ran === Seq("good"))
+    assert(good.complete(s) && !bad.complete(s) && !badChild.complete(s))
+    assert(good.read(s).count() === 25)
+  }
+
+  test("backfill builds disjoint date partitions; re-running a past date is a no-op") {
+    val s = TestSpark.spark
+    val base = Files.createTempDirectory("graft_pipe_dates").toString + "/daily"
+    def mk(d: java.time.LocalDate): Seq[Task] = Seq(new pipeline.DatedTask(d) {
+      val name = s"daily_orders_$d"
+      def baseOutput: String = base
+      def build(sp: SparkSession): DataFrame =
+        Tables.orders(sp, TestSpark.SfDir)
+          .limit(10).withColumn("run_date", lit(d.toString))
+    })
+    val dates = pipeline.Schedule.dailyDates(
+      java.time.LocalDate.parse("2024-01-01"),
+      java.time.LocalDate.parse("2024-01-03"))
+    assert(dates.map(_.toString) === Seq("2024-01-01", "2024-01-02"))
+    val first = pipeline.Schedule.backfill(s, dates, mk)
+    assert(first.values.forall(r => r.ok && r.ran.size === 1))
+    val parts = dates.map(d => s.read.parquet(s"$base/dt=$d"))
+    assert(parts.map(_.count()) === Seq(10L, 10L))
+    assert(parts.zip(dates).forall { case (df, d) =>
+      df.select("run_date").distinct().collect().map(_.getString(0))
+        .sameElements(Array(d.toString))
+    })
+    // catch-up over the same window: everything complete, nothing runs
+    val second = pipeline.Schedule.backfill(s, dates, mk)
+    assert(second.values.forall(r => r.ok && r.ran.isEmpty))
+  }
+
   test("cycles are rejected") {
     lazy val a: Task = new Task {
       val name = "a"; val output = "/tmp/never_a"

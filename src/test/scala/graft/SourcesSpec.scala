@@ -95,4 +95,28 @@ class SourcesSpec extends AnyFunSuite {
     val out = s.read.parquet(sink).orderBy("k").collect()
     assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
   }
+
+  test("fetchMany fans out per-file copies and quarantines failures as rows") {
+    val s = TestSpark.spark
+    val src = tmpDir()
+    val landing = tmpDir() + "/landing"
+    Files.writeString(java.nio.file.Paths.get(src, "a.csv"), "k,v\n1,x\n")
+    Files.writeString(java.nio.file.Paths.get(src, "b.csv"), "k,v\n2,y\n3,z\n")
+    val manifest = Sources.fetchMany(s, Seq(
+      "a.csv" -> s"$src/a.csv",
+      "b.csv" -> s"$src/b.csv",
+      "missing.csv" -> s"$src/nope.csv"), landing).collect()
+    val byId = manifest.map(r => r.getString(0) -> r).toMap
+    assert(byId.keySet === Set("a.csv", "b.csv", "missing.csv"))
+    assert(byId("a.csv").getBoolean(4) && byId("b.csv").getBoolean(4))
+    assert(!byId("missing.csv").getBoolean(4))
+    assert(byId("missing.csv").getString(5) != null) // quarantined error msg
+    // landed files are real and readable by the typed CSV source
+    assert(Files.exists(java.nio.file.Paths.get(landing, "a.csv")))
+    val landed = s.read.option("header", "true").csv(s"$landing/b.csv")
+    assert(landed.count() === 2)
+    // re-fetch is idempotent (overwrite, not duplicate)
+    val again = Sources.fetchMany(s, Seq("a.csv" -> s"$src/a.csv"), landing)
+    assert(again.filter(col("ok")).count() === 1)
+  }
 }

@@ -45,19 +45,25 @@ object Bench {
     // codegen compilation + file-listing costs that a steady-state
     // workload doesn't pay
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // a query is "failed" if ANY of its runs failed — a transient
+    // failure must not hide behind the surviving run's timing, and a
+    // persistent one must not silently drop out of the total
     val results = names.map { n =>
       cleanup()
       val a = run(n)
       cleanup()
       val b = run(n)
-      n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
+    val failed = results.collect { case (n, v) if v < 0 => n }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      f"""{"metric":"total_wall","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total_wall","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

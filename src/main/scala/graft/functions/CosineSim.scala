@@ -70,11 +70,10 @@ case class CosineSim(left: Expression, right: Expression)
 
 /** `hyperplane_bucket(array<float>, nplanes) -> int` — random-hyperplane
   * LSH bucket: bit j of the result is the sign of the projection of the
-  * vector onto deterministic ±1 hyperplane j, with
-  * w(i, j) = +1 iff ((i-1)·31 + j·17) mod 7 < 3 over 1-indexed
-  * components. Accumulation is the left-to-right double fold of the HOF
-  * spelling in graft.operators.Similarity and its DuckDB mirror —
-  * bit-identical across all three. */
+  * vector onto deterministic ±1 hyperplane j (weights from
+  * [[HyperplaneWeights]]). Accumulation is the left-to-right double fold
+  * of the HOF spelling in graft.operators.Similarity and its DuckDB
+  * mirror — bit-identical across all three. */
 case class HyperplaneBucket(left: Expression, right: Expression)
     extends BinaryExpression {
   override val nullIntolerant: Boolean = true
@@ -95,6 +94,49 @@ case class HyperplaneBucket(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The deterministic ±1 hyperplane family shared by hyperplane_bucket
+  * (s2) and hyperplane_band_keys (d5), and mirrored in the Spark-HOF and
+  * DuckDB spellings:
+  *
+  *   x(i, p) = i·2654435761 + (p+1)·40503 + i·(p+1)·69069
+  *   w(i, p) = +1  iff  (((x XOR (x >> 17)) >> 3) AND 1) = 1
+  *
+  * over 1-indexed components i and 0-indexed planes p. The i·(p+1) cross
+  * term plus the xorshift avalanche matter: the round-1 family
+  * (((i-1)·31 + p·17) mod 7 < 3) is PERIODIC with period 7 in BOTH i and
+  * p — only 7 distinct hyperplanes exist in it, so any bucketing wider
+  * than 7 bits silently collapses to ≤128 effective buckets and the
+  * within-bucket join goes quadratic no matter how many bits are
+  * requested (measured: the d5 10× probe went super-linear before this
+  * fix). This family gives ≥96 distinct planes with pairwise |corr|
+  * ≈ 0.08 — indistinguishable from ideal random signs on the bucket
+  * occupancy it induces. */
+object HyperplaneWeights {
+  def weight(i: Int, p: Int): Double = {
+    val x = i.toLong * 2654435761L + (p + 1).toLong * 40503L +
+      i.toLong * (p + 1).toLong * 69069L
+    val mixed = x ^ (x >> 17)
+    if (((mixed >> 3) & 1L) == 1L) 1.0 else -1.0
+  }
+
+  /** Spark-SQL fragment for w(i, p) given SQL expressions for the
+    * 1-indexed component `i` and 0-indexed plane `p`. */
+  def sparkSql(i: String, p: String): String = {
+    val x = s"(($i) * CAST(2654435761 AS BIGINT) + (($p) + 1) * 40503" +
+      s" + ($i) * (($p) + 1) * 69069)"
+    s"IF(((shiftright($x ^ shiftright($x, 17), 3)) & 1) = 1," +
+      " CAST(1 AS DOUBLE), CAST(-1 AS DOUBLE))"
+  }
+
+  /** DuckDB fragment for w(i, p) (same conventions). */
+  def duckSql(i: String, p: String): String = {
+    val x = s"(($i) * 2654435761 + (($p) + 1) * 40503" +
+      s" + ($i) * (($p) + 1) * 69069)"
+    s"(CASE WHEN ((xor($x, $x >> 17) >> 3) & 1) = 1" +
+      " THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)"
+  }
+}
+
 object HyperplaneBucket {
   def bucket(v: org.apache.spark.sql.catalyst.util.ArrayData,
              nPlanes: Int): Int = {
@@ -105,8 +147,7 @@ object HyperplaneBucket {
       var proj = 0.0
       var i = 1
       while (i <= n) {
-        val w = if (((i - 1) * 31 + j * 17) % 7 < 3) 1.0 else -1.0
-        proj += v.getFloat(i - 1).toDouble * w
+        proj += v.getFloat(i - 1).toDouble * HyperplaneWeights.weight(i, j)
         i += 1
       }
       if (proj > 0) out |= (1 << j)
@@ -119,10 +160,8 @@ object HyperplaneBucket {
 /** `hyperplane_band_keys(array<float>, nBands, bitsPerBand) -> array<int>`
   * — banded random-hyperplane sign-LSH: band B's key has bit j set iff
   * the projection onto deterministic ±1 hyperplane p = B·bitsPerBand + j
-  * is strictly positive, with the same weight formula as
-  * [[HyperplaneBucket]] (w(i, p) = +1 iff ((i-1)·31 + p·17) mod 7 < 3
-  * over 1-indexed components) — so
-  * `hyperplane_band_keys(v, 1, k)[0] == hyperplane_bucket(v, k)`.
+  * is strictly positive, with the shared [[HyperplaneWeights]] family —
+  * so `hyperplane_band_keys(v, 1, k)[0] == hyperplane_bucket(v, k)`.
   *
   * One fused pass emits every band key; call sites consume the array
   * through a single posexplode reference so CollapseProject cannot
@@ -169,8 +208,7 @@ object HyperplaneBandKeys {
         var proj = 0.0
         var i = 1
         while (i <= n) {
-          val w = if (((i - 1) * 31 + p * 17) % 7 < 3) 1.0 else -1.0
-          proj += v.getFloat(i - 1).toDouble * w
+          proj += v.getFloat(i - 1).toDouble * HyperplaneWeights.weight(i, p)
           i += 1
         }
         if (proj > 0) key |= (1 << j)

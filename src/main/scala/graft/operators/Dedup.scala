@@ -290,7 +290,11 @@ object Dedup {
     * round-1 version's fixed 256 buckets made the within-bucket
     * self-join O(n²/256), unrunnable at 10⁹ vectors. */
   val D5Bands = 4
-  val D5TargetOccupancy = 64
+  /** Expected vectors per (band, bucket) once bits-per-band growth
+    * saturates: candidate pairs per vector are bounded by
+    * 2 · D5Bands · occupancy ≈ 128 — the linear constant of the
+    * operator. (Probe.scala measures the 10×/100× scaling.) */
+  val D5TargetOccupancy = 16
   /** Group-level candidates kept per (band, bucket) before the global
     * merge — a map-side WindowGroupLimit, so a skewed bucket can emit at
     * most this many pairs downstream instead of its full O(occ²). */
@@ -453,9 +457,8 @@ object Dedup {
          |  SELECT g.rep, b.band, j.j,
          |    list_reduce(list_transform(generate_series(1, 64),
          |      i -> CAST(g.embedding[i] AS DOUBLE) *
-         |           (CASE WHEN (((i - 1) * 31 + (b.band * p.bb + j.j) * 17)
-         |                 % 7) < 3
-         |            THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)),
+         |           ${graft.functions.HyperplaneWeights
+                        .duckSql("i", "b.band * p.bb + j.j")}),
          |      (x, y) -> x + y) AS proj
          |  FROM g, params p,
          |       (SELECT unnest(generate_series(0, ${Dedup.D5Bands - 1}))

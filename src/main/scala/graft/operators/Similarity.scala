@@ -42,19 +42,19 @@ object Similarity {
   }
 
   /** Deterministic ±1 hyperplane weight for (plane j, component i∈1..64):
-    * sign pattern from cheap integer arithmetic, identical in SQL. */
+    * the shared graft.functions.HyperplaneWeights family, identical in
+    * SQL. (The round-1 arithmetic family was period-7 in the plane index
+    * — only 7 distinct hyperplanes existed; see HyperplaneWeights.) */
   private def projExpr(v: String, j: Int): String =
     s"""aggregate(transform(sequence(1, 64),
        |    i -> CAST(element_at($v, i) AS DOUBLE) *
-       |         IF((((i - 1) * 31 + $j * 17) % 7) < 3,
-       |            CAST(1 AS DOUBLE), CAST(-1 AS DOUBLE))),
+       |         ${graft.functions.HyperplaneWeights.sparkSql("i", j.toString)}),
        |  CAST(0 AS DOUBLE), (a, b) -> a + b)""".stripMargin
 
   private def sqlProj(v: String, j: Int): String =
     s"""list_reduce(list_transform(generate_series(1, 64),
        |    i -> CAST($v[i] AS DOUBLE) *
-       |         (CASE WHEN (((i - 1) * 31 + $j * 17) % 7) < 3
-       |          THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)),
+       |         ${graft.functions.HyperplaneWeights.duckSql("i", j.toString)}),
        |  (x, y) -> x + y)""".stripMargin
 
   /** Native fused kernel (graft.functions.HyperplaneBucket); the HOF

@@ -138,8 +138,7 @@ class FunctionsSpec extends AnyFunSuite {
       val p = 8 + j
       s"""IF(aggregate(transform(sequence(1, 64),
          |  i -> CAST(element_at(embedding, i) AS DOUBLE) *
-         |       IF((((i - 1) * 31 + $p * 17) % 7) < 3,
-         |          CAST(1 AS DOUBLE), CAST(-1 AS DOUBLE))),
+         |       ${graft.functions.HyperplaneWeights.sparkSql("i", p.toString)}),
          |  CAST(0 AS DOUBLE), (a, b) -> a + b) > 0, ${1 << j}, 0)""".stripMargin
     }.mkString("(", " + ", ")")
     val rows = Tables.embeddings(s, TestSpark.SfDir).selectExpr(

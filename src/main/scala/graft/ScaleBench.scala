@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only scaling-curve bench: no sf1 test data ships with the
+  * container, so this builds a simulated-sf1 star schema (deterministic
+  * 10× replication of sf0.1 with key-space shifting, so join fan-outs
+  * and group cardinalities scale the way real data growth would) under
+  * target/sf1sim, then times every SparkEntry query once at sf0.1 and
+  * once at the 10× scale — the per-query ratio IS the scaling curve.
+  *
+  * Replication rules:
+  *  - dims region/nation stay 1× (a 10× world has the same 25 nations);
+  *  - every fact/entity key shifts by copy · (max key + 1) so foreign
+  *    keys keep resolving and per-key densities stay constant;
+  *  - document text gets a per-copy suffix (distinct contents — the
+  *    shingle/minhash work really is 10×, not collapse-away dups) and
+  *    n_chars is recomputed;
+  *  - embeddings rotate per copy (distinct, decorrelated — see Probe).
+  *
+  * Usage: sbt "runMain graft.ScaleBench"; one JSON line per query.
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark: SparkSession = GraftSession
+      .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val out = "target/sf1sim"
+
+    generate(spark, sfDir, out)
+
+    def run(name: String, dir: String): Double = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[scalebench] $name@$dir: ${e.getMessage}")
+          return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    run("q1_multi_agg", sfDir) // warmup, untimed
+    SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
+      val a = run(n, sfDir)
+      val b = run(n, out)
+      val ratio = if (a > 0 && b > 0) b / a else -1.0
+      println(f"""{"q":"$n","sf01_sec":$a%.2f,"x10_sec":$b%.2f,"ratio":$ratio%.1f}""")
+    }
+    spark.stop()
+  }
+
+  def generate(s: SparkSession, sfDir: String, out: String): Unit = {
+    val copies = s.range(10).withColumnRenamed("id", "copy")
+
+    def maxOf(df: DataFrame, c: String): Long =
+      df.agg(max(col(c))).collect()(0).getLong(0) + 1
+
+    def scaled(df: DataFrame, shifts: Seq[(String, Long)]): DataFrame = {
+      val cols = df.columns
+      val shifted = shifts.foldLeft(df.crossJoin(copies)) {
+        case (d, (c, m)) => d.withColumn(c, col(c) + col("copy") * m)
+      }
+      shifted.select(cols.map(col).toIndexedSeq: _*)
+    }
+
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+
+    val mCust = maxOf(Tables.customer(s, sfDir), "c_custkey")
+    val mOrd = maxOf(Tables.orders(s, sfDir), "o_orderkey")
+    val mSupp = maxOf(Tables.supplier(s, sfDir), "s_suppkey")
+    val mPart = maxOf(Tables.part(s, sfDir), "p_partkey")
+
+    write(Tables.region(s, sfDir), "region")
+    write(Tables.nation(s, sfDir), "nation")
+    write(scaled(Tables.customer(s, sfDir), Seq("c_custkey" -> mCust)),
+      "customer")
+    write(scaled(Tables.supplier(s, sfDir), Seq("s_suppkey" -> mSupp)),
+      "supplier")
+    write(scaled(Tables.part(s, sfDir), Seq("p_partkey" -> mPart)), "part")
+    write(scaled(Tables.orders(s, sfDir),
+      Seq("o_orderkey" -> mOrd, "o_custkey" -> mCust)), "orders")
+    write(scaled(Tables.lineitem(s, sfDir),
+      Seq("l_orderkey" -> mOrd, "l_partkey" -> mPart, "l_suppkey" -> mSupp)),
+      "lineitem")
+
+    val ev = Tables.eventsRaw(s, sfDir) // ts stays int64 nanos
+    val mEv = maxOf(ev, "event_id")
+    val mUser = maxOf(ev, "user_id")
+    write(scaled(ev, Seq("event_id" -> mEv, "user_id" -> mUser)), "events")
+
+    val doc = Tables.documents(s, sfDir)
+    val mDoc = maxOf(doc, "doc_id")
+    val docCols = doc.columns
+    write(doc.crossJoin(copies)
+      .withColumn("doc_id", col("doc_id") + col("copy") * mDoc)
+      .withColumn("text", concat(col("text"), lit(" copyword"),
+        col("copy").cast("string")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select(docCols.map(col).toIndexedSeq: _*), "documents")
+
+    val emb = Tables.embeddings(s, sfDir)
+    val mVec = maxOf(emb, "vec_id")
+    val embCols = emb.columns
+    write(emb.crossJoin(copies)
+      .withColumn("vec_id", col("vec_id") + col("copy") * mVec)
+      .withColumn("embedding",
+        expr("""transform(sequence(0, 63), i ->
+          CAST(element_at(embedding, CAST((i + copy) % 64 AS INT) + 1)
+          AS FLOAT))"""))
+      .select(embCols.map(col).toIndexedSeq: _*), "embeddings")
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOf, Bucketed, Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{AsOf, Bucketed, Dedup, Geo, Multimodal, Relational, Similarity, Skew, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -15,7 +15,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Dedup.queries ++ Similarity.queries ++
       TextAnalysis.queries ++ Multimodal.queries ++ Streams.queries ++
-      AsOf.queries ++ Bucketed.queries
+      AsOf.queries ++ Bucketed.queries ++ Geo.queries ++ Skew.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted only for s3_ann_ivf (iterative
@@ -24,5 +24,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Dedup.oracle ++ Similarity.oracle ++
       TextAnalysis.oracle ++ Streams.oracle ++ AsOf.oracle ++
-      Multimodal.oracle ++ Bucketed.oracle
+      Multimodal.oracle ++ Bucketed.oracle ++ Geo.oracle ++ Skew.oracle
 }

@@ -176,18 +176,29 @@ object Dedup {
     *    2^(60/(maxHamming+1)); `maxHamming` is the documented
     *    occupancy-vs-tolerance dial at corpus scale (tighter thresholds
     *    give exponentially more buckets). */
-  def d3Candidates(s: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
+  /** Contiguous (offset, width) blocks splitting the 60 fingerprint
+    * bits into maxHamming+1 near-even bands. Pigeonhole: flipping at
+    * most maxHamming bits cannot touch every one of the maxHamming+1
+    * blocks, so any pair within the threshold agrees exactly on ≥ 1
+    * block — recall 1.0 by construction (property-tested in
+    * PropertiesSpec). */
+  def d3BandLayout(maxHamming: Int): Seq[(Int, Int)] = {
     val nBands = maxHamming + 1
-    // split 60 bits into nBands near-even contiguous blocks
     val widths = Array.tabulate(nBands)(b =>
       SimhashBits / nBands + (if (b < SimhashBits % nBands) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
+    (0 until nBands).map(b => (offsets(b), widths(b)))
+  }
+
+  def d3Candidates(s: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
+    val layout = d3BandLayout(maxHamming)
+    val nBands = layout.length
     val groups = d3Simhash(s, dir)
       .groupBy("simhash")
       .agg(sort_array(collect_list(col("doc_id"))).as("members"))
-    val bandCols = (0 until nBands).map { b =>
-      expr(s"CAST(shiftright(simhash, ${offsets(b)}) & " +
-        s"${(1L << widths(b)) - 1} AS BIGINT)")
+    val bandCols = layout.map { case (offset, width) =>
+      expr(s"CAST(shiftright(simhash, $offset) & " +
+        s"${(1L << width) - 1} AS BIGINT)")
     }
     val bands = groups
       .select(col("simhash"), col("members"),

@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.Tables
 
 /** Skew mitigation for hot join keys.
   *
@@ -38,4 +40,40 @@ object Skew {
           saltedLarge("__salt") === saltedSmall("__salt"))
       .drop(saltedSmall(key)).drop("__salt")
   }
+
+  /** q25: the salted join in the correctness gate. Clicks (large, with
+    * whatever per-user skew the data has) join a purchases-per-user dim
+    * (small) through [[saltedJoin]]; the DuckDB oracle is the PLAIN
+    * join + aggregate, proving salting is semantically transparent —
+    * only the task-level distribution differs. */
+  def q25SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select("user_id", "value")
+    val purchasers = e.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_purch"))
+    saltedJoin(clicks, purchasers, "user_id", salt = 8)
+      .groupBy("n_purch")
+      .agg(count(lit(1)).as("n_clicks"),
+        Exact.dsum(col("value")).as("click_value"))
+      .orderBy("n_purch")
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q25_salted_join" ->
+      s"""WITH p AS (
+         |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_purch
+         |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+         |c AS (SELECT user_id, value FROM events
+         |      WHERE event_type = 'click')
+         |SELECT n_purch, CAST(count(*) AS BIGINT) AS n_clicks,
+         |  ${Exact.sqlDsum("value")} AS click_value
+         |FROM c JOIN p USING (user_id)
+         |GROUP BY n_purch ORDER BY n_purch""".stripMargin,
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_salted_join" -> q25SaltedJoin,
+  )
 }

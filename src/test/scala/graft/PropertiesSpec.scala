@@ -84,6 +84,67 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: d3 pigeonhole banding finds EVERY pair within the hamming threshold") {
+    val maxHamming = 6
+    val layout = graft.operators.Dedup.d3BandLayout(maxHamming)
+    assert(layout.map(_._2).sum === graft.operators.Dedup.SimhashBits)
+    val fp: Gen[Long] = Gen.chooseNum(0L, (1L << 60) - 1)
+    val flips: Gen[List[Int]] =
+      Gen.chooseNum(0, maxHamming).flatMap(k =>
+        Gen.listOfN(k, Gen.chooseNum(0, 59)))
+    samples(Gen.zip(fp, flips), 200).foreach { case (a, positions) =>
+      val b = positions.foldLeft(a)((acc, p) => acc ^ (1L << p))
+      assert(java.lang.Long.bitCount(a ^ b) <= maxHamming)
+      val agree = layout.exists { case (off, w) =>
+        ((a >> off) & ((1L << w) - 1)) === ((b >> off) & ((1L << w) - 1))
+      }
+      assert(agree, f"pair a=$a%x b=$b%x shares no band")
+    }
+  }
+
+  test("property: hyperplane family has distinct, low-correlation planes") {
+    import graft.functions.HyperplaneWeights
+    val planes = (0 until 96).map(p =>
+      (1 to 64).map(i => HyperplaneWeights.weight(i, p)))
+    assert(planes.distinct.size === 96, "duplicate hyperplanes")
+    for (p <- planes.indices; q <- planes.indices if p < q) {
+      val corr = planes(p).zip(planes(q)).map { case (x, y) => x * y }.sum / 64.0
+      assert(math.abs(corr) < 1.0,
+        s"planes $p/$q identical or negated (|corr|=1)")
+    }
+  }
+
+  test("property: asofJoin equals a naive per-row most-recent-prior lookup") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val ev: Gen[(Long, Long, Long)] = for {
+      user <- Gen.chooseNum(0L, 3L)
+      ts <- Gen.chooseNum(0L, 40L)
+      id <- Gen.chooseNum(0L, 1000L)
+    } yield (user, ts, id)
+    samples(Gen.zip(Gen.listOfN(25, ev), Gen.listOfN(25, ev)), 5)
+      .foreach { case (ls, rs) =>
+        // defined tie-break: one right row per (user, ts), max id wins
+        val right = rs.groupBy(r => (r._1, r._2))
+          .map { case ((u, t), g) => (u, t, g.map(_._3).max) }.toList
+        val left = ls.zipWithIndex.map { case ((u, t, _), i) => (i.toLong, u, t) }
+        val got = graft.operators.AsOf.asofJoin(
+            left.toDF("row_id", "user", "lts"),
+            right.toDF("user", "rts", "rid"),
+            key = "user", leftTs = "lts", rightTs = "rts",
+            carry = Seq("rid"), tieBreak = "rid")
+          .select("row_id", "asof_rid").collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+          .toMap
+        left.foreach { case (rowId, u, t) =>
+          val expect = right.filter(r => r._1 == u && r._2 <= t)
+            .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+          assert(got(rowId) === expect,
+            s"row $rowId user=$u ts=$t: got ${got(rowId)}, want $expect")
+        }
+      }
+  }
+
   test("property: sessionization conserves events; session count matches gaps") {
     val gapUs = Streams.SessionGapUs
     val evGen = for {

@@ -75,14 +75,22 @@ object Similarity {
       .map(j => s"(CASE WHEN (${sqlProj(v, j)}) > 0 THEN ${1 << j} ELSE 0 END)")
       .mkString("(", " + ", ")")
 
-  /** s2: LSH-bucketed ANN — score only within the query's sign bucket. */
+  /** s2: LSH-bucketed ANN with hamming-1 multi-probe — each query scans
+    * its own sign bucket plus the [[HyperPlanes]] buckets one bit-flip
+    * away (standard multiprobe LSH: a true neighbor that lands just
+    * across one hyperplane is recovered without rebucketing the
+    * corpus). The corpus side stays a single map pass + one hash join;
+    * only the tiny broadcast query set fans out ×(HyperPlanes+1). */
   def s2Lsh(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val bucketed = Tables.embeddings(s, dir)
       .withColumn("bucket", bucketCol("embedding"))
+    val probes = expr(
+      (0 until HyperPlanes).map(j => s"(bucket ^ ${1 << j})")
+        .mkString("array(bucket, ", ", ", ")"))
     val q = bucketed.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("bucket").as("qb"))
+        explode(probes).as("qb"))
     val cand = bucketed
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
         col("bucket"))
@@ -255,10 +263,13 @@ object Similarity {
          |  FROM scored)
          |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, cos
          |FROM ranked WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin,
-    "s2_ann_lsh" ->
+    "s2_ann_lsh" -> {
+      val probeList = (0 until HyperPlanes).map(j => s"xor(bucket, ${1 << j})")
+        .mkString("[bucket, ", ", ", "]")
       s"""WITH b AS (SELECT vec_id, embedding,
          |    ${sqlBucket("embedding")} AS bucket FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket AS qb
+         |q AS (SELECT vec_id AS query_id, embedding AS qe,
+         |    unnest($probeList) AS qb
          |  FROM b WHERE vec_id < $NumQueries),
          |scored AS (
          |  SELECT query_id, vec_id AS neighbor_id,
@@ -269,7 +280,8 @@ object Similarity {
          |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
          |  FROM scored)
          |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, cos
-         |FROM ranked WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin,
+         |FROM ranked WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
+    },
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

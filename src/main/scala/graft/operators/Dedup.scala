@@ -295,6 +295,55 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Exact-Jaccard confirmation for an explicit candidate-pair set —
+    * the second stage of the production dedup pipeline (d2-screen →
+    * d4Confirm): d4's full shingle-join recomputes blocking for the
+    * whole corpus, which the ScaleBench probe shows is output-sensitive
+    * on near-dup-rich data; confirming only screened pairs instead
+    * attaches each side's distinct-shingle set with two hash joins and
+    * computes the intersection ROW-LOCALLY (`array_intersect` on the
+    * pair's two sets) — cost ∝ |candidates|, independent of how many
+    * corpus pairs would have matched.
+    *
+    * `pairs` needs columns (doc_a, doc_b); output matches d4's schema
+    * (doc_a, doc_b, inter, union_sz, jaccard), unthresholded. */
+  def d4Confirm(s: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sets = Tables.documents(s, dir)
+      .withColumn("norm", TextOps.normText(col("text")))
+      .withColumn("toks", expr(TextOps.toksExpr))
+      .withColumn("shset", expr("array_distinct(word_shingles(toks))"))
+      .select(col("doc_id"), col("shset"))
+    pairs.select("doc_a", "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("sa")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("sb")),
+        Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("union_sz",
+        (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
+      .withColumn("jaccard", col("inter") / col("union_sz"))
+      .select("doc_a", "doc_b", "inter", "union_sz", "jaccard")
+  }
+
+  /** Greedy keep-list from confirmed duplicate pairs: every document
+    * that is the GREATER side of some pair above the threshold is
+    * dropped, so each duplicate cluster keeps (at least) its minimum
+    * doc_id. One anti-join — linear and shuffle-partitioned on doc_id —
+    * versus full connected components, whose iterative joins a 100 TB
+    * dedup pass doesn't need: greedy keep is the standard corpus-dedup
+    * policy (transitively-linked docs may retain one extra
+    * representative per chain break, never lose the cluster head). */
+  def dedupKeepList(s: SparkSession, dir: String, confirmed: DataFrame,
+                    minJaccard: Double = 0.8): DataFrame = {
+    val drop = confirmed.filter(col("jaccard") >= minJaccard)
+      .select(col("doc_b").as("doc_id")).distinct()
+    Tables.documents(s, dir).select("doc_id")
+      .join(drop, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   /** d5 banding parameters. Bands fixed at 4 (recall knob: a near-dup
     * pair is a candidate if it agrees in ANY band); bits per band scale
     * with the corpus so expected bucket occupancy stays O(1) — the

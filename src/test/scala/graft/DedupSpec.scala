@@ -52,6 +52,40 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d4Confirm on d2 candidates matches d4's jaccard for the same pairs") {
+    val s = TestSpark.spark
+    val candidates = Dedup.d2Minhash(s, dir)
+    val confirmed = Dedup.d4Confirm(s, dir, candidates).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(confirmed.nonEmpty)
+    val full = Dedup.d4NgramJaccard(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    // every full-d4 pair that d2 also screened must agree on jaccard
+    val overlap = full.keySet intersect confirmed.keySet
+    assert(overlap.nonEmpty, "screen and confirm found no common pairs")
+    overlap.foreach { k =>
+      assert(math.abs(confirmed(k) - full(k)) < 1e-12, s"pair $k differs")
+    }
+  }
+
+  test("dedupKeepList keeps exactly one doc per planted duplicate pair") {
+    val s = TestSpark.spark
+    val confirmed = Dedup.d4Confirm(s, dir, Dedup.d2Minhash(s, dir))
+    val keep = Dedup.dedupKeepList(s, dir, confirmed, minJaccard = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    val dropped = Dedup.d4Confirm(s, dir, Dedup.d2Minhash(s, dir))
+      .filter(org.apache.spark.sql.functions.col("jaccard") >= 0.9).collect()
+    assert(dropped.nonEmpty)
+    dropped.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(keep.contains(a) || !keep.contains(b),
+        s"pair ($a,$b): greater side kept while smaller dropped")
+      assert(!keep.contains(b), s"greater side $b of a confirmed pair kept")
+    }
+    val total = graft.Tables.documents(s, dir).count()
+    assert(keep.size < total && keep.nonEmpty)
+  }
+
   test("d5 returns top cosine pairs within sign buckets") {
     val rows = Dedup.d5Embedding(s, dir).collect()
     assert(rows.nonEmpty && rows.length <= 20)

@@ -52,6 +52,44 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st2 watermark: beyond-watermark stragglers drop, closed windows stay final") {
+    val sess = s
+    import sess.implicits._
+    def ts(iso: String) =
+      java.sql.Timestamp.from(java.time.Instant.parse(iso))
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)](s)
+    val agg = Streams.windowedAgg(
+      input.toDF().toDF("ts", "event_type", "value")
+        .withWatermark("ts", "1 hour"))
+    val q = agg.writeStream.format("memory").queryName("st2_wm")
+      .outputMode("append").start()
+    try {
+      // batch 1: one event in the 00:00 window, one at 12:10 that
+      // advances the watermark to 11:10 — past the 06:00 window end
+      input.addData(
+        (ts("2024-01-01T00:10:00Z"), "a", 1.0),
+        (ts("2024-01-01T12:10:00Z"), "a", 1.0))
+      q.processAllAvailable()
+      // batch 2: a straggler at 00:20 is BEYOND the watermark (its
+      // window is already closed) and must be dropped; 12:20 is fine
+      input.addData(
+        (ts("2024-01-01T00:20:00Z"), "a", 5.0),
+        (ts("2024-01-01T12:20:00Z"), "a", 1.0))
+      q.processAllAvailable()
+      // batch 3: push the watermark past 18:00 so the 12:00 window emits
+      input.addData((ts("2024-01-02T00:00:00Z"), "a", 1.0))
+      q.processAllAvailable()
+      val rows = s.table("st2_wm").collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+      val w0 = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond
+      val w12 = java.time.Instant.parse("2024-01-01T12:00:00Z").getEpochSecond
+      // closed 00:00 window: only the on-time event — the late 5.0 is gone
+      assert(rows(w0) === ((1L, 1.0)))
+      // open-at-the-time 12:00 window: both its events
+      assert(rows(w12) === ((2L, 2.0)))
+    } finally q.stop()
+  }
+
   test("st3: flatMapGroupsWithState sessionization agrees with the batch window formulation") {
     val sess = s
     import sess.implicits._

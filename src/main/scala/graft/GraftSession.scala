@@ -38,4 +38,37 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Builder pre-sized for a real cluster instead of local[n].
+    *
+    * The two knobs that actually matter at 100 TB:
+    *  - `spark.sql.shuffle.partitions` ≈ 2–3 tasks per core across the
+    *    cluster, floored so the LARGEST shuffle stage's partitions fit
+    *    in executor memory: partitions ≥ shuffledBytes / targetPartition
+    *    (AQE coalesces the small stages back down, so oversizing is
+    *    cheap and undersizing spills — size for the big stage);
+    *  - `spark.sql.files.maxPartitionBytes` controls scan-task
+    *    granularity; 256 MB halves task-scheduling overhead vs the
+    *    128 MB default on long sequential parquet scans while staying
+    *    comfortably in memory after column pruning.
+    * Everything else (skew splitting, partition coalescing, broadcast
+    * planning) is deliberately left to AQE at runtime. */
+  def clusterBuilder(executors: Int, coresPerExecutor: Int,
+                     largestShuffleGb: Long,
+                     targetPartitionMb: Int = 128): SparkSession.Builder =
+    builder(master = "yarn",
+        shufflePartitions = clusterShufflePartitions(
+          executors, coresPerExecutor, largestShuffleGb, targetPartitionMb))
+      .config("spark.sql.files.maxPartitionBytes",
+        (256L * 1024 * 1024).toString)
+
+  /** max(3 tasks per core, largest shuffle ÷ target partition size). */
+  def clusterShufflePartitions(executors: Int, coresPerExecutor: Int,
+                               largestShuffleGb: Long,
+                               targetPartitionMb: Int = 128): Int = {
+    val byCores = executors.toLong * coresPerExecutor * 3
+    val byMemory = (largestShuffleGb * 1024L + targetPartitionMb - 1) /
+      targetPartitionMb
+    math.max(byCores, byMemory).toInt
+  }
 }

@@ -84,6 +84,16 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster shuffle-partition sizing: per-core floor vs spill ceiling") {
+    // 1000 executors × 8 cores, 40 TB largest shuffle, 128 MB target:
+    // memory bound (40 TB / 128 MB = 327,680) dominates 3×cores (24,000)
+    assert(GraftSession.clusterShufflePartitions(1000, 8, 40960) === 327680)
+    // small shuffle: the 3-tasks-per-core floor wins
+    assert(GraftSession.clusterShufflePartitions(1000, 8, 100) === 24000)
+    // partition-size knob moves the memory bound proportionally
+    assert(GraftSession.clusterShufflePartitions(10, 4, 1024, 256) === 4096)
+  }
+
   test("property: d3 pigeonhole banding finds EVERY pair within the hamming threshold") {
     val maxHamming = 6
     val layout = graft.operators.Dedup.d3BandLayout(maxHamming)

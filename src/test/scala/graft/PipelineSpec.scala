@@ -139,6 +139,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(second.values.forall(r => r.ok && r.ran.isEmpty))
   }
 
+  test("a crashed publish (data files, no marker) is incomplete and rebuilds") {
+    val s = TestSpark.spark
+    val root = Files.createTempDirectory("graft_pipe_crash").toString
+    def mkTask() = new Task {
+      val name = "crashy"
+      val output = s"$root/crashy"
+      def build(sp: SparkSession): DataFrame = Tables.region(sp, TestSpark.SfDir)
+    }
+    val t = mkTask()
+    assert(Pipeline.run(s, Seq(t)) === Seq("crashy"))
+    assert(t.complete(s))
+    // simulate a crash that wrote data but never committed: delete ONLY
+    // the marker — Spark's own _SUCCESS and the parquet files remain
+    val fs = t.markerPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(t.markerPath, false)
+    assert(!t.complete(s), "data files without a marker must read as incomplete")
+    assert(new java.io.File(t.output, "_SUCCESS").exists,
+      "precondition: Spark's _SUCCESS alone must not imply completeness")
+    // re-run rebuilds and recommits
+    val t2 = mkTask()
+    assert(Pipeline.run(s, Seq(t2)) === Seq("crashy"))
+    assert(t2.complete(s) && t2.read(s).count() === 5)
+  }
+
   test("cycles are rejected") {
     lazy val a: Task = new Task {
       val name = "a"; val output = "/tmp/never_a"

@@ -258,6 +258,23 @@ object Relational {
       .orderBy(col("cnt").desc, col("word"))
       .limit(20)
 
+  /** q26: per-record mean over an array column, top-k — the Dask
+    * Distributed weather notebook's "mean of the hourly-temperature
+    * array per station record". The fold is row-local (left-to-right
+    * double accumulation, mirrored exactly by the DuckDB list_reduce),
+    * so no cross-row double summation exists to go nondeterministic
+    * under partitioning; top-k via TakeOrdered, no global sort. (This
+    * HOF fold is interpreted — acceptable for a demo query; a corpus-
+    * scale hot path would get a fused kernel like cosine_sim.) */
+  def q26ArrayMean(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .withColumn("emean",
+        expr("""aggregate(embedding, CAST(0 AS DOUBLE),
+                (a, x) -> a + CAST(x AS DOUBLE)) / 64"""))
+      .select("vec_id", "label", "emean")
+      .orderBy(col("emean").desc, col("vec_id"))
+      .limit(20)
+
   // ---------------------------------------------------------------- oracle
 
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
@@ -400,6 +417,12 @@ object Relational {
          |  SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
          |WHERE word <> '' AND word NOT IN ($stopList)
          |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+    "q26_array_mean" ->
+      """SELECT vec_id, label,
+        |  list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |    (a, b) -> a + b) / 64 AS emean
+        |FROM embeddings
+        |ORDER BY emean DESC, vec_id LIMIT 20""".stripMargin,
   )
 
   /** Query registry (name → runner), keys match [[oracle]]. */
@@ -424,5 +447,6 @@ object Relational {
     "q18_distinct" -> q18Distinct,
     "q19_pivot_agg" -> q19PivotAgg,
     "q20_stopword_topk" -> q20StopwordTopk,
+    "q26_array_mean" -> q26ArrayMean,
   )
 }

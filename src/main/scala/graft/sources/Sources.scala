@@ -139,11 +139,16 @@ object Sources {
                  key: String): Long = {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // `key` declares row identity, so the sink must end up key-unique
+    // even when one batch carries the same key twice (two overlapping
+    // dump files ingested together) — dedup WITHIN the batch too, not
+    // only against the already-landed table
+    val unique = incoming.dropDuplicates(key)
     val fresh =
       if (fs.exists(target)) {
         val existing = s.read.parquet(path).select(key)
-        incoming.join(existing, Seq(key), "left_anti")
-      } else incoming
+        unique.join(existing, Seq(key), "left_anti")
+      } else unique
     val scratch = new org.apache.hadoop.fs.Path(
       path + ".staging-" + java.util.UUID.randomUUID())
     fresh.write.mode(SaveMode.Overwrite).parquet(scratch.toString)

@@ -55,12 +55,17 @@ object GraftSession {
     * planning) is deliberately left to AQE at runtime. */
   def clusterBuilder(executors: Int, coresPerExecutor: Int,
                      largestShuffleGb: Long,
+                     warehouseDir: String,
                      targetPartitionMb: Int = 128): SparkSession.Builder =
     builder(master = "yarn",
         shufflePartitions = clusterShufflePartitions(
           executors, coresPerExecutor, largestShuffleGb, targetPartitionMb))
       .config("spark.sql.files.maxPartitionBytes",
         (256L * 1024 * 1024).toString)
+      // the local builder()'s java.io.tmpdir warehouse would scatter
+      // bucketed tables across executor-private /tmp on a real cluster;
+      // a cluster session must point at shared durable storage
+      .config("spark.sql.warehouse.dir", warehouseDir)
 
   /** max(3 tasks per core, largest shuffle ÷ target partition size). */
   def clusterShufflePartitions(executors: Int, coresPerExecutor: Int,

@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   *
   *  - `x10distinct`: each copy is per-component perturbed — 10× DISTINCT
   *    vectors, exercising the corpus-scaled bits-per-band growth
-  *    (d5BitsPerBand: 2000 → 8 bits, 20000 → 9 bits);
+  *    (d5BitsPerBand at occupancy target 16: 2000 → 8 bits,
+  *    20000 → 11 bits, 200000 → 14 bits);
   *  - `x10dup`: exact copies — 10× rows but the same distinct set,
   *    exercising the group-collapse path (quadratic per bucket if the
   *    collapse ever regresses).

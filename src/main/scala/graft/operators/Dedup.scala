@@ -81,6 +81,31 @@ object Dedup {
         // norm is constant within a group (h = md5(norm))
         first(col("norm")).as("norm"))
 
+  /** Expand group-level candidate pairs into doc pairs, carrying
+    * `carry` columns through unchanged — the shared tail of every
+    * collapse-then-block dedup operator (d2/d3Candidates/d5):
+    * cross-group pairs come from ma × mb with least/greatest ordering
+    * (group representatives are min ids, but members interleave), and
+    * every group with >1 member contributes its within-group pairs
+    * (identical content ⇒ candidates by definition). A doc belongs to
+    * exactly one group, so each output pair arises exactly once — no
+    * distinct needed. */
+  private def expandMemberPairs(cross: DataFrame, within: DataFrame,
+                                carry: Seq[String]): DataFrame = {
+    val cc = carry.map(col)
+    val crossPairs = cross
+      .select(explode(col("ma")).as("a") +: col("mb") +: cc: _*)
+      .select(col("a") +: explode(col("mb")).as("b") +: cc: _*)
+      .select(least(col("a"), col("b")).as("doc_a") +:
+        greatest(col("a"), col("b")).as("doc_b") +: cc: _*)
+    val withinPairs = within
+      .select(explode(col("members")).as("a") +: col("members") +: cc: _*)
+      .select(col("a") +: explode(col("members")).as("b") +: cc: _*)
+      .filter(col("a") < col("b"))
+      .select(col("a").as("doc_a") +: col("b").as("doc_b") +: cc: _*)
+    crossPairs.unionAll(withinPairs)
+  }
+
   /** d2: MinHash + LSH banding → candidate near-dup pairs.
     *
     * Signatures and the band self-join run at DISTINCT-content level
@@ -119,23 +144,12 @@ object Dedup {
         col("x.members").as("ma"), col("y.members").as("mb"))
       .dropDuplicates("ha", "hb")
 
-    // cross-content doc pairs; (a, b) can arise from exactly one content
-    // pair, so no further distinct is needed
-    val cross = contentPairs
-      .select(explode(col("ma")).as("a"), col("mb"))
-      .select(col("a"), explode(col("mb")).as("b"))
-      .select(least(col("a"), col("b")).as("doc_a"),
-        greatest(col("a"), col("b")).as("doc_b"))
-
-    // exact-duplicate docs share every band: all within-group pairs
-    val within = groups.filter(size(col("members")) > 1)
-      .select(col("members"))
-      .select(explode(col("members")).as("a"), col("members"))
-      .select(col("a"), explode(col("members")).as("b"))
-      .filter(col("a") < col("b"))
-      .select(col("a").as("doc_a"), col("b").as("doc_b"))
-
-    cross.unionAll(within).orderBy("doc_a", "doc_b")
+    expandMemberPairs(
+      cross = contentPairs,
+      // exact-duplicate docs share every band: all within-group pairs
+      within = groups.filter(size(col("members")) > 1).select("members"),
+      carry = Seq.empty)
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Simhash bit width (60 = 15 md5 hex chars, avoids int64 sign games). */
@@ -215,19 +229,13 @@ object Dedup {
         col("x.members").as("ma"), col("y.members").as("mb"),
         col("hamming"))
       .dropDuplicates("sa", "sb") // a pair can agree in several bands
-    val cross = groupPairs
-      .select(explode(col("ma")).as("a"), col("mb"), col("hamming"))
-      .select(col("a"), explode(col("mb")).as("b"), col("hamming"))
-      .select(least(col("a"), col("b")).as("doc_a"),
-        greatest(col("a"), col("b")).as("doc_b"), col("hamming"))
-    // identical fingerprints: hamming 0 by definition
-    val within = groups.filter(size(col("members")) > 1)
-      .select(explode(col("members")).as("a"), col("members"))
-      .select(col("a"), explode(col("members")).as("b"))
-      .filter(col("a") < col("b"))
-      .select(col("a").as("doc_a"), col("b").as("doc_b"),
-        lit(0).cast("int").as("hamming"))
-    cross.unionAll(within).orderBy("doc_a", "doc_b")
+    expandMemberPairs(
+      cross = groupPairs,
+      // identical fingerprints: hamming 0 by definition
+      within = groups.filter(size(col("members")) > 1)
+        .select(col("members"), lit(0).cast("int").as("hamming")),
+      carry = Seq("hamming"))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** d4: n-gram Jaccard similarity over blocked candidate pairs.
@@ -323,7 +331,13 @@ object Dedup {
         size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("union_sz",
         (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
-      .withColumn("jaccard", col("inter") / col("union_sz"))
+      // two EMPTY shingle sets (docs below the shingle width — d1/d3
+      // still pair them) are identical: jaccard 1, not 0/0 → NULL,
+      // which dedupKeepList's threshold filter would silently drop,
+      // letting exact duplicates of tiny docs survive the pipeline
+      .withColumn("jaccard",
+        when(col("union_sz") === 0, lit(1.0))
+          .otherwise(col("inter") / col("union_sz")))
       .select("doc_a", "doc_b", "inter", "union_sz", "jaccard")
   }
 
@@ -418,21 +432,17 @@ object Dedup {
       // a pair can match in several bands; cos/members are identical
       // across its copies, so any surviving row represents it
       .dropDuplicates("ra", "rb")
-    val cross = gp
-      .select(explode(col("ma")).as("a"), col("mb"), col("cos"))
-      .select(col("a"), explode(col("mb")).as("b"), col("cos"))
-      .select(least(col("a"), col("b")).as("vec_a"),
-        greatest(col("a"), col("b")).as("vec_b"), col("cos"))
-    // exact-duplicate embeddings: all within-group pairs, scored by the
-    // same fold (cosine of a vector with itself, ≈1 up to fp rounding)
-    val within = g.filter(size(col("members")) > 1)
-      .select(col("members"),
-        VectorOps.cosine("embedding", "embedding").as("cos"))
-      .select(explode(col("members")).as("a"), col("members"), col("cos"))
-      .select(col("a"), explode(col("members")).as("b"), col("cos"))
-      .filter(col("a") < col("b"))
-      .select(col("a").as("vec_a"), col("b").as("vec_b"), col("cos"))
-    cross.unionAll(within)
+    expandMemberPairs(
+      cross = gp,
+      // exact-duplicate embeddings: all within-group pairs, scored by
+      // the same fold (cosine of a vector with itself, ≈1 up to fp
+      // rounding)
+      within = g.filter(size(col("members")) > 1)
+        .select(col("members"),
+          VectorOps.cosine("embedding", "embedding").as("cos")),
+      carry = Seq("cos"))
+      .withColumnRenamed("doc_a", "vec_a")
+      .withColumnRenamed("doc_b", "vec_b")
       .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
       .limit(20)
   }

@@ -56,15 +56,33 @@ abstract class Task {
   /** Read this task's materialized output (for downstream tasks). */
   final def read(spark: SparkSession): DataFrame = spark.read.parquet(output)
 
-  /** One attempt: (over)write the target, then commit the marker. If a
-    * concurrent run committed first, the marker create fails and its
-    * output wins — this run's files were an identical overwrite. */
+  /** One attempt: stage to a scratch directory, then publish. Staging
+    * first means a concurrent run's COMMITTED target is never clobbered
+    * mid-write: the destructive step (replacing the target) happens
+    * only after re-checking the marker, and a marker-less target can
+    * only be crash debris (data files written, never committed), which
+    * the re-run owns and replaces. The marker create-no-overwrite stays
+    * the final arbiter: if another run commits in the remaining window,
+    * its marker wins and both runs wrote identical deterministic
+    * output. */
   final def run(spark: SparkSession): Unit = {
     val target = new Path(output)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    build(spark).write.mode("overwrite").parquet(output)
-    try fs.create(markerPath, /* overwrite = */ false).close()
-    catch { case _: java.io.IOException if fs.exists(markerPath) => () }
+    val scratch = new Path(output + ".inprogress-" + UUID.randomUUID())
+    build(spark).write.mode("overwrite").parquet(scratch.toString)
+    if (fs.exists(markerPath)) {
+      fs.delete(scratch, true) // a concurrent run committed first; keep its output
+    } else {
+      if (fs.exists(target)) fs.delete(target, true) // uncommitted crash debris
+      if (!fs.rename(scratch, target)) {
+        fs.delete(scratch, true)
+        if (!fs.exists(markerPath)) // not a lost race → a real FS failure
+          throw new java.io.IOException(s"could not publish $scratch -> $target")
+      } else {
+        try fs.create(markerPath, /* overwrite = */ false).close()
+        catch { case _: java.io.IOException if fs.exists(markerPath) => () }
+      }
+    }
   }
 }
 
@@ -103,10 +121,15 @@ object Pipeline {
     val dead = scala.collection.mutable.Set.empty[String] // failed ∪ skipped
     val skipped = scala.collection.mutable.ListBuffer.empty[String]
     order.foreach { t =>
-      if (t.requires.exists(r => dead.contains(r.name))) {
+      // completeness FIRST: a task already materialized in a prior run
+      // is usable regardless of its upstream's fate this run, so it must
+      // not go dead and poison ITS dependents (Luigi reads targets, not
+      // this run's task states)
+      if (t.complete(spark)) ()
+      else if (t.requires.exists(r => dead.contains(r.name))) {
         dead += t.name
         skipped += t.name
-      } else if (!t.complete(spark)) {
+      } else {
         runWithRetries(spark, t) match {
           case None => ran += t.name
           case Some(e) =>

@@ -101,9 +101,19 @@ object Sources {
                 landingDir: String): DataFrame = {
     import s.implicits._
     val slices = math.max(1, files.length)
+    // ship the SESSION's Hadoop configuration to the executors (a bare
+    // `new Configuration()` on the task side would silently drop every
+    // spark.hadoop.* setting — S3 credentials, endpoints, nameservices —
+    // and misreport a misconfiguration as per-file fetch failures);
+    // Configuration itself is not serializable, so ship the entries
+    import scala.jdk.CollectionConverters._
+    val confEntries = s.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toVector
+    val confBc = s.sparkContext.broadcast(confEntries)
     s.sparkContext.parallelize(files, slices).map { case (id, src) =>
       try {
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confBc.value.foreach { case (k, v) => conf.set(k, v) }
         val srcP = new org.apache.hadoop.fs.Path(src)
         val srcFs = srcP.getFileSystem(conf)
         val dstP = new org.apache.hadoop.fs.Path(landingDir, id)

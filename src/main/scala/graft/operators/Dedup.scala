@@ -321,22 +321,25 @@ object Dedup {
       .withColumn("norm", TextOps.normText(col("text")))
       .withColumn("toks", expr(TextOps.toksExpr))
       .withColumn("shset", expr("array_distinct(word_shingles(toks))"))
-      .select(col("doc_id"), col("shset"))
+      .select(col("doc_id"), col("shset"), col("norm"))
     pairs.select("doc_a", "doc_b")
-      .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("sa")),
-        Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("sb")),
-        Seq("doc_b"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("shset").as("sa"),
+        col("norm").as("norm_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shset").as("sb"),
+        col("norm").as("norm_b")), Seq("doc_b"))
       .withColumn("inter",
         size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("union_sz",
         (size(col("sa")) + size(col("sb"))).cast("long") - col("inter"))
       // two EMPTY shingle sets (docs below the shingle width — d1/d3
-      // still pair them) are identical: jaccard 1, not 0/0 → NULL,
-      // which dedupKeepList's threshold filter would silently drop,
-      // letting exact duplicates of tiny docs survive the pipeline
+      // still pair them) carry no set evidence either way: 0/0 → NULL
+      // jaccard would make dedupKeepList silently drop true duplicates
+      // of tiny docs, but a blanket 1.0 would merge two short docs with
+      // completely DIFFERENT text (d3Candidates has no MinToks screen).
+      // Fall back to the normalized texts: 1.0 iff they are equal.
       .withColumn("jaccard",
-        when(col("union_sz") === 0, lit(1.0))
+        when(col("union_sz") === 0,
+          when(col("norm_a") === col("norm_b"), lit(1.0)).otherwise(lit(0.0)))
           .otherwise(col("inter") / col("union_sz")))
       .select("doc_a", "doc_b", "inter", "union_sz", "jaccard")
   }
@@ -374,10 +377,16 @@ object Dedup {
     * most this many pairs downstream instead of its full O(occ²). */
   val D5PerBucketTopK = 50
 
-  def d5BitsPerBand(n: Long): Int =
-    math.max(8, math.ceil(
-      math.log(math.max(n, 2L).toDouble / D5TargetOccupancy) /
-        math.log(2.0)).toInt)
+  /** bits = bit-length of (ceil(n / occupancy) - 1), floored at 8 —
+    * i.e. ceil(log2(n / occupancy)) computed in INTEGER arithmetic, so
+    * the Scala side and the DuckDB oracle (which mirrors this with
+    * `length(bin(m))`) cannot disagree at power-of-two corpus sizes the
+    * way floating-point log ratios can. */
+  def d5BitsPerBand(n: Long): Int = {
+    val buckets = (math.max(n, 2L) + D5TargetOccupancy - 1) / D5TargetOccupancy
+    val m = buckets - 1
+    math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(m))
+  }
 
   /** d5: embedding-cosine near-dup candidates, global top-20 pairs (so
     * the operator is observable even when the corpus has no true
@@ -397,8 +406,14 @@ object Dedup {
     *  - per-bucket top-k (WindowGroupLimit: partial limit below the
     *    shuffle) runs before the global top-20 merge, so no bucket can
     *    flood the final sort. Keeping k ≥ the global limit makes the
-    *    two-stage top-k lossless: a pair in the global top-20 has ≤ 19
-    *    pairs ahead of it in ANY bucket that contains it.
+    *    two-stage top-k lossless up to COSINE TIES: a pair with a
+    *    strictly-top-20 cosine has ≤ 19 strictly-better pairs in any
+    *    bucket that contains it; but the bucket stage tie-breaks equal
+    *    cosines by group reps (ra, rb) while the global limit
+    *    tie-breaks by expanded member ids (vec_a, vec_b), so with ≥ k
+    *    equal-cosine pairs in ONE bucket a borderline tied pair can be
+    *    cut. Both engines share the ordering, so the oracle still
+    *    matches; the caveat is semantic, not a divergence risk.
     * The embedding rides through the band shuffle (256 B × 4 bands per
     * group) so scoring is bucket-local with no join-back — fewer
     * shuffles at the cost of shuffle width, the same tradeoff d2 makes
@@ -516,9 +531,11 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d5_dedup_embedding" ->
       s"""WITH params AS (
-         |  SELECT GREATEST(8, CAST(ceil(log2(GREATEST(count(*), 2)
-         |    / ${Dedup.D5TargetOccupancy}.0)) AS INT)) AS bb
-         |  FROM embeddings),
+         |  SELECT GREATEST(8, CASE WHEN m = 0 THEN 0
+         |    ELSE CAST(length(bin(m)) AS INT) END) AS bb
+         |  FROM (SELECT ((GREATEST(count(*), 2)
+         |    + ${Dedup.D5TargetOccupancy - 1}) // ${Dedup.D5TargetOccupancy})
+         |    - 1 AS m FROM embeddings)),
          |g AS (
          |  SELECT embedding, min(vec_id) AS rep,
          |    list_sort(list(vec_id)) AS members

@@ -65,11 +65,19 @@ abstract class Task {
     * the final arbiter: if another run commits in the remaining window,
     * its marker wins and both runs wrote identical deterministic
     * output. */
-  final def run(spark: SparkSession): Unit = {
+  final def run(spark: SparkSession): Long = {
     val target = new Path(output)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val scratch = new Path(output + ".inprogress-" + UUID.randomUUID())
-    build(spark).write.mode("overwrite").parquet(scratch.toString)
+    // rows-written metric via an Observation: computed inside the write
+    // job itself (Celery/Flower-style per-task stats with NO extra scan
+    // — a count-back re-read would double the task's IO at 100 TB)
+    val obs = org.apache.spark.sql.Observation()
+    build(spark)
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(scratch.toString)
+    val rows = obs.get("rows").asInstanceOf[Long]
     if (fs.exists(markerPath)) {
       fs.delete(scratch, true) // a concurrent run committed first; keep its output
     } else {
@@ -83,6 +91,7 @@ abstract class Task {
         catch { case _: java.io.IOException if fs.exists(markerPath) => () }
       }
     }
+    rows
   }
 }
 
@@ -95,20 +104,39 @@ object Task {
   val Marker = "_GRAFT_COMMITTED"
 }
 
+/** Per-task execution stats (the Celery-events/Flower and Luigi-UI
+  * numbers an operator asks of a large backfill — Chapter 3 Monitoring
+  * notebook): total wall time across all attempts, attempts used, and
+  * rows written to the target. Failed tasks report rowsWritten = 0. */
+final case class TaskMetrics(wallMs: Long, attempts: Int, rowsWritten: Long)
+
 /** Outcome of a [[Pipeline.runReport]] pass. `failed` maps task name →
   * the final attempt's exception; `skipped` lists tasks not attempted
-  * because an upstream dependency failed. */
+  * because an upstream dependency failed; `metrics` has one entry per
+  * ATTEMPTED task (ran or failed — skipped/already-complete tasks never
+  * execute, so they have no stats). */
 final case class PipelineReport(ran: Seq[String],
-    failed: Map[String, Throwable], skipped: Seq[String]) {
+    failed: Map[String, Throwable], skipped: Seq[String],
+    metrics: Map[String, TaskMetrics] = Map.empty) {
   def ok: Boolean = failed.isEmpty && skipped.isEmpty
 }
 
 object Pipeline {
   /** Run every incomplete task reachable from `targets`, upstream-first.
     * Returns the names of the tasks that actually ran (complete tasks
-    * are skipped — Luigi's "only build what's missing"). */
-  def run(spark: SparkSession, targets: Seq[Task]): Seq[String] =
-    runReport(spark, targets).ran
+    * are skipped — Luigi's "only build what's missing"). Any failure
+    * propagates as an exception (wrapping the first failing task's
+    * error) — callers that want partial-success isolation use
+    * [[runReport]], which never throws. */
+  def run(spark: SparkSession, targets: Seq[Task]): Seq[String] = {
+    val report = runReport(spark, targets)
+    report.failed.headOption.foreach { case (name, e) =>
+      throw new RuntimeException(
+        s"pipeline task '$name' failed (skipped dependents: " +
+          s"${report.skipped.mkString(", ")})", e)
+    }
+    report.ran
+  }
 
   /** [[run]] with failure isolation: a task failing all its attempts
     * marks its downstream dependents skipped, but independent branches
@@ -120,6 +148,7 @@ object Pipeline {
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, Throwable]
     val dead = scala.collection.mutable.Set.empty[String] // failed ∪ skipped
     val skipped = scala.collection.mutable.ListBuffer.empty[String]
+    val metrics = scala.collection.mutable.LinkedHashMap.empty[String, TaskMetrics]
     order.foreach { t =>
       // completeness FIRST: a task already materialized in a prior run
       // is usable regardless of its upstream's fate this run, so it must
@@ -130,7 +159,9 @@ object Pipeline {
         dead += t.name
         skipped += t.name
       } else {
-        runWithRetries(spark, t) match {
+        val (err, m) = runWithRetries(spark, t)
+        metrics += t.name -> m
+        err match {
           case None => ran += t.name
           case Some(e) =>
             failed += t.name -> e
@@ -138,19 +169,26 @@ object Pipeline {
         }
       }
     }
-    PipelineReport(ran.toList, failed.toMap, skipped.toList)
+    PipelineReport(ran.toList, failed.toMap, skipped.toList, metrics.toMap)
   }
 
-  /** None = succeeded (possibly after retries); Some(e) = exhausted. */
-  private def runWithRetries(spark: SparkSession, t: Task): Option[Throwable] = {
+  /** (None, stats) = succeeded (possibly after retries);
+    * (Some(e), stats) = exhausted. Stats cover ALL attempts. */
+  private def runWithRetries(spark: SparkSession,
+      t: Task): (Option[Throwable], TaskMetrics) = {
+    val t0 = System.nanoTime()
+    def wallMs = (System.nanoTime() - t0) / 1000000
     var attempt = 0
     var last: Throwable = null
     while (attempt <= t.retries) {
       if (attempt > 0) Thread.sleep(t.retryBackoffMs * attempt)
-      try { t.run(spark); return None }
+      try {
+        val rows = t.run(spark)
+        return (None, TaskMetrics(wallMs, attempt + 1, rows))
+      }
       catch { case e: Exception => last = e; attempt += 1 }
     }
-    Some(last)
+    (Some(last), TaskMetrics(wallMs, attempt, 0L))
   }
 
   /** Upstream-first topological order over the task DAG; cycles are a
@@ -201,4 +239,37 @@ object Schedule {
                mkTargets: java.time.LocalDate => Seq[Task])
       : Map[java.time.LocalDate, PipelineReport] =
     dates.map(d => d -> Pipeline.runReport(spark, mkTargets(d))).toMap
+}
+
+/** Reusable sub-DAG factory (the reference packages retry-wrapped task
+  * subgraphs as subdags, airflow/dags/subdags/twitter_subdag.py:17-30):
+  * one subgraph DEFINITION instantiates any number of times in a parent
+  * DAG, each instance namespaced — task names prefixed with
+  * `<prefix>.`, targets rooted under `<outBase>/<prefix>/` — so two
+  * instances never collide on names or outputs.
+  *
+  * Tasks built here read their upstream DataFrames through the task
+  * graph (`fn` receives `deps`' materialized outputs), so an instance is
+  * self-contained: unlike wrapping pre-built Task objects, nothing
+  * closes over another namespace's targets. */
+final class SubDag(val prefix: String, val outBase: String) {
+  private val built =
+    scala.collection.mutable.LinkedHashMap.empty[String, Task]
+
+  /** Define a namespaced task (idempotent per `local` name). `deps` may
+    * mix this sub-DAG's tasks and external upstream tasks; `fn` receives
+    * their outputs read back from their targets, in `deps` order. */
+  def task(local: String, deps: Seq[Task] = Seq.empty, taskRetries: Int = 0)
+          (fn: (SparkSession, Seq[DataFrame]) => DataFrame): Task =
+    built.getOrElseUpdate(local, new Task {
+      val name = s"$prefix.$local"
+      override val requires: Seq[Task] = deps
+      val output = s"$outBase/$prefix/$local"
+      override def retries: Int = taskRetries
+      def build(spark: SparkSession): DataFrame =
+        fn(spark, deps.map(_.read(spark)))
+    })
+
+  /** All tasks defined so far, in definition order. */
+  def tasks: Seq[Task] = built.values.toList
 }

@@ -117,11 +117,16 @@ class PropertiesSpec extends AnyFunSuite {
     val planes = (0 until 96).map(p =>
       (1 to 64).map(i => HyperplaneWeights.weight(i, p)))
     assert(planes.distinct.size === 96, "duplicate hyperplanes")
-    for (p <- planes.indices; q <- planes.indices if p < q) {
-      val corr = planes(p).zip(planes(q)).map { case (x, y) => x * y }.sum / 64.0
-      assert(math.abs(corr) < 1.0,
-        s"planes $p/$q identical or negated (|corr|=1)")
-    }
+    val corrs = for (p <- planes.indices; q <- planes.indices if p < q)
+      yield math.abs(
+        planes(p).zip(planes(q)).map { case (x, y) => x * y }.sum / 64.0)
+    // measured family: mean |corr| 0.084, p99 0.39, max 0.625 (a handful
+    // of structurally anti-correlated pairs at p+q=128). A near-degenerate
+    // family (like the round-1 period-7 one, pairwise |corr| = 1) fails
+    // both bounds by an order of magnitude.
+    assert(corrs.max <= 0.66, s"max |corr| ${corrs.max} — family degenerating")
+    assert(corrs.sum / corrs.size <= 0.1,
+      s"mean |corr| ${corrs.sum / corrs.size} — family degenerating")
   }
 
   test("property: asofJoin equals a naive per-row most-recent-prior lookup") {

@@ -66,6 +66,8 @@ object Streams {
   // ------------------------------------------------- streaming-only state
 
   case class Evt(user_id: Long, event_id: Long, tus: Long)
+  case class EvtW(user_id: Long, event_id: Long, tus: Long,
+      ts: java.sql.Timestamp)
   case class SessState(lastTus: Long, curCount: Int, sessions: Int,
       maxCount: Int, total: Long)
   case class SessOut(user_id: Long, n_sessions: Int, max_session_events: Int,
@@ -73,27 +75,60 @@ object Streams {
 
   /** st3 (streaming formulation): custom state machine over
     * flatMapGroupsWithState — the scale path for live sessionization.
-    * Emits one summary row per user per trigger (update mode). */
-  def sessionizeStreaming(events: Dataset[Evt]): Dataset[SessOut] = {
+    * Emits one summary row per user per trigger (update mode).
+    *
+    * State is EVICTED, not kept forever: each update arms an event-time
+    * timeout at lastTus + SessionGapUs, so once the watermark (event
+    * time minus `watermarkDelay`) passes a user's session-gap horizon,
+    * the final summary is emitted one last time and the state removed.
+    * Peak state is therefore bounded by the users ACTIVE within one
+    * (gap + delay) window — not by every user_id ever seen, which on an
+    * unbounded population would grow the state store (and its
+    * checkpoint/restore time) monotonically. A user who returns after
+    * eviction starts a fresh summary (sessions count from 1 again):
+    * that forgetting is the price of bounded state, and downstream
+    * consumers treat the update-mode stream as an upsert keyed on
+    * (user_id, emission time) if lifetime totals are needed. */
+  def sessionizeStreaming(events: Dataset[Evt],
+      watermarkDelay: String = "10 minutes"): Dataset[SessOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    events
+      .withColumn("ts", timestamp_micros(col("tus")))
+      .as[EvtW]
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, SessOut](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (user: Long, evts: Iterator[Evt], state: GroupState[SessState]) =>
-          val sorted = evts.toSeq.sortBy(e => (e.tus, e.event_id))
-          var st = state.getOption.getOrElse(SessState(Long.MinValue, 0, 0, 0, 0L))
-          for (e <- sorted) {
-            st = if (st.sessions == 0 || e.tus - st.lastTus > SessionGapUs)
-              SessState(e.tus, 1, st.sessions + 1,
-                math.max(st.maxCount, 1), st.total + 1)
-            else {
-              val c = st.curCount + 1
-              SessState(e.tus, c, st.sessions, math.max(st.maxCount, c),
-                st.total + 1)
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, evts: Iterator[EvtW], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastTus + gap: the user's current session
+            // is closed and no in-order event can reopen it — emit the
+            // final summary once and free the state slot
+            val st = state.get
+            state.remove()
+            Iterator(SessOut(user, st.sessions, st.maxCount, st.total))
+          } else {
+            val sorted = evts.toSeq.sortBy(e => (e.tus, e.event_id))
+            var st = state.getOption.getOrElse(SessState(Long.MinValue, 0, 0, 0, 0L))
+            for (e <- sorted) {
+              st = if (st.sessions == 0 || e.tus - st.lastTus > SessionGapUs)
+                SessState(e.tus, 1, st.sessions + 1,
+                  math.max(st.maxCount, 1), st.total + 1)
+              else {
+                val c = st.curCount + 1
+                SessState(e.tus, c, st.sessions, math.max(st.maxCount, c),
+                  st.total + 1)
+              }
             }
+            state.update(st)
+            // Spark rejects a timeout at or before the current watermark,
+            // so clamp: a session horizon already behind the watermark
+            // times out in the very next batch
+            state.setTimeoutTimestamp(math.max(
+              st.lastTus / 1000 + SessionGapUs / 1000,
+              state.getCurrentWatermarkMs + 1))
+            Iterator(SessOut(user, st.sessions, st.maxCount, st.total))
           }
-          state.update(st)
-          Iterator(SessOut(user, st.sessions, st.maxCount, st.total))
       }
   }
 

@@ -90,6 +90,43 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st3 eviction: idle user's state times out, is emitted once, and a later event starts fresh") {
+    val sess = s
+    import sess.implicits._
+    def us(iso: String) =
+      java.time.Instant.parse(iso).toEpochMilli * 1000L
+    val input = MemoryStream[Streams.Evt](s)
+    // 10-minute watermark delay: eviction horizon = lastTus + 30min gap,
+    // observed once the watermark (max event time - 10min) passes it
+    val q = Streams.sessionizeStreaming(input.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("st3_evict")
+      .outputMode("update").start()
+    try {
+      // batch 1: user 1 has one session of 3 events
+      input.addData(
+        Streams.Evt(1L, 1L, us("2024-01-01T00:00:00Z")),
+        Streams.Evt(1L, 2L, us("2024-01-01T00:05:00Z")),
+        Streams.Evt(1L, 3L, us("2024-01-01T00:10:00Z")))
+      q.processAllAvailable()
+      // batch 2: a DIFFERENT user 4 hours later pushes the watermark to
+      // 03:50, far past user 1's horizon (00:10 + 30min) → user 1's
+      // state must time out: final summary re-emitted, state removed
+      input.addData(Streams.Evt(2L, 4L, us("2024-01-01T04:00:00Z")))
+      q.processAllAvailable()
+      // batch 3: user 1 returns — evicted state means a FRESH summary
+      // (1 session / 1 event), not a resumed (2 sessions / 4 events)
+      input.addData(Streams.Evt(1L, 5L, us("2024-01-01T05:00:00Z")))
+      q.processAllAvailable()
+      val u1 = s.table("st3_evict").collect()
+        .filter(_.getLong(0) == 1L)
+        .map(r => (r.getInt(1), r.getInt(2), r.getLong(3))).toSeq
+      // exactly three user-1 rows: batch-1 update, the single timeout
+      // emission, and the fresh post-eviction session
+      assert(u1.sorted == Seq((1, 1, 1L), (1, 3, 3L), (1, 3, 3L)))
+      assert(u1.count(_ == ((1, 1, 1L))) == 1)
+    } finally q.stop()
+  }
+
   test("st3: flatMapGroupsWithState sessionization agrees with the batch window formulation") {
     val sess = s
     import sess.implicits._

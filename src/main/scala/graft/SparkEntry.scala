@@ -18,9 +18,11 @@ object SparkEntry {
       AsOf.queries ++ Bucketed.queries ++ Geo.queries ++ Skew.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted only for s3_ann_ivf (iterative
-    * k-means centroids are not SQL-expressible) → rows-only check with
-    * recall measured against s1 in SimilaritySpec. */
+    * the same parquet tables. s3_ann_ivf's SQL is GENERATED at dump
+    * time with its deterministic per-corpus k-means centroids inlined
+    * as literals (training is not SQL-expressible; assignment, probing
+    * and top-k are — Similarity.s3OracleSql). Verify runs every query
+    * before dumping this map, so the s3 entry is always present. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Dedup.oracle ++ Similarity.oracle ++
       TextAnalysis.oracle ++ Streams.oracle ++ AsOf.oracle ++

@@ -57,6 +57,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.93)
   }
 
+  test("s3 trains k-means once per corpus: second call reuses cached centroids") {
+    Similarity.clearCentroidCache()
+    val before = Similarity.kmeansTrainCount.get()
+    Similarity.s3Ivf(s, dir).collect()
+    assert(Similarity.kmeansTrainCount.get() == before + 1)
+    // second invocation: no count(), no sample collect, no Lloyd pass
+    Similarity.s3Ivf(s, dir).collect()
+    assert(Similarity.kmeansTrainCount.get() == before + 1,
+      "second s3 call re-trained the quantizer")
+  }
+
+  test("s3 oracle SQL is generated with the trained centroids inlined") {
+    Similarity.clearCentroidCache()
+    assert(!Similarity.oracle.contains("s3_ann_ivf"),
+      "untrained quantizer must not publish a stale oracle")
+    Similarity.s3Ivf(s, dir).collect()
+    val sql = Similarity.oracle("s3_ann_ivf")
+    // all 16 cells inlined, probing and top-k parameters match the plan
+    assert((0 until Similarity.IvfCells)
+      .forall(i => sql.contains(s"($i, [CAST(")))
+    assert(sql.contains(s"crnk <= ${Similarity.IvfProbes}"))
+    assert(sql.contains(s"rnk <= ${Similarity.TopK}"))
+  }
+
   test("s3 IVF recall holds on an id-shuffled corpus (not an id-order artifact)") {
     // permute vec_ids with a multiplicative bijection mod n, so the
     // query set and the k-means sample both pick entirely different

@@ -9,60 +9,109 @@ import org.apache.spark.sql.SparkSession
   * operator, unlike count() which lets Catalyst prune work). One untimed
   * warmup of the flagship query absorbs JVM/codegen startup so numbers
   * reflect steady-state throughput.
+  *
+  * Protocol (round-4 rework — the min-of-two numbers of earlier rounds
+  * moved ±40% with machine load, making real regressions invisible):
+  *  - every query is timed SPARK_GRAFT_BENCH_RUNS times (default 5,
+  *    cache-cleared + GC'd between runs) and reports the MEDIAN;
+  *  - per-query relative spread (max−min)/median lands in "spread", and
+  *    "noise" is the median spread over all queries — the round's own
+  *    noise bound, so a cross-round delta smaller than it is load, not
+  *    regression;
+  *  - three PINNED micro-benchmarks (pure spark.range pipelines that
+  *    never touch graft code and never change between rounds) run under
+  *    the same protocol into "pinned": cross-round machine-speed drift
+  *    shows up there and can be divided out before attributing any
+  *    per-query delta to a code change.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     val spark: SparkSession = GraftSession
       .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Double = {
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          return -1.0
-      }
-      (System.nanoTime() - t0) / 1e9
-    }
-
-    /** Untimed inter-query cleanup: drop cached relations and collect the
-      * previous query's broadcast/codegen garbage so one query's GC debt
-      * doesn't land in the next query's wall time. */
+    /** Untimed inter-run cleanup: drop cached relations and collect the
+      * previous run's broadcast/codegen garbage so one run's GC debt
+      * doesn't land in the next run's wall time. */
     def cleanup(): Unit = {
       spark.catalog.clearCache()
       System.gc()
     }
 
-    run("q1_multi_agg") // warmup, untimed
-
-    // two timed runs per query, report the min: the first run carries
-    // codegen compilation + file-listing costs that a steady-state
-    // workload doesn't pay
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    // a query is "failed" if ANY of its runs failed — a transient
-    // failure must not hide behind the surviving run's timing, and a
-    // persistent one must not silently drop out of the total
-    val results = names.map { n =>
-      cleanup()
-      val a = run(n)
-      cleanup()
-      val b = run(n)
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      try body
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] failed: ${e.getMessage}")
+          return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
     }
-    val failed = results.collect { case (n, v) if v < 0 => n }
-    val qs = results
+
+    /** (median, relative spread) over `runs` timed executions after ONE
+      * untimed per-query warmup (codegen compilation, file listing, and
+      * pay-once artifacts like q23's bucketed rewrite otherwise land in
+      * the first run and dominate the spread, drowning the steady-state
+      * noise the spread exists to measure). A single failed run poisons
+      * the sample — a transient failure must not hide behind the
+      * surviving runs' timing. */
+    def sample(body: => Unit): (Double, Double) = {
+      cleanup(); timed(body) // warmup, untimed
+      val xs = Seq.fill(runs) { cleanup(); timed(body) }
+      if (xs.exists(_ < 0)) (-1.0, -1.0)
+      else {
+        val s = xs.sorted
+        val med = s(s.length / 2)
+        (med, if (med > 0) (s.last - s.head) / med else 0.0)
+      }
+    }
+
+    def noopWrite(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // pinned machine-load references: deterministic, corpus- and
+    // graft-independent — one shuffle-bound, one sort-bound, one
+    // CPU-bound. NEVER change these between rounds.
+    val pinned: Seq[(String, () => Unit)] = Seq(
+      "pin_shuffle_agg" -> (() => noopWrite(
+        spark.range(50000000L).selectExpr("id % 1000 AS k")
+          .groupBy("k").count())),
+      "pin_sort" -> (() => noopWrite(
+        spark.range(20000000L)
+          .selectExpr("(id * 2654435761) % 100000000 AS k").orderBy("k"))),
+      "pin_hash_cpu" -> (() => noopWrite(
+        spark.range(8000000L).selectExpr("md5(CAST(id AS STRING)) AS h")
+          .selectExpr("max(h)"))),
+    )
+
+    timed(noopWrite(SparkEntry.queries("q1_multi_agg")(spark, sfDir))) // warmup
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map { n =>
+      n -> sample(noopWrite(SparkEntry.queries(n)(spark, sfDir)))
+    }
+    val pinnedResults = pinned.map { case (n, f) => n -> sample(f()) }
+
+    def fmtMap(xs: Seq[(String, Double)]): String = xs
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (n, (m, _)) if m < 0 => n }
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val spreads = results.map(_._2._2).filter(_ >= 0).sorted
+    val noise = if (spreads.isEmpty) 0.0 else spreads(spreads.length / 2)
     println(
-      f"""{"metric":"total_wall","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+      f"""{"metric":"total_wall","value":$total%.3f,"unit":"sec","runs":$runs,""" +
+        s""""queries":${fmtMap(results.map(r => r._1 -> r._2._1))},""" +
+        s""""spread":${fmtMap(results.map(r => r._1 -> r._2._2))},""" +
+        s""""pinned":${fmtMap(pinnedResults.map(r => r._1 -> r._2._1))},""" +
+        s""""pinned_spread":${fmtMap(pinnedResults.map(r => r._1 -> r._2._2))},""" +
+        f""""noise":$noise%.3f,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

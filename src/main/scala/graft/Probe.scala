@@ -72,6 +72,80 @@ object Probe {
     time("d5_x10_distinct", s"$base/x10distinct")
     time("d5_x100_distinct", s"$base/x100distinct")
     time("d5_x10_dup", s"$base/x10dup")
+
+    // ---- d3 banding: 10×/100× distinct-fingerprint curve + a planted
+    // dense region. Fingerprints are synthesized directly (xxhash64 of
+    // a range — uniform over the 60-bit space, like simhash over
+    // diverse text) so the probe isolates CANDIDATE GENERATION: the
+    // round-2 design pairs ~occ² inside each of the ~2^8.5
+    // constant-cardinality buckets; the round-4 hot-bucket split
+    // re-bands any bucket past D3HotBucketOcc on its remaining bits,
+    // bounding pairs by occ_sub². `dense` plants 10% of the corpus into
+    // ONE band-0 bucket (50k members at n=500k: unsplit that is 1.25e9
+    // pairs; split it is ~2^7× less), the adversarial shape the split
+    // exists for.
+    def d3Probe(name: String, n: Long, dense: Boolean): Unit = {
+      val mask60 = (1L << 60) - 1
+      var df = spark.range(n)
+        .withColumn("simhash", expr(s"CAST(xxhash64(id) & $mask60 AS BIGINT)"))
+      if (dense) df = df.withColumn("simhash",
+        expr("IF(id % 10 = 0, (simhash & -512) | 427, simhash)"))
+      val groups = df.groupBy("simhash")
+        .agg(sort_array(collect_list(col("id"))).as("members"))
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Dedup
+        .d3CandidatesFromGroups(groups, maxHamming = 6,
+          hotBucketOcc = graft.operators.Dedup.D3HotBucketOcc)
+        .count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"$name","fingerprints":$n,"pairs":$pairs,"sec":$sec%.2f}""")
+    }
+    d3Probe("d3_n5k", 5000, dense = false)
+    d3Probe("d3_n50k", 50000, dense = false)
+    d3Probe("d3_n500k", 500000, dense = false)
+    d3Probe("d3_n500k_dense", 500000, dense = true)
+
+    // ---- q25 salting under a planted power-law key: ONE user owns 10%
+    // of a 20M-row fact side (the shape q25's oracle proves transparent
+    // but the gate corpus never stresses). Broadcast and AQE are off so
+    // the join actually shuffles on the key and nothing re-splits the
+    // hot partition at runtime — isolating what STATIC salting buys:
+    // the hot key's rows land on `salt` tasks instead of one, so the
+    // max-task time (the straggler every other core waits on) drops
+    // ~salt×, while total work is unchanged.
+    {
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val large = spark.range(20000000L)
+        .select(
+          expr("IF(id % 10 = 0, 0, pmod(xxhash64(id), 100000))").as("user_id"),
+          (col("id") % 97).cast("double").as("value"))
+      val small = spark.range(100000L)
+        .select(col("id").as("user_id"), (col("id") % 7).as("n_purch"))
+      def skewProbe(name: String, join: => org.apache.spark.sql.DataFrame): Unit = {
+        spark.catalog.clearCache(); System.gc()
+        val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+        val listener = new SparkListener {
+          override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+            maxTask.updateAndGet(m => math.max(m, te.taskInfo.duration)); ()
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val t0 = System.nanoTime()
+        join.groupBy("n_purch").agg(count(lit(1)).as("n_clicks"))
+          .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.removeSparkListener(listener)
+        println(f"""{"probe":"$name","sec":$sec%.2f,"max_task_ms":${maxTask.get()}}""")
+      }
+      skewProbe("q25_skew_plain", large.join(small, "user_id"))
+      skewProbe("q25_skew_salted",
+        graft.operators.Skew.saltedJoin(large, small, "user_id", salt = 32))
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
     spark.stop()
   }
 }

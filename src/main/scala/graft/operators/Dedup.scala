@@ -186,10 +186,24 @@ object Dedup {
     *    contiguous blocks, and a pair within `maxHamming` flipped bits
     *    must agree EXACTLY on ≥ 1 block — so recall is 1.0 by
     *    construction (the round-1 prefix block missed any near-dup whose
-    *    flips touched the prefix). Per-band bucket cardinality is
-    *    2^(60/(maxHamming+1)); `maxHamming` is the documented
-    *    occupancy-vs-tolerance dial at corpus scale (tighter thresholds
-    *    give exponentially more buckets). */
+    *    flips touched the prefix).
+    *
+    * Round-4 rework of the remaining scale wart: per-band bucket
+    * cardinality is 2^(60/(maxHamming+1)) ≈ 2^8.5 — a CONSTANT in
+    * corpus size, so one dense fingerprint region could still pair
+    * ~occ² inside its bucket. Buckets whose DISTINCT-fingerprint
+    * occupancy exceeds `hotBucketOcc` are therefore split a second
+    * level: the 60−w bits OUTSIDE the agreed block are re-split into
+    * (maxHamming + 1) fresh sub-blocks, and hot-bucket members pair
+    * only when some sub-block also agrees exactly. Recall stays 1.0 by
+    * the same pigeonhole (all ≤ maxHamming flips of a hot-bucket pair
+    * lie outside the agreed block, and cannot touch every one of the
+    * maxHamming+1 sub-blocks); worst-case hot-bucket cost drops from
+    * occ² to Σ_subbucket occ_sub² — a further ~2^7× split under the
+    * near-even fingerprint spread simhash gives, measured near-linear
+    * in graft.Probe's 10×/100× distinct-fingerprint curve (SURVEY §5).
+    * Adversarially recursive concentrations would need deeper levels;
+    * one level is the documented occupancy bound at the default dial. */
   /** Contiguous (offset, width) blocks splitting the 60 fingerprint
     * bits into maxHamming+1 near-even bands. Pigeonhole: flipping at
     * most maxHamming bits cannot touch every one of the maxHamming+1
@@ -204,31 +218,79 @@ object Dedup {
     (0 until nBands).map(b => (offsets(b), widths(b)))
   }
 
-  def d3Candidates(s: SparkSession, dir: String, maxHamming: Int = 6): DataFrame = {
+  /** Per-bucket distinct-fingerprint occupancy above which the second
+    * banding level kicks in (worst cold-bucket pairing = occ²/2 ≈ 2k). */
+  val D3HotBucketOcc = 64
+
+  def d3Candidates(s: SparkSession, dir: String, maxHamming: Int = 6,
+      hotBucketOcc: Int = D3HotBucketOcc): DataFrame =
+    d3CandidatesFromGroups(
+      d3Simhash(s, dir)
+        .groupBy("simhash")
+        .agg(sort_array(collect_list(col("doc_id"))).as("members")),
+      maxHamming, hotBucketOcc)
+
+  /** Core banding over a (simhash, members) DataFrame — factored out so
+    * specs can plant synthetic fingerprint sets (e.g. one bucket far
+    * past `hotBucketOcc`) and prove recall 1.0 through the hot path. */
+  private[graft] def d3CandidatesFromGroups(groups: DataFrame,
+      maxHamming: Int, hotBucketOcc: Int): DataFrame = {
     val layout = d3BandLayout(maxHamming)
     val nBands = layout.length
-    val groups = d3Simhash(s, dir)
-      .groupBy("simhash")
-      .agg(sort_array(collect_list(col("doc_id"))).as("members"))
-    val bandCols = layout.map { case (offset, width) =>
-      expr(s"CAST(shiftright(simhash, $offset) & " +
-        s"${(1L << width) - 1} AS BIGINT)")
+    // per band b: struct(bkey, subkeys) — bkey is block b's bits;
+    // subkeys re-split the OTHER 60-w bits (packed low-to-high in block
+    // order) into nBands fresh sub-blocks for the hot path
+    val bandStructs = layout.indices.map { b =>
+      val (offset, width) = layout(b)
+      val bkeySql =
+        s"CAST(shiftright(simhash, $offset) & ${(1L << width) - 1} AS BIGINT)"
+      var acc = 0
+      val terms = layout.indices.filter(_ != b).map { j =>
+        val (o, w) = layout(j)
+        val t = s"shiftleft(shiftright(simhash, $o) & ${(1L << w) - 1}, $acc)"
+        acc += w
+        t
+      }
+      val remSql = if (terms.isEmpty) "0" else terms.mkString("(", " + ", ")")
+      val remW = acc
+      val subWidths = Array.tabulate(nBands)(j =>
+        remW / nBands + (if (j < remW % nBands) 1 else 0))
+      val subOffsets = subWidths.scanLeft(0)(_ + _)
+      val subs = (0 until nBands).map(j =>
+        s"CAST(shiftright($remSql, ${subOffsets(j)}) & " +
+          s"${(1L << subWidths(j)) - 1} AS BIGINT)")
+      expr(s"struct($bkeySql AS bkey, array(${subs.mkString(",")}) AS subkeys)")
     }
     val bands = groups
       .select(col("simhash"), col("members"),
-        posexplode(array(bandCols: _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bkey")
-      .hint("shuffle_hash")
-    val groupPairs = bands.as("x").join(bands.as("y"),
+        posexplode(array(bandStructs: _*)))
+      .select(col("simhash"), col("members"), col("pos").as("band"),
+        col("col.bkey").as("bkey"), col("col.subkeys").as("subkeys"))
+    // occupancy at DISTINCT-fingerprint level decides each bucket's
+    // path; the decision is per (band, bkey), so both join sides of a
+    // bucket take the same path
+    val occ = bands.groupBy("band", "bkey").agg(count(lit(1)).as("occ"))
+    val sized = bands.join(occ, Seq("band", "bkey"))
+    val cold = sized.filter(col("occ") <= hotBucketOcc)
+      .select(col("simhash"), col("members"), col("band"), col("bkey"),
+        lit(-1).as("subband"), lit(-1L).as("subkey"))
+    val hot = sized.filter(col("occ") > hotBucketOcc)
+      .select(col("simhash"), col("members"), col("band"), col("bkey"),
+        posexplode(col("subkeys")))
+      .select(col("simhash"), col("members"), col("band"), col("bkey"),
+        col("pos").as("subband"), col("col").as("subkey"))
+    val keyed = cold.unionAll(hot).hint("shuffle_hash")
+    val groupPairs = keyed.as("x").join(keyed.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.subband") === col("y.subband") &&
+          col("x.subkey") === col("y.subkey") &&
           col("x.simhash") < col("y.simhash"))
       .withColumn("hamming", expr("bit_count(x.simhash ^ y.simhash)"))
       .filter(col("hamming") <= maxHamming)
       .select(col("x.simhash").as("sa"), col("y.simhash").as("sb"),
         col("x.members").as("ma"), col("y.members").as("mb"),
         col("hamming"))
-      .dropDuplicates("sa", "sb") // a pair can agree in several bands
+      .dropDuplicates("sa", "sb") // a pair can agree in several (sub-)bands
     expandMemberPairs(
       cross = groupPairs,
       // identical fingerprints: hamming 0 by definition
@@ -353,13 +415,28 @@ object Dedup {
     * policy (transitively-linked docs may retain one extra
     * representative per chain break, never lose the cluster head). */
   def dedupKeepList(s: SparkSession, dir: String, confirmed: DataFrame,
-                    minJaccard: Double = 0.8): DataFrame = {
+                    minJaccard: Double = KeepMinJaccard): DataFrame = {
     val drop = confirmed.filter(col("jaccard") >= minJaccard)
       .select(col("doc_b").as("doc_id")).distinct()
     Tables.documents(s, dir).select("doc_id")
       .join(drop, Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
   }
+
+  /** Confirmed-duplicate threshold shared by [[dedupKeepList]] and the
+    * d6 oracle. */
+  val KeepMinJaccard = 0.8
+
+  /** d6: the production dedup pipeline END-TO-END as one gate operator —
+    * d2 MinHash screen (sublinear candidate generation) → d4Confirm
+    * (row-local exact Jaccard on screened pairs only) → dedupKeepList
+    * (greedy keep via one anti-join). This is the composition a real
+    * corpus-dedup pass runs (the reference's flagship is likewise the
+    * composed DAG, airflow/dags/twitter_airflow.py:69-137): each stage
+    * is individually oracle-green, and this entry puts the CHAIN under
+    * the same full hash-match gate. Returns the kept doc_ids. */
+  def d6DedupPipeline(s: SparkSession, dir: String): DataFrame =
+    dedupKeepList(s, dir, d4Confirm(s, dir, d2Minhash(s, dir)))
 
   /** d5 banding parameters. Bands fixed at 4 (recall knob: a near-dup
     * pair is a candidate if it agrees in ANY band); bits per band scale
@@ -467,32 +544,60 @@ object Dedup {
   private def sqlMinhash(seed: Int): String =
     s"list_min(list_transform(shingles, x -> md5('$seed|' || x)))"
 
+  /** Shared DuckDB CTE chain ending in `pairs`(doc_a, doc_b) — the d2
+    * screen, reused verbatim by the composed d6 pipeline oracle so the
+    * two entries cannot drift. */
+  private lazy val sqlD2PairsCtes: String = {
+    val sigCols = (0 until NumHashes)
+      .map(j => s"  ${sqlMinhash(j)} AS h$j").mkString(",\n")
+    val bandSelects = (0 until Bands).map { b =>
+      val concat = (0 until RowsPerBand)
+        .map(r => s"h${b * RowsPerBand + r}").mkString(" || ")
+      s"  SELECT doc_id, $b AS band_id, md5($concat) AS band_key FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    s"""${TextOps.sqlShingleCte},
+       |sig AS (SELECT doc_id,
+       |$sigCols
+       |FROM shingle_t WHERE len(toks) >= $MinToks),
+       |bands AS (
+       |$bandSelects),
+       |pairs AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band_id = y.band_id AND x.band_key = y.band_key
+       |    AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "d1_dedup_exact" ->
       s"""SELECT md5(${TextOps.sqlNormText}) AS h,
          |  CAST(count(*) AS BIGINT) AS cnt,
          |  min(doc_id) AS keep_doc_id
          |FROM documents GROUP BY 1 ORDER BY h""".stripMargin,
-    "d2_dedup_minhash" -> {
-      val sigCols = (0 until NumHashes)
-        .map(j => s"  ${sqlMinhash(j)} AS h$j").mkString(",\n")
-      val bandSelects = (0 until Bands).map { b =>
-        val concat = (0 until RowsPerBand)
-          .map(r => s"h${b * RowsPerBand + r}").mkString(" || ")
-        s"  SELECT doc_id, $b AS band_id, md5($concat) AS band_key FROM sig"
-      }.mkString("\n  UNION ALL\n")
-      s"""${TextOps.sqlShingleCte},
-         |sig AS (SELECT doc_id,
-         |$sigCols
-         |FROM shingle_t WHERE len(toks) >= $MinToks),
-         |bands AS (
-         |$bandSelects)
-         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |FROM bands x JOIN bands y
-         |  ON x.band_id = y.band_id AND x.band_key = y.band_key
-         |  AND x.doc_id < y.doc_id
-         |ORDER BY doc_a, doc_b""".stripMargin
-    },
+    "d2_dedup_minhash" ->
+      s"""$sqlD2PairsCtes
+         |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    "d6_dedup_pipeline" ->
+      s"""$sqlD2PairsCtes,
+         |sets AS (
+         |  SELECT doc_id, norm, list_distinct(shingles) AS shset
+         |  FROM shingle_t),
+         |confirmed0 AS (
+         |  SELECT p.doc_a, p.doc_b, a.norm AS norm_a, b.norm AS norm_b,
+         |    CAST(len(list_intersect(a.shset, b.shset)) AS BIGINT) AS inter,
+         |    CAST(len(a.shset) + len(b.shset) AS BIGINT) AS sz
+         |  FROM pairs p JOIN sets a ON a.doc_id = p.doc_a
+         |               JOIN sets b ON b.doc_id = p.doc_b),
+         |confirmed AS (
+         |  SELECT doc_a, doc_b, inter, sz - inter AS union_sz,
+         |    CASE WHEN sz - inter = 0
+         |      THEN CASE WHEN norm_a = norm_b THEN 1.0 ELSE 0.0 END
+         |      ELSE inter / (sz - inter) END AS jaccard
+         |  FROM confirmed0)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (
+         |  SELECT doc_b FROM confirmed WHERE jaccard >= $KeepMinJaccard)
+         |ORDER BY doc_id""".stripMargin,
     "d3_dedup_simhash" ->
       s"""WITH norm_t AS (
          |  SELECT doc_id, ${TextOps.sqlNormText} AS norm FROM documents),
@@ -591,5 +696,6 @@ object Dedup {
     "d3_dedup_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d5_dedup_embedding" -> d5Embedding,
+    "d6_dedup_pipeline" -> d6DedupPipeline,
   )
 }

@@ -52,6 +52,40 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d3Candidates hot-bucket split keeps recall 1.0 on a planted dense bucket") {
+    val sess = s
+    import sess.implicits._
+    val maxHamming = 6
+    val rnd = new scala.util.Random(42)
+    def rand60() = rnd.nextLong() & ((1L << 60) - 1)
+    // 150 fingerprints agreeing on block 0 (bits 0-8) — ONE band-0
+    // bucket with occupancy 10x the hot threshold below — plus 50
+    // near-dup partners (<=6 flips OUTSIDE block 0, so they stay in the
+    // dense bucket) and 50 unrelated fingerprints for the cold path
+    val block0 = 0x1ABL
+    val base = Seq.fill(150)((rand60() & ~0x1FFL) | block0)
+    val partners = base.take(50).map { f =>
+      val flips = rnd.shuffle((9 until 60).toList).take(1 + rnd.nextInt(6))
+      flips.foldLeft(f)((acc, p) => acc ^ (1L << p))
+    }
+    val loose = Seq.fill(50)(rand60())
+    val fps = (base ++ partners ++ loose).distinct
+    val groups = fps.zipWithIndex
+      .map { case (f, i) => (f, Seq(i.toLong)) }
+      .toDF("simhash", "members")
+    val got = Dedup.d3CandidatesFromGroups(groups, maxHamming, hotBucketOcc = 16)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // brute-force ground truth: EVERY distinct-fingerprint pair within
+    // the hamming threshold, no more, no less
+    val truth = (for {
+      i <- fps.indices; j <- fps.indices if i < j
+      h = java.lang.Long.bitCount(fps(i) ^ fps(j)) if h <= maxHamming
+    } yield (i.toLong, j.toLong) -> h).toMap
+    assert(truth.size > 40, "planting failed to create enough close pairs")
+    assert(got == truth)
+  }
+
   test("d4Confirm on d2 candidates matches d4's jaccard for the same pairs") {
     val s = TestSpark.spark
     val candidates = Dedup.d2Minhash(s, dir)

@@ -84,6 +84,68 @@ class PipelineSpec extends AnyFunSuite {
     assert(flaky.read(s).count() === 5)
   }
 
+  test("per-task metrics record attempts, wall time, and rows written") {
+    val s = TestSpark.spark
+    val root = Files.createTempDirectory("graft_pipe_metrics").toString
+    var attempts = 0
+    val flaky = new Task {
+      val name = "flaky"
+      val output = s"$root/flaky"
+      override def retries = 2
+      override def retryBackoffMs = 1L
+      def build(sp: SparkSession): DataFrame = {
+        attempts += 1
+        if (attempts < 2) throw new RuntimeException("transient")
+        Tables.region(sp, TestSpark.SfDir)
+      }
+    }
+    val dead = new Task {
+      val name = "dead"
+      val output = s"$root/dead"
+      override def retries = 1
+      override def retryBackoffMs = 1L
+      def build(sp: SparkSession): DataFrame =
+        throw new RuntimeException("permanent")
+    }
+    val report = Pipeline.runReport(s, Seq(flaky, dead))
+    val fm = report.metrics("flaky")
+    assert(fm.attempts === 2)     // one failure + the success
+    assert(fm.rowsWritten === 5)  // region has 5 rows, counted in-write
+    assert(fm.wallMs >= 0)
+    val dm = report.metrics("dead")
+    assert(dm.attempts === 2)     // retries exhausted
+    assert(dm.rowsWritten === 0)
+    // skipped / never-attempted tasks have no stats
+    assert(report.metrics.keySet === Set("flaky", "dead"))
+  }
+
+  test("SubDag instantiates one definition twice with disjoint names and targets") {
+    val s = TestSpark.spark
+    val root = Files.createTempDirectory("graft_subdag").toString
+    def define(prefix: String): graft.pipeline.SubDag = {
+      val sd = new graft.pipeline.SubDag(prefix, root)
+      val ingest = sd.task("ingest") { (sp, _) =>
+        Tables.region(sp, TestSpark.SfDir).select("r_regionkey", "r_name")
+      }
+      sd.task("report", deps = Seq(ingest)) { (_, deps) =>
+        deps.head.groupBy("r_name").agg(count(lit(1)).as("n"))
+      }
+      sd
+    }
+    val a = define("runA")
+    val b = define("runB")
+    assert(a.tasks.map(_.name) === Seq("runA.ingest", "runA.report"))
+    assert(b.tasks.map(_.name) === Seq("runB.ingest", "runB.report"))
+    assert(a.tasks.map(_.output).toSet.intersect(
+      b.tasks.map(_.output).toSet).isEmpty)
+    val report = Pipeline.runReport(s, a.tasks ++ b.tasks)
+    assert(report.ok)
+    assert(report.ran.toSet ===
+      Set("runA.ingest", "runA.report", "runB.ingest", "runB.report"))
+    assert(a.tasks.last.read(s).count() === 5)
+    assert(b.tasks.last.read(s).count() === 5)
+  }
+
   test("a permanently-failing leaf skips its dependents; siblings still build") {
     val s = TestSpark.spark
     val root = Files.createTempDirectory("graft_pipe_fail").toString

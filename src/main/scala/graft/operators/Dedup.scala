@@ -568,6 +568,27 @@ object Dedup {
        |    AND x.doc_id < y.doc_id)""".stripMargin
   }
 
+  /** Shared DuckDB CTE chain ending in `fp`(doc_id, simhash) — the
+    * simhash60 kernel mirror, reused by d3 and d7 so they cannot
+    * drift. */
+  private lazy val sqlSimhashCtes: String =
+    s"""WITH norm_t AS (
+       |  SELECT doc_id, ${TextOps.sqlNormText} AS norm FROM documents),
+       |tok_t AS (
+       |  SELECT doc_id, unnest(${TextOps.sqlToks}) AS t FROM norm_t),
+       |h_t AS (SELECT doc_id, substr(md5(t), 1, 15) AS h FROM tok_t),
+       |bits AS (
+       |  SELECT doc_id, j,
+       |    SUM(CASE WHEN (((strpos('0123456789abcdef',
+       |        substr(h, 15 - (j // 4), 1)) - 1) >> (j % 4)) & 1) = 1
+       |      THEN 1 ELSE -1 END) AS sgn
+       |  FROM h_t, range(0, $SimhashBits) r(j) GROUP BY doc_id, j),
+       |fp AS (
+       |  SELECT doc_id, CAST(SUM(CASE WHEN sgn > 0
+       |    THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)
+       |    AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "d1_dedup_exact" ->
       s"""SELECT md5(${TextOps.sqlNormText}) AS h,
@@ -599,24 +620,16 @@ object Dedup {
          |  SELECT doc_b FROM confirmed WHERE jaccard >= $KeepMinJaccard)
          |ORDER BY doc_id""".stripMargin,
     "d3_dedup_simhash" ->
-      s"""WITH norm_t AS (
-         |  SELECT doc_id, ${TextOps.sqlNormText} AS norm FROM documents),
-         |tok_t AS (
-         |  SELECT doc_id, unnest(${TextOps.sqlToks}) AS t FROM norm_t),
-         |h_t AS (SELECT doc_id, substr(md5(t), 1, 15) AS h FROM tok_t),
-         |bits AS (
-         |  SELECT doc_id, j,
-         |    SUM(CASE WHEN (((strpos('0123456789abcdef',
-         |        substr(h, 15 - (j // 4), 1)) - 1) >> (j % 4)) & 1) = 1
-         |      THEN 1 ELSE -1 END) AS sgn
-         |  FROM h_t, range(0, $SimhashBits) r(j) GROUP BY doc_id, j),
-         |fp AS (
-         |  SELECT doc_id, CAST(SUM(CASE WHEN sgn > 0
-         |    THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)
-         |    AS BIGINT) AS simhash
-         |  FROM bits GROUP BY doc_id)
+      s"""$sqlSimhashCtes
          |SELECT doc_id, simhash, CAST(simhash >> 48 AS INTEGER) AS bucket
          |FROM fp ORDER BY doc_id""".stripMargin,
+    "d7_hamming_pairs" ->
+      s"""$sqlSimhashCtes
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+         |FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "d4_ngram_jaccard" ->
       s"""${TextOps.sqlShingleCte},
          |d AS (SELECT doc_id, lang, n_chars // 100 AS cb,
@@ -697,5 +710,11 @@ object Dedup {
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d5_dedup_embedding" -> d5Embedding,
     "d6_dedup_pipeline" -> d6DedupPipeline,
+    // d3Candidates under the full gate: the banded candidate generation
+    // must reproduce DuckDB's BRUTE-FORCE all-pairs hamming join exactly
+    // — recall 1.0 is oracle-checked, not just spec-asserted (the
+    // oracle's n² self-join is fine at gate scale; the Spark side stays
+    // the banded production plan)
+    "d7_hamming_pairs" -> ((s, dir) => d3Candidates(s, dir)),
   )
 }

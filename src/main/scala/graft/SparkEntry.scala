@@ -7,9 +7,14 @@ import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The composed dedup pipeline (d2 screen → d4Confirm →
+    * keep-list) is the engine's flagship: it exercises the kernel
+    * registry, the LSH banding, the row-local confirm join and the
+    * anti-join in one pass, mirroring the reference's composed-DAG
+    * flagship (airflow/dags/twitter_airflow.py:69-137). */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q10StarJoin(spark, "/root/testdata/sf0.001")
+    Dedup.d6DedupPipeline(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -216,13 +216,13 @@ object Similarity {
     * sample collect + Lloyd) have run in this JVM. */
   private[graft] val kmeansTrainCount =
     new java.util.concurrent.atomic.AtomicInteger(0)
-  /** Most recently requested corpus dir — keys the generated s3 oracle
-    * (Verify runs every query, THEN dumps oracleSql, so by dump time
-    * this is the gate's corpus). */
-  @volatile private[graft] var lastCorpusDir: Option[String] = None
+  /** Fingerprint of the most recently requested corpus — keys the
+    * generated s3 oracle (Verify runs every query, THEN dumps
+    * oracleSql, so by dump time this is the gate's corpus). */
+  @volatile private[graft] var lastCorpusKey: Option[String] = None
 
   private[graft] def clearCentroidCache(): Unit = {
-    centroidCache.clear(); lastCorpusDir = None
+    centroidCache.clear(); lastCorpusKey = None
   }
 
   /** Metadata-only fingerprint of the corpus: path + per-file
@@ -239,16 +239,21 @@ object Similarity {
       .map("%02x".format(_)).mkString
   }
 
-  private def artifactPath(s: SparkSession, dir: String): String = {
+  private def artifactPath(s: SparkSession, key: String): String = {
     val base = s.conf.get("spark.graft.centroids.dir",
       sys.props("java.io.tmpdir") + "/graft-centroids")
-    s"$base/${corpusFingerprint(s, dir)}"
+    s"$base/$key"
   }
 
   private[graft] def centroidsFor(s: SparkSession, dir: String): Array[Array[Float]] = {
-    val c = centroidCache.computeIfAbsent(dir, d => {
+    // cache key = corpus FINGERPRINT, not dir: a re-ingested corpus at
+    // the same path changes the fingerprint (file lengths/mtimes) and
+    // misses both layers, so a long-lived JVM can never serve
+    // centroids trained on a previous corpus generation
+    val key = corpusFingerprint(s, dir)
+    val c = centroidCache.computeIfAbsent(key, k => {
       import s.implicits._
-      val path = artifactPath(s, d)
+      val path = artifactPath(s, k)
       val loaded: Option[Array[Array[Float]]] =
         try {
           val rows = s.read.parquet(path).as[(Int, Array[Float])].collect()
@@ -257,7 +262,7 @@ object Similarity {
         } catch { case _: Exception => None }
       loaded.getOrElse {
         kmeansTrainCount.incrementAndGet()
-        val trained = kmeansCentroids(s, d)
+        val trained = kmeansCentroids(s, dir)
         try trained.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
           .toDS().toDF("cid", "embedding")
           .coalesce(1).write.mode("overwrite").parquet(path)
@@ -265,7 +270,7 @@ object Similarity {
         trained
       }
     })
-    lastCorpusDir = Some(dir)
+    lastCorpusKey = Some(key)
     c
   }
 
@@ -374,8 +379,8 @@ object Similarity {
     * trained for a corpus (Verify runs every query before dumping
     * oracleSql, so the gate always sees it). */
   def oracle: Map[String, String] =
-    staticOracle ++ lastCorpusDir
-      .flatMap(d => Option(centroidCache.get(d)))
+    staticOracle ++ lastCorpusKey
+      .flatMap(k => Option(centroidCache.get(k)))
       .map(c => Map("s3_ann_ivf" -> s3OracleSql(c)))
       .getOrElse(Map.empty)
 

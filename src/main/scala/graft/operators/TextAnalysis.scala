@@ -106,6 +106,28 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Percent of each stratum kept by [[t5StratifiedSample]]. */
+  val SamplePct = 20
+
+  /** t5: deterministic hash-bucket sampling — the reproducible
+    * train/eval-split primitive of a training-data pipeline. Each doc's
+    * bucket is the first 16 bits of md5(doc_id) mod 100: uniform within
+    * every stratum (so a `lang` breakdown of the sample matches the
+    * corpus — stratification without a per-group pass), stable across
+    * runs/engines (no RNG, no partition order), and NESTED — the 10%
+    * sample is a subset of the 20% sample, so growing a training set
+    * never discards work. Scan-local projection + filter: zero
+    * shuffles beyond the presentation sort, and at 100 TB the filter
+    * runs at read time with no data movement. */
+  def t5StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("bucket",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("int") % 100))
+      .filter(col("bucket") < SamplePct)
+      .select("doc_id", "lang", "bucket")
+      .orderBy("doc_id")
+
   // ---------------------------------------------------------------- oracle
 
   private val sqlToksCte: String =
@@ -164,6 +186,19 @@ object TextAnalysis {
         |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS INTEGER)
         |    AS bpe_pieces
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t5_stratified_sample" -> {
+      def nib(i: Int) =
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
+      s"""WITH h_t AS (
+         |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |b_t AS (
+         |  SELECT doc_id, lang, CAST((${nib(1)} * 4096 + ${nib(2)} * 256
+         |    + ${nib(3)} * 16 + ${nib(4)}) % 100 AS INTEGER) AS bucket
+         |  FROM h_t)
+         |SELECT doc_id, lang, bucket FROM b_t
+         |WHERE bucket < $SamplePct ORDER BY doc_id""".stripMargin
+    },
     "t4_fingerprint" ->
       s"""WITH norm_t AS (
          |  SELECT doc_id, ${TextOps.sqlNormText} AS norm FROM documents)
@@ -180,5 +215,6 @@ object TextAnalysis {
     "t2_quality_score" -> t2QualityScore,
     "t3_token_count" -> t3TokenCount,
     "t4_fingerprint" -> t4Fingerprint,
+    "t5_stratified_sample" -> t5StratifiedSample,
   )
 }

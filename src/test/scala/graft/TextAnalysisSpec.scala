@@ -46,6 +46,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a.forall(_.getString(1).length == 32))
   }
 
+  test("t5 sample is deterministic, nested, and roughly uniform per stratum") {
+    import org.apache.spark.sql.functions._
+    val a = TextAnalysis.t5StratifiedSample(s, dir).collect()
+    val b = TextAnalysis.t5StratifiedSample(s, dir).collect()
+    assert(a.map(_.getLong(0)).sameElements(b.map(_.getLong(0))), "not deterministic")
+    // nesting: the 10% bucket set is a subset of the 20% sample
+    val ten = a.filter(_.getInt(2) < 10).map(_.getLong(0)).toSet
+    assert(ten.subsetOf(a.map(_.getLong(0)).toSet))
+    // rough rate check: ~20% overall (md5 uniformity; wide tolerance)
+    val total = Tables.documents(s, dir).count()
+    val rate = a.length.toDouble / total
+    assert(rate > 0.10 && rate < 0.30, f"sample rate $rate%.2f far from 0.20")
+    // stratification: every lang present in the corpus appears in the
+    // sample (uniform within stratum, corpus has >=100 docs per lang)
+    val langs = Tables.documents(s, dir).select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(a.map(_.getString(1)).toSet == langs)
+  }
+
   test("property: rolling hash matches a reference fold on generated ascii strings") {
     import org.apache.spark.sql.functions._
     val params = org.scalacheck.Gen.Parameters.default

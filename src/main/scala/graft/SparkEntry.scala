@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOf, Bucketed, Dedup, Geo, Multimodal, Relational, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOf, Bucketed, Curation, Dedup, Geo, Multimodal, Relational, Similarity, Skew, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -20,7 +20,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Dedup.queries ++ Similarity.queries ++
       TextAnalysis.queries ++ Multimodal.queries ++ Streams.queries ++
-      AsOf.queries ++ Bucketed.queries ++ Geo.queries ++ Skew.queries
+      AsOf.queries ++ Bucketed.queries ++ Geo.queries ++ Skew.queries ++
+      Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. s3_ann_ivf's SQL is GENERATED at dump
@@ -31,5 +32,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Dedup.oracle ++ Similarity.oracle ++
       TextAnalysis.oracle ++ Streams.oracle ++ AsOf.oracle ++
-      Multimodal.oracle ++ Bucketed.oracle ++ Geo.oracle ++ Skew.oracle
+      Multimodal.oracle ++ Bucketed.oracle ++ Geo.oracle ++ Skew.oracle ++
+      Curation.oracle
 }

@@ -570,6 +570,27 @@ object Dedup {
        |    AND x.doc_id < y.doc_id)""".stripMargin
   }
 
+  /** [[sqlD2PairsCtes]] extended through `confirmed`(doc_a, doc_b,
+    * inter, union_sz, jaccard) — the d4Confirm mirror; shared by d6 and
+    * the c1 curation oracle. */
+  private[operators] lazy val sqlConfirmedCtes: String =
+    s"""$sqlD2PairsCtes,
+       |sets AS (
+       |  SELECT doc_id, norm, list_distinct(shingles) AS shset
+       |  FROM shingle_t),
+       |confirmed0 AS (
+       |  SELECT p.doc_a, p.doc_b, a.norm AS norm_a, b.norm AS norm_b,
+       |    CAST(len(list_intersect(a.shset, b.shset)) AS BIGINT) AS inter,
+       |    CAST(len(a.shset) + len(b.shset) AS BIGINT) AS sz
+       |  FROM pairs p JOIN sets a ON a.doc_id = p.doc_a
+       |               JOIN sets b ON b.doc_id = p.doc_b),
+       |confirmed AS (
+       |  SELECT doc_a, doc_b, inter, sz - inter AS union_sz,
+       |    CASE WHEN sz - inter = 0
+       |      THEN CASE WHEN norm_a = norm_b THEN 1.0 ELSE 0.0 END
+       |      ELSE inter / (sz - inter) END AS jaccard
+       |  FROM confirmed0)""".stripMargin
+
   /** Shared DuckDB CTE chain ending in `fp`(doc_id, simhash) — the
     * simhash60 kernel mirror, reused by d3 and d7 so they cannot
     * drift. */
@@ -601,22 +622,7 @@ object Dedup {
       s"""$sqlD2PairsCtes
          |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
     "d6_dedup_pipeline" ->
-      s"""$sqlD2PairsCtes,
-         |sets AS (
-         |  SELECT doc_id, norm, list_distinct(shingles) AS shset
-         |  FROM shingle_t),
-         |confirmed0 AS (
-         |  SELECT p.doc_a, p.doc_b, a.norm AS norm_a, b.norm AS norm_b,
-         |    CAST(len(list_intersect(a.shset, b.shset)) AS BIGINT) AS inter,
-         |    CAST(len(a.shset) + len(b.shset) AS BIGINT) AS sz
-         |  FROM pairs p JOIN sets a ON a.doc_id = p.doc_a
-         |               JOIN sets b ON b.doc_id = p.doc_b),
-         |confirmed AS (
-         |  SELECT doc_a, doc_b, inter, sz - inter AS union_sz,
-         |    CASE WHEN sz - inter = 0
-         |      THEN CASE WHEN norm_a = norm_b THEN 1.0 ELSE 0.0 END
-         |      ELSE inter / (sz - inter) END AS jaccard
-         |  FROM confirmed0)
+      s"""$sqlConfirmedCtes
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (
          |  SELECT doc_b FROM confirmed WHERE jaccard >= $KeepMinJaccard)

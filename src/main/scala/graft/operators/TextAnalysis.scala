@@ -119,11 +119,22 @@ object TextAnalysis {
     * never discards work. Scan-local projection + filter: zero
     * shuffles beyond the presentation sort, and at 100 TB the filter
     * runs at read time with no data movement. */
+  /** Sampling bucket of a doc_id column: first 16 bits of md5 mod 100.
+    * [[sqlSampleBucket]] is the bit-exact DuckDB mirror. */
+  private[operators] def sampleBucket(docId: org.apache.spark.sql.Column) =
+    conv(substring(md5(docId.cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100
+
+  private[operators] def sqlSampleBucket(docId: String): String = {
+    def nib(i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5(CAST($docId AS VARCHAR)), $i, 1)) - 1)"
+    s"CAST((${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})" +
+      " % 100 AS INTEGER)"
+  }
+
   def t5StratifiedSample(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .withColumn("bucket",
-        (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-          .cast("int") % 100))
+      .withColumn("bucket", sampleBucket(col("doc_id")))
       .filter(col("bucket") < SamplePct)
       .select("doc_id", "lang", "bucket")
       .orderBy("doc_id")
@@ -186,19 +197,11 @@ object TextAnalysis {
         |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS INTEGER)
         |    AS bpe_pieces
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "t5_stratified_sample" -> {
-      def nib(i: Int) =
-        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)"
-      s"""WITH h_t AS (
-         |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
-         |  FROM documents),
-         |b_t AS (
-         |  SELECT doc_id, lang, CAST((${nib(1)} * 4096 + ${nib(2)} * 256
-         |    + ${nib(3)} * 16 + ${nib(4)}) % 100 AS INTEGER) AS bucket
-         |  FROM h_t)
-         |SELECT doc_id, lang, bucket FROM b_t
-         |WHERE bucket < $SamplePct ORDER BY doc_id""".stripMargin
-    },
+    "t5_stratified_sample" ->
+      s"""SELECT doc_id, lang, ${sqlSampleBucket("doc_id")} AS bucket
+         |FROM documents
+         |WHERE ${sqlSampleBucket("doc_id")} < $SamplePct
+         |ORDER BY doc_id""".stripMargin,
     "t4_fingerprint" ->
       s"""WITH norm_t AS (
          |  SELECT doc_id, ${TextOps.sqlNormText} AS norm FROM documents)

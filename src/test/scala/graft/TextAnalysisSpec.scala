@@ -65,6 +65,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a.map(_.getString(1)).toSet == langs)
   }
 
+  test("c1 curation output satisfies all three stage predicates, no more, no less") {
+    import graft.operators.{Curation, Dedup}
+    val out = Curation.c1CurationPipeline(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val scores = TextAnalysis.t2QualityScore(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val kept = Dedup.d6DedupPipeline(s, dir).collect().map(_.getLong(0)).toSet
+    val sampled = TextAnalysis.t5StratifiedSample(s, dir).collect()
+      .map(_.getLong(0)).toSet
+    val expected = scores.keySet
+      .filter(id => scores(id) >= Curation.QualityMin)
+      .intersect(kept).intersect(sampled)
+    assert(out.keySet == expected)
+    assert(out.forall { case (id, sc) => sc == scores(id) })
+    assert(out.nonEmpty)
+  }
+
   test("property: rolling hash matches a reference fold on generated ascii strings") {
     import org.apache.spark.sql.functions._
     val params = org.scalacheck.Gen.Parameters.default

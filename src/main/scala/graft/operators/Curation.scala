@@ -19,6 +19,13 @@ import graft.Tables
   * scanned once per stage; at 100 TB the dedup chain dominates and the
   * extra quality/sample scans are bandwidth-bound map work that AQE
   * schedules alongside it.
+  *
+  * Semantics note: the d2 screen only considers docs with ≥
+  * [[Dedup.MinToks]] tokens, so near-duplicates among very short docs
+  * ride through the keep-list (the oracle mirrors this exactly). A
+  * production corpus pass runs exact dedup (d1) upstream, which
+  * collapses short exact copies; the quality threshold additionally
+  * drops most sub-[[QualityMin]] fragments here.
   */
 object Curation {
 

@@ -132,6 +132,23 @@ object Streams {
       }
   }
 
+  /** st4: streaming exact-dedup on the content hash with BOUNDED state
+    * — the streaming analog of d1 for live ingest (tweepy_stream.py's
+    * firehose shape): `dropDuplicatesWithinWatermark` keeps one row per
+    * hash and holds each key's state only until the watermark passes
+    * its event time + delay, so the state store is bounded by the keys
+    * seen within one watermark window, not the full corpus history.
+    * Semantics trade documented: a duplicate arriving AFTER its
+    * original's state was evicted is re-emitted — downstream exact
+    * dedup (d1) or the append-once sink ([[toParquetDedup]]) makes the
+    * pipeline end-to-end exact, while this stage cheaply collapses the
+    * bursty near-in-time duplicates that dominate live streams. */
+  def dedupStream(docs: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("h", md5(col("text")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("h")
+
   /** Durable stream→parquet sink: exactly-once via checkpointed file
     * sink; `Trigger.AvailableNow` drains whatever the source currently
     * has and stops, so scheduled micro-batch ingestion (the

@@ -127,6 +127,38 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st4: streaming dedup collapses in-window duplicates; state evicts past the watermark") {
+    val sess = s
+    import sess.implicits._
+    def ts(iso: String) =
+      java.sql.Timestamp.from(java.time.Instant.parse(iso))
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)](s)
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val q = Streams.dedupStream(docs, "10 minutes")
+      .writeStream.format("memory").queryName("st4_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: same text twice -> one survivor
+      input.addData(
+        (ts("2024-01-01T00:00:00Z"), 1L, "alpha"),
+        (ts("2024-01-01T00:01:00Z"), 2L, "alpha"),
+        (ts("2024-01-01T00:01:00Z"), 3L, "beta"))
+      q.processAllAvailable()
+      // batch 2: "alpha" again while its state is live -> dropped
+      input.addData((ts("2024-01-01T00:05:00Z"), 4L, "alpha"))
+      q.processAllAvailable()
+      // batch 3: advance the watermark far past alpha's horizon
+      input.addData((ts("2024-01-01T06:00:00Z"), 5L, "gamma"))
+      q.processAllAvailable()
+      // batch 4: "alpha" after eviction -> re-emitted (bounded-state
+      // trade; exact end-to-end dedup is the batch d1 / append-once sink)
+      input.addData((ts("2024-01-01T06:01:00Z"), 6L, "alpha"))
+      q.processAllAvailable()
+      val ids = s.table("st4_out").collect().map(_.getLong(1)).toSet
+      assert(ids == Set(1L, 3L, 5L, 6L))
+    } finally q.stop()
+  }
+
   test("st3: flatMapGroupsWithState sessionization agrees with the batch window formulation") {
     val sess = s
     import sess.implicits._

@@ -6,9 +6,10 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line with per-query wall seconds.
   *
   * Each query is fully materialized through the `noop` sink (forces every
-  * operator, unlike count() which lets Catalyst prune work). One untimed
-  * warmup of the flagship query absorbs JVM/codegen startup so numbers
-  * reflect steady-state throughput.
+  * operator, unlike count() which lets Catalyst prune work). One global
+  * untimed q1 run absorbs JVM/session startup; each query additionally
+  * warms up once untimed inside sample() — that per-query warmup is what
+  * governs steady-state numbers.
   *
   * Protocol (round-4 rework — the min-of-two numbers of earlier rounds
   * moved ±40% with machine load, making real regressions invisible):

@@ -165,11 +165,11 @@ object Probe {
         spark.sparkContext.removeSparkListener(listener)
         (sec, maxTask.get())
       }
-      // median of 3: single runs flip under load on a shared box
+      // median of 3 BY WALL TIME, reporting that run's own task max —
+      // independent medians could pair a wall and a straggler from
+      // different runs (max_task_ms > sec·1000 in the worst case)
       def skewProbe(name: String, join: => org.apache.spark.sql.DataFrame): Unit = {
-        val rs = Seq.fill(3)(skewRun(join))
-        val sec = rs.map(_._1).sorted.apply(1)
-        val mt = rs.map(_._2).sorted.apply(1)
+        val (sec, mt) = Seq.fill(3)(skewRun(join)).sortBy(_._1).apply(1)
         println(f"""{"probe":"$name","sec":$sec%.2f,"max_task_ms":$mt}""")
       }
       for ((pct, hotMod) <- Seq((10, 10), (50, 2))) {

@@ -51,18 +51,15 @@ object Curation {
   }
 
   val oracle: Map[String, String] = Map(
-    "c1_curation_pipeline" -> {
-      val stopList = Relational.stopwords.map(w => s"'$w'").mkString(", ")
+    "c1_curation_pipeline" ->
       s"""${Dedup.sqlConfirmedCtes},
          |m AS (SELECT doc_id, lang,
          |    CAST(len(toks) AS INTEGER) AS n_tok,
-         |    CAST(len(list_filter(toks, t -> t IN ($stopList))) AS BIGINT)
-         |      AS n_stop
+         |    CAST(len(list_filter(toks,
+         |      t -> t IN (${TextAnalysis.sqlStopList}))) AS BIGINT) AS n_stop
          |  FROM tok_t),
          |q AS (SELECT doc_id, lang,
-         |    (n_stop / n_tok) * 0.5
-         |      + least(CAST(n_tok AS DOUBLE) / 100.0, CAST(1.0 AS DOUBLE))
-         |        * 0.5 AS score
+         |    ${TextAnalysis.sqlScore("n_stop", "n_tok")} AS score
          |  FROM m)
          |SELECT doc_id, lang, score FROM q
          |WHERE score >= $QualityMin
@@ -71,8 +68,7 @@ object Curation {
          |    WHERE jaccard >= ${Dedup.KeepMinJaccard})
          |  AND ${TextAnalysis.sqlSampleBucket("doc_id")}
          |      < ${TextAnalysis.SamplePct}
-         |ORDER BY doc_id""".stripMargin
-    },
+         |ORDER BY doc_id""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

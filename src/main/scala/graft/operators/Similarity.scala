@@ -201,14 +201,15 @@ object Similarity {
     * given corpus, so it trains ONCE and every later s3 call (or bench
     * repeat) reuses the literals with zero driver-side
     * count/collect/Lloyd work — the "train offline, persist, reuse"
-    * production shape. Two layers:
-    *  - a JVM-lifetime map keyed by corpus dir (hot path, zero IO);
-    *  - a parquet ARTIFACT keyed by a metadata-only corpus fingerprint
-    *    (file names + lengths + mtimes of the embeddings table — no
-    *    data scan), under `spark.graft.centroids.dir` (default
+    * production shape. Two layers, BOTH keyed by a metadata-only
+    * corpus fingerprint (file names + lengths + mtimes of the
+    * embeddings table — one FS listing per call, no data scan; that
+    * listing is also why a re-ingested corpus at the same path can
+    * never serve stale centroids):
+    *  - a JVM-lifetime map (hot path — the listing is the only IO);
+    *  - a parquet ARTIFACT under `spark.graft.centroids.dir` (default
     *    tmpdir/graft-centroids), so separate JVMs (verify, bench,
-    *    tests) share one training and a changed corpus at the same
-    *    path cannot serve stale centroids. Best-effort: an unreadable/
+    *    tests) share one training. Best-effort: an unreadable/
     *    unwritable artifact dir degrades to in-JVM training. */
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()

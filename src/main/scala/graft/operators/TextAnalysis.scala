@@ -67,10 +67,14 @@ object TextAnalysis {
       .withColumn("norm", TextOps.normText(col("text")))
       .withColumn("toks", expr(TextOps.toksExpr))
       .withColumn("n_tok", size(col("toks")))
-      .withColumn("avg_tok_len",
-        (length(col("norm")) - (col("n_tok") - 1)) / col("n_tok"))
-      .withColumn("stop_ratio",
-        expr(s"count_in(toks, '$stopCsv')") / col("n_tok"))
+      // zero-token guard on every ratio: Spark's 0/0 is NULL (ansi off)
+      // while DuckDB's is NaN — which sorts GREATEST, so an unguarded
+      // empty doc would pass a score threshold in the oracle and be
+      // dropped by Spark. Both engines pin 0.0 instead.
+      .withColumn("avg_tok_len", when(col("n_tok") === 0, lit(0.0))
+        .otherwise((length(col("norm")) - (col("n_tok") - 1)) / col("n_tok")))
+      .withColumn("stop_ratio", when(col("n_tok") === 0, lit(0.0))
+        .otherwise(expr(s"count_in(toks, '$stopCsv')") / col("n_tok")))
       .withColumn("len_score",
         least(col("n_tok").cast("double") / 100.0, lit(1.0)))
       .withColumn("score", col("stop_ratio") * 0.5 + col("len_score") * 0.5)
@@ -132,14 +136,29 @@ object TextAnalysis {
       " % 100 AS INTEGER)"
   }
 
-  def t5StratifiedSample(s: SparkSession, dir: String): DataFrame =
+  def t5StratifiedSample(s: SparkSession, dir: String,
+      pct: Int = SamplePct): DataFrame =
     Tables.documents(s, dir)
       .withColumn("bucket", sampleBucket(col("doc_id")))
-      .filter(col("bucket") < SamplePct)
+      .filter(col("bucket") < pct)
       .select("doc_id", "lang", "bucket")
       .orderBy("doc_id")
 
   // ---------------------------------------------------------------- oracle
+
+  /** Stop-word IN-list shared by the t2 and c1 oracles. */
+  private[operators] val sqlStopList: String =
+    Relational.stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** t2's quality-score formula, shared by the t2 and c1 oracles so
+    * the composition cannot drift from its stage. Guarded at n_tok=0:
+    * Spark's 0/0 is NULL (dropped by any threshold filter) but
+    * DuckDB's is NaN, which compares GREATEST and would PASS one. */
+  private[operators] def sqlScore(nStop: String, nTok: String): String =
+    s"""CASE WHEN $nTok = 0 THEN 0.0
+       |    ELSE ($nStop / $nTok) * 0.5
+       |      + least(CAST($nTok AS DOUBLE) / 100.0, CAST(1.0 AS DOUBLE))
+       |        * 0.5 END""".stripMargin
 
   private val sqlToksCte: String =
     s"""WITH norm_t AS (
@@ -172,22 +191,19 @@ object TextAnalysis {
          |    ELSE 'fr' END) = lang AS is_match
          |FROM tok_t ORDER BY doc_id""".stripMargin
     },
-    "t2_quality_score" -> {
-      val stopList = Relational.stopwords.map(w => s"'$w'").mkString(", ")
+    "t2_quality_score" ->
       s"""$sqlToksCte,
          |m AS (SELECT doc_id, norm, toks,
          |  CAST(len(toks) AS INTEGER) AS n_tok,
-         |  CAST(len(list_filter(toks, t -> t IN ($stopList))) AS BIGINT)
+         |  CAST(len(list_filter(toks, t -> t IN ($sqlStopList))) AS BIGINT)
          |    AS n_stop
          |FROM tok_t)
          |SELECT doc_id, n_tok,
-         |  (length(norm) - (n_tok - 1)) / n_tok AS avg_tok_len,
-         |  n_stop / n_tok AS stop_ratio,
-         |  (n_stop / n_tok) * 0.5
-         |    + least(CAST(n_tok AS DOUBLE) / 100.0, CAST(1.0 AS DOUBLE)) * 0.5
-         |    AS score
-         |FROM m ORDER BY doc_id""".stripMargin
-    },
+         |  CASE WHEN n_tok = 0 THEN 0.0
+         |    ELSE (length(norm) - (n_tok - 1)) / n_tok END AS avg_tok_len,
+         |  CASE WHEN n_tok = 0 THEN 0.0 ELSE n_stop / n_tok END AS stop_ratio,
+         |  ${sqlScore("n_stop", "n_tok")} AS score
+         |FROM m ORDER BY doc_id""".stripMargin,
     "t3_token_count" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
@@ -218,6 +234,6 @@ object TextAnalysis {
     "t2_quality_score" -> t2QualityScore,
     "t3_token_count" -> t3TokenCount,
     "t4_fingerprint" -> t4Fingerprint,
-    "t5_stratified_sample" -> t5StratifiedSample,
+    "t5_stratified_sample" -> ((s, dir) => t5StratifiedSample(s, dir)),
   )
 }

@@ -148,6 +148,7 @@ object Streams {
       .withColumn("h", md5(col("text")))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("h")
+      .drop("h") // internal key — callers keep the input schema
 
   /** Durable stream→parquet sink: exactly-once via checkpointed file
     * sink; `Trigger.AvailableNow` drains whatever the source currently

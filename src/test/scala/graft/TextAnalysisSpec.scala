@@ -51,9 +51,12 @@ class TextAnalysisSpec extends AnyFunSuite {
     val a = TextAnalysis.t5StratifiedSample(s, dir).collect()
     val b = TextAnalysis.t5StratifiedSample(s, dir).collect()
     assert(a.map(_.getLong(0)).sameElements(b.map(_.getLong(0))), "not deterministic")
-    // nesting: the 10% bucket set is a subset of the 20% sample
-    val ten = a.filter(_.getInt(2) < 10).map(_.getLong(0)).toSet
-    assert(ten.subsetOf(a.map(_.getLong(0)).toSet))
+    // nesting: an INDEPENDENTLY computed 10% sample is a strict subset
+    // of the 20% one (growing a training set never discards work)
+    val ten = TextAnalysis.t5StratifiedSample(s, dir, pct = 10).collect()
+      .map(_.getLong(0)).toSet
+    val twenty = a.map(_.getLong(0)).toSet
+    assert(ten.nonEmpty && ten.size < twenty.size && ten.subsetOf(twenty))
     // rough rate check: ~20% overall (md5 uniformity; wide tolerance)
     val total = Tables.documents(s, dir).count()
     val rate = a.length.toDouble / total

@@ -70,7 +70,11 @@ object Bench {
       if (warm < 0 || xs.exists(_ < 0)) (-1.0, -1.0)
       else {
         val s = xs.sorted
-        val med = s(s.length / 2)
+        val n = s.length
+        // conventional median: mean of the two middle elements for even n
+        // (upper-middle alone biases high and skews cross-round deltas
+        // when rounds were run with different run counts)
+        val med = if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
         (med, if (med > 0) (s.last - s.head) / med else 0.0)
       }
     }
@@ -112,12 +116,28 @@ object Bench {
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val spreads = results.map(_._2._2).filter(_ >= 0).sorted
     val noise = if (spreads.isEmpty) 0.0 else spreads(spreads.length / 2)
-    println(
+    // The harvester keeps only the LAST ~2000 chars of output and parses
+    // the JSON line out of that tail; round 4's line (per-query spread +
+    // pinned_spread maps) grew past the window and was truncated mid-line
+    // → no parsed bench that round. Keep the stdout line compact (queries
+    // + pinned medians + scalar noise) and put the full per-query spread
+    // detail in a repo-local file instead.
+    val detail =
       f"""{"metric":"total_wall","value":$total%.3f,"unit":"sec","runs":$runs,""" +
         s""""queries":${fmtMap(results.map(r => r._1 -> r._2._1))},""" +
         s""""spread":${fmtMap(results.map(r => r._1 -> r._2._2))},""" +
         s""""pinned":${fmtMap(pinnedResults.map(r => r._1 -> r._2._1))},""" +
         s""""pinned_spread":${fmtMap(pinnedResults.map(r => r._1 -> r._2._2))},""" +
+        f""""noise":$noise%.3f,"failed":$fs,"sf":"$sfDir"}"""
+    val detailPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "target/bench-detail.json"))
+    Option(detailPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(
+      detailPath, detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(
+      f"""{"metric":"total_wall","value":$total%.3f,"unit":"sec","runs":$runs,""" +
+        s""""queries":${fmtMap(results.map(r => r._1 -> r._2._1))},""" +
+        s""""pinned":${fmtMap(pinnedResults.map(r => r._1 -> r._2._1))},""" +
         f""""noise":$noise%.3f,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -29,10 +29,13 @@ object Explain {
 
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val df = SparkEntry.queries(name)(spark, dir)
-      // collect() drives the DATASET'S OWN QueryExecution to its AQE
-      // final plan (a write action builds a separate QueryExecution and
-      // leaves df's at isFinalPlan=false); gate results are small
-      df.collect()
+      // drive the DATASET'S OWN QueryExecution to its AQE final plan (a
+      // write action builds a separate QueryExecution and leaves df's at
+      // isFinalPlan=false) WITHOUT buffering rows on the driver: count()
+      // on the internal-row RDD executes the adaptive plan but ships only
+      // per-partition counts back, so a large sfDir argument can't blow
+      // driver memory on the pairwise queries the way collect() could
+      df.queryExecution.toRdd.count()
       val plan = df.queryExecution.executedPlan.toString
       sb.append(s"===== $name =====\n$plan\n")
       // the adaptive plan prints "== Final Plan ==" AND "== Initial

@@ -27,10 +27,21 @@ object SparkEntry {
     * the same parquet tables. s3_ann_ivf's SQL is GENERATED at dump
     * time with its deterministic per-corpus k-means centroids inlined
     * as literals (training is not SQL-expressible; assignment, probing
-    * and top-k are — Similarity.s3OracleSql). Verify runs every query
-    * before dumping this map, so the s3 entry is always present. */
+    * and top-k are — Similarity.s3OracleSql). This static form requires
+    * the quantizer to have already trained (it fails loudly otherwise —
+    * a premature dump must not silently shrink the gate); Verify uses
+    * [[oracleSqlFor]], which trains on demand for its explicit corpus. */
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Dedup.oracle ++ Similarity.oracle ++
+    staticOracles ++ Similarity.oracle
+
+  /** Corpus-aware dump: identical to [[oracleSql]] except s3's entry is
+    * derived for the GIVEN corpus dir (cache-hit if its query already
+    * ran), with no dependence on run order or global state. */
+  def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
+    staticOracles ++ Similarity.oracleFor(spark, sfDir)
+
+  private def staticOracles: Map[String, String] =
+    Relational.oracle ++ Dedup.oracle ++
       TextAnalysis.oracle ++ Streams.oracle ++ AsOf.oracle ++
       Multimodal.oracle ++ Bucketed.oracle ++ Geo.oracle ++ Skew.oracle ++
       Curation.oracle

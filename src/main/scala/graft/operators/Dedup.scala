@@ -253,6 +253,16 @@ object Dedup {
       }
       val remSql = if (terms.isEmpty) "0" else terms.mkString("(", " + ", ")")
       val remW = acc
+      // guard the occupancy bound itself: with remW < nBands some
+      // sub-blocks would get width 0 (constant subkey 0), silently
+      // degrading hot buckets back to the all-pairs occ² this split
+      // exists to prevent — exactly at the large-maxHamming dials that
+      // shrink buckets least. Only reachable at maxHamming ≥ 58 of 60
+      // bits, where banding is meaningless anyway; fail explicitly.
+      require(remW >= nBands,
+        s"maxHamming=$maxHamming leaves $remW non-block bits for band $b, " +
+          s"fewer than the $nBands sub-blocks the hot-bucket split needs — " +
+          "the occupancy bound would silently collapse; use maxHamming <= 57")
       val subWidths = Array.tabulate(nBands)(j =>
         remW / nBands + (if (j < remW % nBands) 1 else 0))
       val subOffsets = subWidths.scanLeft(0)(_ + _)

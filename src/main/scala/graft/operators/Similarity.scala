@@ -208,9 +208,14 @@ object Similarity {
     * never serve stale centroids):
     *  - a JVM-lifetime map (hot path — the listing is the only IO);
     *  - a parquet ARTIFACT under `spark.graft.centroids.dir` (default
-    *    tmpdir/graft-centroids), so separate JVMs (verify, bench,
-    *    tests) share one training. Best-effort: an unreadable/
-    *    unwritable artifact dir degrades to in-JVM training. */
+    *    target/graft-centroids — repo-local, NOT the world-shared
+    *    java.io.tmpdir where another user of a multi-tenant host could
+    *    pre-create/poison the path), so separate JVMs (verify, bench,
+    *    tests) share one training. Loaded artifacts are validated
+    *    against an embedded content checksum before being trusted —
+    *    a torn or tampered artifact fails the check and retrains.
+    *    Best-effort: an unreadable/unwritable artifact dir degrades to
+    *    in-JVM training. */
   private val centroidCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Float]]]()
   /** Spec hook: how many actual k-means trainings (corpus count +
@@ -242,8 +247,22 @@ object Similarity {
 
   private def artifactPath(s: SparkSession, key: String): String = {
     val base = s.conf.get("spark.graft.centroids.dir",
-      sys.props("java.io.tmpdir") + "/graft-centroids")
+      "target/graft-centroids")
     s"$base/$key"
+  }
+
+  /** Content checksum over the centroid floats (IEEE-754 bits in cell
+    * then component order) — stored inside the artifact and re-derived
+    * from the loaded rows, so a torn write or out-of-band edit cannot
+    * silently feed wrong centroids to both the query and its generated
+    * oracle. */
+  private def centroidSig(cent: Array[Array[Float]]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(4)
+    cent.foreach(_.foreach { x =>
+      buf.clear(); buf.putFloat(x); md.update(buf.array(), 0, 4)
+    })
+    md.digest().map("%02x".format(_)).mkString
   }
 
   private[graft] def centroidsFor(s: SparkSession, dir: String): Array[Array[Float]] = {
@@ -257,15 +276,21 @@ object Similarity {
       val path = artifactPath(s, k)
       val loaded: Option[Array[Array[Float]]] =
         try {
-          val rows = s.read.parquet(path).as[(Int, Array[Float])].collect()
-          if (rows.length == IvfCells) Some(rows.sortBy(_._1).map(_._2))
+          val rows = s.read.parquet(path)
+            .as[(Int, Array[Float], String)].collect()
+          val cent = rows.sortBy(_._1).map(_._2)
+          // trust the artifact only if complete AND its embedded
+          // checksum matches what the loaded floats re-derive to
+          if (rows.length == IvfCells &&
+              rows.forall(_._3 == centroidSig(cent))) Some(cent)
           else None
         } catch { case _: Exception => None }
       loaded.getOrElse {
         kmeansTrainCount.incrementAndGet()
         val trained = kmeansCentroids(s, dir)
-        try trained.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
-          .toDS().toDF("cid", "embedding")
+        val sig = centroidSig(trained)
+        try trained.zipWithIndex.map { case (v, i) => (i, v, sig) }.toSeq
+          .toDS().toDF("cid", "embedding", "sig")
           .coalesce(1).write.mode("overwrite").parquet(path)
         catch { case _: Exception => () } // artifact is best-effort
         trained
@@ -376,14 +401,28 @@ object Similarity {
        |FROM ranked WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
   }
 
-  /** s1/s2 are static SQL; s3's entry appears once its quantizer has
-    * trained for a corpus (Verify runs every query before dumping
-    * oracleSql, so the gate always sees it). */
-  def oracle: Map[String, String] =
-    staticOracle ++ lastCorpusKey
-      .flatMap(k => Option(centroidCache.get(k)))
-      .map(c => Map("s3_ann_ivf" -> s3OracleSql(c)))
-      .getOrElse(Map.empty)
+  /** Oracle for an EXPLICIT corpus: trains (or cache-hits) the
+    * quantizer for `dir` on demand, so the s3 entry never depends on
+    * which corpus happened to run last — the dump path Verify uses. */
+  def oracleFor(s: SparkSession, dir: String): Map[String, String] =
+    staticOracle + ("s3_ann_ivf" -> s3OracleSql(centroidsFor(s, dir)))
+
+  /** s1/s2 are static SQL; s3's entry requires a trained quantizer.
+    * This no-arg form (the static SparkEntry.oracleSql contract) FAILS
+    * LOUDLY when no centroids are cached rather than silently dropping
+    * the s3 entry — a dump taken before the query ran (or for a
+    * different corpus) must not quietly shrink the gate. Callers that
+    * know the corpus should prefer [[oracleFor]]. */
+  def oracle: Map[String, String] = {
+    val cached = lastCorpusKey.flatMap(k => Option(centroidCache.get(k)))
+    cached match {
+      case Some(c) => staticOracle + ("s3_ann_ivf" -> s3OracleSql(c))
+      case None => throw new IllegalStateException(
+        "s3_ann_ivf oracle requested but no centroids are cached for any " +
+          "corpus — run s3Ivf (or Similarity.centroidsFor) for the gate " +
+          "corpus first, or use Similarity.oracleFor(spark, dir)")
+    }
+  }
 
   private val staticOracle: Map[String, String] = Map(
     "s1_ann_bruteforce" ->

@@ -88,8 +88,11 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("s3 oracle SQL is generated with the trained centroids inlined") {
     Similarity.clearCentroidCache()
-    assert(!Similarity.oracle.contains("s3_ann_ivf"),
-      "untrained quantizer must not publish a stale oracle")
+    // an untrained quantizer must FAIL the static dump loudly, not
+    // silently shrink the gate by omitting the s3 entry
+    intercept[IllegalStateException] { Similarity.oracle }
+    // the corpus-aware dump trains on demand instead
+    assert(Similarity.oracleFor(s, dir).contains("s3_ann_ivf"))
     Similarity.s3Ivf(s, dir).collect()
     val sql = Similarity.oracle("s3_ann_ivf")
     // all 16 cells inlined, probing and top-k parameters match the plan

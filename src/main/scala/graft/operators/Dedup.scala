@@ -450,6 +450,28 @@ object Dedup {
   def d6DedupPipeline(s: SparkSession, dir: String): DataFrame =
     dedupKeepList(s, dir, d4Confirm(s, dir, d2Minhash(s, dir)))
 
+  /** d8: duplicate CLUSTER ids — connected components over the same
+    * confirmed-duplicate pairs d6 keeps from, assigning every document
+    * the minimum doc_id reachable through confirmed-duplicate edges
+    * (docs in no pair are their own cluster). Complements the greedy
+    * keep-list: d6 answers "which docs survive", d8 answers "which docs
+    * are the same document" — the grouping that cluster-size caps,
+    * canonical-representative picks and dedup reporting need. Star
+    * contraction via [[Graph.connectedComponents]]: O(log² n) rounds of
+    * two keyed shuffles each, no driver-side graph state. */
+  def d8DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val edges = d4Confirm(s, dir, d2Minhash(s, dir))
+      .filter(col("jaccard") >= KeepMinJaccard)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comp = Graph.connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("component"))
+    Tables.documents(s, dir).select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   /** d5 banding parameters. Bands fixed at 4 (recall knob: a near-dup
     * pair is a candidate if it agrees in ANY band); bits per band scale
     * with the corpus so expected bucket occupancy stays O(1) — the
@@ -637,6 +659,28 @@ object Dedup {
          |WHERE doc_id NOT IN (
          |  SELECT doc_b FROM confirmed WHERE jaccard >= $KeepMinJaccard)
          |ORDER BY doc_id""".stripMargin,
+    // transitive closure from every node via recursive CTE (UNION
+    // dedups, so it terminates), then min reachable id per node — the
+    // brute-force spelling of what star contraction computes. The CTE
+    // chain reuses the d6 confirmed-pairs mirror verbatim; DuckDB needs
+    // RECURSIVE declared on the WITH that contains the recursive member.
+    "d8_dedup_clusters" ->
+      s"""WITH RECURSIVE ${sqlConfirmedCtes.stripPrefix("WITH ")},
+         |dedges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM confirmed
+         |  WHERE jaccard >= $KeepMinJaccard
+         |  UNION
+         |  SELECT doc_b, doc_a FROM confirmed
+         |  WHERE jaccard >= $KeepMinJaccard),
+         |reach(n, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM dedges)
+         |  UNION
+         |  SELECT reach.n, e.v FROM reach JOIN dedges e ON e.u = reach.r),
+         |comp AS (SELECT n AS doc_id, min(r) AS cluster_id
+         |         FROM reach GROUP BY n)
+         |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "d3_dedup_simhash" ->
       s"""$sqlSimhashCtes
          |SELECT doc_id, simhash, CAST(simhash >> 48 AS INTEGER) AS bucket
@@ -728,6 +772,7 @@ object Dedup {
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d5_dedup_embedding" -> d5Embedding,
     "d6_dedup_pipeline" -> d6DedupPipeline,
+    "d8_dedup_clusters" -> d8DedupClusters,
     // d3Candidates under the full gate: the banded candidate generation
     // must reproduce DuckDB's BRUTE-FORCE all-pairs hamming join exactly
     // — recall 1.0 is oracle-checked, not just spec-asserted (the

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the clustering
+  * tail of a corpus-dedup pass (greedy keep-lists drop the GREATER side
+  * of each confirmed pair; component ids additionally name the whole
+  * duplicate CLUSTER, which is what curation reports, cluster-size
+  * filters, and canonical-representative picks need).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — each round
+  * is two hash-shuffles on node id (a groupBy-min and a join), and the
+  * edge set converges to a star per component (every node pointing at
+  * its component's MINIMUM node id) in O(log² n) rounds, typically a
+  * handful. This is the 100 TB-safe shape: no per-node adjacency lists
+  * on the driver, no O(diameter) propagation (a naive min-label loop
+  * needs as many rounds as the longest path — thousands for chain-shaped
+  * near-dup clusters; star contraction collapses chains exponentially).
+  *
+  * Per-round lineage is cut with an EAGER localCheckpoint — without it
+  * the plan doubles every iteration and Catalyst analysis time explodes
+  * by round ~10 (on a real cluster, checkpoint to the reliable store
+  * instead when preemption matters).
+  *
+  * Reference behavior anchor: the course dedups at record level
+  * (exercises/dedupe_exercise.py via the dedupe library's clustering) —
+  * this is the same "pairs → transitive clusters" semantic, re-expressed
+  * as the standard distributed star-contraction instead of in-memory
+  * hierarchical clustering.
+  */
+object Graph {
+
+  /** (id, component) for every node appearing in `edges`, where
+    * component = the minimum node id reachable from `id`. `edges` needs
+    * two integral columns named `src`, `dst`; direction and duplicates
+    * are irrelevant. Empty edge sets yield an empty result. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val undirected = edges
+      .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+
+    // one row per node of the ORIGINAL graph (contraction rounds drop
+    // nodes from the edge set as they become interior; membership must
+    // survive that)
+    val nodes = undirected.select(col("u").as("id"))
+      .unionAll(undirected.select(col("v").as("id"))).distinct()
+      .localCheckpoint(true)
+
+    /** large-star: every node links its LARGER neighbors to the minimum
+      * of its closed neighborhood — long chains fold in half each round. */
+    def largeStar(e: DataFrame): DataFrame = {
+      val adj = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val m = adj.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      adj.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    /** small-star: every node links its SMALLER neighbors (and itself)
+      * to the minimum among them — flattens the downward edges produced
+      * by large-star into a star. */
+    def smallStar(e: DataFrame): DataFrame = {
+      val down = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val m = down.groupBy("u").agg(min("v").as("m"))
+      down.join(m, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    /** Canonical order-insensitive signature of an edge set: count plus
+      * a sum of per-edge hashes — one cheap aggregate per round, no
+      * driver-side edge materialization. */
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(sum(xxhash64(
+        least(col("u"), col("v")), greatest(col("u"), col("v")))), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var cur = undirected.localCheckpoint(true)
+    var curSig = sig(cur)
+    var converged = cur.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nextSig = sig(next)
+      converged = nextSig == curSig
+      cur = next; curSig = nextSig; iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(star contraction needs O(log^2 n) — raise maxIter)")
+
+    // converged edge set is (member -> component-min) stars; nodes that
+    // ended up only as centers (or whose component is a single edge
+    // already canonical) are their own component
+    val membership = cur.select(col("u").as("id"), col("v").as("component"))
+    nodes.join(membership, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+}

@@ -275,6 +275,56 @@ object Relational {
       .orderBy(col("emean").desc, col("vec_id"))
       .limit(20)
 
+  /** q27: the window-function family over one partitioned pass — rank
+    * within group, lag against the previous row, and a running sum
+    * (pandas' groupby().rank()/shift()/cumsum() trio from the course's
+    * cleaning chapters, as one windowed plan). Both windows share the
+    * o_custkey partitioning, so the whole query is ONE hash shuffle on
+    * the customer key; the running sum accumulates in exact decimal
+    * (same reasoning as [[Exact]]: the frame order is deterministic but
+    * double addition inside an engine's window accumulator need not be
+    * left-to-right). Output keeps each customer's top-3 priciest orders. */
+  def q27WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val byPrice = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val byDate = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("price_rank", row_number().over(byPrice))
+      .withColumn("prev_date",
+        to_date(lag(col("o_orderdate"), 1).over(byDate)))
+      .withColumn("days_since_prev",
+        datediff(col("o_orderdate"), col("prev_date")).cast("int"))
+      .withColumn("run_spend",
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .over(byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .filter(col("price_rank") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "price_rank",
+        "prev_date", "days_since_prev", "run_spend")
+      .orderBy("o_custkey", "price_rank")
+  }
+
+  /** q28: hierarchical totals in one pass — ROLLUP(returnflag,
+    * linestatus) emits the detail rows, the per-flag subtotals and the
+    * grand total from a single aggregation (the course's pivot-table
+    * margins, pandas pivot_table(margins=True), as the engine-native
+    * grouping-sets plan: Spark expands the sets map-side and still
+    * partial-aggregates, so it stays one shuffle — not one job per
+    * level). GROUPING() flags distinguish "subtotal row" from a real
+    * NULL key; sums are decimal-exact. */
+  def q28RollupAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"),
+        count(lit(1)).as("cnt"),
+        Exact.dsum(col("l_quantity")).as("sum_qty"),
+        Exact.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   // ---------------------------------------------------------------- oracle
 
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
@@ -423,6 +473,36 @@ object Relational {
         |    (a, b) -> a + b) / 64 AS emean
         |FROM embeddings
         |ORDER BY emean DESC, vec_id LIMIT 20""".stripMargin,
+    "q27_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, price_rank,
+        |  prev_date, days_since_prev, run_spend
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER)
+        |      AS price_rank,
+        |    CAST(lag(o_orderdate, 1) OVER wd AS DATE) AS prev_date,
+        |    CAST(date_diff('day',
+        |      CAST(lag(o_orderdate, 1) OVER wd AS DATE),
+        |      CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |      wd ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DOUBLE) AS run_spend
+        |  FROM orders
+        |  WINDOW wd AS (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey)) t
+        |WHERE price_rank <= 3
+        |ORDER BY o_custkey, price_rank""".stripMargin,
+    "q28_rollup_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+         |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+         |  CAST(count(*) AS BIGINT) AS cnt,
+         |  ${Exact.sqlDsum("l_quantity")} AS sum_qty,
+         |  ${Exact.sqlDsum("l_extendedprice")} AS sum_price
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST,
+         |  l_linestatus ASC NULLS FIRST""".stripMargin,
   )
 
   /** Query registry (name → runner), keys match [[oracle]]. */
@@ -448,5 +528,7 @@ object Relational {
     "q19_pivot_agg" -> q19PivotAgg,
     "q20_stopword_topk" -> q20StopwordTopk,
     "q26_array_mean" -> q26ArrayMean,
+    "q27_window_rank" -> q27WindowRank,
+    "q28_rollup_agg" -> q28RollupAgg,
   )
 }

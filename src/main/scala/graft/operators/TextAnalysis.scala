@@ -144,6 +144,46 @@ object TextAnalysis {
       .select("doc_id", "lang", "bucket")
       .orderBy("doc_id")
 
+  /** PII regexes shared by [[t6PiiRedact]], its oracle and its spec.
+    * Kept to syntax with identical semantics in Java regex (Spark) and
+    * RE2 (DuckDB): character classes, bounded/unbounded repeats, no
+    * backrefs or lookaround. */
+  val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val PhoneRe = """\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"""
+
+  /** t6: PII scrubbing — count and redact email addresses and phone
+    * numbers, the compliance pass every training-data pipeline runs
+    * before text leaves curation. Pure projection (regex count +
+    * replace per row, no shuffle). The synthetic corpus contains no
+    * organic PII (word-soup text, zero digits), so the entry PLANTS a
+    * deterministic email + phone per document inside the query and
+    * proves end-to-end removal: the oracle hash-matches the redacted
+    * bytes (md5) and `residual` re-scans the output for both patterns
+    * — 0 means nothing survived. Organic-text behavior (PII mid-text,
+    * multiple hits, near-miss non-PII) is spec-covered on crafted
+    * strings. */
+  def t6PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or call +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now"))
+    Tables.documents(s, dir)
+      .withColumn("pii_text", planted)
+      .withColumn("n_emails",
+        regexp_count(col("pii_text"), lit(EmailRe)).cast("int"))
+      .withColumn("n_phones",
+        regexp_count(col("pii_text"), lit(PhoneRe)).cast("int"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("pii_text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"))
+      .withColumn("residual",
+        (regexp_count(col("redacted"), lit(EmailRe)) +
+          regexp_count(col("redacted"), lit(PhoneRe))).cast("int"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        md5(col("redacted")).as("redacted_md5"), col("residual"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Stop-word IN-list shared by the t2 and c1 oracles. */
@@ -218,6 +258,28 @@ object TextAnalysis {
          |FROM documents
          |WHERE ${sqlSampleBucket("doc_id")} < $SamplePct
          |ORDER BY doc_id""".stripMargin,
+    "t6_pii_redact" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@example.com or call +1-555-'
+         |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+         |    AS pii_text
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(pii_text, '$EmailRe')) AS INTEGER)
+         |      AS n_emails,
+         |    CAST(len(regexp_extract_all(pii_text, '$PhoneRe')) AS INTEGER)
+         |      AS n_phones,
+         |    regexp_replace(regexp_replace(pii_text,
+         |      '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g')
+         |      AS redacted
+         |  FROM p)
+         |SELECT doc_id, n_emails, n_phones, md5(redacted) AS redacted_md5,
+         |  CAST(len(regexp_extract_all(redacted, '$EmailRe'))
+         |    + len(regexp_extract_all(redacted, '$PhoneRe')) AS INTEGER)
+         |    AS residual
+         |FROM r ORDER BY doc_id""".stripMargin,
     "t4_fingerprint" ->
       s"""WITH norm_t AS (
          |  SELECT doc_id, ${TextOps.sqlNormText} AS norm FROM documents)
@@ -235,5 +297,6 @@ object TextAnalysis {
     "t3_token_count" -> t3TokenCount,
     "t4_fingerprint" -> t4Fingerprint,
     "t5_stratified_sample" -> ((s, dir) => t5StratifiedSample(s, dir)),
+    "t6_pii_redact" -> t6PiiRedact,
   )
 }

@@ -150,6 +150,40 @@ object Streams {
       .dropDuplicatesWithinWatermark("h")
       .drop("h") // internal key — callers keep the input schema
 
+  /** Attribution window for [[intervalJoin]]: a purchase is attributed
+    * to every view by the same user in the preceding 30 minutes. */
+  val AttributionWindow = "INTERVAL 30 MINUTES"
+
+  /** st5 (shared transform): stream-stream interval join — view →
+    * purchase attribution. Equi-join on user_id with the event-time
+    * range as a post-join filter, so the batch plan is one hash
+    * shuffle per side on the user key (NOT a range cross product). The
+    * same transform over two watermarked streams is Spark's
+    * stream-stream inner join: the time-range condition plus both
+    * watermarks let the state store evict a buffered view once the
+    * purchase-side watermark passes view.ts + window (and vice versa),
+    * so streaming state is bounded by the events inside one watermark
+    * + attribution window — the requirement for an always-on 100 TB/day
+    * attribution pipeline. */
+  def intervalJoin(views: DataFrame, purchases: DataFrame): DataFrame =
+    views.alias("v").join(purchases.alias("p"),
+        col("v.user_id") === col("p.user_id") &&
+          col("p.ts") >= col("v.ts") &&
+          col("p.ts") <= col("v.ts") + expr(AttributionWindow))
+      .select(col("v.user_id").as("user_id"),
+        col("v.event_id").as("view_id"),
+        col("p.event_id").as("purchase_id"),
+        (unix_micros(col("p.ts")) - unix_micros(col("v.ts"))).as("gap_us"))
+
+  /** [[intervalJoin]] over live streams: watermark both sides, then the
+    * shared transform — Spark recognizes the equi-key + time-range shape
+    * and plans a state-evicting stream-stream join (StreamsSpec drives
+    * it with two MemoryStreams and checks parity with the batch run). */
+  def streamIntervalJoin(views: DataFrame, purchases: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    intervalJoin(views.withWatermark("ts", watermarkDelay),
+      purchases.withWatermark("ts", watermarkDelay))
+
   /** Durable stream→parquet sink: exactly-once via checkpointed file
     * sink; `Trigger.AvailableNow` drains whatever the source currently
     * has and stops, so scheduled micro-batch ingestion (the
@@ -195,6 +229,13 @@ object Streams {
   def st3Query(s: SparkSession, dir: String): DataFrame =
     sessionizeBatch(Tables.events(s, dir))
 
+  def st5Query(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    intervalJoin(e.filter(col("event_type") === "view"),
+        e.filter(col("event_type") === "purchase"))
+      .orderBy("user_id", "view_id", "purchase_id")
+  }
+
   val oracle: Map[String, String] = Map(
     "st1_stream_wordcount" ->
       """SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
@@ -207,6 +248,13 @@ object Streams {
          |  ${Exact.sqlDsum("value")} AS sum_value
          |FROM events GROUP BY 1, 2
          |ORDER BY bucket_start, event_type""".stripMargin,
+    "st5_stream_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |FROM events v JOIN events p ON v.user_id = p.user_id
+        |  AND v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTES
+        |ORDER BY v.user_id, view_id, purchase_id""".stripMargin,
     "st3_sessionize" ->
       s"""WITH x AS (
          |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
@@ -235,5 +283,6 @@ object Streams {
     "st1_stream_wordcount" -> st1Query,
     "st2_windowed_agg" -> st2Query,
     "st3_sessionize" -> st3Query,
+    "st5_stream_join" -> st5Query,
   )
 }

@@ -115,7 +115,12 @@ object Bench {
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val spreads = results.map(_._2._2).filter(_ >= 0).sorted
-    val noise = if (spreads.isEmpty) 0.0 else spreads(spreads.length / 2)
+    // same even-n median convention as the per-query medians (upper-middle
+    // alone biases the headline noise scalar high)
+    val noise =
+      if (spreads.isEmpty) 0.0
+      else if (spreads.length % 2 == 1) spreads(spreads.length / 2)
+      else (spreads(spreads.length / 2 - 1) + spreads(spreads.length / 2)) / 2.0
     // The harvester keeps only the LAST ~2000 chars of output and parses
     // the JSON line out of that tail; round 4's line (per-query spread +
     // pinned_spread maps) grew past the window and was truncated mid-line

@@ -24,11 +24,12 @@ import org.apache.spark.sql.functions._
   * by round ~10 (on a real cluster, checkpoint to the reliable store
   * instead when preemption matters).
   *
-  * Reference behavior anchor: the course dedups at record level
-  * (exercises/dedupe_exercise.py via the dedupe library's clustering) —
-  * this is the same "pairs → transitive clusters" semantic, re-expressed
-  * as the standard distributed star-contraction instead of in-memory
-  * hierarchical clustering.
+  * Reference behavior anchor: the course's dedup-on-ingest semantics
+  * (airflow/dags/twitter_airflow.py:69-92 — csv_to_sqlite appends only
+  * records not already present) stop at "drop the duplicate"; component
+  * ids additionally name which records were duplicates OF EACH OTHER —
+  * the same "pairs → transitive clusters" step, expressed as the
+  * standard distributed star contraction.
   */
 object Graph {
 
@@ -36,20 +37,32 @@ object Graph {
     * component = the minimum node id reachable from `id`. `edges` needs
     * two integral columns named `src`, `dst`; direction and duplicates
     * are irrelevant. Empty edge sets yield an empty result. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    val undirected = edges
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponentsWithRounds(edges, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of contraction rounds it
+    * took to converge — the probe-facing variant (round count is the
+    * O(log² n) claim the scale probe measures). */
+  def connectedComponentsWithRounds(edges: DataFrame,
+      maxIter: Int = 20): (DataFrame, Int) = {
+    // single EAGER cut of the upstream lineage: `nodes` and the
+    // iteration both derive from this one materialized edge set, so a
+    // possibly-expensive producer plan (for d8: the whole
+    // d2Minhash→d4Confirm screen/confirm chain) executes exactly once —
+    // deriving each from the raw plan would re-execute it per consumer
+    val base = edges
       .select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .distinct()
+      .localCheckpoint(true)
 
     // one row per node of the ORIGINAL graph (contraction rounds drop
     // nodes from the edge set as they become interior; membership must
-    // survive that)
-    val nodes = undirected.select(col("u").as("id"))
-      .unionAll(undirected.select(col("v").as("id"))).distinct()
-      .localCheckpoint(true)
+    // survive that) — cheap re-derivation from the checkpointed base
+    val nodes = base.select(col("u").as("id"))
+      .unionAll(base.select(col("v").as("id"))).distinct()
 
     /** large-star: every node links its LARGER neighbors to the minimum
       * of its closed neighborhood — long chains fold in half each round. */
@@ -78,16 +91,25 @@ object Graph {
     }
 
     /** Canonical order-insensitive signature of an edge set: count plus
-      * a sum of per-edge hashes — one cheap aggregate per round, no
-      * driver-side edge materialization. */
-    def sig(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), coalesce(sum(xxhash64(
-        least(col("u"), col("v")), greatest(col("u"), col("v")))), lit(0L)))
+      * TWO independently-salted sums of per-edge hashes — one cheap
+      * aggregate per round, no driver-side edge materialization.
+      * Convergence is declared only when count AND both hash sums match:
+      * a false stop needs two different edge sets to collide on two
+      * independent 64-bit sums simultaneously (~2⁻¹²⁸ per round — not a
+      * realistic failure mode, vs ~2⁻⁶⁴ for a single sum where "cheap to
+      * harden" applies). */
+    def sig(e: DataFrame): (Long, Long, Long) = {
+      val a = least(col("u"), col("v"))
+      val b = greatest(col("u"), col("v"))
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(a, b)), lit(0L)),
+        // distinct leading literal ⇒ an independent hash family
+        coalesce(sum(xxhash64(lit(0x9E3779B97F4A7C15L), a, b)), lit(0L)))
         .head()
-      (r.getLong(0), r.getLong(1))
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     }
 
-    var cur = undirected.localCheckpoint(true)
+    var cur = base
     var curSig = sig(cur)
     var converged = cur.isEmpty
     var iter = 0
@@ -105,7 +127,8 @@ object Graph {
     // ended up only as centers (or whose component is a single edge
     // already canonical) are their own component
     val membership = cur.select(col("u").as("id"), col("v").as("component"))
-    nodes.join(membership, Seq("id"), "left")
+    val out = nodes.join(membership, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    (out, iter)
   }
 }

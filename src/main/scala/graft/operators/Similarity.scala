@@ -281,8 +281,9 @@ object Similarity {
           val cent = rows.sortBy(_._1).map(_._2)
           // trust the artifact only if complete AND its embedded
           // checksum matches what the loaded floats re-derive to
-          if (rows.length == IvfCells &&
-              rows.forall(_._3 == centroidSig(cent))) Some(cent)
+          val expected = centroidSig(cent)
+          if (rows.length == IvfCells && rows.forall(_._3 == expected))
+            Some(cent)
           else None
         } catch { case _: Exception => None }
       loaded.getOrElse {

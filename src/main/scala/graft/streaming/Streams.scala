@@ -177,8 +177,11 @@ object Streams {
 
   /** [[intervalJoin]] over live streams: watermark both sides, then the
     * shared transform — Spark recognizes the equi-key + time-range shape
-    * and plans a state-evicting stream-stream join (StreamsSpec drives
-    * it with two MemoryStreams and checks parity with the batch run). */
+    * and plans a state-evicting stream-stream join. StreamsSpec drives
+    * it with two MemoryStreams: one test checks parity with the batch
+    * run, one proves the state bound (a view behind watermark +
+    * attribution window is evicted and a late purchase that batch
+    * semantics would match produces nothing). */
   def streamIntervalJoin(views: DataFrame, purchases: DataFrame,
       watermarkDelay: String = "10 minutes"): DataFrame =
     intervalJoin(views.withWatermark("ts", watermarkDelay),
@@ -248,12 +251,18 @@ object Streams {
          |  ${Exact.sqlDsum("value")} AS sum_value
          |FROM events GROUP BY 1, 2
          |ORDER BY bucket_start, event_type""".stripMargin,
+    // the join predicate compares epoch_us (not raw TIMESTAMP_NS) so the
+    // oracle's boundary precision matches the Spark side EXPLICITLY —
+    // Tables.events truncates the int64-nanos column to micros, and a
+    // corpus with sub-microsecond components would otherwise diverge at
+    // the >=/<= edges (st3's oracle normalizes the same way)
     "st5_stream_join" ->
       """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
         |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
         |FROM events v JOIN events p ON v.user_id = p.user_id
         |  AND v.event_type = 'view' AND p.event_type = 'purchase'
-        |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTES
+        |  AND epoch_us(p.ts) >= epoch_us(v.ts)
+        |  AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000
         |ORDER BY v.user_id, view_id, purchase_id""".stripMargin,
     "st3_sessionize" ->
       s"""WITH x AS (

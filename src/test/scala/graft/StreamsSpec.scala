@@ -159,6 +159,94 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st5: stream-stream interval join matches the batch intervalJoin on the same events") {
+    val sess = s
+    import sess.implicits._
+    def ts(iso: String) =
+      java.sql.Timestamp.from(java.time.Instant.parse(iso))
+    val vIn = MemoryStream[(java.sql.Timestamp, Long, Long)](s)
+    val pIn = MemoryStream[(java.sql.Timestamp, Long, Long)](s)
+    val views = vIn.toDF().toDF("ts", "user_id", "event_id")
+    val purchases = pIn.toDF().toDF("ts", "user_id", "event_id")
+    val q = Streams.streamIntervalJoin(views, purchases, "10 minutes")
+      .writeStream.format("memory").queryName("st5_out")
+      .outputMode("append").start()
+    try {
+      val vRows = Seq(
+        (ts("2024-01-01T00:00:00Z"), 1L, 10L),
+        (ts("2024-01-01T00:20:00Z"), 1L, 11L),
+        (ts("2024-01-01T00:00:00Z"), 2L, 12L), // user 2 never purchases
+        (ts("2024-01-01T01:30:00Z"), 3L, 13L)) // outside every window
+      val pRows = Seq(
+        (ts("2024-01-01T00:25:00Z"), 1L, 20L), // inside both user-1 views
+        (ts("2024-01-01T00:45:00Z"), 1L, 21L), // inside view 11 only
+        (ts("2024-01-01T00:10:00Z"), 3L, 22L)) // before user 3's view
+      vIn.addData(vRows: _*)
+      pIn.addData(pRows: _*)
+      q.processAllAvailable()
+      val got = s.table("st5_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val expected = Streams.intervalJoin(
+        vRows.toDF("ts", "user_id", "event_id"),
+        pRows.toDF("ts", "user_id", "event_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(expected == Set(
+        (1L, 10L, 20L, 25L * 60 * 1000000),
+        (1L, 11L, 20L, 5L * 60 * 1000000),
+        (1L, 11L, 21L, 25L * 60 * 1000000)))
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("st5 eviction: a view behind watermark + attribution window no longer matches a late purchase") {
+    val sess = s
+    import sess.implicits._
+    def ts(iso: String) =
+      java.sql.Timestamp.from(java.time.Instant.parse(iso))
+    val vIn = MemoryStream[(java.sql.Timestamp, Long, Long)](s)
+    val pIn = MemoryStream[(java.sql.Timestamp, Long, Long)](s)
+    val q = Streams.streamIntervalJoin(
+        vIn.toDF().toDF("ts", "user_id", "event_id"),
+        pIn.toDF().toDF("ts", "user_id", "event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("st5_evict")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1's view, plus a matched pair far ahead on BOTH
+      // sides — the join watermark is the min over both inputs, so both
+      // must advance past 00:00 + 30min window + 10min delay
+      vIn.addData(
+        (ts("2024-01-01T00:00:00Z"), 1L, 10L),
+        (ts("2024-01-01T06:00:00Z"), 9L, 11L))
+      pIn.addData((ts("2024-01-01T06:01:00Z"), 9L, 20L))
+      q.processAllAvailable()
+      // batch 2: nudge so state cleanup for the 00:00 view runs
+      vIn.addData((ts("2024-01-01T06:10:00Z"), 9L, 12L))
+      pIn.addData((ts("2024-01-01T06:11:00Z"), 9L, 21L))
+      q.processAllAvailable()
+      // the stream has DROPPED user 1's view from state: buffered rows
+      // behind watermark − attribution window are evicted (that bound —
+      // not corpus history — is what sizes an always-on join's state)
+      val stateRows = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(stateRows <= 4,
+        s"state still holds $stateRows rows — the 00:00 view was not evicted")
+      // batch 3: a late purchase that WOULD match the evicted view in
+      // batch semantics produces nothing in the stream
+      pIn.addData((ts("2024-01-01T00:10:00Z"), 1L, 22L))
+      q.processAllAvailable()
+      val u1 = s.table("st5_evict").collect().filter(_.getLong(0) == 1L)
+      assert(u1.isEmpty,
+        "late purchase matched an evicted view — state did not bound")
+      // ...while the batch formulation on the same rows DOES match it
+      // (the difference is exactly the streaming state bound)
+      val batch = Streams.intervalJoin(
+        Seq((ts("2024-01-01T00:00:00Z"), 1L, 10L)).toDF("ts", "user_id", "event_id"),
+        Seq((ts("2024-01-01T00:10:00Z"), 1L, 22L)).toDF("ts", "user_id", "event_id"))
+      assert(batch.count() == 1)
+    } finally q.stop()
+  }
+
   test("st3: flatMapGroupsWithState sessionization agrees with the batch window formulation") {
     val sess = s
     import sess.implicits._

@@ -99,7 +99,13 @@ object Bench {
 
     timed(noopWrite(SparkEntry.queries("q1_multi_agg")(spark, sfDir))) // warmup
 
+    // dev-only subset selector (csv of query names): lets a bisect time
+    // one query under the EXACT bench protocol (same JVM flags, warmup,
+    // runs, cleanup) without paying for the whole sweep. Unset = all.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val results = names.map { n =>
       n -> sample(noopWrite(SparkEntry.queries(n)(spark, sfDir)))
     }

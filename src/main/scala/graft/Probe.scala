@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev-only scale probe: builds 10×-scaled variants of the embeddings
@@ -18,16 +18,29 @@ import org.apache.spark.sql.functions._
   *    collapse ever regresses).
   *
   * Usage: sbt "runMain graft.Probe [sfDir]"; prints one line per case.
+  * SPARK_GRAFT_PROBE_SECTIONS (csv of d5,d3,q25,d8; default all) picks
+  * which probe families run — each is minutes of wall, and iterating on
+  * one should not pay for the others.
   */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sections = sys.env.getOrElse("SPARK_GRAFT_PROBE_SECTIONS",
+      "d5,d3,q25,d8").split(",").map(_.trim).toSet
     val spark: SparkSession = GraftSession
       .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (sections("d5")) probeD5(spark, sfDir)
+    if (sections("d3")) probeD3(spark)
+    if (sections("q25")) probeQ25(spark)
+    if (sections("d8")) probeD8(spark)
+    spark.stop()
+  }
+
+  private def probeD5(spark: SparkSession, sfDir: String): Unit = {
     val e = Tables.embeddings(spark, sfDir)
     val n = e.count()
     val copies = spark.range(10).withColumnRenamed("id", "copy")
@@ -72,7 +85,9 @@ object Probe {
     time("d5_x10_distinct", s"$base/x10distinct")
     time("d5_x100_distinct", s"$base/x100distinct")
     time("d5_x10_dup", s"$base/x10dup")
+  }
 
+  private def probeD3(spark: SparkSession): Unit = {
     // ---- d3 banding: 10×/100× distinct-fingerprint curve + a planted
     // dense region. Fingerprints are synthesized directly (xxhash64 of
     // a range — uniform over the 60-bit space, like simhash over
@@ -105,7 +120,9 @@ object Probe {
     d3Probe("d3_n50k", 50000, dense = false)
     d3Probe("d3_n500k", 500000, dense = false)
     d3Probe("d3_n500k_dense", 500000, dense = true)
+  }
 
+  private def probeQ25(spark: SparkSession): Unit = {
     // ---- q25 salting under a planted power-law key: ONE user owns 10%
     // of a 20M-row fact side (the shape q25's oracle proves transparent
     // but the gate corpus never stresses). Broadcast and AQE are off so
@@ -181,6 +198,53 @@ object Probe {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
     }
-    spark.stop()
+  }
+
+  /** ---- d8 star contraction: planted-graph scaling curves through
+    * [[graft.operators.Graph.connectedComponentsWithRounds]], so the
+    * O(log² n) round bound and near-linear per-round cost are MEASURED
+    * (the last dedup-family member whose 100 TB claim was argued, not
+    * probed). Three shapes at 10×/100× node counts:
+    *  - chain: diameter = n — the adversarial case star contraction
+    *    exists for (naive min-label propagation needs n rounds; the
+    *    round count here must grow ~log n, the wall ~n·log n);
+    *  - giant: one random-tree component (edge i → xxhash64(i) mod i) —
+    *    everything reachable, O(log n) diameter, stresses the
+    *    groupBy-min fan-in once contraction funnels the whole graph
+    *    into a single component id (the hot-key shape);
+    *  - smalls: n/10 ready-made stars of 10 — converges in ~2 rounds,
+    *    isolating per-round fixed cost from contraction work.
+    * Components are sanity-checked after timing (1, 1, n/10) so a probe
+    * that converged WRONG can't publish a flattering curve. */
+  private def probeD8(spark: SparkSession): Unit = {
+    def d8Probe(name: String, n: Long, edges: DataFrame,
+        expectComponents: Long): Unit = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      val (comp, rounds) = graft.operators.Graph
+        .connectedComponentsWithRounds(edges, maxIter = 40)
+      comp.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // untimed (membership re-derives from checkpointed RDDs — cheap)
+      val nComp = comp.agg(countDistinct("component")).head().getLong(0)
+      require(nComp == expectComponents,
+        s"$name converged to $nComp components, expected $expectComponents")
+      println(f"""{"probe":"$name","nodes":$n,"rounds":$rounds,""" +
+        f""""components":$nComp,"sec":$sec%.2f}""")
+    }
+    def chain(n: Long) = spark.range(1, n)
+      .select((col("id") - 1).as("src"), col("id").as("dst"))
+    def giant(n: Long) = spark.range(1, n)
+      .select(expr("pmod(xxhash64(id), id)").as("src"), col("id").as("dst"))
+    def smalls(n: Long) = spark.range(n).filter(col("id") % 10 =!= 0)
+      .select((col("id") - col("id") % 10).as("src"), col("id").as("dst"))
+
+    // untimed warmup absorbs codegen/session startup like the d5 probe
+    d8Probe("d8_warmup", 50000, chain(50000), 1)
+    for (n <- Seq(50000L, 500000L, 5000000L)) {
+      d8Probe(s"d8_chain_n$n", n, chain(n), 1)
+      d8Probe(s"d8_giant_n$n", n, giant(n), 1)
+      d8Probe(s"d8_smalls_n$n", n, smalls(n), n / 10)
+    }
   }
 }

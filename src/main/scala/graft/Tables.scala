@@ -36,4 +36,21 @@ object Tables {
   }
   def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "documents"))
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "embeddings"))
+
+  /** Metadata-only fingerprint of one table: path + per-file
+    * (name, length, mtime). One FS listing, no data read — the cache key
+    * for per-corpus memoization (Similarity centroids, Dedup confirmed
+    * pairs): a re-ingested corpus at the same path changes file
+    * lengths/mtimes and misses the cache, so a long-lived JVM can never
+    * serve results computed on a previous corpus generation. */
+  def fingerprint(s: SparkSession, dir: String, table: String): String = {
+    val path = new org.apache.hadoop.fs.Path(p(dir, table))
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(path)
+      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir\n$entries".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
 }

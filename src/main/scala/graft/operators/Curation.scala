@@ -50,7 +50,67 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Max duplicate-cluster size admitted by [[c2ClusterCuration]]:
+    * clusters larger than this are dropped WHOLE — at corpus scale a
+    * huge near-dup cluster is boilerplate (cookie banners, templated
+    * pages), and no representative of it belongs in training data.
+    * 3 keeps pairs/triples (genuine re-posts) and drops the planted
+    * larger clusters at every test SF. Shared with the DuckDB oracle. */
+  val MaxClusterSize = 3
+
+  /** c2: cluster-aware curation — the d8 consumer. Where c1 applies the
+    * greedy keep-list (keep the minimum doc_id of each confirmed PAIR),
+    * c2 uses d8's transitive cluster ids to apply the two policies that
+    * need whole-cluster visibility: a cluster-size cap (drop boilerplate
+    * clusters entirely, see [[MaxClusterSize]]) and a canonical-
+    * representative pick (keep each cluster's HIGHEST-QUALITY member by
+    * t2 score, not its lowest id; ties break to the smaller doc_id).
+    * Returns (doc_id, cluster_id, cluster_size, score) for each kept
+    * representative — singleton "clusters" pass through as themselves.
+    *
+    * Scale shape: one hash aggregation on cluster_id computes size and
+    * argmax TOGETHER (`max(struct(score, -doc_id, doc_id))` — field-wise
+    * struct ordering gives max-score-then-min-id), with map-side partial
+    * aggregation, so a pathological million-member boilerplate cluster
+    * costs one combine per partition instead of a full per-cluster sort
+    * (the window-function spelling would sort every cluster). Upstream,
+    * the cluster ids and quality scores are both linear passes; the
+    * confirmed-pairs subtree is shared via [[Dedup.confirmedPairs]]. */
+  def c2ClusterCuration(s: SparkSession, dir: String): DataFrame = {
+    val quality = TextAnalysis.t2QualityScore(s, dir).select("doc_id", "score")
+    Dedup.d8DedupClusters(s, dir)
+      .join(quality, "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("score"), (-col("doc_id")).as("neg"),
+          col("doc_id"))).as("best"))
+      .filter(col("cluster_size") <= MaxClusterSize)
+      .select(col("best.doc_id").as("doc_id"), col("cluster_id"),
+        col("cluster_size"), col("best.score").as("score"))
+      .orderBy("doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "c2_cluster_curation" ->
+      s"""${Dedup.sqlClusterCtes},
+         |m AS (SELECT doc_id,
+         |    CAST(len(toks) AS INTEGER) AS n_tok,
+         |    CAST(len(list_filter(toks,
+         |      t -> t IN (${TextAnalysis.sqlStopList}))) AS BIGINT) AS n_stop
+         |  FROM tok_t),
+         |q AS (SELECT doc_id, ${TextAnalysis.sqlScore("n_stop", "n_tok")}
+         |    AS score
+         |  FROM m),
+         |sized AS (
+         |  SELECT clus.doc_id, clus.cluster_id, q.score,
+         |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY q.score DESC, clus.doc_id) AS rk
+         |  FROM clus JOIN q ON q.doc_id = clus.doc_id)
+         |SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT)
+         |    AS cluster_size, score
+         |FROM sized WHERE rk = 1 AND cluster_size <= $MaxClusterSize
+         |ORDER BY doc_id""".stripMargin,
     "c1_curation_pipeline" ->
       s"""${Dedup.sqlConfirmedCtes},
          |m AS (SELECT doc_id, lang,
@@ -73,5 +133,6 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_curation_pipeline" -> c1CurationPipeline,
+    "c2_cluster_curation" -> c2ClusterCuration,
   )
 }

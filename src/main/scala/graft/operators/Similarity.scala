@@ -231,19 +231,10 @@ object Similarity {
     centroidCache.clear(); lastCorpusKey = None
   }
 
-  /** Metadata-only fingerprint of the corpus: path + per-file
-    * (name, length, mtime) of the embeddings table. One FS listing, no
-    * data read. */
-  private def corpusFingerprint(s: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val entries = fs.listStatus(p)
-      .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-      .sorted.mkString("\n")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir\n$entries".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-  }
+  /** Metadata-only fingerprint of the embeddings table —
+    * [[graft.Tables.fingerprint]]: one FS listing, no data read. */
+  private def corpusFingerprint(s: SparkSession, dir: String): String =
+    graft.Tables.fingerprint(s, dir, "embeddings")
 
   private def artifactPath(s: SparkSession, key: String): String = {
     val base = s.conf.get("spark.graft.centroids.dir",

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, Dedup, TextAnalysis}
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val dir = TestSpark.SfDir
+
+  test("c2 keeps exactly one representative per small cluster: highest score, min-id ties") {
+    val clusters = Dedup.d8DedupClusters(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val scores = TextAnalysis.t2QualityScore(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    // independent reference: group docs by cluster id, cap, argmax
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val expected = byCluster
+      .filter(_._2.length <= Curation.MaxClusterSize)
+      .map { case (cid, members) =>
+        val best = members.minBy(id => (-scores(id), id))
+        best -> (cid, members.length.toLong, scores(best))
+      }
+    val out = Curation.c2ClusterCuration(s, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out == expected)
+    // the corpus must actually exercise both policies, or this test
+    // proves nothing: some multi-member cluster kept, some cluster
+    // dropped whole by the size cap
+    assert(expected.exists(_._2._2 > 1), "no multi-member cluster kept")
+    assert(byCluster.exists(_._2.length > Curation.MaxClusterSize),
+      "no cluster large enough to be dropped by the cap")
+    // a kept representative is NOT always the cluster minimum id —
+    // otherwise c2 would be indistinguishable from the greedy keep-list
+    val notMin = expected.exists { case (kept, (cid, sz, _)) =>
+      sz > 1 && kept != byCluster(cid).min
+    }
+    assert(notMin, "every representative was the min id; argmax untested")
+  }
+
+  test("confirmedPairs builds the screen/confirm chain once across d6/d8/c1/c2") {
+    Dedup.clearConfirmedCache()
+    val before = Dedup.confirmedBuildCount.get()
+    val d6 = Dedup.d6DedupPipeline(s, dir).collect()
+    Dedup.d8DedupClusters(s, dir).collect()
+    Curation.c1CurationPipeline(s, dir).collect()
+    Curation.c2ClusterCuration(s, dir).collect()
+    assert(Dedup.confirmedBuildCount.get() == before + 1,
+      "screen/confirm chain executed more than once across the four consumers")
+    // cached result must be indistinguishable from the uncached spelling
+    val uncached = Dedup.dedupKeepList(s, dir,
+      Dedup.d4Confirm(s, dir, Dedup.d2Minhash(s, dir))).collect()
+    assert(d6.map(_.getLong(0)).sameElements(uncached.map(_.getLong(0))))
+  }
+
+  test("confirmedPairs cache invalidates when the corpus fingerprint changes") {
+    Dedup.clearConfirmedCache()
+    val before = Dedup.confirmedBuildCount.get()
+    Dedup.confirmedPairs(s, dir).count()
+    Dedup.confirmedPairs(s, dir).count()
+    assert(Dedup.confirmedBuildCount.get() == before + 1)
+    // a different corpus dir is a different fingerprint -> fresh build
+    Dedup.confirmedPairs(s, "/root/testdata/sf0.01").count()
+    assert(Dedup.confirmedBuildCount.get() == before + 2)
+  }
+}

@@ -146,40 +146,77 @@ object TextAnalysis {
 
   /** PII regexes shared by [[t6PiiRedact]], its oracle and its spec.
     * Kept to syntax with identical semantics in Java regex (Spark) and
-    * RE2 (DuckDB): character classes, bounded/unbounded repeats, no
-    * backrefs or lookaround. */
+    * RE2 (DuckDB): character classes, bounded/unbounded repeats, `\b`
+    * word boundaries (ASCII in both engines on this corpus), no
+    * backrefs or lookaround. The `\b` anchors on [[Ipv4Re]]/[[CardRe]]
+    * are what reject the near-miss families: a version string `v1.2.3`,
+    * an oversize octet `999.1.1.1`, an order id `ORD4111...` (digits
+    * glued to letters — no word boundary to start at) and 15/17-digit
+    * runs all fail without lookaround. */
   val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
   val PhoneRe = """\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"""
+  val Ipv4Re = """\b(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}\b"""
+  val CardRe = """\b[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}\b"""
 
-  /** t6: PII scrubbing — count and redact email addresses and phone
-    * numbers, the compliance pass every training-data pipeline runs
-    * before text leaves curation. Pure projection (regex count +
-    * replace per row, no shuffle). The synthetic corpus contains no
-    * organic PII (word-soup text, zero digits), so the entry PLANTS a
-    * deterministic email + phone per document inside the query and
-    * proves end-to-end removal: the oracle hash-matches the redacted
-    * bytes (md5) and `residual` re-scans the output for both patterns
-    * — 0 means nothing survived. Organic-text behavior (PII mid-text,
-    * multiple hits, near-miss non-PII) is spec-covered on crafted
-    * strings. */
+  /** All PII families in REDACTION ORDER (applied left to right; the
+    * earlier families' replacement tokens contain no digits or dots, so
+    * later patterns cannot match across a redaction). */
+  private[graft] val PiiFamilies: Seq[(String, String)] = Seq(
+    EmailRe -> "<EMAIL>", PhoneRe -> "<PHONE>",
+    Ipv4Re -> "<IP>", CardRe -> "<CARD>")
+
+  /** Appends PII stats to a frame with a `pii_text` column: per-family
+    * match counts (`n_emails`/`n_phones`/`n_ips`/`n_cards`), the
+    * fully-redacted text, and `residual` — a re-scan of the redacted
+    * text with every family (0 = nothing survived). Shared by the t6
+    * gate entry and the crafted-string spec so they cannot drift. */
+  private[graft] def piiScrub(df: DataFrame): DataFrame = {
+    val redacted = PiiFamilies.foldLeft(col("pii_text")) {
+      case (c, (re, token)) => regexp_replace(c, re, token)
+    }
+    def countAll(c: org.apache.spark.sql.Column) =
+      PiiFamilies.map { case (re, _) => regexp_count(c, lit(re)) }
+        .reduce(_ + _)
+    df.withColumn("n_emails", regexp_count(col("pii_text"), lit(EmailRe)).cast("int"))
+      .withColumn("n_phones", regexp_count(col("pii_text"), lit(PhoneRe)).cast("int"))
+      .withColumn("n_ips", regexp_count(col("pii_text"), lit(Ipv4Re)).cast("int"))
+      .withColumn("n_cards", regexp_count(col("pii_text"), lit(CardRe)).cast("int"))
+      .withColumn("redacted", redacted)
+      .withColumn("residual", countAll(col("redacted")).cast("int"))
+  }
+
+  /** t6: PII scrubbing — count and redact email addresses, phone
+    * numbers, IPv4 addresses and 16-digit card numbers, the compliance
+    * pass every training-data pipeline runs before text leaves
+    * curation. Pure projection (regex count + replace per row, no
+    * shuffle). The synthetic corpus contains no organic PII (word-soup
+    * text, zero digits), so the entry PLANTS one deterministic hit per
+    * family AND one near-miss per family (version string, oversize
+    * octet, letter-glued order id) inside the query and proves
+    * end-to-end removal: the oracle hash-matches the redacted bytes
+    * (md5), the per-family counts pin each pattern to EXACTLY its one
+    * planted hit (a near-miss firing would break the hash), and
+    * `residual` re-scans the output for all four patterns — 0 means
+    * nothing survived. Organic-text behavior (PII mid-text, multiple
+    * hits, more near-miss shapes) is spec-covered on crafted strings
+    * through the same [[piiScrub]] helper. */
   def t6PiiRedact(s: SparkSession, dir: String): DataFrame = {
     val planted = concat(col("text"),
       lit(" contact user"), col("doc_id").cast("string"),
       lit("@example.com or call +1-555-"),
-      lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" now"))
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), (col("doc_id") % 200).cast("string"),
+      lit(".0."), (col("doc_id") % 250).cast("string"),
+      lit(" card 4111-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit("-9012-"),
+      lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+      lit(" v1.2.3 build 999.1.1.1 order ORD4111222233334444 now"))
     Tables.documents(s, dir)
       .withColumn("pii_text", planted)
-      .withColumn("n_emails",
-        regexp_count(col("pii_text"), lit(EmailRe)).cast("int"))
-      .withColumn("n_phones",
-        regexp_count(col("pii_text"), lit(PhoneRe)).cast("int"))
-      .withColumn("redacted",
-        regexp_replace(regexp_replace(col("pii_text"), EmailRe, "<EMAIL>"),
-          PhoneRe, "<PHONE>"))
-      .withColumn("residual",
-        (regexp_count(col("redacted"), lit(EmailRe)) +
-          regexp_count(col("redacted"), lit(PhoneRe))).cast("int"))
+      .transform(piiScrub)
       .select(col("doc_id"), col("n_emails"), col("n_phones"),
+        col("n_ips"), col("n_cards"),
         md5(col("redacted")).as("redacted_md5"), col("residual"))
       .orderBy("doc_id")
   }
@@ -262,7 +299,14 @@ object TextAnalysis {
       s"""WITH p AS (
          |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
          |    || '@example.com or call +1-555-'
-         |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now'
+         |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |    || ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+         |    || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+         |    || ' card 4111-'
+         |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |    || '-9012-'
+         |    || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+         |    || ' v1.2.3 build 999.1.1.1 order ORD4111222233334444 now'
          |    AS pii_text
          |  FROM documents),
          |r AS (
@@ -271,13 +315,22 @@ object TextAnalysis {
          |      AS n_emails,
          |    CAST(len(regexp_extract_all(pii_text, '$PhoneRe')) AS INTEGER)
          |      AS n_phones,
-         |    regexp_replace(regexp_replace(pii_text,
-         |      '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g')
+         |    CAST(len(regexp_extract_all(pii_text, '$Ipv4Re')) AS INTEGER)
+         |      AS n_ips,
+         |    CAST(len(regexp_extract_all(pii_text, '$CardRe')) AS INTEGER)
+         |      AS n_cards,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      pii_text, '$EmailRe', '<EMAIL>', 'g'),
+         |      '$PhoneRe', '<PHONE>', 'g'),
+         |      '$Ipv4Re', '<IP>', 'g'), '$CardRe', '<CARD>', 'g')
          |      AS redacted
          |  FROM p)
-         |SELECT doc_id, n_emails, n_phones, md5(redacted) AS redacted_md5,
+         |SELECT doc_id, n_emails, n_phones, n_ips, n_cards,
+         |  md5(redacted) AS redacted_md5,
          |  CAST(len(regexp_extract_all(redacted, '$EmailRe'))
-         |    + len(regexp_extract_all(redacted, '$PhoneRe')) AS INTEGER)
+         |    + len(regexp_extract_all(redacted, '$PhoneRe'))
+         |    + len(regexp_extract_all(redacted, '$Ipv4Re'))
+         |    + len(regexp_extract_all(redacted, '$CardRe')) AS INTEGER)
          |    AS residual
          |FROM r ORDER BY doc_id""".stripMargin,
     "t4_fingerprint" ->

@@ -85,6 +85,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 
+  test("t6 families: crafted positives redact fully; near-misses survive byte-identical") {
+    val sess = s
+    import sess.implicits._
+    // (text, n_emails, n_phones, n_ips, n_cards)
+    val cases = Seq(
+      // positives, including mid-text and multiple hits per family
+      ("mail bob.smith+tag@sub.example.co.uk and a@b.io today", 2, 0, 0, 0),
+      ("call +44-020-7946 or 1-555-0100 right now", 0, 2, 0, 0),
+      ("hosts 192.168.0.1 and 255.255.255.255 and 0.0.0.0 up", 0, 0, 3, 0),
+      ("pay 4111 1111 1111 1111 or 4111-1111-1111-1111 or 4111111111111111", 0, 0, 0, 3),
+      ("user9@example.com at 10.0.0.9 card 4000-1234-5678-9010 call +1-555-0042", 1, 1, 1, 1),
+      // near-misses: version strings, oversize octets, octet glued to
+      // more digits, order ids (digits after letters), 15/17-digit runs
+      ("release v1.2.3 then 999.1.1.1 then 1.2.3.400 shipped", 0, 0, 0, 0),
+      ("order ORD4111222233334444 ref 41112222333344445 id 411122223333444", 0, 0, 0, 0),
+      ("", 0, 0, 0, 0),
+    )
+    val out = graft.operators.TextAnalysis.piiScrub(
+      cases.toDF("pii_text", "e", "p", "i", "c")).collect()
+    out.foreach { r =>
+      val text = r.getAs[String]("pii_text")
+      assert(r.getAs[Int]("n_emails") == r.getAs[Int]("e"), s"emails in '$text'")
+      assert(r.getAs[Int]("n_phones") == r.getAs[Int]("p"), s"phones in '$text'")
+      assert(r.getAs[Int]("n_ips") == r.getAs[Int]("i"), s"ips in '$text'")
+      assert(r.getAs[Int]("n_cards") == r.getAs[Int]("c"), s"cards in '$text'")
+      assert(r.getAs[Int]("residual") == 0, s"residual PII in '$text'")
+      val untouched = Seq("e", "p", "i", "c").forall(c => r.getAs[Int](c) == 0)
+      if (untouched)
+        assert(r.getAs[String]("redacted") == text,
+          s"near-miss-only text was altered: '$text'")
+      else
+        assert(r.getAs[String]("redacted") != text)
+    }
+  }
+
   test("property: rolling hash matches a reference fold on generated ascii strings") {
     import org.apache.spark.sql.functions._
     val params = org.scalacheck.Gen.Parameters.default

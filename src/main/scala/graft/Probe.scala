@@ -37,6 +37,7 @@ object Probe {
     if (sections("d3")) probeD3(spark)
     if (sections("q25")) probeQ25(spark)
     if (sections("d8")) probeD8(spark)
+    if (sections("d8ab")) probeD8AB(spark) // not in the default set
     spark.stop()
   }
 
@@ -245,6 +246,41 @@ object Probe {
       d8Probe(s"d8_chain_n$n", n, chain(n), 1)
       d8Probe(s"d8_giant_n$n", n, giant(n), 1)
       d8Probe(s"d8_smalls_n$n", n, smalls(n), n / 10)
+    }
+  }
+
+  /** ---- d8 round-spelling A/B: composed smallStar∘largeStar round
+    * (one eager lineage cut per round) vs additionally checkpointing
+    * BETWEEN the stars (kills smallStar's triple re-execution of the
+    * largeStar subtree, pays one more materialization barrier per
+    * round). Separate sequential probe runs could not settle this —
+    * chain_n500000 swung 36–118s across runs of the SAME binary on the
+    * shared box — so the variants run INTERLEAVED in one JVM, several
+    * pairs, and the verdict is the per-pair ordering, not absolute
+    * seconds. Not in the default section set: it exists to justify the
+    * production spelling, not to re-measure it every round. */
+  private def probeD8AB(spark: SparkSession): Unit = {
+    def chain(n: Long) = spark.range(1, n)
+      .select((col("id") - 1).as("src"), col("id").as("dst"))
+    def giant(n: Long) = spark.range(1, n)
+      .select(expr("pmod(xxhash64(id), id)").as("src"), col("id").as("dst"))
+    def run(edges: org.apache.spark.sql.DataFrame, split: Boolean): Double = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      val (comp, _) = graft.operators.Graph
+        .connectedComponentsWithRounds(edges, maxIter = 40,
+          splitRoundCheckpoints = split)
+      comp.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(chain(50000), split = false) // untimed warmup
+    for (rep <- 1 to 3; split <- Seq(false, true)) {
+      val sec = run(chain(500000), split)
+      println(f"""{"probe":"d8ab_chain_n500000","rep":$rep,"split":$split,"sec":$sec%.2f}""")
+    }
+    for (rep <- 1 to 2; split <- Seq(false, true)) {
+      val sec = run(giant(500000), split)
+      println(f"""{"probe":"d8ab_giant_n500000","rep":$rep,"split":$split,"sec":$sec%.2f}""")
     }
   }
 }

@@ -42,9 +42,20 @@ object Graph {
 
   /** [[connectedComponents]] plus the number of contraction rounds it
     * took to converge — the probe-facing variant (round count is the
-    * O(log² n) claim the scale probe measures). */
+    * O(log² n) claim the scale probe measures).
+    *
+    * `splitRoundCheckpoints` exists ONLY for the A/B probe
+    * (Probe `d8ab`): true additionally cuts lineage between the stars,
+    * eliminating smallStar's triple re-execution of the largeStar
+    * subtree at the price of one extra eager materialization per
+    * round. The interleaved A/B measured the two spellings
+    * indistinguishable (SURVEY §5) — the recompute is pipelined map
+    * work that costs about what the extra barrier saves — so
+    * production keeps the composed round (simpler, one cut per
+    * round). */
   def connectedComponentsWithRounds(edges: DataFrame,
-      maxIter: Int = 20): (DataFrame, Int) = {
+      maxIter: Int = 20,
+      splitRoundCheckpoints: Boolean = false): (DataFrame, Int) = {
     // single EAGER cut of the upstream lineage: `nodes` and the
     // iteration both derive from this one materialized edge set, so a
     // possibly-expensive producer plan (for d8: the whole
@@ -63,32 +74,6 @@ object Graph {
     // survive that) — cheap re-derivation from the checkpointed base
     val nodes = base.select(col("u").as("id"))
       .unionAll(base.select(col("v").as("id"))).distinct()
-
-    /** large-star: every node links its LARGER neighbors to the minimum
-      * of its closed neighborhood — long chains fold in half each round. */
-    def largeStar(e: DataFrame): DataFrame = {
-      val adj = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      val m = adj.groupBy("u").agg(min("v").as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      adj.join(m, "u").filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v"))
-        .distinct()
-    }
-
-    /** small-star: every node links its SMALLER neighbors (and itself)
-      * to the minimum among them — flattens the downward edges produced
-      * by large-star into a star. */
-    def smallStar(e: DataFrame): DataFrame = {
-      val down = e.select(greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v"))
-      val m = down.groupBy("u").agg(min("v").as("m"))
-      down.join(m, "u")
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionAll(m.select(col("u"), col("m").as("v")))
-        .filter(col("u") =!= col("v"))
-        .distinct()
-    }
 
     /** Canonical order-insensitive signature of an edge set: count plus
       * TWO independently-salted sums of per-edge hashes — one cheap
@@ -114,7 +99,22 @@ object Graph {
     var converged = cur.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      // ONE eager cut per round, of the COMPOSED round: smallStar
+      // embeds largeStar three times (groupBy-min, join probe, the
+      // union's m branch) and exchange reuse does not canonicalize
+      // across the embeddings (the distinct() collapses differently
+      // into each downstream aggregate), so the composed plan
+      // recomputes the largeStar subtree. The round-8 interleaved A/B
+      // (Probe `d8ab`, SURVEY §5) measured composed vs
+      // split-checkpoint rounds indistinguishable — the recompute is
+      // pipelined map work costing about what the extra eager
+      // materialization barrier saves — so the composed spelling wins
+      // on simplicity; on a real cluster it also avoids one
+      // distributed-store write per round.
+      val ls =
+        if (splitRoundCheckpoints) largeStar(cur).localCheckpoint(true)
+        else largeStar(cur)
+      val next = smallStar(ls).localCheckpoint(true)
       val nextSig = sig(next)
       converged = nextSig == curSig
       cur = next; curSig = nextSig; iter += 1
@@ -130,5 +130,38 @@ object Graph {
     val out = nodes.join(membership, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
     (out, iter)
+  }
+
+  /** large-star: every node links its LARGER neighbors to the minimum
+    * of its closed neighborhood — long chains fold in half each round.
+    * Object-level (not nested in the driver loop) so GraphSpec can put
+    * ONE round's executed plan under audit: every shuffle in a round
+    * must be a keyed hashpartitioning on node id / edge identity —
+    * never a cartesian, range or single-partition exchange. */
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
+    val adj = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val m = adj.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    adj.join(m, "u").filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** small-star: every node links its SMALLER neighbors (and itself)
+    * to the minimum among them — flattens the downward edges produced
+    * by large-star into a star. `m` (one row per star center) feeds
+    * both the join build side and the union's center→min branch —
+    * recomputed, not materialized (the round-8 A/B found eager cuts
+    * inside the round buy nothing — SURVEY §5). */
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
+    val down = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val m = down.groupBy("u").agg(min("v").as("m"))
+    down.join(m, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .unionAll(m.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
   }
 }

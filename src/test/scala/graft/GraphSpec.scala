@@ -51,6 +51,41 @@ class GraphSpec extends AnyFunSuite {
     assert(ccOf(Seq.empty).isEmpty)
   }
 
+  test("one contraction round executes keyed hash shuffles only (plan audit)") {
+    import org.apache.spark.sql.functions.col
+    // audit the PRODUCTION round shape: the driver loop runs the
+    // COMPOSED smallStar∘largeStar over a lineage-cut edge set, one
+    // eager checkpoint per round (the round-8 interleaved A/B found
+    // checkpointing between the stars buys nothing — SURVEY §5)
+    val edges = s.range(1, 2001)
+      .select((col("id") - 1).as("u"), col("id").as("v"))
+      .localCheckpoint(true)
+    val round = Graph.smallStar(Graph.largeStar(edges))
+    round.queryExecution.toRdd.count() // drive to the AQE final plan
+    val plan = round.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val lines = plan.linesIterator.toSeq
+    // every shuffle a round executes is a keyed hashpartitioning — the
+    // partition-all-to-one / sort-the-world / all-pairs shapes that
+    // would bottleneck a 100 TB contraction must never appear
+    assert(!lines.exists(_.contains("Exchange rangepartitioning")), plan)
+    assert(!lines.exists(_.contains("Exchange SinglePartition")), plan)
+    assert(!lines.exists(_.contains("CartesianProduct")), plan)
+    assert(!lines.exists(_.contains("BroadcastNestedLoopJoin")), plan)
+    val executed = lines.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    val reused = lines.count(_.contains("ReusedExchange"))
+    // the composed round executes a BOUNDED, size-independent number of
+    // keyed exchanges: per star op a groupBy-min agg, a join side and a
+    // distinct, with smallStar's three embeddings of the largeStar
+    // subtree re-executing its (cheap) exchanges — ≤8 total. A naive
+    // respelling (cartesian candidate generation, range partitioning,
+    // per-node driver loops) breaks the bound or the shape asserts.
+    assert(executed + reused <= 8,
+      s"round executed $executed (+$reused reused) exchanges:\n$plan")
+    info(s"round plan: $executed executed + $reused reused keyed exchanges")
+  }
+
   test("d8 assigns every document a cluster; clusters agree with union-find over confirmed pairs") {
     import org.apache.spark.sql.functions.col
     val confirmed = Dedup.d4Confirm(s, dir, Dedup.d2Minhash(s, dir))

@@ -54,7 +54,15 @@ object ScaleBench {
     run("q1_multi_agg", sfDir)
     run("d6_dedup_pipeline", sfDir)
     run("d6_dedup_pipeline", out)
-    SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
+    // dev-only subset selector (csv of query names) + rep count: lets a
+    // suspicious single-run ratio be re-measured with repetitions in
+    // one JVM without paying for the whole table. Unset = all, 1 rep.
+    val only = sys.env.get("SPARK_GRAFT_SCALEBENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALEBENCH_REPS", "1").toInt
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    for (rep <- 1 to reps; n <- names) {
       val a = run(n, sfDir)
       val b = run(n, out)
       val ratio = if (a > 0 && b > 0) b / a else -1.0

@@ -488,6 +488,37 @@ object Dedup {
   def d6DedupPipeline(s: SparkSession, dir: String): DataFrame =
     dedupKeepList(s, dir, confirmedPairs(s, dir))
 
+  /** Memoized star-contraction membership over the confirmed-duplicate
+    * edges, keyed like [[confirmedPairs]]. One row per doc that appears
+    * in some non-trivial cluster — candidate-bounded (a subset of the
+    * confirmed-pair endpoints), NOT corpus-sized, so the checkpoint is
+    * cheap. Both d8 and c2 consume it; without memoization a gate/bench
+    * sweep runs the whole O(log² n)-round contraction loop once per
+    * consumer. On a real cluster this is the cluster-assignment table a
+    * corpus generation writes once. */
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** Spec hook: contraction executions (vs cache hits) in this JVM. */
+  private[graft] val clusterBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] def clearClusterCache(): Unit = clusterCache.clear()
+
+  /** (doc_id, component) for every doc in a confirmed-duplicate
+    * cluster — see [[clusterCache]]. */
+  def clusterMembership(s: SparkSession, dir: String): DataFrame = {
+    val key = s.sparkContext.applicationId + "/" +
+      Tables.fingerprint(s, dir, "documents")
+    clusterCache.computeIfAbsent(key, _ => {
+      clusterBuildCount.incrementAndGet()
+      val edges = confirmedPairs(s, dir)
+        .filter(col("jaccard") >= KeepMinJaccard)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      Graph.connectedComponents(edges)
+        .select(col("id").as("doc_id"), col("component"))
+        .localCheckpoint(true)
+    })
+  }
+
   /** d8: duplicate CLUSTER ids — connected components over the same
     * confirmed-duplicate pairs d6 keeps from, assigning every document
     * the minimum doc_id reachable through confirmed-duplicate edges
@@ -497,19 +528,15 @@ object Dedup {
     * canonical-representative picks ([[Curation.c2ClusterCuration]])
     * and dedup reporting need. Star contraction via
     * [[Graph.connectedComponents]]: O(log² n) rounds of two keyed
-    * shuffles each, no driver-side graph state. */
-  def d8DedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val edges = confirmedPairs(s, dir)
-      .filter(col("jaccard") >= KeepMinJaccard)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val comp = Graph.connectedComponents(edges)
-      .select(col("id").as("doc_id"), col("component"))
+    * shuffles each, no driver-side graph state; the converged
+    * membership is memoized per corpus ([[clusterMembership]]) and each
+    * consumer pays only the corpus-wide left join. */
+  def d8DedupClusters(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select("doc_id")
-      .join(comp, Seq("doc_id"), "left")
+      .join(clusterMembership(s, dir), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("cluster_id"))
       .orderBy("doc_id")
-  }
 
   /** d5 banding parameters. Bands fixed at 4 (recall knob: a near-dup
     * pair is a candidate if it agrees in ANY band); bits per band scale

@@ -54,6 +54,30 @@ class CurationSpec extends AnyFunSuite {
     assert(d6.map(_.getLong(0)).sameElements(uncached.map(_.getLong(0))))
   }
 
+  test("clusterMembership runs the contraction once across d8/c2") {
+    Dedup.clearClusterCache()
+    val before = Dedup.clusterBuildCount.get()
+    val d8 = Dedup.d8DedupClusters(s, dir).collect()
+    Curation.c2ClusterCuration(s, dir).collect()
+    assert(Dedup.clusterBuildCount.get() == before + 1,
+      "star contraction executed more than once across d8 and c2")
+    // cached membership must be indistinguishable from the uncached
+    // spelling (contraction straight over the confirmed edges)
+    import org.apache.spark.sql.functions.{coalesce, col}
+    val edges = Dedup.confirmedPairs(s, dir)
+      .filter(col("jaccard") >= Dedup.KeepMinJaccard)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comp = graft.operators.Graph.connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("component"))
+    val uncached = graft.Tables.documents(s, dir).select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .orderBy("doc_id").collect()
+    assert(d8.map(r => (r.getLong(0), r.getLong(1))).sameElements(
+      uncached.map(r => (r.getLong(0), r.getLong(1)))))
+  }
+
   test("confirmedPairs cache invalidates when the corpus fingerprint changes") {
     Dedup.clearConfirmedCache()
     val before = Dedup.confirmedBuildCount.get()

@@ -279,7 +279,8 @@ object GraftFunctions {
       MinHashBandKeys(cs(0),
         cs(1).eval().asInstanceOf[Int], cs(2).eval().asInstanceOf[Int]))
     reg("roll_hash", classOf[RollHash], cs => RollHash(cs(0)))
-    reg("word_shingles", classOf[WordShingles], cs => WordShingles(cs(0)))
+    reg("word_shingles", classOf[WordShingles], cs => WordShingles(cs(0),
+      if (cs.length > 1) cs(1).eval().asInstanceOf[Int] else 3))
     reg("hyperplane_bucket", classOf[HyperplaneBucket],
       cs => HyperplaneBucket(cs(0), cs(1)))
     reg("hyperplane_band_keys", classOf[HyperplaneBandKeys], cs =>

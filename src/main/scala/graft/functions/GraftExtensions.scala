@@ -32,7 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       MinHashBandKeys(cs(0),
         cs(1).eval().asInstanceOf[Int], cs(2).eval().asInstanceOf[Int]))
     inject("roll_hash", classOf[RollHash], cs => RollHash(cs(0)))
-    inject("word_shingles", classOf[WordShingles], cs => WordShingles(cs(0)))
+    inject("word_shingles", classOf[WordShingles], cs => WordShingles(cs(0),
+      if (cs.length > 1) cs(1).eval().asInstanceOf[Int] else 3))
     inject("hyperplane_bucket", classOf[HyperplaneBucket],
       cs => HyperplaneBucket(cs(0), cs(1)))
     inject("lead_sign_bucket", classOf[LeadSignBucket],

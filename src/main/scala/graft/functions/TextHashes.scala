@@ -128,13 +128,20 @@ object TextHashKernels {
     * and DuckDB's `list_transform(generate_series(1, greatest(len(toks)-2,1)),
     * i -> array_to_string(toks[i:i+2], ' '))`, including the degenerate
     * cases (0 tokens → [""], 1–2 tokens → one shingle of the full text). */
-  def wordShingles3(toks: ArrayData): ArrayData = {
+  def wordShingles3(toks: ArrayData): ArrayData = wordShingles(toks, 3)
+
+  /** Word `w`-gram shingles; w = 3 is the dedup-family default, larger
+    * widths serve overlap detection where chance collisions must be
+    * rare (d9 decontamination uses 8 — the published long-n-gram
+    * methodology). `slice` clamps at the end so docs shorter than `w`
+    * tokens yield their full text as a single shingle. */
+  def wordShingles(toks: ArrayData, w: Int): ArrayData = {
     val n = toks.numElements()
-    val m = math.max(n - 2, 1)
+    val m = math.max(n - (w - 1), 1)
     val out = new Array[UTF8String](m)
     var i = 0
     while (i < m) {
-      val end = math.min(i + 3, n)
+      val end = math.min(i + w, n)
       val sb = new java.lang.StringBuilder()
       var k = i
       while (k < end) {
@@ -237,8 +244,11 @@ case class MinHashMin(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** `word_shingles(array<string>) -> array<string>` — word 3-gram shingles. */
-case class WordShingles(child: Expression) extends UnaryExpression {
+/** `word_shingles(array<string>[, w]) -> array<string>` — word w-gram
+  * shingles (default 3). Width is a literal folded at registration,
+  * like the band/hash counts of `minhash_band_keys`. */
+case class WordShingles(child: Expression, width: Int = 3)
+    extends UnaryExpression {
   override val nullIntolerant: Boolean = true
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
@@ -246,11 +256,11 @@ case class WordShingles(child: Expression) extends UnaryExpression {
   override def prettyName: String = "word_shingles"
 
   override def nullSafeEval(a: Any): Any =
-    TextHashKernels.wordShingles3(a.asInstanceOf[ArrayData])
+    TextHashKernels.wordShingles(a.asInstanceOf[ArrayData], width)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.TextHashKernels.wordShingles3($c)")
+      c => s"graft.functions.TextHashKernels.wordShingles($c, $width)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)

@@ -538,6 +538,65 @@ object Dedup {
         coalesce(col("component"), col("doc_id")).as("cluster_id"))
       .orderBy("doc_id")
 
+  /** Benchmark slice for [[d9Decontaminate]]: docs whose deterministic
+    * sample bucket ([[TextAnalysis.sampleBucket]]) falls below this —
+    * stands in for the held-out evaluation suite a production pipeline
+    * decontaminates against. Shared with the DuckDB oracle. */
+  val D9BenchPct = 20
+  /** Shingle width for decontamination: 8-grams, NOT the dedup
+    * family's 3-grams — the published long-n-gram methodology (GPT-3
+    * used 13-gram overlap, The Pile 13, Llama-style pipelines 8+).
+    * 3-grams recur by chance in any bounded vocabulary (measured here:
+    * 381 of ~400 training docs shared ≥2 trigrams with the slice —
+    * no discrimination); an 8-gram recurs only through actual copying. */
+  val D9ShingleW = 8
+  /** A training doc is contaminated when at least this many of its
+    * DISTINCT 8-gram shingles appear anywhere in the benchmark slice —
+    * 2 rejects a lone coincidental match while catching every
+    * copied-run overlap. */
+  val D9MinShared = 2
+
+  /** d9: benchmark DECONTAMINATION — the test-set-overlap pass an LLM
+    * training pipeline runs so evaluation data never leaks into
+    * training data: flag every training doc sharing ≥ [[D9MinShared]]
+    * distinct word 3-shingles with ANY benchmark doc. Here the
+    * benchmark slice is the deterministic [[D9BenchPct]]% sample bucket
+    * of the same corpus (a stand-in for MMLU-style suites); in
+    * production it is a second, small table and the same plan applies
+    * unchanged.
+    *
+    * Scale shape: the benchmark shingle INVENTORY (distinct shingles
+    * across the slice) is flattened and BROADCAST — real benchmark
+    * suites are MBs against a 100 TB corpus, so the corpus side joins
+    * map-side with no shuffle of the exploded shingle volume. Each
+    * corpus shingle matches at most one inventory row (both sides
+    * distinct), so the join output is bounded by corpus shingle volume
+    * (linear); the only shuffle is the per-doc count aggregation,
+    * map-side-combinable on doc_id. If the inventory ever outgrew the
+    * broadcast budget, dropping the hint degrades gracefully to a hash
+    * semi-join shuffle — same linear bound.
+    *
+    * Reference behavior anchor: dedup-on-ingest semantics
+    * (airflow/dags/twitter_airflow.py:69-92) extended across CORPORA —
+    * the same shingle machinery as d4, pointed at a held-out set. */
+  def d9Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = TextOps.withShingles(Tables.documents(s, dir))
+      .withColumn("shset",
+        expr(s"array_distinct(word_shingles(toks, $D9ShingleW))"))
+    val isBench = TextAnalysis.sampleBucket(col("doc_id")) < D9BenchPct
+    val bench = docs.filter(isBench)
+      .select(explode(col("shset")).as("shingle")).distinct()
+    val train = docs.filter(!isBench)
+      .select(col("doc_id"), size(col("shset")).cast("long").as("n_shingles"),
+        explode(col("shset")).as("shingle"))
+    train.join(broadcast(bench), Seq("shingle"))
+      .groupBy("doc_id", "n_shingles")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= D9MinShared)
+      .select("doc_id", "n_shared", "n_shingles")
+      .orderBy("doc_id")
+  }
+
   /** d5 banding parameters. Bands fixed at 4 (recall knob: a near-dup
     * pair is a candidate if it agrees in ANY band); bits per band scale
     * with the corpus so expected bucket occupancy stays O(1) — the
@@ -753,6 +812,26 @@ object Dedup {
     "d8_dedup_clusters" ->
       s"""$sqlClusterCtes
          |SELECT doc_id, cluster_id FROM clus ORDER BY doc_id""".stripMargin,
+    "d9_decontaminate" ->
+      s"""${TextOps.sqlShingleCte},
+         |dsets AS (
+         |  SELECT doc_id,
+         |    list_distinct(${TextOps.sqlShinglesW(D9ShingleW)}) AS shset
+         |  FROM tok_t),
+         |bench AS (
+         |  SELECT DISTINCT unnest(shset) AS shingle FROM dsets
+         |  WHERE ${TextAnalysis.sqlSampleBucket("doc_id")} < $D9BenchPct),
+         |train AS (
+         |  SELECT doc_id, CAST(len(shset) AS BIGINT) AS n_shingles,
+         |    unnest(shset) AS shingle FROM dsets
+         |  WHERE NOT (${TextAnalysis.sqlSampleBucket("doc_id")}
+         |    < $D9BenchPct))
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared,
+         |  t.n_shingles
+         |FROM train t JOIN bench b ON t.shingle = b.shingle
+         |GROUP BY t.doc_id, t.n_shingles
+         |HAVING count(*) >= $D9MinShared
+         |ORDER BY t.doc_id""".stripMargin,
     "d3_dedup_simhash" ->
       s"""$sqlSimhashCtes
          |SELECT doc_id, simhash, CAST(simhash >> 48 AS INTEGER) AS bucket
@@ -845,6 +924,7 @@ object Dedup {
     "d5_dedup_embedding" -> d5Embedding,
     "d6_dedup_pipeline" -> d6DedupPipeline,
     "d8_dedup_clusters" -> d8DedupClusters,
+    "d9_decontaminate" -> d9Decontaminate,
     // d3Candidates under the full gate: the banded candidate generation
     // must reproduce DuckDB's BRUTE-FORCE all-pairs hamming join exactly
     // — recall 1.0 is oracle-checked, not just spec-asserted (the

@@ -36,6 +36,12 @@ object TextOps {
     "list_transform(generate_series(1, greatest(len(toks) - 2, 1)), " +
       "i -> array_to_string(toks[i:i+2], ' '))"
 
+  /** Width-parametric DuckDB mirror of `word_shingles(toks, w)` —
+    * [[sqlShingles]] is the w = 3 instance. */
+  def sqlShinglesW(w: Int): String =
+    s"list_transform(generate_series(1, greatest(len(toks) - ${w - 1}, 1)), " +
+      s"i -> array_to_string(toks[i:i+${w - 1}], ' '))"
+
   /** documents + `norm`, `toks`, `shingles` columns. Shingles come from
     * the native codegen'd kernel (graft.functions.WordShingles), which is
     * value-identical to [[shinglesExpr]] — the interpreted HOF spelling

@@ -127,4 +127,41 @@ class DedupSpec extends AnyFunSuite {
     assert(cs.sameElements(cs.sortBy(-_)))
     assert(cs.forall(c => c <= 1.0 + 1e-9 && c >= -1.0 - 1e-9))
   }
+
+  test("d9 matches a driver-side brute force and flags only real overlap") {
+    // brute force: normalize/tokenize/shingle in plain Scala, mirroring
+    // TextOps exactly, then set-intersect every training doc against
+    // the union of benchmark shingles
+    val docs = graft.Tables.documents(s, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def shingles(text: String): Set[String] = {
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val m = math.max(toks.length - (Dedup.D9ShingleW - 1), 1)
+      (0 until m).map(i =>
+        toks.slice(i, i + Dedup.D9ShingleW).mkString(" ")).toSet
+    }
+    def bucket(id: Long): Int =
+      Integer.parseInt(org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(id.toString).substring(0, 4), 16) % 100
+    val (bench, train) = docs.partition { case (id, _) =>
+      bucket(id) < Dedup.D9BenchPct
+    }
+    assert(bench.nonEmpty && train.nonEmpty)
+    val inventory = bench.iterator.flatMap(d => shingles(d._2)).toSet
+    val expected = train.flatMap { case (id, text) =>
+      val sh = shingles(text)
+      val shared = sh.count(inventory.contains)
+      if (shared >= Dedup.D9MinShared) Some(id -> (shared.toLong, sh.size.toLong))
+      else None
+    }.toMap
+    val got = Dedup.d9Decontaminate(s, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+    // substance: the corpus produces contaminated docs, and not every
+    // training doc is flagged (the 8-gram width must discriminate)
+    assert(got.nonEmpty, "no contaminated docs — d9 untested in substance")
+    assert(got.size < train.length / 2,
+      "most training docs flagged — shingle width not discriminating")
+  }
 }

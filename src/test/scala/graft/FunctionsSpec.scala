@@ -107,6 +107,25 @@ class FunctionsSpec extends AnyFunSuite {
     got.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1)))
   }
 
+  test("word_shingles width param matches the HOF formulation for w in 2..8") {
+    val s = TestSpark.spark
+    GraftFunctions.register(s)
+    import s.implicits._
+    for (w <- Seq(2, 5, 8)) {
+      val got = Seq("", "one", "one two", "a b c d e",
+          "the quick brown fox jumps over the lazy dog today")
+        .toDF("norm")
+        .selectExpr("filter(split(norm, ' '), t -> t <> '') AS toks")
+        .selectExpr(
+          s"word_shingles(toks, $w) AS native",
+          s"""transform(sequence(1, greatest(size(toks) - ${w - 1}, 1)),
+             |  i -> array_join(slice(toks, i, $w), ' ')) AS hof""".stripMargin)
+        .collect()
+      got.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1),
+        s"width $w"))
+    }
+  }
+
   test("hyperplane_bucket matches the HOF projection on real embeddings") {
     val s = TestSpark.spark
     GraftFunctions.register(s)

@@ -90,7 +90,59 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Max docs kept per source by [[c3SourceCap]] — binds at every test
+    * SF (sources carry ≥25 docs each). Shared with the DuckDB oracle. */
+  val C3PerSourceCap = 10
+
+  /** c3: SOURCE-MIX curation — the per-source cap a training-data
+    * pipeline applies so no single source (domain, crawl, feed)
+    * dominates the mixture: keep each source's [[C3PerSourceCap]]
+    * highest-quality docs by t2 score (ties break to the smaller
+    * doc_id). Complements c1/c2: those decide which DOCS are good
+    * enough; c3 decides how much of each SOURCE the mixture admits.
+    *
+    * Scale shape: one `row_number` window per source — Spark 4's
+    * WindowGroupLimit inserts a map-side Partial limit below the
+    * shuffle (verified on the s1/s2 plans), so each map partition
+    * forwards at most cap rows per source and the per-source reducer
+    * sees cap × partitions rows, not the source's full volume — safe
+    * even with few, huge sources. Quality scores are a scan-local
+    * projection. */
+  def c3SourceCap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quality = TextAnalysis.t2QualityScore(s, dir).select("doc_id", "score")
+    val w = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("doc_id"))
+    Tables.documents(s, dir).select("doc_id", "source")
+      .join(quality, "doc_id")
+      .withColumn("src_rank", row_number().over(w))
+      .filter(col("src_rank") <= C3PerSourceCap)
+      .select("doc_id", "source", "score", "src_rank")
+      .orderBy("source", "src_rank")
+  }
+
   val oracle: Map[String, String] = Map(
+    "c3_source_cap" ->
+      s"""WITH norm_t AS (
+         |  SELECT doc_id, source, ${TextOps.sqlNormText} AS norm
+         |  FROM documents),
+         |tok_t AS (SELECT *, ${TextOps.sqlToks} AS toks FROM norm_t),
+         |m AS (SELECT doc_id, source,
+         |    CAST(len(toks) AS INTEGER) AS n_tok,
+         |    CAST(len(list_filter(toks,
+         |      t -> t IN (${TextAnalysis.sqlStopList}))) AS BIGINT) AS n_stop
+         |  FROM tok_t),
+         |q AS (SELECT doc_id, source,
+         |    ${TextAnalysis.sqlScore("n_stop", "n_tok")} AS score
+         |  FROM m),
+         |ranked AS (SELECT doc_id, source, score,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY score DESC, doc_id) AS src_rank
+         |  FROM q)
+         |SELECT doc_id, source, score, CAST(src_rank AS INTEGER)
+         |    AS src_rank
+         |FROM ranked WHERE src_rank <= $C3PerSourceCap
+         |ORDER BY source, src_rank""".stripMargin,
     "c2_cluster_curation" ->
       s"""${Dedup.sqlClusterCtes},
          |m AS (SELECT doc_id,
@@ -134,5 +186,6 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_curation_pipeline" -> c1CurationPipeline,
     "c2_cluster_curation" -> c2ClusterCuration,
+    "c3_source_cap" -> c3SourceCap,
   )
 }

@@ -39,6 +39,33 @@ class CurationSpec extends AnyFunSuite {
     assert(notMin, "every representative was the min id; argmax untested")
   }
 
+  test("c3 keeps each source's top-quality docs and group-limits map-side") {
+    import graft.operators.TextAnalysis
+    val scores = TextAnalysis.t2QualityScore(s, dir)
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bySource = graft.Tables.documents(s, dir)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2)
+    val expected = bySource.toSeq.flatMap { case (src, docs) =>
+      docs.map(_._1).sortBy(id => (-scores(id), id))
+        .take(Curation.C3PerSourceCap)
+        .zipWithIndex.map { case (id, i) => (id, src, i + 1) }
+    }.toSet
+    val df = Curation.c3SourceCap(s, dir)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSet
+    assert(got == expected)
+    // the cap binds: every source carries more docs than it may keep
+    assert(bySource.forall(_._2.length > Curation.C3PerSourceCap))
+    // scale shape: the window runs under a WindowGroupLimit, so each
+    // map partition forwards at most cap rows per source
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("confirmedPairs builds the screen/confirm chain once across d6/d8/c1/c2") {
     Dedup.clearConfirmedCache()
     val before = Dedup.confirmedBuildCount.get()

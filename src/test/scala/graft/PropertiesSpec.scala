@@ -84,6 +84,26 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: word_shingles(toks, w) count is max(n-w+1,1), slices contiguous") {
+    samples(Gen.zip(Gen.listOf(word), Gen.choose(2, 13)), 50, seed = 19L)
+      .foreach { case (toks, w) =>
+        val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          toks.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+            .toArray[Any])
+        val sh = TextHashKernels.wordShingles(arr, w)
+        assert(sh.numElements() === math.max(toks.size - (w - 1), 1))
+        (0 until sh.numElements()).foreach { i =>
+          val expect = toks.slice(i, i + w).mkString(" ")
+          assert(sh.getUTF8String(i).toString === expect)
+        }
+        // w = 3 must stay bit-compatible with the historical kernel
+        val legacy = TextHashKernels.wordShingles3(arr)
+        val via = TextHashKernels.wordShingles(arr, 3)
+        assert((0 until legacy.numElements()).forall(i =>
+          legacy.getUTF8String(i) == via.getUTF8String(i)))
+      }
+  }
+
   test("cluster shuffle-partition sizing: per-core floor vs spill ceiling") {
     // 1000 executors × 8 cores, 40 TB largest shuffle, 128 MB target:
     // memory bound (40 TB / 128 MB = 327,680) dominates 3×cores (24,000)

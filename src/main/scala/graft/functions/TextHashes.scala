@@ -249,6 +249,7 @@ case class MinHashMin(left: Expression, right: Expression)
   * like the band/hash counts of `minhash_band_keys`. */
 case class WordShingles(child: Expression, width: Int = 3)
     extends UnaryExpression {
+  require(width >= 1, s"word_shingles width must be >= 1, got $width")
   override val nullIntolerant: Boolean = true
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(

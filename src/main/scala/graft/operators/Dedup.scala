@@ -468,9 +468,20 @@ object Dedup {
     * fingerprint key (file names/lengths/mtimes — [[Tables.fingerprint]])
     * invalidates on re-ingest, and the SparkContext half of the key
     * keeps a fresh session from adopting RDDs of a stopped one. */
+  /** Drop cache entries from OTHER SparkContexts before inserting under
+    * the current one: the applicationId half of the key makes a stopped
+    * session's entries unreachable forever, so keeping them would pin
+    * dead sessions' plans for the JVM lifetime (sbt console, test
+    * harnesses that cycle sessions). */
+  private def evictOtherSessions(
+      cache: java.util.concurrent.ConcurrentHashMap[String, DataFrame],
+      appId: String): Unit =
+    cache.keySet.removeIf(k => !k.startsWith(appId + "/"))
+
   def confirmedPairs(s: SparkSession, dir: String): DataFrame = {
-    val key = s.sparkContext.applicationId + "/" +
-      Tables.fingerprint(s, dir, "documents")
+    val appId = s.sparkContext.applicationId
+    evictOtherSessions(confirmedCache, appId)
+    val key = appId + "/" + Tables.fingerprint(s, dir, "documents")
     confirmedCache.computeIfAbsent(key, _ => {
       confirmedBuildCount.incrementAndGet()
       d4Confirm(s, dir, d2Minhash(s, dir)).localCheckpoint(true)
@@ -506,14 +517,19 @@ object Dedup {
   /** (doc_id, component) for every doc in a confirmed-duplicate
     * cluster — see [[clusterCache]]. */
   def clusterMembership(s: SparkSession, dir: String): DataFrame = {
-    val key = s.sparkContext.applicationId + "/" +
-      Tables.fingerprint(s, dir, "documents")
+    val appId = s.sparkContext.applicationId
+    evictOtherSessions(clusterCache, appId)
+    val key = appId + "/" + Tables.fingerprint(s, dir, "documents")
     clusterCache.computeIfAbsent(key, _ => {
       clusterBuildCount.incrementAndGet()
       val edges = confirmedPairs(s, dir)
         .filter(col("jaccard") >= KeepMinJaccard)
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      Graph.connectedComponents(edges)
+      // round budget sized from the measured growth (§5 probe: chain
+      // diameter 5M = 24 rounds, +3..4 per 10× nodes): 48 covers
+      // diameters past 10¹¹ nodes — the default 20 is a probe-scale
+      // budget that the probe itself had to raise to measure 5M
+      Graph.connectedComponents(edges, maxIter = 48)
         .select(col("id").as("doc_id"), col("component"))
         .localCheckpoint(true)
     })
@@ -559,7 +575,8 @@ object Dedup {
   /** d9: benchmark DECONTAMINATION — the test-set-overlap pass an LLM
     * training pipeline runs so evaluation data never leaks into
     * training data: flag every training doc sharing ≥ [[D9MinShared]]
-    * distinct word 3-shingles with ANY benchmark doc. Here the
+    * distinct word [[D9ShingleW]]-gram shingles with ANY benchmark
+    * doc. Here the
     * benchmark slice is the deterministic [[D9BenchPct]]% sample bucket
     * of the same corpus (a stand-in for MMLU-style suites); in
     * production it is a second, small table and the same plan applies

@@ -169,7 +169,15 @@ object TextAnalysis {
     * match counts (`n_emails`/`n_phones`/`n_ips`/`n_cards`), the
     * fully-redacted text, and `residual` — a re-scan of the redacted
     * text with every family (0 = nothing survived). Shared by the t6
-    * gate entry and the crafted-string spec so they cannot drift. */
+    * gate entry and the crafted-string spec so they cannot drift.
+    *
+    * Contract note: counts are taken on the ORIGINAL text, redaction is
+    * sequential — a match nested inside an earlier family's match
+    * (e.g. a 16-digit run inside an email local part) is counted by
+    * its own family but redacted as part of the outer token, so
+    * per-family counts can exceed the redaction tokens emitted. The
+    * oracle mirrors exactly this; `residual` = 0 still certifies
+    * nothing survived. */
   private[graft] def piiScrub(df: DataFrame): DataFrame = {
     val redacted = PiiFamilies.foldLeft(col("pii_text")) {
       case (c, (re, token)) => regexp_replace(c, re, token)

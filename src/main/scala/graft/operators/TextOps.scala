@@ -32,15 +32,14 @@ object TextOps {
     "transform(sequence(1, greatest(size(toks) - 2, 1)), " +
       "i -> array_join(slice(toks, i, 3), ' '))"
 
-  val sqlShingles: String =
-    "list_transform(generate_series(1, greatest(len(toks) - 2, 1)), " +
-      "i -> array_to_string(toks[i:i+2], ' '))"
-
-  /** Width-parametric DuckDB mirror of `word_shingles(toks, w)` —
-    * [[sqlShingles]] is the w = 3 instance. */
+  /** Width-parametric DuckDB mirror of `word_shingles(toks, w)`. */
   def sqlShinglesW(w: Int): String =
     s"list_transform(generate_series(1, greatest(len(toks) - ${w - 1}, 1)), " +
       s"i -> array_to_string(toks[i:i+${w - 1}], ' '))"
+
+  /** The dedup family's w = 3 instance — derived, so the two widths
+    * can never drift apart. */
+  val sqlShingles: String = sqlShinglesW(3)
 
   /** documents + `norm`, `toks`, `shingles` columns. Shingles come from
     * the native codegen'd kernel (graft.functions.WordShingles), which is

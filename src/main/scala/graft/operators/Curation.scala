@@ -121,7 +121,87 @@ object Curation {
       .orderBy("source", "src_rank")
   }
 
+  /** c4: the FULL curation DAG — every curation stage this engine
+    * ships, composed in production order over one corpus pass:
+    * quality floor (t2 score ≥ [[QualityMin]]) → near-dup removal (the
+    * d6 keep-list) → decontamination (drop the benchmark slice itself
+    * AND every doc d9 flags as overlapping it) → per-source cap (c3's
+    * quality-ranked top-[[C3PerSourceCap]]). This is the corpus pass a
+    * training-data pipeline actually runs before tokenization; c1
+    * remains the historical quality→dedup→sample composition, c4 adds
+    * the round-8 stages. Sampling is deliberately NOT a stage here —
+    * it is a downstream budget knob (t5), not a curation decision.
+    *
+    * Scale shape: each stage is the already-audited plan of its
+    * standalone entry — scan-local scoring, memoized confirmed-pairs
+    * anti-join, broadcast 8-gram inventory join, WindowGroupLimit cap
+    * — chained without materialization; Catalyst fuses the scans and
+    * the memoized subtrees are shared with d6/d8/d9's own entries in
+    * the same session. */
+  def c4CurationFull(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quality = TextAnalysis.t2QualityScore(s, dir).select("doc_id", "score")
+    val keep = Dedup.d6DedupPipeline(s, dir)
+    val contaminated = Dedup.d9Decontaminate(s, dir).select("doc_id")
+    val w = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("doc_id"))
+    Tables.documents(s, dir).select("doc_id", "source")
+      .filter(TextAnalysis.sampleBucket(col("doc_id")) >= Dedup.D9BenchPct)
+      .join(quality, "doc_id")
+      .filter(col("score") >= QualityMin)
+      .join(keep, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("src_rank", row_number().over(w))
+      .filter(col("src_rank") <= C3PerSourceCap)
+      .select("doc_id", "source", "score", "src_rank")
+      .orderBy("source", "src_rank")
+  }
+
   val oracle: Map[String, String] = Map(
+    "c4_curation_full" ->
+      s"""${Dedup.sqlConfirmedCtes},
+         |m4 AS (SELECT doc_id,
+         |    CAST(len(toks) AS INTEGER) AS n_tok,
+         |    CAST(len(list_filter(toks,
+         |      t -> t IN (${TextAnalysis.sqlStopList}))) AS BIGINT) AS n_stop
+         |  FROM tok_t),
+         |q4 AS (SELECT doc_id,
+         |    ${TextAnalysis.sqlScore("n_stop", "n_tok")} AS score
+         |  FROM m4),
+         |d9sets AS (SELECT doc_id,
+         |    list_distinct(${TextOps.sqlShinglesW(Dedup.D9ShingleW)})
+         |      AS shset8
+         |  FROM tok_t),
+         |bench4 AS (
+         |  SELECT DISTINCT unnest(shset8) AS shingle FROM d9sets
+         |  WHERE ${TextAnalysis.sqlSampleBucket("doc_id")}
+         |    < ${Dedup.D9BenchPct}),
+         |train4 AS (
+         |  SELECT doc_id, unnest(shset8) AS shingle FROM d9sets
+         |  WHERE NOT (${TextAnalysis.sqlSampleBucket("doc_id")}
+         |    < ${Dedup.D9BenchPct})),
+         |contaminated AS (
+         |  SELECT t.doc_id FROM train4 t JOIN bench4 b
+         |    ON t.shingle = b.shingle
+         |  GROUP BY t.doc_id HAVING count(*) >= ${Dedup.D9MinShared}),
+         |survivors AS (
+         |  SELECT d.doc_id, d.source, q4.score
+         |  FROM documents d JOIN q4 ON q4.doc_id = d.doc_id
+         |  WHERE ${TextAnalysis.sqlSampleBucket("d.doc_id")}
+         |      >= ${Dedup.D9BenchPct}
+         |    AND q4.score >= $QualityMin
+         |    AND d.doc_id NOT IN (
+         |      SELECT doc_b FROM confirmed
+         |      WHERE jaccard >= ${Dedup.KeepMinJaccard})
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |ranked4 AS (SELECT doc_id, source, score,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY score DESC, doc_id) AS src_rank
+         |  FROM survivors)
+         |SELECT doc_id, source, score, CAST(src_rank AS INTEGER)
+         |    AS src_rank
+         |FROM ranked4 WHERE src_rank <= $C3PerSourceCap
+         |ORDER BY source, src_rank""".stripMargin,
     "c3_source_cap" ->
       s"""WITH norm_t AS (
          |  SELECT doc_id, source, ${TextOps.sqlNormText} AS norm
@@ -187,5 +267,6 @@ object Curation {
     "c1_curation_pipeline" -> c1CurationPipeline,
     "c2_cluster_curation" -> c2ClusterCuration,
     "c3_source_cap" -> c3SourceCap,
+    "c4_curation_full" -> c4CurationFull,
   )
 }

@@ -66,6 +66,45 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("c4 equals the composition of its stages, and every stage bites") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val scores = TextAnalysis.t2QualityScore(s, dir)
+      .select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val keep = Dedup.d6DedupPipeline(s, dir).collect()
+      .map(_.getLong(0)).toSet
+    val contaminated = Dedup.d9Decontaminate(s, dir).collect()
+      .map(_.getLong(0)).toSet
+    def bucket(id: Long): Int =
+      Integer.parseInt(org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(id.toString).substring(0, 4), 16) % 100
+    val docs = graft.Tables.documents(s, dir)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val survivors = docs.filter { case (id, _) =>
+      bucket(id) >= Dedup.D9BenchPct && scores(id) >= Curation.QualityMin &&
+        keep.contains(id) && !contaminated.contains(id)
+    }
+    val expected = survivors.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.map(_._1).sortBy(id => (-scores(id), id))
+        .take(Curation.C3PerSourceCap)
+        .zipWithIndex.map { case (id, i) => (id, src, i + 1) }
+    }.toSet
+    val got = Curation.c4CurationFull(s, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSet
+    assert(got == expected)
+    // every stage removes something at this SF — a stage that filters
+    // nothing is untested in substance
+    val ids = docs.map(_._1)
+    assert(ids.exists(id => bucket(id) < Dedup.D9BenchPct))
+    assert(ids.exists(id => scores(id) < Curation.QualityMin))
+    assert(ids.exists(id => !keep.contains(id)))
+    assert(contaminated.exists(id => bucket(id) >= Dedup.D9BenchPct))
+    assert(survivors.groupBy(_._2)
+      .exists(_._2.length > Curation.C3PerSourceCap))
+    assert(got.nonEmpty)
+  }
+
   test("confirmedPairs builds the screen/confirm chain once across d6/d8/c1/c2") {
     Dedup.clearConfirmedCache()
     val before = Dedup.confirmedBuildCount.get()

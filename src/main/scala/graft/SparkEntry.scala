@@ -8,13 +8,15 @@ import graft.streaming.Streams
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
-    * rows>0. The composed dedup pipeline (d2 screen → d4Confirm →
-    * keep-list) is the engine's flagship: it exercises the kernel
-    * registry, the LSH banding, the row-local confirm join and the
-    * anti-join in one pass, mirroring the reference's composed-DAG
-    * flagship (airflow/dags/twitter_airflow.py:69-137). */
+    * rows>0. The FULL curation DAG (quality floor → d2/d4 dedup
+    * keep-list → d9 decontamination → per-source cap, c4) is the
+    * engine's flagship: one corpus pass exercising the kernel
+    * registry, the LSH banding, the row-local confirm join, the
+    * broadcast 8-gram inventory and the WindowGroupLimit cap,
+    * mirroring the reference's composed-DAG flagship
+    * (airflow/dags/twitter_airflow.py:69-137) at curation altitude. */
   def entry(spark: SparkSession): DataFrame =
-    Dedup.d6DedupPipeline(spark, "/root/testdata/sf0.001")
+    Curation.c4CurationFull(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

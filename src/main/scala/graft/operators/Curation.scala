@@ -168,22 +168,7 @@ object Curation {
          |q4 AS (SELECT doc_id,
          |    ${TextAnalysis.sqlScore("n_stop", "n_tok")} AS score
          |  FROM m4),
-         |d9sets AS (SELECT doc_id,
-         |    list_distinct(${TextOps.sqlShinglesW(Dedup.D9ShingleW)})
-         |      AS shset8
-         |  FROM tok_t),
-         |bench4 AS (
-         |  SELECT DISTINCT unnest(shset8) AS shingle FROM d9sets
-         |  WHERE ${TextAnalysis.sqlSampleBucket("doc_id")}
-         |    < ${Dedup.D9BenchPct}),
-         |train4 AS (
-         |  SELECT doc_id, unnest(shset8) AS shingle FROM d9sets
-         |  WHERE NOT (${TextAnalysis.sqlSampleBucket("doc_id")}
-         |    < ${Dedup.D9BenchPct})),
-         |contaminated AS (
-         |  SELECT t.doc_id FROM train4 t JOIN bench4 b
-         |    ON t.shingle = b.shingle
-         |  GROUP BY t.doc_id HAVING count(*) >= ${Dedup.D9MinShared}),
+         |${Dedup.sqlD9Ctes},
          |survivors AS (
          |  SELECT d.doc_id, d.source, q4.score
          |  FROM documents d JOIN q4 ON q4.doc_id = d.doc_id
@@ -193,7 +178,7 @@ object Curation {
          |    AND d.doc_id NOT IN (
          |      SELECT doc_b FROM confirmed
          |      WHERE jaccard >= ${Dedup.KeepMinJaccard})
-         |    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM d9over)),
          |ranked4 AS (SELECT doc_id, source, score,
          |    row_number() OVER (PARTITION BY source
          |      ORDER BY score DESC, doc_id) AS src_rank

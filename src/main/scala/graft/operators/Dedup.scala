@@ -442,13 +442,39 @@ object Dedup {
   /** Memoized [[d4Confirm]]∘[[d2Minhash]] results, keyed by
     * (SparkContext, documents-table fingerprint) — see
     * [[confirmedPairs]]. */
-  private val confirmedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  /** Entries kept per memo cache: room for the corpora a session
+    * actually alternates between (the three test SFs plus ScaleBench's
+    * simulated dir), while bounding growth from re-ingested corpora
+    * (changed fingerprint ⇒ new key; the LRU drops the stale entry,
+    * whose checkpoint blocks the ContextCleaner then reclaims once the
+    * evicted DataFrame is unreachable) and from cycled sessions. */
+  private val MemoMaxEntries = 8
+
+  /** Access-order LRU keyed by (applicationId, corpus fingerprint) —
+    * see [[MemoMaxEntries]]. All access synchronized on the map: the
+    * engine memoizes from the driver thread, and duplicate concurrent
+    * builds would be worse than a brief lock. */
+  private def newMemoCache(): java.util.LinkedHashMap[String, DataFrame] =
+    new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, DataFrame]): Boolean =
+        size > MemoMaxEntries
+    }
+
+  private def memoize(cache: java.util.LinkedHashMap[String, DataFrame],
+      key: String)(build: => DataFrame): DataFrame = cache.synchronized {
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else { val v = build; cache.put(key, v); v }
+  }
+
+  private val confirmedCache = newMemoCache()
   /** Spec hook: how many times the screen→confirm chain has actually
     * executed (vs been served from the cache) in this JVM. */
   private[graft] val confirmedBuildCount =
     new java.util.concurrent.atomic.AtomicInteger(0)
-  private[graft] def clearConfirmedCache(): Unit = confirmedCache.clear()
+  private[graft] def clearConfirmedCache(): Unit =
+    confirmedCache.synchronized(confirmedCache.clear())
 
   /** Confirmed duplicate pairs for a corpus — the d2 MinHash screen →
     * d4Confirm exact-Jaccard chain, memoized per (SparkContext, corpus
@@ -468,24 +494,13 @@ object Dedup {
     * fingerprint key (file names/lengths/mtimes — [[Tables.fingerprint]])
     * invalidates on re-ingest, and the SparkContext half of the key
     * keeps a fresh session from adopting RDDs of a stopped one. */
-  /** Drop cache entries from OTHER SparkContexts before inserting under
-    * the current one: the applicationId half of the key makes a stopped
-    * session's entries unreachable forever, so keeping them would pin
-    * dead sessions' plans for the JVM lifetime (sbt console, test
-    * harnesses that cycle sessions). */
-  private def evictOtherSessions(
-      cache: java.util.concurrent.ConcurrentHashMap[String, DataFrame],
-      appId: String): Unit =
-    cache.keySet.removeIf(k => !k.startsWith(appId + "/"))
-
   def confirmedPairs(s: SparkSession, dir: String): DataFrame = {
-    val appId = s.sparkContext.applicationId
-    evictOtherSessions(confirmedCache, appId)
-    val key = appId + "/" + Tables.fingerprint(s, dir, "documents")
-    confirmedCache.computeIfAbsent(key, _ => {
+    val key = s.sparkContext.applicationId + "/" +
+      Tables.fingerprint(s, dir, "documents")
+    memoize(confirmedCache, key) {
       confirmedBuildCount.incrementAndGet()
       d4Confirm(s, dir, d2Minhash(s, dir)).localCheckpoint(true)
-    })
+    }
   }
 
   /** d6: the production dedup pipeline END-TO-END as one gate operator —
@@ -507,20 +522,19 @@ object Dedup {
     * sweep runs the whole O(log² n)-round contraction loop once per
     * consumer. On a real cluster this is the cluster-assignment table a
     * corpus generation writes once. */
-  private val clusterCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val clusterCache = newMemoCache()
   /** Spec hook: contraction executions (vs cache hits) in this JVM. */
   private[graft] val clusterBuildCount =
     new java.util.concurrent.atomic.AtomicInteger(0)
-  private[graft] def clearClusterCache(): Unit = clusterCache.clear()
+  private[graft] def clearClusterCache(): Unit =
+    clusterCache.synchronized(clusterCache.clear())
 
   /** (doc_id, component) for every doc in a confirmed-duplicate
     * cluster — see [[clusterCache]]. */
   def clusterMembership(s: SparkSession, dir: String): DataFrame = {
-    val appId = s.sparkContext.applicationId
-    evictOtherSessions(clusterCache, appId)
-    val key = appId + "/" + Tables.fingerprint(s, dir, "documents")
-    clusterCache.computeIfAbsent(key, _ => {
+    val key = s.sparkContext.applicationId + "/" +
+      Tables.fingerprint(s, dir, "documents")
+    memoize(clusterCache, key) {
       clusterBuildCount.incrementAndGet()
       val edges = confirmedPairs(s, dir)
         .filter(col("jaccard") >= KeepMinJaccard)
@@ -532,7 +546,7 @@ object Dedup {
       Graph.connectedComponents(edges, maxIter = 48)
         .select(col("id").as("doc_id"), col("component"))
         .localCheckpoint(true)
-    })
+    }
   }
 
   /** d8: duplicate CLUSTER ids — connected components over the same
@@ -811,6 +825,31 @@ object Dedup {
        |    AS BIGINT) AS simhash
        |  FROM bits GROUP BY doc_id)""".stripMargin
 
+  /** Shared DuckDB CTE block for d9's overlap detection, ending in
+    * `d9over`(doc_id, n_shared, n_shingles) — one row per CONTAMINATED
+    * training doc. Requires `tok_t` in scope (TextOps.sqlShingleCte or
+    * [[sqlConfirmedCtes]]). Shared by the d9 and c4 oracles so the
+    * decontamination semantics cannot drift between them. */
+  private[operators] lazy val sqlD9Ctes: String =
+    s"""d9sets AS (
+       |  SELECT doc_id,
+       |    list_distinct(${TextOps.sqlShinglesW(D9ShingleW)}) AS shset8
+       |  FROM tok_t),
+       |d9bench AS (
+       |  SELECT DISTINCT unnest(shset8) AS shingle FROM d9sets
+       |  WHERE ${TextAnalysis.sqlSampleBucket("doc_id")} < $D9BenchPct),
+       |d9train AS (
+       |  SELECT doc_id, CAST(len(shset8) AS BIGINT) AS n_shingles,
+       |    unnest(shset8) AS shingle FROM d9sets
+       |  WHERE NOT (${TextAnalysis.sqlSampleBucket("doc_id")}
+       |    < $D9BenchPct)),
+       |d9over AS (
+       |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared,
+       |    t.n_shingles
+       |  FROM d9train t JOIN d9bench b ON t.shingle = b.shingle
+       |  GROUP BY t.doc_id, t.n_shingles
+       |  HAVING count(*) >= $D9MinShared)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "d1_dedup_exact" ->
       s"""SELECT md5(${TextOps.sqlNormText}) AS h,
@@ -831,24 +870,9 @@ object Dedup {
          |SELECT doc_id, cluster_id FROM clus ORDER BY doc_id""".stripMargin,
     "d9_decontaminate" ->
       s"""${TextOps.sqlShingleCte},
-         |dsets AS (
-         |  SELECT doc_id,
-         |    list_distinct(${TextOps.sqlShinglesW(D9ShingleW)}) AS shset
-         |  FROM tok_t),
-         |bench AS (
-         |  SELECT DISTINCT unnest(shset) AS shingle FROM dsets
-         |  WHERE ${TextAnalysis.sqlSampleBucket("doc_id")} < $D9BenchPct),
-         |train AS (
-         |  SELECT doc_id, CAST(len(shset) AS BIGINT) AS n_shingles,
-         |    unnest(shset) AS shingle FROM dsets
-         |  WHERE NOT (${TextAnalysis.sqlSampleBucket("doc_id")}
-         |    < $D9BenchPct))
-         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared,
-         |  t.n_shingles
-         |FROM train t JOIN bench b ON t.shingle = b.shingle
-         |GROUP BY t.doc_id, t.n_shingles
-         |HAVING count(*) >= $D9MinShared
-         |ORDER BY t.doc_id""".stripMargin,
+         |$sqlD9Ctes
+         |SELECT doc_id, n_shared, n_shingles FROM d9over
+         |ORDER BY doc_id""".stripMargin,
     "d3_dedup_simhash" ->
       s"""$sqlSimhashCtes
          |SELECT doc_id, simhash, CAST(simhash >> 48 AS INTEGER) AS bucket

@@ -75,9 +75,7 @@ class CurationSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet
     val contaminated = Dedup.d9Decontaminate(s, dir).collect()
       .map(_.getLong(0)).toSet
-    def bucket(id: Long): Int =
-      Integer.parseInt(org.apache.commons.codec.digest.DigestUtils
-        .md5Hex(id.toString).substring(0, 4), 16) % 100
+    def bucket(id: Long): Int = TestSpark.sampleBucket(id)
     val docs = graft.Tables.documents(s, dir)
       .select("doc_id", "source").collect()
       .map(r => (r.getLong(0), r.getString(1)))
@@ -93,15 +91,27 @@ class CurationSpec extends AnyFunSuite {
     val got = Curation.c4CurationFull(s, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSet
     assert(got == expected)
-    // every stage removes something at this SF — a stage that filters
-    // nothing is untested in substance
+    // every stage removes something FROM WHAT REACHES IT — a witness
+    // that an earlier stage already dropped proves nothing about the
+    // later filter, so each witness must survive all prior stages
     val ids = docs.map(_._1)
-    assert(ids.exists(id => bucket(id) < Dedup.D9BenchPct))
-    assert(ids.exists(id => scores(id) < Curation.QualityMin))
-    assert(ids.exists(id => !keep.contains(id)))
-    assert(contaminated.exists(id => bucket(id) >= Dedup.D9BenchPct))
+    assert(ids.exists(id => bucket(id) < Dedup.D9BenchPct),
+      "bench-slice filter bites nothing")
+    assert(ids.exists(id =>
+      bucket(id) >= Dedup.D9BenchPct && scores(id) < Curation.QualityMin),
+      "quality floor bites nothing after the bench filter")
+    assert(ids.exists(id =>
+      bucket(id) >= Dedup.D9BenchPct &&
+        scores(id) >= Curation.QualityMin && !keep.contains(id)),
+      "dedup keep-list bites nothing after quality")
+    assert(ids.exists(id =>
+      bucket(id) >= Dedup.D9BenchPct &&
+        scores(id) >= Curation.QualityMin && keep.contains(id) &&
+        contaminated.contains(id)),
+      "decontamination bites nothing after dedup")
     assert(survivors.groupBy(_._2)
-      .exists(_._2.length > Curation.C3PerSourceCap))
+      .exists(_._2.length > Curation.C3PerSourceCap),
+      "source cap bites nothing after decontamination")
     assert(got.nonEmpty)
   }
 

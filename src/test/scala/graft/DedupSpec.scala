@@ -141,11 +141,8 @@ class DedupSpec extends AnyFunSuite {
       (0 until m).map(i =>
         toks.slice(i, i + Dedup.D9ShingleW).mkString(" ")).toSet
     }
-    def bucket(id: Long): Int =
-      Integer.parseInt(org.apache.commons.codec.digest.DigestUtils
-        .md5Hex(id.toString).substring(0, 4), 16) % 100
     val (bench, train) = docs.partition { case (id, _) =>
-      bucket(id) < Dedup.D9BenchPct
+      TestSpark.sampleBucket(id) < Dedup.D9BenchPct
     }
     assert(bench.nonEmpty && train.nonEmpty)
     val inventory = bench.iterator.flatMap(d => shingles(d._2)).toSet

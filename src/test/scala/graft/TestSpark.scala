@@ -11,4 +11,11 @@ object TestSpark {
     s.sparkContext.setLogLevel("ERROR")
     s
   }
+
+  /** Driver-side mirror of TextAnalysis.sampleBucket (first 16 md5
+    * bits of the id string, mod 100) for brute-force spec references —
+    * one shared spelling so specs cannot drift from each other. */
+  def sampleBucket(id: Long): Int =
+    Integer.parseInt(org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(id.toString).substring(0, 4), 16) % 100
 }

@@ -104,6 +104,14 @@ object Bench {
     // runs, cleanup) without paying for the whole sweep. Unset = all.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // fail fast on unknown names (same guard as ScaleBench): a typo
+    // would silently shrink the sweep and the output would look clean
+    only.foreach { set =>
+      val unknown = set -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val results = names.map { n =>

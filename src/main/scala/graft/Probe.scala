@@ -273,12 +273,17 @@ object Probe {
       comp.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // within-pair order alternates across reps: a systematic
+    // first-runner effect (JIT/GC/page-cache drift inside a pair) would
+    // otherwise bias the per-pair ordering this probe uses as its verdict
+    def order(rep: Int): Seq[Boolean] =
+      if (rep % 2 == 1) Seq(false, true) else Seq(true, false)
     run(chain(50000), split = false) // untimed warmup
-    for (rep <- 1 to 3; split <- Seq(false, true)) {
+    for (rep <- 1 to 3; split <- order(rep)) {
       val sec = run(chain(500000), split)
       println(f"""{"probe":"d8ab_chain_n500000","rep":$rep,"split":$split,"sec":$sec%.2f}""")
     }
-    for (rep <- 1 to 2; split <- Seq(false, true)) {
+    for (rep <- 1 to 2; split <- order(rep)) {
       val sec = run(giant(500000), split)
       println(f"""{"probe":"d8ab_giant_n500000","rep":$rep,"split":$split,"sec":$sec%.2f}""")
     }

@@ -59,6 +59,14 @@ object ScaleBench {
     // one JVM without paying for the whole table. Unset = all, 1 rep.
     val only = sys.env.get("SPARK_GRAFT_SCALEBENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // fail fast on unknown names: a typo would silently filter the run
+    // set to empty and the bench would print nothing yet look clean
+    only.foreach { set =>
+      val unknown = set -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_SCALEBENCH_ONLY names unknown queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALEBENCH_REPS", "1").toInt
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))

@@ -265,6 +265,21 @@ object LeadSignBucket {
   * session first, so the functions exist no matter who built the session
   * (graft.GraftSession, the round driver, or a user's own builder). */
 object GraftFunctions {
+  /** Scalar parameters of the kernel functions (shingle width, band
+    * counts) are Scala constructor args, not child expressions, so they
+    * must be literal INTs at registration time. Checked explicitly: the
+    * raw `eval().asInstanceOf[Int]` spelling turned a column reference
+    * or a long literal (`word_shingles(toks, 8L)`) into an opaque eval
+    * error / ClassCastException instead of naming the function and the
+    * expected argument shape. */
+  private[functions] def litInt(fn: String, arg: String, e: Expression): Int =
+    if (e.foldable && e.dataType == org.apache.spark.sql.types.IntegerType)
+      e.eval().asInstanceOf[Int]
+    else throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal (e.g. $fn(..., 8)), got " +
+        s"${if (e.foldable) s"a ${e.dataType.simpleString} literal"
+        else s"a non-literal expression (${e.sql})"}")
+
   def register(spark: SparkSession): Unit = {
     def reg(name: String, clazz: Class[_],
             builder: Seq[Expression] => Expression): Unit =
@@ -277,15 +292,17 @@ object GraftFunctions {
     reg("minhash_sig", classOf[MinHashSig], cs => MinHashSig(cs(0), cs(1)))
     reg("minhash_band_keys", classOf[MinHashBandKeys], cs =>
       MinHashBandKeys(cs(0),
-        cs(1).eval().asInstanceOf[Int], cs(2).eval().asInstanceOf[Int]))
+        litInt("minhash_band_keys", "num_hashes", cs(1)),
+        litInt("minhash_band_keys", "bands", cs(2))))
     reg("roll_hash", classOf[RollHash], cs => RollHash(cs(0)))
     reg("word_shingles", classOf[WordShingles], cs => WordShingles(cs(0),
-      if (cs.length > 1) cs(1).eval().asInstanceOf[Int] else 3))
+      if (cs.length > 1) litInt("word_shingles", "width", cs(1)) else 3))
     reg("hyperplane_bucket", classOf[HyperplaneBucket],
       cs => HyperplaneBucket(cs(0), cs(1)))
     reg("hyperplane_band_keys", classOf[HyperplaneBandKeys], cs =>
       HyperplaneBandKeys(cs(0),
-        cs(1).eval().asInstanceOf[Int], cs(2).eval().asInstanceOf[Int]))
+        litInt("hyperplane_band_keys", "bands", cs(1)),
+        litInt("hyperplane_band_keys", "bits_per_band", cs(2))))
     reg("lead_sign_bucket", classOf[LeadSignBucket],
       cs => LeadSignBucket(cs(0), cs(1)))
     reg("count_in", classOf[CountTokensIn], cs => CountTokensIn(cs(0), cs(1)))

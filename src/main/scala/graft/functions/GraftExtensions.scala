@@ -30,12 +30,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("minhash_sig", classOf[MinHashSig], cs => MinHashSig(cs(0), cs(1)))
     inject("minhash_band_keys", classOf[MinHashBandKeys], cs =>
       MinHashBandKeys(cs(0),
-        cs(1).eval().asInstanceOf[Int], cs(2).eval().asInstanceOf[Int]))
+        GraftFunctions.litInt("minhash_band_keys", "num_hashes", cs(1)),
+        GraftFunctions.litInt("minhash_band_keys", "bands", cs(2))))
     inject("roll_hash", classOf[RollHash], cs => RollHash(cs(0)))
     inject("word_shingles", classOf[WordShingles], cs => WordShingles(cs(0),
-      if (cs.length > 1) cs(1).eval().asInstanceOf[Int] else 3))
+      if (cs.length > 1) GraftFunctions.litInt("word_shingles", "width", cs(1))
+      else 3))
     inject("hyperplane_bucket", classOf[HyperplaneBucket],
       cs => HyperplaneBucket(cs(0), cs(1)))
+    inject("hyperplane_band_keys", classOf[HyperplaneBandKeys], cs =>
+      HyperplaneBandKeys(cs(0),
+        GraftFunctions.litInt("hyperplane_band_keys", "bands", cs(1)),
+        GraftFunctions.litInt("hyperplane_band_keys", "bits_per_band", cs(2))))
     inject("lead_sign_bucket", classOf[LeadSignBucket],
       cs => LeadSignBucket(cs(0), cs(1)))
     inject("count_in", classOf[CountTokensIn],

@@ -461,6 +461,13 @@ object Dedup {
         size > MemoMaxEntries
     }
 
+  /** Runs `build` (potentially a minutes-long Spark job) while HOLDING
+    * the cache monitor — deliberate for this single-driver engine:
+    * duplicate concurrent builds of the same subtree would cost more
+    * than any lock wait, and the engine memoizes from the driver
+    * thread. If multi-tenant drivers ever matter, cache a per-key lazy
+    * holder (future) so the map lock covers only lookup/insert and an
+    * unrelated corpus's request never queues behind another's build. */
   private def memoize(cache: java.util.LinkedHashMap[String, DataFrame],
       key: String)(build: => DataFrame): DataFrame = cache.synchronized {
     val hit = cache.get(key)

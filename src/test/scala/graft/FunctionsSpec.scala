@@ -111,7 +111,7 @@ class FunctionsSpec extends AnyFunSuite {
     val s = TestSpark.spark
     GraftFunctions.register(s)
     import s.implicits._
-    for (w <- Seq(2, 5, 8)) {
+    for (w <- 2 to 8) {
       val got = Seq("", "one", "one two", "a b c d e",
           "the quick brown fox jumps over the lazy dog today")
         .toDF("norm")

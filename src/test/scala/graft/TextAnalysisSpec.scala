@@ -120,6 +120,41 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("t6 residual alternation counts what the four per-family scans sum to") {
+    import org.apache.spark.sql.functions.{col, lit, regexp_count}
+    import graft.operators.TextAnalysis
+    val sess = s
+    import sess.implicits._
+    // residual runs ONE PiiAnyRe alternation where the oracle sums four
+    // per-family scans. The two agree exactly when no two families'
+    // matches overlap — guaranteed on redacted text (families are
+    // expected to match nothing at all), which is the only text
+    // residual ever scans. Crafted strings exercise the equality with
+    // NONZERO counts: mixed families, adjacency, near-misses — all
+    // cross-family-disjoint, like any real residual input. (A string
+    // engineered so a phone match hides a card match's first group
+    // WOULD diverge — that shape requires surviving PII overlapping
+    // more surviving PII, which redaction precludes.)
+    val texts = Seq(
+      "a@b.io next to 10.0.0.1 and 4111-1111-1111-1111 plus +1-555-0000",
+      "bare text with no matches at all",
+      "v1.2.3 999.1.1.1 ORD4111222233334444 41112222333344445",
+      "x@y.zz x@y.zz 1.2.3.4 1.2.3.4 +1-555-0001 4000123456789010",
+      "glued4111 1111 1111 1111 then real 4111 1111 1111 1111",
+      "<EMAIL> <PHONE> <IP> <CARD> fully redacted line",
+      "",
+    )
+    val out = texts.toDF("t").select(
+      regexp_count(col("t"), lit(TextAnalysis.PiiAnyRe)).as("alt"),
+      TextAnalysis.PiiFamilies.map { case (re, _) =>
+        regexp_count(col("t"), lit(re))
+      }.reduce(_ + _).as("summed")).collect()
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"alternation ${r.get(0)} != summed ${r.get(1)}"))
+    // the set must exercise nonzero counts, or equality is vacuous
+    assert(out.exists(_.getInt(0) > 0))
+  }
+
   test("property: rolling hash matches a reference fold on generated ascii strings") {
     import org.apache.spark.sql.functions._
     val params = org.scalacheck.Gen.Parameters.default

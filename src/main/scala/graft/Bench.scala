@@ -99,6 +99,29 @@ object Bench {
 
     timed(noopWrite(SparkEntry.queries("q1_multi_agg")(spark, sfDir))) // warmup
 
+    // Cold-path bound for the memoized subtrees: the per-query warmups
+    // inside sample() mean the d6/d8/c1/c2/c4 medians are CACHE-HIT
+    // numbers — without this, the sweep total silently excludes the
+    // most expensive subtree in the engine (the d2→d4Confirm screen/
+    // confirm chain + star contraction). Clear both memo caches and
+    // time the first builds explicitly; the spec counters prove each
+    // ran exactly once, so memo_build_sec + total bounds a cold sweep.
+    operators.Dedup.clearConfirmedCache()
+    operators.Dedup.clearClusterCache()
+    val cb0 = operators.Dedup.confirmedBuildCount.get()
+    val kb0 = operators.Dedup.clusterBuildCount.get()
+    val memoBuildSec = timed {
+      operators.Dedup.confirmedPairs(spark, sfDir)
+      operators.Dedup.clusterMembership(spark, sfDir)
+      ()
+    }
+    val memoBuiltOnce =
+      operators.Dedup.confirmedBuildCount.get() == cb0 + 1 &&
+        operators.Dedup.clusterBuildCount.get() == kb0 + 1
+    if (!memoBuiltOnce)
+      System.err.println("[bench] memoized subtrees did not build exactly " +
+        "once — memo_build_sec does not bound the cold path this run")
+
     // dev-only subset selector (csv of query names): lets a bisect time
     // one query under the EXACT bench protocol (same JVM flags, warmup,
     // runs, cleanup) without paying for the whole sweep. Unset = all.
@@ -118,6 +141,17 @@ object Bench {
       n -> sample(noopWrite(SparkEntry.queries(n)(spark, sfDir)))
     }
     val pinnedResults = pinned.map { case (n, f) => n -> sample(f()) }
+
+    // machine-speed context, stamped INTO the artifact (a fast-machine
+    // total read without it misleads cross-round diffs): median ratio
+    // of this run's pins to the r4 reference pins (SURVEY §6). < 1 =
+    // this machine ran faster than the reference rounds.
+    val referencePins = Map(
+      "pin_shuffle_agg" -> 0.425, "pin_sort" -> 1.341, "pin_hash_cpu" -> 0.349)
+    val pinRatios = pinnedResults
+      .collect { case (n, (m, _)) if m > 0 => m / referencePins(n) }.sorted
+    val pinRatio =
+      if (pinRatios.isEmpty) -1.0 else pinRatios(pinRatios.length / 2)
 
     def fmtMap(xs: Seq[(String, Double)]): String = xs
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
@@ -147,6 +181,7 @@ object Bench {
         s""""spread":${fmtMap(results.map(r => r._1 -> r._2._2))},""" +
         s""""pinned":${fmtMap(pinnedResults.map(r => r._1 -> r._2._1))},""" +
         s""""pinned_spread":${fmtMap(pinnedResults.map(r => r._1 -> r._2._2))},""" +
+        f""""memo_build_sec":$memoBuildSec%.3f,"pin_ratio":$pinRatio%.3f,""" +
         f""""noise":$noise%.3f,"failed":$fs,"sf":"$sfDir"}"""
     val detailPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "target/bench-detail.json"))
@@ -157,6 +192,7 @@ object Bench {
       f"""{"metric":"total_wall","value":$total%.3f,"unit":"sec","runs":$runs,""" +
         s""""queries":${fmtMap(results.map(r => r._1 -> r._2._1))},""" +
         s""""pinned":${fmtMap(pinnedResults.map(r => r._1 -> r._2._1))},""" +
+        f""""memo_build_sec":$memoBuildSec%.3f,"pin_ratio":$pinRatio%.3f,""" +
         f""""noise":$noise%.3f,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

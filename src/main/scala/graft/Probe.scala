@@ -38,7 +38,56 @@ object Probe {
     if (sections("q25")) probeQ25(spark)
     if (sections("d8")) probeD8(spark)
     if (sections("d8ab")) probeD8AB(spark) // not in the default set
+    if (sections("c4")) probeC4(spark, sfDir) // not in the default set
     spark.stop()
+  }
+
+  /** ---- c4 flagship at 100× corpus: the composed curation DAG was
+    * measured only at ScaleBench's 10× (ratio 3.0–3.4); this plants a
+    * 100× documents dir (ScaleBench's replication rules: shifted ids,
+    * per-copy text suffix so the shingle work is genuinely 100×) and
+    * runs the WHOLE DAG — quality, cluster dedup incl. the memoized
+    * screen/confirm/contract build, decontamination, source cap — cold
+    * (memo caches cleared, the per-corpus-generation cost) and warm
+    * (cache-hit, the per-consumer cost). Caveat recorded with the
+    * datum: the planted bench slice grows 100× with the corpus, so the
+    * d9 inventory broadcast is ~100× a production suite's (which is
+    * fixed-size); the probe therefore UPPER-bounds the production
+    * ratio. */
+  private def probeC4(spark: SparkSession, sfDir: String): Unit = {
+    val doc = Tables.documents(spark, sfDir)
+    val mDoc = doc.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val copies = spark.range(100).withColumnRenamed("id", "copy")
+    val cols = doc.columns
+    val out = "target/probe/c4x100"
+    doc.crossJoin(copies)
+      .withColumn("doc_id", col("doc_id") + col("copy") * mDoc)
+      .withColumn("text", concat(col("text"), lit(" copyword"),
+        col("copy").cast("string")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select(cols.map(col).toIndexedSeq: _*)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    def time(name: String, dir: String, cold: Boolean): Double = {
+      if (cold) {
+        graft.operators.Dedup.clearConfirmedCache()
+        graft.operators.Dedup.clearClusterCache()
+      }
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      graft.operators.Curation.c4CurationFull(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"$name","sec":$sec%.2f}""")
+      sec
+    }
+    time("c4_warmup", sfDir, cold = true) // absorbs codegen/session startup
+    val baseCold = time("c4_base_cold", sfDir, cold = true)
+    val baseWarm = time("c4_base_warm", sfDir, cold = false)
+    val xCold = time("c4_x100_cold", out, cold = true)
+    val xWarm = time("c4_x100_warm", out, cold = false)
+    println(f"""{"probe":"c4_x100_ratio","cold":${xCold / baseCold}%.1f,""" +
+      f""""warm":${xWarm / baseWarm}%.1f}""")
   }
 
   private def probeD5(spark: SparkSession, sfDir: String): Unit = {

@@ -8,12 +8,14 @@ import graft.streaming.Streams
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
-    * rows>0. The FULL curation DAG (quality floor → d2/d4 dedup
-    * keep-list → d9 decontamination → per-source cap, c4) is the
-    * engine's flagship: one corpus pass exercising the kernel
-    * registry, the LSH banding, the row-local confirm join, the
-    * broadcast 8-gram inventory and the WindowGroupLimit cap,
-    * mirroring the reference's composed-DAG flagship
+    * rows>0. The FULL curation DAG (quality floor → cluster-aware
+    * dedup via d8's transitive cluster ids with boilerplate-cluster
+    * caps and canonical-representative picks → d9 decontamination →
+    * per-source cap, c4) is the engine's flagship: one corpus pass
+    * exercising the kernel registry, the LSH banding, the row-local
+    * confirm join, the star-contraction membership, the broadcast
+    * 8-gram inventory and the WindowGroupLimit cap, mirroring the
+    * reference's composed-DAG flagship
     * (airflow/dags/twitter_airflow.py:69-137) at curation altitude. */
   def entry(spark: SparkSession): DataFrame =
     Curation.c4CurationFull(spark, "/root/testdata/sf0.001")

@@ -635,6 +635,69 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Stages the benchmark SUITE as a genuine second parquet table with
+    * its own schema — `benchmarks(bench_id STRING, prompt STRING)` —
+    * under target/benchdata/<corpus-fingerprint>/, written once per
+    * corpus generation (the `_SUCCESS` marker short-circuits repeats;
+    * the fingerprint key invalidates on re-ingest, like the memo
+    * caches). Contents are deterministic: the [[D9BenchPct]] sample
+    * bucket's docs, re-keyed as `bench_<doc_id>` with the text as the
+    * suite `prompt` — so the DuckDB oracle can reproduce the staged
+    * table from `documents` without reading the file, while the Spark
+    * side exercises the real production plumbing: a second path, a
+    * second schema, a second `spark.read.parquet`. */
+  def d9BenchmarksPath(s: SparkSession, dir: String): String = {
+    val path = s"target/benchdata/${Tables.fingerprint(s, dir, "documents")}" +
+      "/benchmarks.parquet"
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success))
+      Tables.documents(s, dir)
+        .filter(TextAnalysis.sampleBucket(col("doc_id")) < D9BenchPct)
+        .select(concat(lit("bench_"), col("doc_id")).as("bench_id"),
+          col("text").as("prompt"))
+        .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** d9_xt: decontamination against a GENUINE second table — the
+    * production shape of [[d9Decontaminate]], whose gate entry slices
+    * the benchmark out of the same corpus. Here the suite arrives as
+    * its own parquet with its own schema ([[d9BenchmarksPath]]), and
+    * the training side is the WHOLE documents table as ingested — so
+    * verbatim copies of suite prompts (the staged suite's source docs
+    * among them) flag themselves, exactly what a production corpus
+    * containing leaked eval data looks like.
+    *
+    * Plan is unchanged from d9 — that is the point: the suite's
+    * distinct-8-gram inventory is flattened and BROADCAST (real suites
+    * are MBs against a 100 TB corpus), the corpus side joins map-side
+    * with no shuffle of the exploded shingle volume, and the only
+    * shuffle is the combinable per-doc count. Swapping the inventory's
+    * source from a corpus slice to a second table touches zero
+    * operators below the scan. */
+  def d9DecontaminateXt(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val inv = s.read.parquet(d9BenchmarksPath(s, dir))
+      .withColumn("norm", TextOps.normText(col("prompt")))
+      .withColumn("toks", expr(TextOps.toksExpr))
+      .select(explode(
+        expr(s"array_distinct(word_shingles(toks, $D9ShingleW))"))
+        .as("shingle"))
+      .distinct()
+    val train = TextOps.withShingles(Tables.documents(s, dir))
+      .withColumn("shset",
+        expr(s"array_distinct(word_shingles(toks, $D9ShingleW))"))
+      .select(col("doc_id"), size(col("shset")).cast("long").as("n_shingles"),
+        explode(col("shset")).as("shingle"))
+    train.join(broadcast(inv), Seq("shingle"))
+      .groupBy("doc_id", "n_shingles")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= D9MinShared)
+      .select("doc_id", "n_shared", "n_shingles")
+      .orderBy("doc_id")
+  }
+
   /** d5 banding parameters. Bands fixed at 4 (recall knob: a near-dup
     * pair is a candidate if it agrees in ANY band); bits per band scale
     * with the corpus so expected bucket occupancy stays O(1) — the
@@ -880,6 +943,30 @@ object Dedup {
          |$sqlD9Ctes
          |SELECT doc_id, n_shared, n_shingles FROM d9over
          |ORDER BY doc_id""".stripMargin,
+    // the staged benchmarks table is DERIVED deterministically from the
+    // bench sample bucket (d9BenchmarksPath), so the oracle reproduces
+    // its inventory from `documents` — the train side is the WHOLE
+    // corpus, unlike d9's same-corpus slice gate
+    "d9_decontaminate_xt" ->
+      s"""${TextOps.sqlShingleCte},
+         |xtsets AS (
+         |  SELECT doc_id,
+         |    list_distinct(${TextOps.sqlShinglesW(D9ShingleW)}) AS shset8
+         |  FROM tok_t),
+         |xtbench AS (
+         |  SELECT DISTINCT unnest(shset8) AS shingle FROM xtsets
+         |  WHERE ${TextAnalysis.sqlSampleBucket("doc_id")} < $D9BenchPct),
+         |xttrain AS (
+         |  SELECT doc_id, CAST(len(shset8) AS BIGINT) AS n_shingles,
+         |    unnest(shset8) AS shingle FROM xtsets),
+         |xtover AS (
+         |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared,
+         |    t.n_shingles
+         |  FROM xttrain t JOIN xtbench b ON t.shingle = b.shingle
+         |  GROUP BY t.doc_id, t.n_shingles
+         |  HAVING count(*) >= $D9MinShared)
+         |SELECT doc_id, n_shared, n_shingles FROM xtover
+         |ORDER BY doc_id""".stripMargin,
     "d3_dedup_simhash" ->
       s"""$sqlSimhashCtes
          |SELECT doc_id, simhash, CAST(simhash >> 48 AS INTEGER) AS bucket
@@ -973,6 +1060,7 @@ object Dedup {
     "d6_dedup_pipeline" -> d6DedupPipeline,
     "d8_dedup_clusters" -> d8DedupClusters,
     "d9_decontaminate" -> d9Decontaminate,
+    "d9_decontaminate_xt" -> d9DecontaminateXt,
     // d3Candidates under the full gate: the banded candidate generation
     // must reproduce DuckDB's BRUTE-FORCE all-pairs hamming join exactly
     // — recall 1.0 is oracle-checked, not just spec-asserted (the

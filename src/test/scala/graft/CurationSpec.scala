@@ -71,7 +71,9 @@ class CurationSpec extends AnyFunSuite {
     val scores = TextAnalysis.t2QualityScore(s, dir)
       .select("doc_id", "score").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val keep = Dedup.d6DedupPipeline(s, dir).collect()
+    // c4's dedup stage is the CLUSTER-AWARE c2 policy (kept
+    // representatives), not d6's greedy pair keep-list
+    val keep = Curation.c2ClusterCuration(s, dir).collect()
       .map(_.getLong(0)).toSet
     val contaminated = Dedup.d9Decontaminate(s, dir).collect()
       .map(_.getLong(0)).toSet
@@ -103,7 +105,7 @@ class CurationSpec extends AnyFunSuite {
     assert(ids.exists(id =>
       bucket(id) >= Dedup.D9BenchPct &&
         scores(id) >= Curation.QualityMin && !keep.contains(id)),
-      "dedup keep-list bites nothing after quality")
+      "cluster dedup policy bites nothing after quality")
     assert(ids.exists(id =>
       bucket(id) >= Dedup.D9BenchPct &&
         scores(id) >= Curation.QualityMin && keep.contains(id) &&
@@ -113,6 +115,18 @@ class CurationSpec extends AnyFunSuite {
       .exists(_._2.length > Curation.C3PerSourceCap),
       "source cap bites nothing after decontamination")
     assert(got.nonEmpty)
+    // the swap from the greedy pair keep-list (d6) to the cluster
+    // policy (c2) must be OBSERVABLE within c4's reach: some doc that
+    // survives the earlier stages is kept by one policy and dropped by
+    // the other (else the flagship's cluster stage is indistinguishable
+    // from the pair-greedy stage it replaced)
+    val d6keep = Dedup.d6DedupPipeline(s, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(ids.exists(id =>
+      bucket(id) >= Dedup.D9BenchPct &&
+        scores(id) >= Curation.QualityMin &&
+        keep.contains(id) != d6keep.contains(id)),
+      "cluster policy and greedy keep-list agree on every doc c4 sees")
   }
 
   test("confirmedPairs builds the screen/confirm chain once across d6/d8/c1/c2") {

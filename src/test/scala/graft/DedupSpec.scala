@@ -161,4 +161,53 @@ class DedupSpec extends AnyFunSuite {
     assert(got.size < train.length / 2,
       "most training docs flagged — shingle width not discriminating")
   }
+
+  test("d9_xt: staged second table, self-flagging suite sources, d9 parity off-slice") {
+    import org.apache.hadoop.fs.Path
+    // staging: a genuine second parquet with its own schema, written
+    // once per corpus generation
+    val path = Dedup.d9BenchmarksPath(s, dir)
+    val fs = new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val mtime0 = fs.getFileStatus(new Path(path, "_SUCCESS")).getModificationTime
+    val bench = s.read.parquet(path)
+    assert(bench.columns.toSeq == Seq("bench_id", "prompt"))
+    val benchIds = graft.Tables.documents(s, dir).select("doc_id").collect()
+      .map(_.getLong(0)).filter(TestSpark.sampleBucket(_) < Dedup.D9BenchPct)
+    assert(bench.count() == benchIds.length)
+    assert(bench.select("bench_id").collect().map(_.getString(0)).sorted
+      .sameElements(benchIds.map(id => s"bench_$id").sorted))
+    // a second call must reuse the staged file, not rewrite it
+    Dedup.d9BenchmarksPath(s, dir)
+    assert(fs.getFileStatus(new Path(path, "_SUCCESS"))
+      .getModificationTime == mtime0, "staging was not idempotent")
+
+    val xt = Dedup.d9DecontaminateXt(s, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // off the bench slice, xt must equal d9 EXACTLY: the suite's
+    // shingle inventory is the same set, only its provenance changed
+    // (second table instead of same-corpus slice)
+    val d9 = Dedup.d9Decontaminate(s, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val benchSet = benchIds.toSet
+    assert(xt.view.filterKeys(!benchSet.contains(_)).toMap == d9)
+    // ON the slice: every suite-source doc shares ALL its shingles
+    // with the inventory, so it self-flags iff it has >= D9MinShared
+    // distinct 8-grams — the verbatim-leak detection the xt shape adds
+    val selfFlagged = xt.view.filterKeys(benchSet.contains).toMap
+    assert(selfFlagged.nonEmpty, "no suite source self-flagged")
+    assert(selfFlagged.forall { case (_, (shared, total)) => shared == total },
+      "a suite-source doc shares only part of its own shingles")
+    benchSet.foreach { id =>
+      if (!xt.contains(id))
+        assert({
+          val n = graft.Tables.documents(s, dir)
+            .filter(org.apache.spark.sql.functions.col("doc_id") === id)
+            .select("text").head().getString(0)
+          val toks = n.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          val m = math.max(toks.length - (Dedup.D9ShingleW - 1), 1)
+          (0 until m).map(i => toks.slice(i, i + Dedup.D9ShingleW)
+            .mkString(" ")).toSet.size < Dedup.D9MinShared
+        }, s"suite source $id missing from xt without a width excuse")
+    }
+  }
 }

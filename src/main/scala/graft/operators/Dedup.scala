@@ -698,6 +698,53 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d9r: contamination report from the SUITE's side — for each
+    * benchmark item ([[d9BenchmarksPath]]'s staged table), how many
+    * TRAINING docs overlap it (≥ [[D9MinShared]] shared distinct
+    * 8-grams with THAT item) and the widest overlap. The flip side of
+    * d9/d9_xt: decontamination tells the corpus owner which docs to
+    * drop; this report tells the EVAL owner which suite items are
+    * compromised and how badly — the artifact a contamination audit
+    * actually publishes (every published decontamination methodology
+    * reports per-benchmark overlap rates, not just dropped-doc
+    * counts).
+    *
+    * Note the pairing is PER ITEM, deliberately stricter than d9's
+    * union-inventory flag: a training doc sharing one shingle with
+    * each of two suite items is d9-flagged (2 shared with the union)
+    * but compromises neither item (1 < [[D9MinShared]] with each), so
+    * it does not appear here — the report answers "is THIS item
+    * leaked", not "is this doc tainted" (spec asserts the implied
+    * containment).
+    *
+    * Scale shape: same broadcast skeleton as d9 — the suite side now
+    * carries (bench_id, shingle) instead of a global DISTINCT, still
+    * suite-sized, still broadcast; the corpus side joins map-side and
+    * the two aggregations (per (item, doc) count, then per item) are
+    * both map-side-combinable hash aggs keyed far below corpus
+    * cardinality. */
+  def d9Report(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val bench = s.read.parquet(d9BenchmarksPath(s, dir))
+      .withColumn("norm", TextOps.normText(col("prompt")))
+      .withColumn("toks", expr(TextOps.toksExpr))
+      .select(col("bench_id"),
+        explode(expr(s"array_distinct(word_shingles(toks, $D9ShingleW))"))
+          .as("shingle"))
+    val train = TextOps.withShingles(Tables.documents(s, dir))
+      .filter(!(TextAnalysis.sampleBucket(col("doc_id")) < D9BenchPct))
+      .withColumn("shset",
+        expr(s"array_distinct(word_shingles(toks, $D9ShingleW))"))
+      .select(col("doc_id"), explode(col("shset")).as("shingle"))
+    train.join(broadcast(bench), Seq("shingle"))
+      .groupBy("bench_id", "doc_id")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= D9MinShared)
+      .groupBy("bench_id")
+      .agg(count(lit(1)).as("n_overlapping"), max("shared").as("max_shared"))
+      .orderBy("bench_id")
+  }
+
   /** d5 banding parameters. Bands fixed at 4 (recall knob: a near-dup
     * pair is a candidate if it agrees in ANY band); bits per band scale
     * with the corpus so expected bucket occupancy stays O(1) — the
@@ -967,6 +1014,32 @@ object Dedup {
          |  HAVING count(*) >= $D9MinShared)
          |SELECT doc_id, n_shared, n_shingles FROM xtover
          |ORDER BY doc_id""".stripMargin,
+    // per-ITEM pairing (≥ D9MinShared with one bench doc), not d9's
+    // union inventory; the suite side derives from `documents` exactly
+    // like the d9_xt oracle
+    "d9_report" ->
+      s"""${TextOps.sqlShingleCte},
+         |rsets AS (
+         |  SELECT doc_id,
+         |    list_distinct(${TextOps.sqlShinglesW(D9ShingleW)}) AS shset8
+         |  FROM tok_t),
+         |rbench AS (
+         |  SELECT 'bench_' || CAST(doc_id AS VARCHAR) AS bench_id,
+         |    unnest(shset8) AS shingle
+         |  FROM rsets
+         |  WHERE ${TextAnalysis.sqlSampleBucket("doc_id")} < $D9BenchPct),
+         |rtrain AS (
+         |  SELECT doc_id, unnest(shset8) AS shingle FROM rsets
+         |  WHERE NOT (${TextAnalysis.sqlSampleBucket("doc_id")}
+         |    < $D9BenchPct)),
+         |rpairs AS (
+         |  SELECT b.bench_id, t.doc_id, CAST(count(*) AS BIGINT) AS shared
+         |  FROM rtrain t JOIN rbench b ON t.shingle = b.shingle
+         |  GROUP BY b.bench_id, t.doc_id
+         |  HAVING count(*) >= $D9MinShared)
+         |SELECT bench_id, CAST(count(*) AS BIGINT) AS n_overlapping,
+         |  max(shared) AS max_shared
+         |FROM rpairs GROUP BY bench_id ORDER BY bench_id""".stripMargin,
     "d3_dedup_simhash" ->
       s"""$sqlSimhashCtes
          |SELECT doc_id, simhash, CAST(simhash >> 48 AS INTEGER) AS bucket
@@ -1061,6 +1134,7 @@ object Dedup {
     "d8_dedup_clusters" -> d8DedupClusters,
     "d9_decontaminate" -> d9Decontaminate,
     "d9_decontaminate_xt" -> d9DecontaminateXt,
+    "d9_report" -> d9Report,
     // d3Candidates under the full gate: the banded candidate generation
     // must reproduce DuckDB's BRUTE-FORCE all-pairs hamming join exactly
     // — recall 1.0 is oracle-checked, not just spec-asserted (the

@@ -106,6 +106,26 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "frame")
   }
 
+  /** m2: [[sampleFrames]] under the full gate — the one-to-many
+    * (asset → frames) explode shape, presented as lossless hex (DuckDB
+    * has no blob substring/md5, and hex is a stronger check than a
+    * digest: every frame byte is compared). The product operator still
+    * emits binary frames; this entry is its presentation projection. */
+  def m2FrameSample(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(s, dir)
+      .select(col("doc_id"), col("frame_idx"),
+        hex(col("frame")).as("frame_hex"))
+      .orderBy("doc_id", "frame_idx")
+
+  /** m3: [[resize]] under the full gate — binary in → smaller binary
+    * out with metadata preserved, hex-presented like [[m2FrameSample]]
+    * so every resized byte is oracle-compared. */
+  def m3ResizeMeta(s: SparkSession, dir: String): DataFrame =
+    resize(s, dir)
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        hex(col("payload")).as("payload_hex"))
+      .orderBy("doc_id")
+
   /** DuckDB mirror of [[m1Decode]]: the stub decode is deterministic
     * arithmetic over the utf-8 payload bytes, so it IS SQL-expressible —
     * bytes recovered by hex-ing the encoded blob and folding nibble
@@ -113,6 +133,39 @@ object Multimodal {
     * exact integer byte sum, so doubles are bit-identical across engines
     * with no rounding. */
   val oracle: Map[String, String] = Map(
+    // every k-th fixed-size byte window, mirrored on the hex string
+    // (2 hex chars per byte; substr clamps the final short frame like
+    // Iterator.grouped); zero-byte docs produce zero frames via the
+    // empty generate_series
+    "m2_frame_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, hx,
+        |    unnest(generate_series(0, CAST((n + 31) // 32 AS BIGINT) - 1))
+        |      AS i
+        |  FROM b)
+        |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |  substr(hx, CAST(64 * i + 1 AS BIGINT), 64) AS frame_hex
+        |FROM idx WHERE i % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin,
+    // stubResize byte-subsample: source byte of output position i is
+    // floor(i*n/64) (0-based), i.e. hex chars [2*src+1, 2*src+2];
+    // payloads already <= 64 bytes pass through unchanged
+    "m3_resize_meta" ->
+      """WITH b AS (
+        |  SELECT doc_id, 'synthetic/' || source AS media_type,
+        |    hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        |  FROM documents)
+        |SELECT doc_id, media_type,
+        |  CAST(CASE WHEN n <= 64 THEN n ELSE 64 END AS INTEGER) AS n_bytes,
+        |  CASE WHEN n <= 64 THEN hx
+        |    ELSE array_to_string(list_transform(generate_series(0, 63),
+        |      i -> substr(hx, CAST(2 * ((i * n) // 64) + 1 AS BIGINT), 2)),
+        |      '')
+        |    END AS payload_hex
+        |FROM b ORDER BY doc_id""".stripMargin,
     "m1_multimodal_meta" ->
       """WITH b AS (
         |  SELECT doc_id, 'synthetic/' || source AS media_type,
@@ -140,5 +193,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> m1Decode,
+    "m2_frame_sample" -> m2FrameSample,
+    "m3_resize_meta" -> m3ResizeMeta,
   )
 }

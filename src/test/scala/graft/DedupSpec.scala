@@ -210,4 +210,45 @@ class DedupSpec extends AnyFunSuite {
         }, s"suite source $id missing from xt without a width excuse")
     }
   }
+
+  test("d9_report matches a per-item brute force; implied docs are d9-flagged") {
+    val docs = graft.Tables.documents(s, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def shingles(text: String): Set[String] = {
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val m = math.max(toks.length - (Dedup.D9ShingleW - 1), 1)
+      (0 until m).map(i =>
+        toks.slice(i, i + Dedup.D9ShingleW).mkString(" ")).toSet
+    }
+    val (bench, train) = docs.partition { case (id, _) =>
+      TestSpark.sampleBucket(id) < Dedup.D9BenchPct
+    }
+    val trainSets = train.map { case (id, t) => id -> shingles(t) }
+    // brute force: per (item, doc) shared-shingle counts, thresholded,
+    // then per-item doc count + widest overlap
+    val expected = bench.flatMap { case (bid, btext) =>
+      val bsh = shingles(btext)
+      val overlaps = trainSets
+        .map { case (tid, tsh) => tid -> (tsh & bsh).size.toLong }
+        .filter(_._2 >= Dedup.D9MinShared)
+      if (overlaps.isEmpty) None
+      else Some(s"bench_$bid" -> ((overlaps.length.toLong, overlaps.map(_._2).max)))
+    }.toMap
+    val got = Dedup.d9Report(s, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty, "no compromised suite items — report untested")
+    // per-item pairing is STRICTER than d9's union inventory: every doc
+    // implied by the report must be d9-flagged (the converse need not
+    // hold — shingles spread across items don't compromise any one item)
+    val d9Flagged = Dedup.d9Decontaminate(s, dir).collect()
+      .map(_.getLong(0)).toSet
+    val implied = bench.flatMap { case (bid, btext) =>
+      val bsh = shingles(btext)
+      trainSets.collect {
+        case (tid, tsh) if (tsh & bsh).size >= Dedup.D9MinShared => tid }
+    }.toSet
+    assert(implied.subsetOf(d9Flagged))
+  }
 }

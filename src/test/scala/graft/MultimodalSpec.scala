@@ -56,6 +56,25 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("m2/m3 gate projections are lossless hex of the binary operators") {
+    val s = TestSpark.spark
+    val dir = TestSpark.SfDir
+    def hx(b: Array[Byte]): String = b.map("%02X".format(_)).mkString
+    val frames = graft.operators.Multimodal.sampleFrames(s, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> hx(r.getAs[Array[Byte]]("frame")))
+      .toMap
+    val m2 = graft.operators.Multimodal.m2FrameSample(s, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(m2 == frames)
+    val resized = graft.operators.Multimodal.resize(s, dir).collect()
+      .map(r => r.getLong(0) -> hx(r.getAs[Array[Byte]]("payload"))).toMap
+    val m3 = graft.operators.Multimodal.m3ResizeMeta(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(m3 == resized)
+    // hex must really exercise both nibble ranges (digits AND letters)
+    assert(m2.values.exists(v => v.exists(_.isDigit) && v.exists(_.isLetter)))
+  }
+
   test("d3Candidates surfaces hamming-close fingerprint pairs") {
     val s = TestSpark.spark
     val pairs = graft.operators.Dedup.d3Candidates(s, TestSpark.SfDir)

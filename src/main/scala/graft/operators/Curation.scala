@@ -176,6 +176,62 @@ object Curation {
       .orderBy("source", "src_rank")
   }
 
+  /** Acceptance fraction for the LARGEST language under
+    * [[c5MixtureSample]]'s temperature rebalance. 0.7 exercises both
+    * branches of the cap at every test SF: the majority language keeps
+    * floor(0.7·10000) buckets while the smallest languages hit the 1.0
+    * cap and keep everything. Shared with the DuckDB oracle. */
+  val C5BaseFrac = 0.7
+
+  /** Acceptance-threshold granularity of [[c5MixtureSample]]: 16 md5
+    * bits mod 10000 → 0.01% steps. */
+  val C5Buckets = 10000
+
+  /** c5: TEMPERATURE-BASED language mixing — the α-sampling step a
+    * multilingual training pipeline runs so low-resource languages are
+    * not drowned by the head language (the exponent-α upsampling of
+    * the mBERT/XLM-R lineage; α = 0.5 here). Each language's
+    * acceptance fraction is `min(1, [[C5BaseFrac]] ·
+    * sqrt(n_max/n_lang))`: the largest language keeps C5BaseFrac of
+    * its docs, smaller ones keep proportionally more (a language at a
+    * quarter the head's size keeps 2·C5BaseFrac, capped at all of it
+    * 1.0). Membership is the same deterministic md5-bucket arithmetic
+    * as t5 — no RNG, stable across runs/engines, and NESTED in the
+    * base fraction (growing the budget never discards sampled docs;
+    * spec-asserted). Returns (doc_id, lang, keep_buckets): the
+    * threshold column is the per-language acceptance in 0.01% units,
+    * an INTEGER — the float math that derives it is division/sqrt/
+    * multiply, all IEEE correctly-rounded, so Spark and DuckDB floor
+    * to the same bucket count bit-for-bit.
+    *
+    * Scale shape: one map-side-combinable count on a low-cardinality
+    * column (the only corpus shuffle), a 1-row max cross-joined onto
+    * the tiny per-language frame, broadcast back, and a scan-local
+    * bucket filter — at 100 TB the second pass is embarrassingly
+    * parallel map work and the sample never moves data. */
+  def c5MixtureSample(s: SparkSession, dir: String): DataFrame =
+    c5Sample(s, dir, C5BaseFrac)
+
+  /** [[c5MixtureSample]] with an explicit base fraction — shared by the
+    * gate entry and the nestedness spec. */
+  private[graft] def c5Sample(s: SparkSession, dir: String,
+      baseFrac: Double): DataFrame = {
+    val counts = Tables.documents(s, dir).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val nmax = counts.agg(max("n_docs").as("n_max"))
+    val thr = counts.crossJoin(broadcast(nmax))
+      .withColumn("keep_frac", least(lit(1.0), lit(baseFrac) *
+        sqrt(col("n_max").cast("double") / col("n_docs").cast("double"))))
+      .withColumn("keep_buckets",
+        floor(col("keep_frac") * C5Buckets).cast("int"))
+    Tables.documents(s, dir).select("doc_id", "lang")
+      .join(broadcast(thr.select("lang", "keep_buckets")), "lang")
+      .filter(TextAnalysis.bucketMod(col("doc_id"), C5Buckets)
+        < col("keep_buckets"))
+      .select("doc_id", "lang", "keep_buckets")
+      .orderBy("doc_id")
+  }
+
   /** DuckDB CTE `sized` over `clus` (from [[Dedup.sqlClusterCtes]]) and
     * a score CTE `q` with (doc_id, score): whole-corpus cluster size +
     * quality-ranked member rank. Shared by the c2 and c4 oracles so the
@@ -247,6 +303,25 @@ object Curation {
   }
 
   val oracle: Map[String, String] = Map(
+    // the keep_frac arithmetic is division → sqrt → multiply → floor,
+    // every step IEEE correctly-rounded in both engines, so the INTEGER
+    // keep_buckets (and hence membership) is bit-identical; the gate
+    // itself compares only integers/strings
+    "c5_mixture_sample" ->
+      s"""WITH counts AS (
+         |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+         |nmax AS (SELECT max(n_docs) AS n_max FROM counts),
+         |thr AS (
+         |  SELECT lang, CAST(floor(least(CAST(1.0 AS DOUBLE),
+         |      $C5BaseFrac * sqrt(CAST(n_max AS DOUBLE)
+         |        / CAST(n_docs AS DOUBLE))) * $C5Buckets) AS INTEGER)
+         |    AS keep_buckets
+         |  FROM counts, nmax)
+         |SELECT d.doc_id, d.lang, t.keep_buckets
+         |FROM documents d JOIN thr t ON t.lang = d.lang
+         |WHERE ${TextAnalysis.sqlBucketMod("d.doc_id", C5Buckets)}
+         |  < t.keep_buckets
+         |ORDER BY d.doc_id""".stripMargin,
     "c4_curation_full" ->
       s"""${Dedup.sqlClusterCtes},
          |m4 AS (SELECT doc_id,
@@ -390,5 +465,6 @@ object Curation {
     "c3_source_cap" -> c3SourceCap,
     "c4_curation_full" -> c4CurationFull,
     "c4_report" -> c4Report,
+    "c5_mixture_sample" -> c5MixtureSample,
   )
 }

@@ -123,18 +123,30 @@ object TextAnalysis {
     * never discards work. Scan-local projection + filter: zero
     * shuffles beyond the presentation sort, and at 100 TB the filter
     * runs at read time with no data movement. */
-  /** Sampling bucket of a doc_id column: first 16 bits of md5 mod 100.
-    * [[sqlSampleBucket]] is the bit-exact DuckDB mirror. */
-  private[operators] def sampleBucket(docId: org.apache.spark.sql.Column) =
+  /** Sampling bucket of a doc_id column: first 16 bits of md5 mod `m`.
+    * [[sqlBucketMod]] is the bit-exact DuckDB mirror. m=100 is the t5
+    * percent bucket; m=10000 gives c5 its 0.01%-granular acceptance
+    * thresholds off the SAME hash bits (both are pure integer
+    * arithmetic — the gate never compares a float). */
+  private[operators] def bucketMod(docId: org.apache.spark.sql.Column,
+      m: Int) =
     conv(substring(md5(docId.cast("string")), 1, 4), 16, 10)
-      .cast("int") % 100
+      .cast("int") % m
 
-  private[operators] def sqlSampleBucket(docId: String): String = {
+  private[operators] def sqlBucketMod(docId: String, m: Int): String = {
     def nib(i: Int) =
       s"(strpos('0123456789abcdef', substr(md5(CAST($docId AS VARCHAR)), $i, 1)) - 1)"
     s"CAST((${nib(1)} * 4096 + ${nib(2)} * 256 + ${nib(3)} * 16 + ${nib(4)})" +
-      " % 100 AS INTEGER)"
+      s" % $m AS INTEGER)"
   }
+
+  /** Sampling bucket of a doc_id column: first 16 bits of md5 mod 100.
+    * [[sqlSampleBucket]] is the bit-exact DuckDB mirror. */
+  private[operators] def sampleBucket(docId: org.apache.spark.sql.Column) =
+    bucketMod(docId, 100)
+
+  private[operators] def sqlSampleBucket(docId: String): String =
+    sqlBucketMod(docId, 100)
 
   def t5StratifiedSample(s: SparkSession, dir: String,
       pct: Int = SamplePct): DataFrame =

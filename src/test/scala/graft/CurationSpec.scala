@@ -168,6 +168,51 @@ class CurationSpec extends AnyFunSuite {
       uncached.map(r => (r.getLong(0), r.getLong(1)))))
   }
 
+  test("c5 matches a per-language brute force; nested in baseFrac; cap exercised") {
+    val docs = graft.Tables.documents(s, dir).select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val counts = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nMax = counts.values.max
+    // SAME IEEE arithmetic as both engines: divide, sqrt, multiply,
+    // floor — no hand-written thresholds
+    def keepBuckets(n: Long, baseFrac: Double): Int =
+      math.floor(math.min(1.0,
+        baseFrac * math.sqrt(nMax.toDouble / n.toDouble))
+        * Curation.C5Buckets).toInt
+    def bucket10k(id: Long): Int =
+      TestSpark.bucketMod(id, Curation.C5Buckets)
+    val expected = docs.collect {
+      case (id, lang) if bucket10k(id) < keepBuckets(counts(lang), Curation.C5BaseFrac) =>
+        id -> ((lang, keepBuckets(counts(lang), Curation.C5BaseFrac)))
+    }.toMap
+    val got = Curation.c5MixtureSample(s, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(got == expected)
+    // the corpus must exercise BOTH branches of the cap: the head
+    // language below 1.0, at least one low-resource language capped
+    // (keeping every doc it has)
+    val threshs = counts.map { case (l, n) =>
+      l -> keepBuckets(n, Curation.C5BaseFrac) }
+    assert(threshs.values.exists(_ < Curation.C5Buckets), "no language uncapped")
+    val capped = threshs.filter(_._2 == Curation.C5Buckets).keySet
+    assert(capped.nonEmpty, "no language hit the 1.0 cap")
+    capped.foreach { l =>
+      assert(got.count(_._2._1 == l).toLong == counts(l),
+        s"capped language $l did not keep every doc")
+    }
+    // upweighting really happened: every smaller language's kept RATE
+    // strictly exceeds the head language's
+    val headLang = counts.maxBy(_._2)._1
+    val rate = counts.map { case (l, n) =>
+      l -> got.count(_._2._1 == l).toDouble / n }
+    assert(counts.keys.filter(_ != headLang).forall(l =>
+      rate(l) > rate(headLang)), s"rates not upweighted: $rate")
+    // nested: a smaller budget's sample is a subset of a larger one's
+    val lo = Curation.c5Sample(s, dir, 0.4).collect().map(_.getLong(0)).toSet
+    val hi = Curation.c5Sample(s, dir, 0.8).collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi) && lo.nonEmpty && lo.size < hi.size)
+  }
+
   test("confirmedPairs cache invalidates when the corpus fingerprint changes") {
     Dedup.clearConfirmedCache()
     val before = Dedup.confirmedBuildCount.get()

@@ -15,7 +15,11 @@ object TestSpark {
   /** Driver-side mirror of TextAnalysis.sampleBucket (first 16 md5
     * bits of the id string, mod 100) for brute-force spec references —
     * one shared spelling so specs cannot drift from each other. */
-  def sampleBucket(id: Long): Int =
+  def sampleBucket(id: Long): Int = bucketMod(id, 100)
+
+  /** Parameterized form (TextAnalysis.bucketMod): m=10000 is c5's
+    * acceptance-threshold granularity. */
+  def bucketMod(id: Long, m: Int): Int =
     Integer.parseInt(org.apache.commons.codec.digest.DigestUtils
-      .md5Hex(id.toString).substring(0, 4), 16) % 100
+      .md5Hex(id.toString).substring(0, 4), 16) % m
 }

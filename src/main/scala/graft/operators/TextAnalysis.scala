@@ -254,6 +254,51 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t7 planting: docs with doc_id % [[T7PlantMod]] == 0 get
+    * [[T7PlantPhrase]] appended [[T7PlantReps]] times — the synthetic
+    * corpus is word soup with essentially no organic repetition, so
+    * like t6's planted PII the repetitive docs are planted inside the
+    * query (oracle-mirrored) to prove the signal end-to-end. A 6-word
+    * phrase × 25 adds 150 tokens but only ~8 distinct 3-grams, pushing
+    * the distinct fraction of any 10–100-token doc far below the
+    * threshold; unplanted word soup sits near 1.0. */
+  val T7PlantMod = 7
+  val T7PlantPhrase = "click here to subscribe now today"
+  val T7PlantReps = 25
+
+  /** t7: intra-document repetition — the duplicate-n-gram fraction
+    * quality rule of the Gopher/FineWeb lineage: a doc whose 3-grams
+    * are mostly copies of each other is boilerplate/spam regardless of
+    * its stopword or length profile. Complements t2 (surface quality)
+    * and the d-family (CROSS-doc duplication): this is duplication
+    * WITHIN one document. Returns (doc_id, n_sh3, n_distinct3,
+    * is_repetitive) where the flag is the exact integer rational
+    * `n_distinct3 · 5 < n_sh3 · 4` (distinct fraction < 0.8) — no
+    * float crosses the gate.
+    *
+    * Scale shape: pure projection over the codegen'd shingle kernel —
+    * one map pass per row (normalize → tokenize → word_shingles(3) →
+    * two array sizes), zero shuffles beyond the presentation sort; at
+    * 100 TB it runs at read time like t1–t4. */
+  def t7RepNgrams(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val planted = when(col("doc_id") % T7PlantMod === 0,
+      concat(col("text"), lit(" "),
+        expr(s"repeat('$T7PlantPhrase ', $T7PlantReps)")))
+      .otherwise(col("text"))
+    Tables.documents(s, dir)
+      .withColumn("rep_text", planted)
+      .withColumn("norm", TextOps.normText(col("rep_text")))
+      .withColumn("toks", expr(TextOps.toksExpr))
+      .withColumn("sh", expr("word_shingles(toks, 3)"))
+      .select(col("doc_id"),
+        size(col("sh")).as("n_sh3"),
+        size(array_distinct(col("sh"))).as("n_distinct3"))
+      .withColumn("is_repetitive",
+        col("n_distinct3") * 5 < col("n_sh3") * 4)
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Stop-word IN-list shared by the t2 and c1 oracles. */
@@ -276,6 +321,23 @@ object TextAnalysis {
        |tok_t AS (SELECT *, ${TextOps.sqlToks} AS toks FROM norm_t)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same planting CASE, same shingle arithmetic; the flag is an exact
+    // integer rational so no float crosses the gate
+    "t7_rep_ngrams" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, CASE WHEN doc_id % $T7PlantMod = 0
+         |    THEN text || ' ' || repeat('$T7PlantPhrase ', $T7PlantReps)
+         |    ELSE text END AS text
+         |  FROM documents),
+         |norm_t AS (SELECT doc_id, ${TextOps.sqlNormText} AS norm
+         |  FROM planted),
+         |tok_t AS (SELECT doc_id, ${TextOps.sqlToks} AS toks FROM norm_t),
+         |sh_t AS (SELECT doc_id, ${TextOps.sqlShinglesW(3)} AS sh
+         |  FROM tok_t)
+         |SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_sh3,
+         |  CAST(len(list_distinct(sh)) AS INTEGER) AS n_distinct3,
+         |  (len(list_distinct(sh)) * 5 < len(sh) * 4) AS is_repetitive
+         |FROM sh_t ORDER BY doc_id""".stripMargin,
     "t1_lang_id" -> {
       s"""$sqlToksCte
          |SELECT doc_id,
@@ -384,5 +446,6 @@ object TextAnalysis {
     "t4_fingerprint" -> t4Fingerprint,
     "t5_stratified_sample" -> ((s, dir) => t5StratifiedSample(s, dir)),
     "t6_pii_redact" -> t6PiiRedact,
+    "t7_rep_ngrams" -> t7RepNgrams,
   )
 }

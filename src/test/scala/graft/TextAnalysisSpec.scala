@@ -176,4 +176,34 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(got(text) == expected, s"mismatch for '$text'")
     }
   }
+
+  test("t7 matches a brute-force duplicate-3-gram fraction; plant discriminates") {
+    import graft.operators.TextAnalysis
+    val docs = graft.Tables.documents(s, dir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def shingles(text: String): Seq[String] = {
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val m = math.max(toks.length - 2, 1)
+      (0 until m).map(i => toks.slice(i, i + 3).mkString(" "))
+    }
+    val expected = docs.map { case (id, text) =>
+      val t =
+        if (id % TextAnalysis.T7PlantMod == 0)
+          text + " " + (TextAnalysis.T7PlantPhrase + " ") * TextAnalysis.T7PlantReps
+        else text
+      val sh = shingles(t)
+      id -> ((sh.size, sh.distinct.size, sh.distinct.size * 5 < sh.size * 4))
+    }.toMap
+    val got = TextAnalysis.t7RepNgrams(s, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getBoolean(3))))
+      .toMap
+    assert(got == expected)
+    // the plant must discriminate end-to-end on this corpus: every
+    // planted doc flagged, every unplanted word-soup doc clean
+    docs.foreach { case (id, _) =>
+      assert(got(id)._3 == (id % TextAnalysis.T7PlantMod == 0),
+        s"doc $id: flag ${got(id)._3} vs planted ${id % TextAnalysis.T7PlantMod == 0}")
+    }
+    assert(docs.exists(_._1 % TextAnalysis.T7PlantMod == 0), "nothing planted")
+  }
 }

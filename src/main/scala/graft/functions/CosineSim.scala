@@ -297,6 +297,8 @@ object GraftFunctions {
     reg("roll_hash", classOf[RollHash], cs => RollHash(cs(0)))
     reg("word_shingles", classOf[WordShingles], cs => WordShingles(cs(0),
       if (cs.length > 1) litInt("word_shingles", "width", cs(1)) else 3))
+    reg("char_shingles", classOf[CharShingles], cs => CharShingles(cs(0),
+      if (cs.length > 1) litInt("char_shingles", "width", cs(1)) else 2))
     reg("hyperplane_bucket", classOf[HyperplaneBucket],
       cs => HyperplaneBucket(cs(0), cs(1)))
     reg("hyperplane_band_keys", classOf[HyperplaneBandKeys], cs =>

@@ -36,6 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("word_shingles", classOf[WordShingles], cs => WordShingles(cs(0),
       if (cs.length > 1) GraftFunctions.litInt("word_shingles", "width", cs(1))
       else 3))
+    inject("char_shingles", classOf[CharShingles], cs => CharShingles(cs(0),
+      if (cs.length > 1) GraftFunctions.litInt("char_shingles", "width", cs(1))
+      else 2))
     inject("hyperplane_bucket", classOf[HyperplaneBucket],
       cs => HyperplaneBucket(cs(0), cs(1)))
     inject("hyperplane_band_keys", classOf[HyperplaneBandKeys], cs =>

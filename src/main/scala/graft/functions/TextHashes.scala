@@ -130,6 +130,24 @@ object TextHashKernels {
     * cases (0 tokens → [""], 1–2 tokens → one shingle of the full text). */
   def wordShingles3(toks: ArrayData): ArrayData = wordShingles(toks, 3)
 
+  /** Character `w`-gram shingles — the char-level analog of
+    * [[wordShingles]] (t8's bigram frequency filter trains on w = 2).
+    * Positions are character indices (code-point safe via
+    * UTF8String.substring), mirroring DuckDB's substr; strings shorter
+    * than `w` chars yield the whole string as a single shingle. */
+  def charShingles(s: UTF8String, w: Int): ArrayData = {
+    val n = s.numChars()
+    val m = math.max(n - (w - 1), 1)
+    val out = new Array[UTF8String](m)
+    var i = 0
+    while (i < m) {
+      out(i) = s.substring(i, math.min(i + w, n))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.asInstanceOf[Array[Any]])
+  }
+
   /** Word `w`-gram shingles; w = 3 is the dedup-family default, larger
     * widths serve overlap detection where chance collisions must be
     * rare (d9 decontamination uses 8 — the published long-n-gram
@@ -242,6 +260,32 @@ case class MinHashMin(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): MinHashMin =
     copy(left = newLeft, right = newRight)
+}
+
+/** `char_shingles(string[, w]) -> array<string>` — character w-gram
+  * shingles (default 2: the t8 bigram-LM kernel). Code-point safe:
+  * positions are character indices (UTF8String.substring), matching
+  * DuckDB's character-based substr, so the two spellings agree on
+  * multi-byte text. Clamps like word_shingles: strings shorter than
+  * `w` chars yield the whole string as a single shingle. */
+case class CharShingles(child: Expression, width: Int = 2)
+    extends UnaryExpression {
+  require(width >= 1, s"char_shingles width must be >= 1, got $width")
+  override val nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "char_shingles"
+
+  override def nullSafeEval(a: Any): Any =
+    TextHashKernels.charShingles(a.asInstanceOf[UTF8String], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashKernels.charShingles($c, $width)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharShingles =
+    copy(child = newChild)
 }
 
 /** `word_shingles(array<string>[, w]) -> array<string>` — word w-gram

@@ -299,6 +299,77 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t8 planting: docs with doc_id % [[T8PlantMod]] == 0 get
+    * [[T8PlantChunk]] appended [[T8PlantReps]] times. The chunk's
+    * intra-word letter adjacencies (qz, zx, vk, …) never occur in the
+    * corpus vocabulary, and the 1/101 planting density keeps their
+    * GLOBAL counts far below the rarity threshold at every SF (both
+    * sides of the rare test scale linearly with corpus size, so the
+    * margin is scale-free). */
+  val T8PlantMod = 101
+  val T8PlantChunk = "qzx vkqj wpzx jxqv zzqp"
+  val T8PlantReps = 2
+
+  /** t8 rarity denominator: a bigram occurrence is RARE iff
+    * `global_count · [[T8RareDen]] < total_bigrams`, i.e. its corpus
+    * frequency is below 1/8 of the uniform share of a 27-symbol
+    * alphabet (27² · 8 = 5832). Integer cross-multiplication — exact
+    * in both engines, overflow-safe to ~10^15-occurrence bigrams. */
+  val T8RareDen = 5832
+
+  /** t8 flag: a doc is atypical iff more than 5% of its bigram
+    * occurrences are rare (`n_rare · [[T8FlagDen]] > n_bigrams`) —
+    * word-soup docs sit at exactly 0 rare occurrences, planted docs at
+    * ~7%, so the flag is robust on both sides. */
+  val T8FlagDen = 20
+
+  /** t8: character-bigram frequency filter — the statistical-LM
+    * quality gate of the CCNet lineage (Wenzek et al. 2020 score web
+    * text with a KenLM model trained offline; the production shape is
+    * train → broadcast the tiny model → score at scan). Here the model
+    * is the corpus's own char-bigram frequency table: TRAIN = one
+    * map-side-combinable count keyed by bigram (alphabet²-bounded,
+    * tiny), SCORE = re-scan joining each doc's bigram occurrences to
+    * the broadcast table and counting occurrences whose global
+    * frequency is below the rarity threshold. Gibberish, encoding
+    * damage, and wrong-alphabet text light up the rare fraction;
+    * typical prose does not. Everything the gate compares is an
+    * integer ([[T8RareDen]]/[[T8FlagDen]] rational tests) — no float,
+    * no log-prob, cross-engine exact.
+    *
+    * The synthetic corpus is a fixed word-soup vocabulary (zero
+    * organically-rare bigrams), so like t6/t7 the atypical docs are
+    * planted inside the query, oracle-mirrored.
+    *
+    * Scale shape: the count pass shuffles only the tiny (bigram,
+    * count) pairs after map-side combine; the score pass is a
+    * broadcast join plus one map-side-combinable per-doc aggregation.
+    * At 100 TB the model is still alphabet²-bounded (broadcast-sized)
+    * and both passes are embarrassingly parallel scans. */
+  def t8CharlmFilter(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val planted = when(col("doc_id") % T8PlantMod === 0,
+      concat(col("text"), lit(" "),
+        expr(s"repeat('$T8PlantChunk ', $T8PlantReps)")))
+      .otherwise(col("text"))
+    val bg = Tables.documents(s, dir)
+      .withColumn("pl_text", planted)
+      .withColumn("norm", TextOps.normText(col("pl_text")))
+      .select(col("doc_id"),
+        explode(expr("char_shingles(norm, 2)")).as("b"))
+    val counts = bg.groupBy("b").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum("c").as("t"))
+    bg.join(broadcast(counts), "b")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        count(when(col("c") * T8RareDen < col("t"), 1))
+          .cast("int").as("n_rare"))
+      .withColumn("is_atypical",
+        col("n_rare") * T8FlagDen > col("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Stop-word IN-list shared by the t2 and c1 oracles. */
@@ -321,6 +392,36 @@ object TextAnalysis {
        |tok_t AS (SELECT *, ${TextOps.sqlToks} AS toks FROM norm_t)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // same planting CASE, same bigram clamp (generate_series mirrors the
+    // kernel's max(n-1,1); substr is character-based like
+    // UTF8String.substring), same integer rarity/flag rationals — the
+    // gate never compares a float. DuckDB's sum(c) is DECIMAL(38,0) vs
+    // Spark's BIGINT, but `t` never crosses the gate (comparisons with
+    // it are exact in both engines).
+    "t8_charlm_filter" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, CASE WHEN doc_id % $T8PlantMod = 0
+         |    THEN text || ' ' || repeat('$T8PlantChunk ', $T8PlantReps)
+         |    ELSE text END AS text
+         |  FROM documents),
+         |norm_t AS (SELECT doc_id, ${TextOps.sqlNormText} AS norm
+         |  FROM planted),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, greatest(length(norm) - 1, 1)),
+         |    i -> substr(norm, i, 2))) AS b
+         |  FROM norm_t),
+         |counts AS (SELECT b, count(*) AS c FROM bg GROUP BY b),
+         |tot AS (SELECT sum(c) AS t FROM counts),
+         |scored AS (
+         |  SELECT bg.doc_id, count(*) AS n_bigrams,
+         |    count(*) FILTER (c * $T8RareDen < t) AS n_rare
+         |  FROM bg JOIN counts USING (b), tot
+         |  GROUP BY bg.doc_id)
+         |SELECT doc_id, CAST(n_bigrams AS INTEGER) AS n_bigrams,
+         |  CAST(n_rare AS INTEGER) AS n_rare,
+         |  (n_rare * $T8FlagDen > n_bigrams) AS is_atypical
+         |FROM scored ORDER BY doc_id""".stripMargin,
     // same planting CASE, same shingle arithmetic; the flag is an exact
     // integer rational so no float crosses the gate
     "t7_rep_ngrams" ->
@@ -447,5 +548,6 @@ object TextAnalysis {
     "t5_stratified_sample" -> ((s, dir) => t5StratifiedSample(s, dir)),
     "t6_pii_redact" -> t6PiiRedact,
     "t7_rep_ngrams" -> t7RepNgrams,
+    "t8_charlm_filter" -> t8CharlmFilter,
   )
 }

@@ -126,6 +126,24 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("char_shingles matches the HOF formulation for w in 2..4, incl. multibyte") {
+    val s = TestSpark.spark
+    GraftFunctions.register(s)
+    import s.implicits._
+    for (w <- 2 to 4) {
+      val got = Seq("", "a", "ab", "abc de f", "hello world",
+          "héllo wörld", "中文字符测试", "mixé中en文")
+        .toDF("norm")
+        .selectExpr(
+          s"char_shingles(norm, $w) AS native",
+          s"""transform(sequence(1, greatest(char_length(norm) - ${w - 1}, 1)),
+             |  i -> substring(norm, i, $w)) AS hof""".stripMargin)
+        .collect()
+      got.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1),
+        s"width $w"))
+    }
+  }
+
   test("hyperplane_bucket matches the HOF projection on real embeddings") {
     val s = TestSpark.spark
     GraftFunctions.register(s)

@@ -206,4 +206,43 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
     assert(docs.exists(_._1 % TextAnalysis.T7PlantMod == 0), "nothing planted")
   }
+
+  test("t8 matches a brute-force bigram frequency model; plant discriminates") {
+    import graft.operators.TextAnalysis
+    val docs = graft.Tables.documents(s, dir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def norm(t: String): String =
+      t.replaceAll("\\s+", " ").trim.toLowerCase
+    def bigrams(t: String): Seq[String] = {
+      val n = norm(t)
+      if (n.length < 2) Seq(n)
+      else (0 until n.length - 1).map(i => n.substring(i, i + 2))
+    }
+    val plantedDocs = docs.map { case (id, text) =>
+      id -> (if (id % TextAnalysis.T8PlantMod == 0)
+        text + " " + (TextAnalysis.T8PlantChunk + " ") * TextAnalysis.T8PlantReps
+      else text)
+    }
+    val perDoc = plantedDocs.map { case (id, t) => id -> bigrams(t) }
+    val counts = perDoc.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val total = counts.values.sum
+    val expected = perDoc.map { case (id, bs) =>
+      val nRare = bs.count(b => counts(b) * TextAnalysis.T8RareDen < total)
+      id -> ((bs.size, nRare, nRare * TextAnalysis.T8FlagDen > bs.size))
+    }.toMap
+    val got = TextAnalysis.t8CharlmFilter(s, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getBoolean(3))))
+      .toMap
+    assert(got == expected)
+    // the plant must discriminate: every planted doc atypical, every
+    // word-soup doc typical with ZERO rare occurrences (the vocabulary
+    // is fixed, so all organic bigrams are frequent)
+    docs.foreach { case (id, _) =>
+      val planted = id % TextAnalysis.T8PlantMod == 0
+      assert(got(id)._3 == planted, s"doc $id flag ${got(id)._3}")
+      if (!planted) assert(got(id)._2 == 0, s"doc $id organic rare bigrams")
+    }
+    assert(docs.exists(_._1 % TextAnalysis.T8PlantMod == 0), "nothing planted")
+  }
 }

@@ -308,5 +308,6 @@ object GraftFunctions {
     reg("lead_sign_bucket", classOf[LeadSignBucket],
       cs => LeadSignBucket(cs(0), cs(1)))
     reg("count_in", classOf[CountTokensIn], cs => CountTokensIn(cs(0), cs(1)))
+    reg("pii_scrub", classOf[PiiScrub], cs => PiiScrub(cs(0)))
   }
 }

@@ -49,5 +49,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       cs => LeadSignBucket(cs(0), cs(1)))
     inject("count_in", classOf[CountTokensIn],
       cs => CountTokensIn(cs(0), cs(1)))
+    inject("pii_scrub", classOf[PiiScrub], cs => PiiScrub(cs(0)))
   }
 }

@@ -148,6 +148,32 @@ object TextHashKernels {
       out.asInstanceOf[Array[Any]])
   }
 
+  /** Scan-local scorer for t8's bigram frequency filter: one pass over
+    * the string's character bigrams (same code-point segmentation as
+    * [[charShingles]] w = 2, including the shorter-than-2 clamp to one
+    * whole-string shingle), counting positions whose GLOBAL corpus
+    * count (the broadcast model) is below the rarity threshold
+    * `count · den < total`. A bigram absent from the model counts 0 —
+    * maximally rare — though a model trained on the same corpus always
+    * contains every bigram it is asked about. Returns
+    * struct<n_bigrams:int, n_rare:int>. */
+  def rareBigramStats(s: UTF8String,
+      model: java.util.HashMap[String, java.lang.Long],
+      total: Long, den: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = s.numChars()
+    val m = math.max(n - 1, 1)
+    var i = 0
+    var rare = 0
+    while (i < m) {
+      val c = model.get(s.substring(i, math.min(i + 2, n)).toString)
+      val cnt = if (c == null) 0L else c.longValue()
+      if (cnt * den < total) rare += 1
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](m, rare))
+  }
+
   /** Word `w`-gram shingles; w = 3 is the dedup-family default, larger
     * widths serve overlap detection where chance collisions must be
     * rare (d9 decontamination uses 8 — the published long-n-gram
@@ -285,6 +311,42 @@ case class CharShingles(child: Expression, width: Int = 2)
       c => s"graft.functions.TextHashKernels.charShingles($c, $width)")
 
   override protected def withNewChildInternal(newChild: Expression): CharShingles =
+    copy(child = newChild)
+}
+
+/** `t8_rare_stats(string)`-shaped expression holding t8's broadcast
+  * bigram model — constructed programmatically (TextAnalysis registers
+  * a builder closing over the trained model at query-build time; the
+  * model cannot ride through SQL text). The Broadcast handle is what
+  * serializes into tasks, so the model ships once per executor, not
+  * once per task — the 100 TB shape for a trained scoring artifact. */
+case class RareBigramStats(child: Expression,
+    model: org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[String, java.lang.Long]],
+    total: Long, den: Int)
+    extends UnaryExpression {
+  override val nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "n_bigrams", DataTypes.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "n_rare", DataTypes.IntegerType, nullable = false)))
+  override def prettyName: String = "t8_rare_stats"
+
+  override def nullSafeEval(a: Any): Any =
+    TextHashKernels.rareBigramStats(
+      a.asInstanceOf[UTF8String], model.value, total, den)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("t8Model", model,
+      "org.apache.spark.broadcast.Broadcast")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashKernels.rareBigramStats($c, " +
+        s"(java.util.HashMap)$ref.value(), ${total}L, $den)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RareBigramStats =
     copy(child = newChild)
 }
 

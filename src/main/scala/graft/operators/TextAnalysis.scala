@@ -165,29 +165,26 @@ object TextAnalysis {
     * an oversize octet `999.1.1.1`, an order id `ORD4111...` (digits
     * glued to letters — no word boundary to start at) and 15/17-digit
     * runs all fail without lookaround. */
-  val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
-  val PhoneRe = """\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"""
-  val Ipv4Re = """\b(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])){3}\b"""
-  val CardRe = """\b[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}\b"""
+  val EmailRe: String = graft.functions.PiiKernels.EmailRe
+  val PhoneRe: String = graft.functions.PiiKernels.PhoneRe
+  val Ipv4Re: String = graft.functions.PiiKernels.Ipv4Re
+  val CardRe: String = graft.functions.PiiKernels.CardRe
 
   /** All PII families in REDACTION ORDER (applied left to right; the
     * earlier families' replacement tokens contain no digits or dots, so
-    * later patterns cannot match across a redaction). */
-  private[graft] val PiiFamilies: Seq[(String, String)] = Seq(
-    EmailRe -> "<EMAIL>", PhoneRe -> "<PHONE>",
-    Ipv4Re -> "<IP>", CardRe -> "<CARD>")
+    * later patterns cannot match across a redaction). Single source of
+    * truth is the fused kernel ([[graft.functions.PiiKernels]]); these
+    * re-exports feed the oracle SQL and the composed reference
+    * spelling the spec pins the kernel against. */
+  private[graft] val PiiFamilies: Seq[(String, String)] =
+    graft.functions.PiiKernels.Families
 
   /** All four families as ONE alternation, for the residual re-scan:
     * on redacted text the families are disjoint (nothing is expected to
     * match at all), so one alternation pass counts exactly what four
     * per-family scans sum to (asserted on crafted strings in
-    * TextAnalysisSpec) at a quarter of the regex traversals — t6 was
-    * the sweep's most expensive query at 12 passes/row, and the four
-    * residual scans were pure mechanical overlap. Non-capturing groups:
-    * the family regexes contain their own alternations, which must not
-    * bleed precedence into each other. */
-  private[graft] val PiiAnyRe: String =
-    PiiFamilies.map { case (re, _) => s"(?:$re)" }.mkString("|")
+    * TextAnalysisSpec) at a quarter of the regex traversals. */
+  private[graft] val PiiAnyRe: String = graft.functions.PiiKernels.AnyRe
 
   /** Appends PII stats to a frame with a `pii_text` column: per-family
     * match counts (`n_emails`/`n_phones`/`n_ips`/`n_cards`), the
@@ -203,6 +200,27 @@ object TextAnalysis {
     * oracle mirrors exactly this; `residual` = 0 still certifies
     * nothing survived. */
   private[graft] def piiScrub(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // one fused kernel call per row (graft.functions.PiiKernels) in
+    // place of nine separate regex expression evaluations — same
+    // engine, same patterns, same sequential-fold semantics
+    // (PiiSpec pins bit-equality against [[piiScrubComposed]]); the
+    // oracle keeps the composed SQL spelling, so a divergence would
+    // also hash-mismatch at the gate
+    df.withColumn("_pii", expr("pii_scrub(pii_text)"))
+      .withColumn("n_emails", col("_pii.n_emails"))
+      .withColumn("n_phones", col("_pii.n_phones"))
+      .withColumn("n_ips", col("_pii.n_ips"))
+      .withColumn("n_cards", col("_pii.n_cards"))
+      .withColumn("redacted", col("_pii.redacted"))
+      .withColumn("residual", col("_pii.residual"))
+      .drop("_pii")
+  }
+
+  /** The pre-kernel composed spelling — the REFERENCE the fused kernel
+    * is spec-pinned against (and the semantic definition of the t6
+    * contract in `functions._` vocabulary). Not on the product path. */
+  private[graft] def piiScrubComposed(df: DataFrame): DataFrame = {
     val redacted = PiiFamilies.foldLeft(col("pii_text")) {
       case (c, (re, token)) => regexp_replace(c, re, token)
     }
@@ -211,9 +229,6 @@ object TextAnalysis {
       .withColumn("n_ips", regexp_count(col("pii_text"), lit(Ipv4Re)).cast("int"))
       .withColumn("n_cards", regexp_count(col("pii_text"), lit(CardRe)).cast("int"))
       .withColumn("redacted", redacted)
-      // one [[PiiAnyRe]] alternation pass, not four summed re-scans —
-      // the oracle keeps the summed spelling (the semantic definition),
-      // so a text where the two ever disagreed would hash-mismatch
       .withColumn("residual",
         regexp_count(col("redacted"), lit(PiiAnyRe)).cast("int"))
   }
@@ -327,44 +342,99 @@ object TextAnalysis {
     * quality gate of the CCNet lineage (Wenzek et al. 2020 score web
     * text with a KenLM model trained offline; the production shape is
     * train → broadcast the tiny model → score at scan). Here the model
-    * is the corpus's own char-bigram frequency table: TRAIN = one
-    * map-side-combinable count keyed by bigram (alphabet²-bounded,
-    * tiny), SCORE = re-scan joining each doc's bigram occurrences to
-    * the broadcast table and counting occurrences whose global
-    * frequency is below the rarity threshold. Gibberish, encoding
-    * damage, and wrong-alphabet text light up the rare fraction;
-    * typical prose does not. Everything the gate compares is an
-    * integer ([[T8RareDen]]/[[T8FlagDen]] rational tests) — no float,
-    * no log-prob, cross-engine exact.
+    * is the corpus's own char-bigram frequency table: TRAIN
+    * ([[t8ModelFor]]) = one map-side-combinable count keyed by bigram
+    * (alphabet²-bounded output), collected once per corpus per JVM and
+    * broadcast once per executor; SCORE = a pure scan-local projection
+    * — the [[graft.functions.RareBigramStats]] kernel walks each doc's
+    * bigrams once against the broadcast table, counting occurrences
+    * whose global frequency is below the rarity threshold. ZERO
+    * per-doc shuffle (the first spelling — explode → broadcast join →
+    * re-aggregate by doc — measured ~4× a pure projection at 10×;
+    * the trained-model kernel removes the per-doc exchange entirely).
+    * Gibberish, encoding damage, and wrong-alphabet text light up the
+    * rare fraction; typical prose does not. Everything the gate
+    * compares is an integer ([[T8RareDen]]/[[T8FlagDen]] rational
+    * tests) — no float, no log-prob, cross-engine exact.
     *
     * The synthetic corpus is a fixed word-soup vocabulary (zero
     * organically-rare bigrams), so like t6/t7 the atypical docs are
     * planted inside the query, oracle-mirrored.
     *
-    * Scale shape: the count pass shuffles only the tiny (bigram,
-    * count) pairs after map-side combine; the score pass is a
-    * broadcast join plus one map-side-combinable per-doc aggregation.
-    * At 100 TB the model is still alphabet²-bounded (broadcast-sized)
-    * and both passes are embarrassingly parallel scans. */
-  def t8CharlmFilter(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val planted = when(col("doc_id") % T8PlantMod === 0,
+    * Scale shape: at 100 TB the model is still alphabet²-bounded
+    * (broadcast-sized), the train pass shuffles only per-partition
+    * (bigram, count) partials, and the score pass is embarrassingly
+    * parallel map work at read time — the t1–t4 family shape with one
+    * extra training scan per corpus generation. */
+  /** The t8 planting column over `text`/`doc_id` — shared by the train
+    * and score passes so the model and the scored text cannot drift. */
+  private def t8PlantedNorm: org.apache.spark.sql.Column =
+    TextOps.normText(when(col("doc_id") % T8PlantMod === 0,
       concat(col("text"), lit(" "),
         expr(s"repeat('$T8PlantChunk ', $T8PlantReps)")))
-      .otherwise(col("text"))
-    val bg = Tables.documents(s, dir)
-      .withColumn("pl_text", planted)
-      .withColumn("norm", TextOps.normText(col("pl_text")))
+      .otherwise(col("text")))
+
+  /** Per-corpus trained bigram model (the s3-centroids pattern: the
+    * offline-train artifact computes once per corpus per JVM and is
+    * broadcast once per executor). Key is the corpus dir; value is the
+    * broadcast (bigram → global count) table plus the exact total. */
+  private val t8Cache = new java.util.concurrent.ConcurrentHashMap[String,
+    (org.apache.spark.broadcast.Broadcast[
+      java.util.HashMap[String, java.lang.Long]], Long)]()
+
+  /** Spec hook: number of actual model trainings in this JVM. */
+  private[graft] val t8TrainCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private[graft] def clearT8Cache(): Unit = t8Cache.clear()
+
+  /** TRAIN: one corpus pass — explode char bigrams, map-side-combinable
+    * count keyed by bigram (alphabet²-bounded output), collect the tiny
+    * table, broadcast it. The collect is the once-per-corpus-generation
+    * artifact build, not a per-query driver loop (same altitude as
+    * s3's centroid training); for an alphabet whose observed-bigram
+    * table outgrew a broadcast the fallback is the broadcast-join
+    * spelling of the score pass — not needed for any natural-language
+    * charset. */
+  private[graft] def t8ModelFor(s: SparkSession, dir: String):
+      (org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[String, java.lang.Long]], Long) =
+    t8Cache.computeIfAbsent(dir, _ => {
+      t8TrainCount.incrementAndGet()
+      graft.functions.GraftFunctions.register(s)
+      val rows = Tables.documents(s, dir)
+        .withColumn("norm", t8PlantedNorm)
+        .select(explode(expr("char_shingles(norm, 2)")).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+        .collect()
+      val m = new java.util.HashMap[String, java.lang.Long](rows.length * 2)
+      var total = 0L
+      rows.foreach { r =>
+        val c = r.getLong(1)
+        m.put(r.getString(0), c)
+        total += c
+      }
+      (s.sparkContext.broadcast(m), total)
+    })
+
+  def t8CharlmFilter(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val (model, total) = t8ModelFor(s, dir)
+    // the model cannot ride through SQL text, so register a builder
+    // closing over it; Dataset ops analyze EAGERLY, so the expr() below
+    // captures THIS registration even if another corpus re-registers
+    // later in the session
+    s.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("t8_rare_stats"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.RareBigramStats].getName, "t8_rare_stats"),
+      cs => graft.functions.RareBigramStats(cs(0), model, total, T8RareDen))
+    Tables.documents(s, dir)
+      .withColumn("norm", t8PlantedNorm)
+      .withColumn("_st", expr("t8_rare_stats(norm)"))
       .select(col("doc_id"),
-        explode(expr("char_shingles(norm, 2)")).as("b"))
-    val counts = bg.groupBy("b").agg(count(lit(1)).as("c"))
-    val total = counts.agg(sum("c").as("t"))
-    bg.join(broadcast(counts), "b")
-      .crossJoin(broadcast(total))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).cast("int").as("n_bigrams"),
-        count(when(col("c") * T8RareDen < col("t"), 1))
-          .cast("int").as("n_rare"))
+        col("_st.n_bigrams").as("n_bigrams"),
+        col("_st.n_rare").as("n_rare"))
       .withColumn("is_atypical",
         col("n_rare") * T8FlagDen > col("n_bigrams"))
       .orderBy("doc_id")

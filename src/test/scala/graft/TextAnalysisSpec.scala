@@ -120,6 +120,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("t6 fused kernel is bit-identical to the composed regexp spelling") {
+    val sess = s
+    import sess.implicits._
+    // crafted adversarial shapes PLUS the boundary-creation case: in
+    // "a@b.co1111-2222-3333-4444" the card has NO leading word boundary
+    // until the email is redacted — the fold's unconditional later
+    // passes then catch it, and the kernel must reproduce exactly that
+    // (a skip-when-count-0 shortcut would diverge here: n_cards is 0
+    // on the original text but the redacted output still gains <CARD>)
+    val texts = Seq(
+      "plain text, nothing to scrub",
+      "a@b.co1111-2222-3333-4444 boundary appears after redaction",
+      "4111-1111-2222-3333.x@x.com overlapping families",
+      "mail bob.smith+tag@sub.example.co.uk and a@b.io today",
+      "user9@example.com at 10.0.0.9 card 4000-1234-5678-9010 call +1-555-0042",
+      "release v1.2.3 then 999.1.1.1 then 1.2.3.400 shipped",
+      "order ORD4111222233334444 ref 41112222333344445 id 411122223333444",
+      "+1-555-0000 10.1.2.3 4111 1111 1111 1111 x@y.zz",
+      "",
+    )
+    val cols = Seq("n_emails", "n_phones", "n_ips", "n_cards",
+      "redacted", "residual")
+    def run(f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      f(texts.toDF("pii_text")).select("pii_text", cols: _*).collect()
+        .map(r => r.getString(0) -> cols.map(c => r.getAs[Any](c))).toMap
+    val kernel = run(graft.operators.TextAnalysis.piiScrub)
+    val composed = run(graft.operators.TextAnalysis.piiScrubComposed)
+    assert(kernel == composed)
+    // the boundary-creation case really exercised the divergence shape:
+    // zero card count, yet a <CARD> token in the redacted output
+    val bc = kernel("a@b.co1111-2222-3333-4444 boundary appears after redaction")
+    assert(bc(3) == 0 && bc(4).asInstanceOf[String].contains("<CARD>"))
+  }
+
   test("t6 residual alternation counts what the four per-family scans sum to") {
     import org.apache.spark.sql.functions.{col, lit, regexp_count}
     import graft.operators.TextAnalysis
@@ -244,5 +278,13 @@ class TextAnalysisSpec extends AnyFunSuite {
       if (!planted) assert(got(id)._2 == 0, s"doc $id organic rare bigrams")
     }
     assert(docs.exists(_._1 % TextAnalysis.T8PlantMod == 0), "nothing planted")
+    // the model is a once-per-corpus trained artifact: a second query
+    // against the same corpus must hit the cache, not retrain
+    TextAnalysis.clearT8Cache()
+    val before = TextAnalysis.t8TrainCount.get()
+    TextAnalysis.t8CharlmFilter(s, dir).count()
+    TextAnalysis.t8CharlmFilter(s, dir).count()
+    assert(TextAnalysis.t8TrainCount.get() == before + 1,
+      "t8 model trained more than once for one corpus")
   }
 }

@@ -12,17 +12,45 @@ import java.nio.file.{Files, Paths}
   * how many columns the scan reads (ReadSchema), the join strategies
   * chosen, and the number of exchanges actually executed vs reused.
   *
+  * The output is stamped with the git commit it was generated at, and
+  * generation REFUSES a dirty product-source tree (src/main, build.sbt)
+  * unless SPARK_GRAFT_EXPLAIN_ALLOW_DIRTY=1 — round 9 shipped a
+  * PLANS.txt whose t8 section audited a plan that no longer existed
+  * because the plan swap and the regeneration landed in the wrong
+  * order; with the stamp, staleness is mechanically checkable
+  * (tools/check_plans.sh: stale iff product source changed between the
+  * stamped commit and HEAD).
+  *
   * Usage: sbt "runMain graft.Explain [sfDir] [outFile]"
   */
 object Explain {
   def main(args: Array[String]): Unit = {
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val out = if (args.length > 1) args(1) else "PLANS.txt"
+
+    import scala.sys.process._
+    def git(cmd: String*): String =
+      try Process("git" +: cmd).!!.trim catch { case _: Exception => "" }
+    val sha = git("rev-parse", "HEAD")
+    val dirty =
+      git("status", "--porcelain", "--", "src/main", "build.sbt").nonEmpty
+    if (dirty && !sys.env.get("SPARK_GRAFT_EXPLAIN_ALLOW_DIRTY").contains("1")) {
+      System.err.println("[explain] REFUSING to generate: src/main or " +
+        "build.sbt has uncommitted changes, so the stamped commit would " +
+        "not identify the audited code. Commit first (or set " +
+        "SPARK_GRAFT_EXPLAIN_ALLOW_DIRTY=1 for a throwaway audit).")
+      sys.exit(1)
+    }
+
     val spark = GraftSession.get()
     spark.sparkContext.setLogLevel("WARN")
 
     val sb = new StringBuilder
     val summary = new StringBuilder
+    summary.append(s"# generated-at-commit: $sha" +
+      (if (dirty) " (DIRTY TREE — not authoritative)" else "") + "\n")
+    summary.append("# stale iff: ! git diff --quiet <commit>..HEAD -- " +
+      "src/main build.sbt   (tools/check_plans.sh)\n")
     summary.append("query | shuffles(exec+reused) | joins | pushed | readCols\n")
 
     val joinRe = """([A-Za-z]*Join)""".r

@@ -315,11 +315,13 @@ case class CharShingles(child: Expression, width: Int = 2)
 }
 
 /** `t8_rare_stats(string)`-shaped expression holding t8's broadcast
-  * bigram model — constructed programmatically (TextAnalysis registers
-  * a builder closing over the trained model at query-build time; the
-  * model cannot ride through SQL text). The Broadcast handle is what
-  * serializes into tasks, so the model ships once per executor, not
-  * once per task — the 100 TB shape for a trained scoring artifact. */
+  * bigram model — constructed programmatically by TextAnalysis via
+  * `org.apache.spark.sql.graftbridge.GraftColumns` (the model cannot
+  * ride through SQL text, and building the Column directly keeps the
+  * session FunctionRegistry immutable on the query path). The Broadcast
+  * handle is what serializes into tasks, so the model ships once per
+  * executor, not once per task — the 100 TB shape for a trained scoring
+  * artifact. */
 case class RareBigramStats(child: Expression,
     model: org.apache.spark.broadcast.Broadcast[
       java.util.HashMap[String, java.lang.Long]],

@@ -374,19 +374,40 @@ object TextAnalysis {
         expr(s"repeat('$T8PlantChunk ', $T8PlantReps)")))
       .otherwise(col("text")))
 
+  /** The trained t8 artifact: broadcast (bigram → global count) table
+    * plus the exact total occurrence count. */
+  private type T8Model = (org.apache.spark.broadcast.Broadcast[
+    java.util.HashMap[String, java.lang.Long]], Long)
+
+  /** Entries kept in [[t8Cache]] — same bound and rationale as
+    * Dedup.MemoMaxEntries (the corpora a session actually alternates
+    * between; evicted entries' broadcasts are reclaimed by the
+    * ContextCleaner once unreachable). */
+  private val T8MaxEntries = 8
+
   /** Per-corpus trained bigram model (the s3-centroids pattern: the
-    * offline-train artifact computes once per corpus per JVM and is
-    * broadcast once per executor). Key is the corpus dir; value is the
-    * broadcast (bigram → global count) table plus the exact total. */
-  private val t8Cache = new java.util.concurrent.ConcurrentHashMap[String,
-    (org.apache.spark.broadcast.Broadcast[
-      java.util.HashMap[String, java.lang.Long]], Long)]()
+    * offline-train artifact computes once per corpus GENERATION per JVM
+    * and is broadcast once per executor). Keyed like the Dedup memo
+    * caches and s3's centroids — (applicationId, documents-table
+    * fingerprint), NOT the raw dir string — so a re-ingested corpus at
+    * the same path changes the fingerprint and retrains (a long-lived
+    * JVM can never score against a previous generation's model), and a
+    * fresh session after a stopped one can never be served a Broadcast
+    * belonging to a dead SparkContext. Access-order LRU; all access
+    * synchronized on the map. */
+  private val t8Cache =
+    new java.util.LinkedHashMap[String, T8Model](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, T8Model]): Boolean =
+        size > T8MaxEntries
+    }
 
   /** Spec hook: number of actual model trainings in this JVM. */
   private[graft] val t8TrainCount =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
-  private[graft] def clearT8Cache(): Unit = t8Cache.clear()
+  private[graft] def clearT8Cache(): Unit =
+    t8Cache.synchronized(t8Cache.clear())
 
   /** TRAIN: one corpus pass — explode char bigrams, map-side-combinable
     * count keyed by bigram (alphabet²-bounded output), collect the tiny
@@ -394,47 +415,94 @@ object TextAnalysis {
     * artifact build, not a per-query driver loop (same altitude as
     * s3's centroid training); for an alphabet whose observed-bigram
     * table outgrew a broadcast the fallback is the broadcast-join
-    * spelling of the score pass — not needed for any natural-language
-    * charset. */
-  private[graft] def t8ModelFor(s: SparkSession, dir: String):
-      (org.apache.spark.broadcast.Broadcast[
-        java.util.HashMap[String, java.lang.Long]], Long) =
-    t8Cache.computeIfAbsent(dir, _ => {
-      t8TrainCount.incrementAndGet()
-      graft.functions.GraftFunctions.register(s)
-      val rows = Tables.documents(s, dir)
-        .withColumn("norm", t8PlantedNorm)
-        .select(explode(expr("char_shingles(norm, 2)")).as("b"))
-        .groupBy("b").agg(count(lit(1)).as("c"))
-        .collect()
-      val m = new java.util.HashMap[String, java.lang.Long](rows.length * 2)
-      var total = 0L
-      rows.foreach { r =>
-        val c = r.getLong(1)
-        m.put(r.getString(0), c)
-        total += c
+    * spelling of the score pass ([[t8CharlmFilterJoinSpelling]],
+    * spec-pinned equivalent) — not needed for any natural-language
+    * charset.
+    *
+    * Training (a full Spark job) runs while HOLDING the cache monitor —
+    * the same deliberate single-driver tradeoff Dedup.memoize
+    * documents: a duplicate concurrent build of the same model would
+    * cost more than any lock wait, and `synchronized` is reentrant
+    * (unlike the previous computeIfAbsent spelling, which forbids
+    * reentrant mapping attempts outright). */
+  private[graft] def t8ModelFor(s: SparkSession, dir: String): T8Model = {
+    val key = s.sparkContext.applicationId + "/" +
+      Tables.fingerprint(s, dir, "documents")
+    t8Cache.synchronized {
+      val hit = t8Cache.get(key)
+      if (hit != null) hit
+      else {
+        t8TrainCount.incrementAndGet()
+        graft.functions.GraftFunctions.register(s)
+        val rows = Tables.documents(s, dir)
+          .withColumn("norm", t8PlantedNorm)
+          .select(explode(expr("char_shingles(norm, 2)")).as("b"))
+          .groupBy("b").agg(count(lit(1)).as("c"))
+          .collect()
+        val m = new java.util.HashMap[String, java.lang.Long](rows.length * 2)
+        var total = 0L
+        rows.foreach { r =>
+          val c = r.getLong(1)
+          m.put(r.getString(0), c)
+          total += c
+        }
+        val v = (s.sparkContext.broadcast(m), total)
+        t8Cache.put(key, v)
+        v
       }
-      (s.sparkContext.broadcast(m), total)
-    })
+    }
+  }
 
   def t8CharlmFilter(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val (model, total) = t8ModelFor(s, dir)
-    // the model cannot ride through SQL text, so register a builder
-    // closing over it; Dataset ops analyze EAGERLY, so the expr() below
-    // captures THIS registration even if another corpus re-registers
-    // later in the session
-    s.sessionState.functionRegistry.registerFunction(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("t8_rare_stats"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[graft.functions.RareBigramStats].getName, "t8_rare_stats"),
-      cs => graft.functions.RareBigramStats(cs(0), model, total, T8RareDen))
+    // the model cannot ride through SQL text; build the kernel column
+    // PROGRAMMATICALLY (org.apache.spark.sql.graftbridge.GraftColumns)
+    // instead of registering a per-call closure — the shared session
+    // FunctionRegistry stays immutable on the query path, so two
+    // threads planning t8 for different corpora on one session cannot
+    // interleave register/analyze and bind the wrong model
+    val stats = org.apache.spark.sql.graftbridge.GraftColumns.column(
+      graft.functions.RareBigramStats(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("norm"),
+        model, total, T8RareDen))
     Tables.documents(s, dir)
       .withColumn("norm", t8PlantedNorm)
-      .withColumn("_st", expr("t8_rare_stats(norm)"))
+      .withColumn("_st", stats)
       .select(col("doc_id"),
         col("_st.n_bigrams").as("n_bigrams"),
         col("_st.n_rare").as("n_rare"))
+      .withColumn("is_atypical",
+        col("n_rare") * T8FlagDen > col("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  /** The documented t8 FALLBACK spelling — explode bigrams → broadcast
+    * join against the counts table → re-aggregate per doc — for an
+    * alphabet whose observed-bigram table outgrew a broadcast model.
+    * Not on the gate (the kernel spelling is; this pays a per-doc
+    * exchange the kernel doesn't). Exists so kernel ≡ fallback is
+    * SPEC-PINNED rather than argued: TextAnalysisSpec asserts both
+    * spellings produce identical (n_bigrams, n_rare, is_atypical) rows,
+    * and the DuckDB oracle keeps this join spelling in SQL, so a kernel
+    * divergence would also hash-mismatch at the gate. */
+  private[graft] def t8CharlmFilterJoinSpelling(
+      s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val bigrams = Tables.documents(s, dir)
+      .withColumn("norm", t8PlantedNorm)
+      .select(col("doc_id"), explode(expr("char_shingles(norm, 2)")).as("b"))
+    val counts = Tables.documents(s, dir)
+      .withColumn("norm", t8PlantedNorm)
+      .select(explode(expr("char_shingles(norm, 2)")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum(col("c")).as("t"))
+    bigrams.join(broadcast(counts), "b")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        sum(when(col("c") * T8RareDen < col("t"), 1).otherwise(0))
+          .cast("int").as("n_rare"))
       .withColumn("is_atypical",
         col("n_rare") * T8FlagDen > col("n_bigrams"))
       .orderBy("doc_id")

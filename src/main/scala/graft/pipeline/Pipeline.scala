@@ -56,6 +56,22 @@ abstract class Task {
   /** Read this task's materialized output (for downstream tasks). */
   final def read(spark: SparkSession): DataFrame = spark.read.parquet(output)
 
+  /** Stage this task's output into `scratch`; returns rows written.
+    * The default materializes [[build]] as parquet; [[TextReportTask]]
+    * overrides it to write a rendered text body through the same
+    * publish protocol. */
+  protected def writeStaged(spark: SparkSession, scratch: Path): Long = {
+    // rows-written metric via an Observation: computed inside the write
+    // job itself (Celery/Flower-style per-task stats with NO extra scan
+    // — a count-back re-read would double the task's IO at 100 TB)
+    val obs = org.apache.spark.sql.Observation()
+    build(spark)
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(scratch.toString)
+    obs.get("rows").asInstanceOf[Long]
+  }
+
   /** One attempt: stage to a scratch directory, then publish. Staging
     * first means a concurrent run's COMMITTED target is never clobbered
     * mid-write: the destructive step (replacing the target) happens
@@ -69,15 +85,7 @@ abstract class Task {
     val target = new Path(output)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val scratch = new Path(output + ".inprogress-" + UUID.randomUUID())
-    // rows-written metric via an Observation: computed inside the write
-    // job itself (Celery/Flower-style per-task stats with NO extra scan
-    // — a count-back re-read would double the task's IO at 100 TB)
-    val obs = org.apache.spark.sql.Observation()
-    build(spark)
-      .observe(obs, org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("rows"))
-      .write.mode("overwrite").parquet(scratch.toString)
-    val rows = obs.get("rows").asInstanceOf[Long]
+    val rows = writeStaged(spark, scratch)
     if (fs.exists(markerPath)) {
       fs.delete(scratch, true) // a concurrent run committed first; keep its output
     } else {
@@ -102,6 +110,63 @@ object Task {
     * publish protocol creates this file, and only after the write
     * finished. */
   val Marker = "_GRAFT_COMMITTED"
+}
+
+/** Report-DISTRIBUTION task: renders upstream results into a
+  * deterministic TEXT body — the "email body" of the reference's report
+  * DAG (airflow/dags/twitter_airflow.py:137-170 renders the
+  * popular-links report with gen_tweet_report and ships it through an
+  * EmailOperator). The delivery hop itself (SMTP/Slack/pager) is
+  * deployment configuration, not a query capability; everything the
+  * engine owns — rendering, byte determinism, atomic idempotent
+  * publication next to the data — goes through the SAME
+  * stage → rename → marker-commit protocol as data targets, so a
+  * crashed render republishes and a re-run is a no-op. The body lands
+  * as `[[TextReportTask.BodyFile]]` inside the target directory. */
+abstract class TextReportTask extends Task {
+  /** Render the full report body. Must be deterministic: same upstream
+    * bytes ⇒ same body bytes (no timestamps/hostnames), so the
+    * create-no-overwrite race resolution of the publish protocol — and
+    * idempotent backfills — stay sound for reports too. */
+  def render(spark: SparkSession): String
+
+  /** The body as one `line` column (reports are leaf tasks and the text
+    * file is the artifact; this exists so a downstream task COULD
+    * consume the lines through the normal target contract). Unused by
+    * [[writeStaged]], which publishes the raw text. */
+  final def build(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    render(spark).split("\n", -1).toIndexedSeq.toDF("line")
+  }
+
+  final override protected def writeStaged(
+      spark: SparkSession, scratch: Path): Long = {
+    val body = render(spark)
+    val fs = scratch.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(scratch, TextReportTask.BodyFile), true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    body.split("\n", -1).length.toLong
+  }
+}
+
+object TextReportTask {
+  /** Rendered-body filename inside the target directory. */
+  val BodyFile = "report.txt"
+
+  /** Read a published report body back (spec/consumer side). */
+  def readBody(spark: SparkSession, output: String): String = {
+    val p = new Path(output, BodyFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
 }
 
 /** Per-task execution stats (the Celery-events/Flower and Luigi-UI

@@ -1,0 +1,27 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to Spark's `private[sql]` Column ⇄ Expression converters
+  * (`org.apache.spark.sql.classic.ExpressionUtils`, Spark 4's classic
+  * backend). graft needs it for exactly one shape: an expression whose
+  * constructor carries a driver-side artifact that cannot ride through
+  * SQL text (t8's broadcast bigram model —
+  * [[graft.functions.RareBigramStats]]). Every other native function
+  * registers a name and goes through `expr(...)`; building THIS column
+  * programmatically instead of registering a per-call closure keeps the
+  * shared session FunctionRegistry immutable on the query path (two
+  * threads planning t8 for different corpora on one session can no
+  * longer interleave register/analyze and bind the wrong model).
+  *
+  * Lives under `org.apache.spark.sql` solely to satisfy the
+  * `private[sql]` qualifier; contains no Spark code.
+  */
+object GraftColumns {
+  /** Wrap a Catalyst expression as a user-facing Column (the inverse of
+    * `Column.expr` from Spark 3; unresolved attributes inside `e` are
+    * resolved by the normal analyzer pass of the consuming Dataset). */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+}

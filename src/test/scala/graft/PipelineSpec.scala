@@ -225,6 +225,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(t2.complete(s) && t2.read(s).count() === 5)
   }
 
+  test("report distribution: c4_report renders to a deterministic text " +
+      "artifact through the atomic-publish path; re-run is a no-op") {
+    import graft.pipeline.{Reports, TextReportTask}
+    val s = TestSpark.spark
+    val root = Files.createTempDirectory("graft_report").toString
+    val task = Reports.curationReportTask(TestSpark.SfDir, root)
+
+    assert(Pipeline.run(s, Seq(task)) === Seq("curation_report"))
+    assert(task.complete(s), "report target not committed")
+    val body = TextReportTask.readBody(s, task.output)
+    // the rendered body carries both report sections with real content
+    assert(body.startsWith("Subject: corpus curation report\n"))
+    for (stage <- Seq("bench_holdout", "quality_floor", "cluster_dedup",
+        "decontaminate", "source_cap"))
+      assert(body.contains(stage), s"missing lineage stage $stage")
+    assert(body.contains("Top links"), "missing q9 section")
+    assert(body.linesIterator.count(_.matches("^\\d\\. .*\\(\\d+\\)$")) == 5,
+      "expected exactly 5 top-link lines")
+
+    // idempotent: complete target ⇒ nothing runs, bytes untouched
+    assert(Pipeline.run(s, Seq(task)) === Seq.empty)
+    assert(TextReportTask.readBody(s, task.output) == body)
+
+    // deterministic republication: drop the marker (crash debris shape)
+    // and the rebuilt body is byte-identical
+    val fs = task.markerPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(task.markerPath, false)
+    assert(Pipeline.run(s, Seq(task)) === Seq("curation_report"))
+    assert(TextReportTask.readBody(s, task.output) == body,
+      "re-rendered report body not byte-identical")
+  }
+
   test("cycles are rejected") {
     lazy val a: Task = new Task {
       val name = "a"; val output = "/tmp/never_a"

@@ -287,4 +287,45 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(TextAnalysis.t8TrainCount.get() == before + 1,
       "t8 model trained more than once for one corpus")
   }
+
+  test("t8 model cache invalidates on re-ingest at the same path") {
+    // the s3-centroids / confirmedPairs contract: the cache key is the
+    // corpus FINGERPRINT, not the dir string, so re-ingesting a corpus
+    // at the same path (file lengths/mtimes change) must retrain — a
+    // long-lived JVM can never score against a previous generation's
+    // bigram model
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("t8-reingest").toString
+    def ingest(rows: Seq[(Long, String, String, String, Int)]): Unit =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val gen1 = Seq((1L, "the quick brown fox", "en", "web", 19),
+      (2L, "jumps over the lazy dog", "en", "web", 23))
+    ingest(gen1)
+    TextAnalysis.clearT8Cache()
+    val before = TextAnalysis.t8TrainCount.get()
+    TextAnalysis.t8ModelFor(s, tmp)
+    TextAnalysis.t8ModelFor(s, tmp) // same generation: cache hit
+    assert(TextAnalysis.t8TrainCount.get() == before + 1)
+    // re-ingest generation 2 at the SAME path with different content;
+    // the model must reflect it (not just retrain blindly)
+    ingest(gen1 :+ ((3L, "zzqp vkqj gibberish chunk", "en", "web", 25)))
+    val (m2, _) = TextAnalysis.t8ModelFor(s, tmp)
+    assert(TextAnalysis.t8TrainCount.get() == before + 2,
+      "re-ingested corpus at the same path served a stale model")
+    assert(m2.value.containsKey("zq"),
+      "generation-2 model missing generation-2 bigrams")
+  }
+
+  test("t8 kernel spelling equals the documented broadcast-join fallback") {
+    // the fallback (for an alphabet whose observed-bigram table outgrew
+    // a broadcast) must be semantically interchangeable with the shipped
+    // kernel: identical (doc_id, n_bigrams, n_rare, is_atypical) rows
+    def key(r: org.apache.spark.sql.Row) =
+      r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getBoolean(3)))
+    val kernel = TextAnalysis.t8CharlmFilter(s, dir).collect().map(key).toMap
+    val joined = TextAnalysis.t8CharlmFilterJoinSpelling(s, dir)
+      .collect().map(key).toMap
+    assert(kernel.nonEmpty && kernel == joined)
+  }
 }

@@ -374,10 +374,10 @@ object TextAnalysis {
         expr(s"repeat('$T8PlantChunk ', $T8PlantReps)")))
       .otherwise(col("text")))
 
-  /** The trained t8 artifact: broadcast (bigram → global count) table
-    * plus the exact total occurrence count. */
-  private type T8Model = (org.apache.spark.broadcast.Broadcast[
-    java.util.HashMap[String, java.lang.Long]], Long)
+  /** The trained t8 artifact: broadcast [[graft.functions.BigramModel]]
+    * (frequent-set bitset + counts + exact total). */
+  private type T8Model =
+    org.apache.spark.broadcast.Broadcast[graft.functions.BigramModel]
 
   /** Entries kept in [[t8Cache]] — same bound and rationale as
     * Dedup.MemoMaxEntries (the corpora a session actually alternates
@@ -446,7 +446,10 @@ object TextAnalysis {
           m.put(r.getString(0), c)
           total += c
         }
-        val v = (s.sparkContext.broadcast(m), total)
+        // precompute the frequent set driver-side (≤ T8RareDen entries)
+        // so executors probe a bitset, not a String-keyed HashMap
+        val v = s.sparkContext.broadcast(
+          new graft.functions.BigramModel(m, total, T8RareDen))
         t8Cache.put(key, v)
         v
       }
@@ -455,7 +458,7 @@ object TextAnalysis {
 
   def t8CharlmFilter(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val (model, total) = t8ModelFor(s, dir)
+    val model = t8ModelFor(s, dir)
     // the model cannot ride through SQL text; build the kernel column
     // PROGRAMMATICALLY (org.apache.spark.sql.graftbridge.GraftColumns)
     // instead of registering a per-call closure — the shared session
@@ -465,7 +468,7 @@ object TextAnalysis {
     val stats = org.apache.spark.sql.graftbridge.GraftColumns.column(
       graft.functions.RareBigramStats(
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("norm"),
-        model, total, T8RareDen))
+        model))
     Tables.documents(s, dir)
       .withColumn("norm", t8PlantedNorm)
       .withColumn("_st", stats)

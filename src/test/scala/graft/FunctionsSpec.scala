@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.GraftFunctions
+import graft.functions.{BigramModel, GraftFunctions, TextHashKernels}
 import graft.operators.VectorOps
 
 class FunctionsSpec extends AnyFunSuite {
@@ -141,6 +141,39 @@ class FunctionsSpec extends AnyFunSuite {
         .collect()
       got.foreach(r => assert(r.getSeq[String](0) === r.getSeq[String](1),
         s"width $w"))
+    }
+  }
+
+  test("rare_bigram_stats byte-walk equals a charShingles-based count, " +
+      "incl. multibyte and the ASCII bitset/spill-path split") {
+    // the kernel's hot path is an ASCII×ASCII bitset probe and its spill
+    // path decodes multibyte bigrams to Strings; both must agree exactly
+    // with the definitional spelling (count rare charShingles(norm, 2)
+    // under count·den < total) on text that exercises every branch
+    import org.apache.spark.unsafe.types.UTF8String
+    val docs = Seq("", "a", "é", "中", "hello world", "héllo wörld",
+      "中文字符测试", "mixé中en文abc", "aa bb aa bb zz", "the qzx vkqj end")
+    // train the model exactly like t8: global bigram counts over all docs
+    val counts = new java.util.HashMap[String, java.lang.Long]()
+    var total = 0L
+    def bigrams(d: String): Seq[String] = {
+      val arr = TextHashKernels.charShingles(UTF8String.fromString(d), 2)
+      (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+    }
+    docs.flatMap(bigrams).foreach { b =>
+      counts.merge(b, 1L, (x, y) => x + y); total += 1
+    }
+    for (den <- Seq(2, 8, 5832)) {
+      val model = new BigramModel(counts, total, den)
+      docs.foreach { d =>
+        val row = TextHashKernels.rareBigramStats(UTF8String.fromString(d), model)
+        val bs = bigrams(d)
+        val expRare = bs.count { b =>
+          val c = counts.get(b); (if (c == null) 0L else c.longValue()) * den < total
+        }
+        assert(row.getInt(0) == bs.size, s"n_bigrams for '$d' den=$den")
+        assert(row.getInt(1) == expRare, s"n_rare for '$d' den=$den")
+      }
     }
   }
 

@@ -310,10 +310,10 @@ class TextAnalysisSpec extends AnyFunSuite {
     // re-ingest generation 2 at the SAME path with different content;
     // the model must reflect it (not just retrain blindly)
     ingest(gen1 :+ ((3L, "zzqp vkqj gibberish chunk", "en", "web", 25)))
-    val (m2, _) = TextAnalysis.t8ModelFor(s, tmp)
+    val m2 = TextAnalysis.t8ModelFor(s, tmp)
     assert(TextAnalysis.t8TrainCount.get() == before + 2,
       "re-ingested corpus at the same path served a stale model")
-    assert(m2.value.containsKey("zq"),
+    assert(m2.value.counts.containsKey("zq"),
       "generation-2 model missing generation-2 bigrams")
   }
 

@@ -39,7 +39,51 @@ object Probe {
     if (sections("d8")) probeD8(spark)
     if (sections("d8ab")) probeD8AB(spark) // not in the default set
     if (sections("c4")) probeC4(spark, sfDir) // not in the default set
+    if (sections("t8")) probeT8(spark, sfDir) // not in the default set
     spark.stop()
+  }
+
+  /** ---- t8 at 100× corpus: the byte-walk kernel's 10× ScaleBench row
+    * (3.6×) plus this 100× datum pin the linearity claim the same way
+    * c4's probe does. TRAIN (the once-per-corpus-generation artifact
+    * build — clearT8Cache forces it) and SCORE (the per-consumer scan)
+    * are timed separately: at 100 TB train is one extra corpus pass per
+    * generation whose output stays alphabet²-bounded, and score is the
+    * number that multiplies across every downstream consumer. Planted
+    * dir follows probeC4's replication rules (shifted ids keep the
+    * 1/101 plant density; per-copy text suffix keeps the byte volume
+    * genuinely 100×). */
+  private def probeT8(spark: SparkSession, sfDir: String): Unit = {
+    val doc = Tables.documents(spark, sfDir)
+    val mDoc = doc.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val copies = spark.range(100).withColumnRenamed("id", "copy")
+    val cols = doc.columns
+    val out = "target/probe/t8x100"
+    doc.crossJoin(copies)
+      .withColumn("doc_id", col("doc_id") + col("copy") * mDoc)
+      .withColumn("text", concat(col("text"), lit(" copyword"),
+        col("copy").cast("string")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select(cols.map(col).toIndexedSeq: _*)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    def time(name: String, dir: String, cold: Boolean): Double = {
+      if (cold) graft.operators.TextAnalysis.clearT8Cache()
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      graft.operators.TextAnalysis.t8CharlmFilter(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"probe":"$name","sec":$sec%.2f}""")
+      sec
+    }
+    time("t8_warmup", sfDir, cold = true) // absorbs codegen/session startup
+    val baseCold = time("t8_base_cold", sfDir, cold = true)
+    val baseWarm = time("t8_base_warm", sfDir, cold = false)
+    val xCold = time("t8_x100_cold", out, cold = true)
+    val xWarm = time("t8_x100_warm", out, cold = false)
+    println(f"""{"probe":"t8_x100_ratio","cold":${xCold / baseCold}%.1f,""" +
+      f""""warm":${xWarm / baseWarm}%.1f}""")
   }
 
   /** ---- c4 flagship at 100× corpus: the composed curation DAG was

@@ -302,7 +302,71 @@ object Curation {
       .orderBy("stage_id")
   }
 
+  /** c6 packing parameters: token budget per training sequence and the
+    * shard fan-out. 256 tokens ≈ a few docs per sequence on this corpus
+    * (docs run ~50 whitespace tokens), so both the fill and the close
+    * paths are exercised at every SF; 8 shards keeps the per-shard
+    * stream long enough to pack several sequences at sf0.001. At
+    * cluster scale shards = O(input partitions). */
+  val C6PackBudget = 256
+  val C6PackShards = 8
+
+  /** c6: shard-local sequence PACKING — the training-batch preparation
+    * step that groups WHOLE documents into contiguous ≈budget-token
+    * sequences (the "sequence packing" every LLM training pipeline
+    * runs so short documents don't waste context length; docs are
+    * never split here — the tokenizer-level splitter is t9's chunking,
+    * and composing c6 after t9 packs chunks instead).
+    *
+    * Packing is SHARD-local by design: a global greedy pack is a
+    * sequential scan — ONE partition at 100 TB — while real pipelines
+    * pack within shards/workers independently. The operator shards by
+    * `doc_id % shards` (deterministic, engine-independent) and packs
+    * inside each shard with one window pass:
+    * `seq_id = floor(preceding-shard-tokens / budget)` — the exact
+    * contiguous-fill rule, under which a sequence overflows the budget
+    * by at most one document and a document larger than the whole
+    * budget occupies its sequence alone (skipping the seq_ids its
+    * excess spans). All integer arithmetic — no float crosses the
+    * gate.
+    *
+    * Scale shape: one hash shuffle on the shard key + per-shard sort
+    * (the window), both linear; token counting is scan-local. Shard
+    * count grows with the cluster, so the per-shard sorted stream
+    * stays partition-sized. */
+  def c6PackSequences(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("size(filter(split(text, ' '), t -> t <> ''))").as("n_tok"),
+        (col("doc_id") % C6PackShards).cast("int").as("shard"))
+      .withColumn("cum_excl", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        expr(s"CAST(cum_excl div $C6PackBudget AS INT)").as("seq_id"))
+      .orderBy("doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    // same whitespace token count as t3, same shard arithmetic, same
+    // exclusive running sum; seq_id is integer division in both engines
+    "c6_pack_sequences" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+         |      AS INTEGER) AS n_tok,
+         |    CAST(doc_id % $C6PackShards AS INTEGER) AS shard
+         |  FROM documents),
+         |cum AS (
+         |  SELECT doc_id, shard, n_tok,
+         |    COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum_excl
+         |  FROM tok)
+         |SELECT doc_id, shard, n_tok,
+         |  CAST(cum_excl // $C6PackBudget AS INTEGER) AS seq_id
+         |FROM cum ORDER BY doc_id""".stripMargin,
     // the keep_frac arithmetic is division → sqrt → multiply → floor,
     // every step IEEE correctly-rounded in both engines, so the INTEGER
     // keep_buckets (and hence membership) is bit-identical; the gate
@@ -466,5 +530,6 @@ object Curation {
     "c4_curation_full" -> c4CurationFull,
     "c4_report" -> c4Report,
     "c5_mixture_sample" -> c5MixtureSample,
+    "c6_pack_sequences" -> c6PackSequences,
   )
 }

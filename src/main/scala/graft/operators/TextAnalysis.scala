@@ -480,6 +480,43 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t9 chunk geometry: window of [[T9ChunkChars]] normalized chars
+    * every [[T9Stride]] chars — adjacent chunks overlap by 50 chars so
+    * no semantic unit is ever split across a hard boundary without
+    * also appearing whole in a neighbor (the standard context-window
+    * splitting geometry of embedding/RAG and long-document training
+    * pipelines). */
+  val T9ChunkChars = 200
+  val T9Stride = 150
+
+  /** t9: fixed-window document CHUNKING with overlap — the
+    * context-window splitting pass a pipeline runs before embedding or
+    * tokenizing long documents (every doc yields
+    * `floor(max(len-1,0)/stride)+1` chunks at offsets 0, stride,
+    * 2·stride, …; a doc shorter than one window yields itself whole;
+    * chunk boundaries are CHARACTER positions on the normalized text,
+    * identical in both engines). Returns (doc_id, chunk_idx,
+    * chunk_off, chunk, chunk_len).
+    *
+    * Scale shape: pure projection + explode — the chunk offsets are
+    * computed per row from the length alone (`sequence`), so the pass
+    * is scan-local with zero shuffles beyond the presentation sort;
+    * output volume is input bytes × (window/stride) ≈ 1.33×. At 100 TB
+    * it runs at read time like t1–t4. */
+  def t9DocChunks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("norm", TextOps.normText(col("text")))
+      .select(col("doc_id"), col("norm"),
+        posexplode(expr(
+          s"sequence(0, greatest(char_length(norm) - 1, 0), $T9Stride)"))
+          .as(Seq("chunk_idx", "chunk_off")))
+      .select(col("doc_id"),
+        col("chunk_idx").cast("int").as("chunk_idx"),
+        col("chunk_off").cast("int").as("chunk_off"),
+        expr(s"substring(norm, chunk_off + 1, $T9ChunkChars)").as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")).cast("int"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** The documented t8 FALLBACK spelling — explode bigrams → broadcast
     * join against the counts table → re-aggregate per doc — for an
     * alphabet whose observed-bigram table outgrew a broadcast model.
@@ -580,6 +617,23 @@ object TextAnalysis {
          |  CAST(len(list_distinct(sh)) AS INTEGER) AS n_distinct3,
          |  (len(list_distinct(sh)) * 5 < len(sh) * 4) AS is_repetitive
          |FROM sh_t ORDER BY doc_id""".stripMargin,
+    // same normalized text, same offset arithmetic (generate_series is
+    // inclusive like Spark's sequence), same 1-based character substr
+    "t9_doc_chunks" ->
+      s"""WITH norm_t AS (
+         |  SELECT doc_id, ${TextOps.sqlNormText} AS norm FROM documents),
+         |off_t AS (
+         |  SELECT doc_id, norm, unnest(generate_series(0,
+         |    greatest(length(norm) - 1, 0), $T9Stride)) AS chunk_off
+         |  FROM norm_t)
+         |SELECT doc_id,
+         |  CAST(chunk_off // $T9Stride AS INTEGER) AS chunk_idx,
+         |  CAST(chunk_off AS INTEGER) AS chunk_off,
+         |  substr(norm, CAST(chunk_off AS INTEGER) + 1, $T9ChunkChars)
+         |    AS chunk,
+         |  CAST(length(substr(norm, CAST(chunk_off AS INTEGER) + 1,
+         |    $T9ChunkChars)) AS INTEGER) AS chunk_len
+         |FROM off_t ORDER BY doc_id, chunk_idx""".stripMargin,
     "t1_lang_id" -> {
       s"""$sqlToksCte
          |SELECT doc_id,
@@ -690,5 +744,6 @@ object TextAnalysis {
     "t6_pii_redact" -> t6PiiRedact,
     "t7_rep_ngrams" -> t7RepNgrams,
     "t8_charlm_filter" -> t8CharlmFilter,
+    "t9_doc_chunks" -> t9DocChunks,
   )
 }

@@ -213,6 +213,43 @@ class CurationSpec extends AnyFunSuite {
     assert(lo.subsetOf(hi) && lo.nonEmpty && lo.size < hi.size)
   }
 
+  test("c6 packing matches a per-shard sequential fill; budget closes sequences") {
+    val B = Curation.C6PackBudget
+    val K = Curation.C6PackShards
+    val docs = graft.Tables.documents(s, dir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def ntok(t: String): Int = t.split(" ").count(_.nonEmpty)
+    // independent spelling: a literal sequential scan per shard
+    // accumulating tokens — the definition of contiguous-fill packing
+    val expected = docs.groupBy(_._1 % K).toSeq.flatMap { case (shard, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).toSeq.map { case (id, t) =>
+        val n = ntok(t)
+        val seq = (cum / B).toInt
+        cum += n
+        (id, shard.toInt, n, seq)
+      }
+    }.toSet
+    val got = Curation.c6PackSequences(s, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got == expected)
+    // seq ids are non-decreasing along each shard's doc order, and the
+    // parameters actually exercise the close path (some seq_id > 0)
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      val seqs = rows.toSeq.sortBy(_._1).map(_._4)
+      assert(seqs == seqs.sorted, s"shard $shard seq ids regress")
+    }
+    assert(got.exists(_._4 > 0), "budget never closed a sequence")
+    // docs of one sequence are contiguous: no doc of another sequence
+    // interleaves a (shard, seq) id range
+    got.groupBy(r => (r._2, r._4)).foreach { case ((shard, seq), rows) =>
+      val ids = rows.map(_._1)
+      val others = got.filter(r => r._2 == shard && r._4 != seq
+        && r._1 > ids.min && r._1 < ids.max)
+      assert(others.isEmpty, s"shard $shard seq $seq not contiguous")
+    }
+  }
+
   test("confirmedPairs cache invalidates when the corpus fingerprint changes") {
     Dedup.clearConfirmedCache()
     val before = Dedup.confirmedBuildCount.get()

@@ -317,6 +317,38 @@ class TextAnalysisSpec extends AnyFunSuite {
       "generation-2 model missing generation-2 bigrams")
   }
 
+  test("t9 chunks match a driver-side brute force; stride concat rebuilds the doc") {
+    val W = TextAnalysis.T9ChunkChars
+    val S = TextAnalysis.T9Stride
+    val docs = Tables.documents(s, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def norm(t: String): String = t.replaceAll("\\s+", " ").trim.toLowerCase
+    val expected = docs.flatMap { case (id, t) =>
+      val n = norm(t)
+      (0 to math.max(n.length - 1, 0) by S).zipWithIndex.map { case (off, i) =>
+        (id, i, off, n.substring(off, math.min(off + W, n.length)))
+      }
+    }.toSet
+    val rows = TextAnalysis.t9DocChunks(s, dir).collect()
+    val got = rows.map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(got == expected)
+    rows.foreach(r => assert(r.getInt(4) == r.getString(3).length,
+      s"chunk_len mismatch for doc ${r.getLong(0)}"))
+    // coverage: the stride-wide prefix of each chunk, concatenated in
+    // chunk order, rebuilds the normalized doc exactly (overlap is
+    // redundancy, not loss)
+    val byDoc = rows.groupBy(_.getLong(0))
+    docs.foreach { case (id, t) =>
+      val rebuilt = byDoc(id).sortBy(_.getInt(1))
+        .map(_.getString(3).take(S)).mkString
+      assert(rebuilt == norm(t), s"doc $id stride-concat mismatch")
+    }
+    // overlap really exists: some doc yields 2+ chunks whose adjacent
+    // windows share W - S chars
+    assert(byDoc.values.exists(_.length > 1), "no doc produced 2+ chunks")
+  }
+
   test("t8 kernel spelling equals the documented broadcast-join fallback") {
     // the fallback (for an alphabet whose observed-bigram table outgrew
     // a broadcast) must be semantically interchangeable with the shipped

@@ -334,17 +334,30 @@ object Curation {
     * (the window), both linear; token counting is scan-local. Shard
     * count grows with the cluster, so the per-shard sorted stream
     * stays partition-sized. */
-  def c6PackSequences(s: SparkSession, dir: String): DataFrame = {
+  /** Generic contiguous-fill packing over ANY keyed frame: within each
+    * `shardCol` group, rows ordered by `idCol` get
+    * `seq_id = floor(preceding-tokens / budget)`. The reusable core of
+    * [[c6PackSequences]] — compose it after
+    * [[TextAnalysis.t9DocChunks]] (one row per chunk, tok = chunk
+    * token count) to pack CHUNKS instead of documents (spec-tested
+    * composition in CurationSpec). */
+  def packSequences(df: DataFrame, idCol: String, tokCol: String,
+      shardCol: String, budget: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("shard").orderBy("doc_id")
+    val w = Window.partitionBy(shardCol).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, dir)
+    df.withColumn("cum_excl", coalesce(sum(col(tokCol)).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"CAST(cum_excl div $budget AS INT)"))
+      .drop("cum_excl")
+  }
+
+  def c6PackSequences(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
       .select(col("doc_id"),
         expr("size(filter(split(text, ' '), t -> t <> ''))").as("n_tok"),
         (col("doc_id") % C6PackShards).cast("int").as("shard"))
-      .withColumn("cum_excl", coalesce(sum(col("n_tok")).over(w), lit(0L)))
-      .select(col("doc_id"), col("shard"), col("n_tok"),
-        expr(s"CAST(cum_excl div $C6PackBudget AS INT)").as("seq_id"))
+    packSequences(toks, "doc_id", "n_tok", "shard", C6PackBudget)
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("seq_id"))
       .orderBy("doc_id")
   }
 

@@ -250,6 +250,28 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("packSequences composes after t9: chunks pack under the same fill rule") {
+    import org.apache.spark.sql.functions._
+    val B = 64
+    val chunks = TextAnalysis.t9DocChunks(s, dir)
+      .select(
+        (col("doc_id") * 1000 + col("chunk_idx")).as("chunk_uid"),
+        expr("size(filter(split(chunk, ' '), t -> t <> ''))").as("n_tok"),
+        (col("doc_id") % 4).cast("int").as("shard"))
+    val packed = Curation.packSequences(chunks, "chunk_uid", "n_tok", "shard", B)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // independent sequential fill per shard over the same chunk stream —
+    // the definition the generic operator must reproduce
+    packed.groupBy(_._3).foreach { case (shard, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (_, n, _, seq) =>
+        assert(seq == (cum / B).toInt, s"shard $shard fill-rule mismatch")
+        cum += n
+      }
+    }
+    assert(packed.exists(_._4 > 0), "chunk packing never closed a sequence")
+  }
+
   test("confirmedPairs cache invalidates when the corpus fingerprint changes") {
     Dedup.clearConfirmedCache()
     val before = Dedup.confirmedBuildCount.get()

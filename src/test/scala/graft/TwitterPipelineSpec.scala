@@ -86,7 +86,24 @@ class TwitterPipelineSpec extends AnyFunSuite {
       }
     }
 
-    assert(Pipeline.run(s, Seq(report)) === Seq("ingest_tweets", "popular_links"))
+    // the distribution leaf: render the report into the "email body"
+    // (the reference's gen_tweet_report → EmailOperator,
+    // twitter_airflow.py:137-170) through the same atomic-commit path
+    val email = new graft.pipeline.TextReportTask {
+      val name = "email_report"
+      override val requires = Seq(report)
+      val output = s"$root/email_report"
+      def render(sp: SparkSession): String = {
+        val rows = report.read(sp)
+          .orderBy(col("cnt").desc, col("url")).collect()
+        "Subject: popular links\n\n" + rows.zipWithIndex.map { case (r, i) =>
+          s"${i + 1}. ${r.getString(0)} (${r.getLong(1)})"
+        }.mkString("\n") + "\n"
+      }
+    }
+
+    assert(Pipeline.run(s, Seq(email)) ===
+      Seq("ingest_tweets", "popular_links", "email_report"))
 
     // the overlapping tweet appended once: 5 distinct tweets in the db
     assert(s.read.parquet(db).count() === 5)
@@ -94,9 +111,13 @@ class TwitterPipelineSpec extends AnyFunSuite {
     val links = report.read(s).collect()
       .map(r => r.getString(0) -> r.getLong(1))
     assert(links.toSeq === Seq("a.io" -> 2L, "c.io" -> 2L, "b.io" -> 1L))
+    // the rendered body carries the same ranking
+    val body = graft.pipeline.TextReportTask.readBody(s, email.output)
+    assert(body ==
+      "Subject: popular links\n\n1. a.io (2)\n2. c.io (2)\n3. b.io (1)\n")
 
     // re-running the DAG is a no-op (targets complete, db unchanged)
-    assert(Pipeline.run(s, Seq(report)) === Seq.empty)
+    assert(Pipeline.run(s, Seq(email)) === Seq.empty)
     assert(s.read.parquet(db).count() === 5)
   }
 }

@@ -325,12 +325,91 @@ object Relational {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** q29 sketch capacity: the k smallest 32-bit hashes kept per key.
+    * Relative error of a KMV estimate ≈ 1/sqrt(k−2) ≈ 13% at 64; keys
+    * with fewer than k distinct hashes report exactly. */
+  val KmvK = 64
+
+  /** q29: approximate DISTINCT-COUNT via a KMV (k-minimum-values)
+    * sketch — the "novel sketch" slot of the custom-operator family
+    * next to the as-of (q21) and range (q22) joins. The production
+    * problem: exact `count(DISTINCT user)` at 100 TB shuffles every
+    * distinct value; a KMV sketch keeps only the k SMALLEST hash
+    * values per key — fixed memory per key at any corpus size — and
+    * estimates n ≈ (k−1)/F_k where F_k is the k-th smallest hash as a
+    * fraction of hash space. Unlike HLL (whose register layouts differ
+    * per implementation, so no cross-engine oracle is possible), KMV
+    * over a DETERMINISTIC hash is fully reproducible: both engines
+    * derive the same md5-based 32-bit hash, the same k-th minimum, and
+    * the same integer estimate `(k−1) · 2³² div h_k` — so the sketch
+    * is hash-match oracle-checked, not just spot-checked. Keys under
+    * capacity (< k distinct hashes) report their exact count — a KMV
+    * sketch IS exact below k.
+    *
+    * Scale shape: one DISTINCT shuffle on (key, hash) — the same
+    * shuffle exact distinct pays — then the rank-k probe rides
+    * Spark's WindowGroupLimit (≤ k rows per key per partition move;
+    * verified in PLANS). In a production sketch the distinct is
+    * replaced by per-partition top-k accumulators merged map-side
+    * (the KMV union = min-k of the union); this spelling keeps the
+    * whole operator in declarative Catalyst while measuring the same
+    * rank-k plan shape. */
+  def q29KmvDistinct(s: SparkSession, dir: String,
+      k: Int = KmvK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashes = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), " +
+          "16, 10) AS BIGINT)").as("h"))
+      .distinct() // (key, hash) level: md5-collided users collapse identically in both engines
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val kth = hashes.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === k)
+      .select(col("event_type"), col("h").as("kth"))
+    hashes.groupBy("event_type").agg(count(lit(1)).as("n_hashes"))
+      .join(kth, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_hashes"),
+        coalesce(
+          expr(s"CAST((${k - 1} * CAST(4294967296 AS BIGINT)) " +
+            "div nullif(kth, 0) AS BIGINT)"),
+          col("n_hashes")).as("kmv_est"))
+      .orderBy("event_type")
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** First 32 bits of md5 of a BIGINT column as a BIGINT, via the
+    * hex-nibble fold idiom (DuckDB mirror of Spark's
+    * `conv(substring(md5(...), 1, 8), 16, 10)`). */
+  private def sqlHash32(c: String): String = {
+    def nib(i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), $i, 1)) - 1)"
+    s"CAST(${nib(1)} * 268435456 + ${nib(2)} * 16777216 + " +
+      s"${nib(3)} * 1048576 + ${nib(4)} * 65536 + ${nib(5)} * 4096 + " +
+      s"${nib(6)} * 256 + ${nib(7)} * 16 + ${nib(8)} AS BIGINT)"
+  }
+
   /** DuckDB oracle SQL, value-identical to the Spark plans above. */
   val oracle: Map[String, String] = Map(
+    // same md5-derived 32-bit hash, same rank-k, same integer estimate
+    "q29_kmv_distinct" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type, ${sqlHash32("user_id")} AS h
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+         |  FROM h),
+         |k_t AS (SELECT event_type, h AS kth FROM r WHERE rk = $KmvK),
+         |n_t AS (SELECT event_type, count(*) AS n_hashes FROM h
+         |  GROUP BY event_type)
+         |SELECT n_t.event_type, n_t.n_hashes,
+         |  COALESCE(CAST((${KmvK - 1} * 4294967296) // NULLIF(kth, 0)
+         |    AS BIGINT), n_t.n_hashes) AS kmv_est
+         |FROM n_t LEFT JOIN k_t USING (event_type)
+         |ORDER BY event_type""".stripMargin,
     "q1_multi_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(count(*) AS BIGINT) AS cnt,
@@ -530,5 +609,6 @@ object Relational {
     "q26_array_mean" -> q26ArrayMean,
     "q27_window_rank" -> q27WindowRank,
     "q28_rollup_agg" -> q28RollupAgg,
+    "q29_kmv_distinct" -> ((s, dir) => q29KmvDistinct(s, dir)),
   )
 }

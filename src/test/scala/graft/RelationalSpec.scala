@@ -62,4 +62,43 @@ class RelationalSpec extends AnyFunSuite {
       .filter(col("total") =!= col("count")).count()
     assert(joined == 0)
   }
+
+  test("q29 KMV sketch matches a driver-side build; exact below capacity; " +
+      "estimate within KMV error above it") {
+    import graft.operators.Relational
+    // driver-side ground truth: distinct (type, first-32-bits-of-md5)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(uid: Long): Long = {
+      val hex = md.digest(uid.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val pairs = Tables.events(s, dir).select("event_type", "user_id")
+      .collect().map(r => r.getString(0) -> h32(r.getLong(1))).distinct
+    val byType = pairs.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+
+    def check(k: Int): Unit = {
+      val got = Relational.q29KmvDistinct(s, dir, k).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(got.map(_._1).toSeq == byType.keys.toSeq.sorted)
+      got.foreach { case (tpe, nHashes, est) =>
+        val hs = byType(tpe)
+        assert(nHashes == hs.length, s"$tpe n_hashes")
+        if (hs.length < k) assert(est == hs.length, s"$tpe under-capacity")
+        else {
+          val kth = hs(k - 1)
+          assert(est == (k - 1).toLong * 4294967296L / kth,
+            s"$tpe estimate formula")
+          // KMV relative error ~ 1/sqrt(k-2); allow 4 sigma
+          val err = math.abs(est.toDouble - hs.length) / hs.length
+          assert(err < 4.0 / math.sqrt(k - 2.0), s"$tpe err $err at k=$k")
+        }
+      }
+    }
+    check(8)                  // sketch path (15 users per type at sf0.001)
+    check(Relational.KmvK)    // under-capacity path: exact counts
+    assert(byType.values.exists(_.length < Relational.KmvK),
+      "capacity fallback not exercised")
+    assert(byType.values.exists(_.length >= 8), "sketch path not exercised")
+  }
 }

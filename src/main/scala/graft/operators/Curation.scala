@@ -344,6 +344,11 @@ object Curation {
   def packSequences(df: DataFrame, idCol: String, tokCol: String,
       shardCol: String, budget: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the scratch/output names must not collide with caller columns —
+    // withColumn would silently REPLACE them and corrupt the packing
+    require(!df.columns.contains("cum_excl") && !df.columns.contains("seq_id"),
+      "packSequences input must not already have cum_excl/seq_id columns")
+    require(budget > 0, s"packSequences budget must be positive, got $budget")
     val w = Window.partitionBy(shardCol).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("cum_excl", coalesce(sum(col(tokCol)).over(w), lit(0L)))

@@ -517,6 +517,94 @@ object TextAnalysis {
       .withColumn("chunk_len", length(col("chunk")).cast("int"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** t10 span width: word 5-grams — long enough that organic word-soup
+    * collisions across documents stay rare, short enough that a
+    * boilerplate footer of a couple dozen words yields many spans. */
+  val T10SpanW = 5
+
+  /** t10 planting: docs with doc_id % [[T10PlantMod]] == 0 get
+    * [[T10Footer]] appended once — simulating the per-site chrome
+    * (nav/footer/subscribe text) that web-crawl curation must strip.
+    * 24 words → 20 footer-internal 5-gram spans shared VERBATIM by
+    * every planted doc; the spans straddling the doc/footer seam mix
+    * unique doc text and stay infrequent, exactly like real page
+    * boundaries. */
+  val T10PlantMod = 9
+  val T10Footer: String =
+    "all rights reserved click here to subscribe to our newsletter " +
+      "for daily updates and follow us on social media for more " +
+      "breaking news today"
+
+  /** t10 document frequency floor: a span is corpus-FREQUENT iff it
+    * occurs in at least this many distinct documents. Scale-free on
+    * the planted side (footer df grows with the corpus: N/9 docs at
+    * every SF) and conservative on the organic side (a 5-gram from a
+    * ~40-word vocabulary recurring in 5+ docs is vanishingly rare). */
+  val T10MinDocs = 5
+
+  /** t10 flag: a doc is boilerplate-heavy iff MORE than 10% of its
+    * distinct spans are corpus-frequent (`n_frequent · 10 > n_spans`,
+    * exact integer cross-multiplication — no float crosses the gate).
+    * Worst-case planted doc (99 organic words): 20/119 ≈ 17%;
+    * organic docs sit at ≈0%. */
+  val T10FlagDen = 10
+
+  /** t10: cross-document frequent-span (boilerplate) scoring — the
+    * line-dedup / boilerplate-removal rule of the C4/CCNet/RefinedWeb
+    * lineage, reframed at span granularity: a span of text that
+    * recurs VERBATIM across many distinct documents is site chrome
+    * (navigation, footers, cookie banners), and a document dominated
+    * by such spans is boilerplate regardless of its surface quality.
+    * Completes the duplication family: t7 measures repetition WITHIN
+    * a doc, d2–d8 near-duplication of WHOLE docs, d9 overlap against
+    * a FOREIGN suite — t10 measures each doc's overlap with the
+    * corpus-wide frequent-span inventory. Returns (doc_id, n_spans,
+    * n_frequent, is_boilerplate) over distinct per-doc spans.
+    *
+    * Scale shape: two passes over the span stream. Pass 1 builds the
+    * INVENTORY — per-doc-distinct spans, one count shuffle keyed by
+    * span (map-side combinable), `df >= ` [[T10MinDocs]] filter. The
+    * inventory is bounded by pigeonhole at Σspans/[[T10MinDocs]] and
+    * in practice is the Zipf head (real boilerplate inventories are
+    * MBs even on web-scale crawls), so pass 2 BROADCASTs it and tags
+    * each doc's spans map-side — no shuffle of the exploded span
+    * volume — followed by one combinable per-doc count and a join
+    * back to the per-doc span totals. If an adversarial corpus ever
+    * outgrew the broadcast budget, dropping the hint degrades to a
+    * hash semi-join — same linear bound, one extra shuffle. In
+    * production the inventory build runs on an ingest sample (df
+    * scales linearly); the gate runs it exact so the oracle can too.
+    *
+    * Reference behavior anchor: dedup/cleanup-on-ingest
+    * (airflow/dags/twitter_airflow.py:69-92), extended to the
+    * span-granular boilerplate pass a crawl pipeline needs. */
+  def t10BoilerplateSpans(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val planted = when(col("doc_id") % T10PlantMod === 0,
+      concat(col("text"), lit(" "), lit(T10Footer)))
+      .otherwise(col("text"))
+    val spans = Tables.documents(s, dir)
+      .withColumn("norm", TextOps.normText(planted))
+      .withColumn("toks", expr(TextOps.toksExpr))
+      .select(col("doc_id"),
+        expr(s"array_distinct(word_shingles(toks, $T10SpanW))").as("spans"))
+    val pairs = spans.select(col("doc_id"), explode(col("spans")).as("span"))
+    // per-doc spans are distinct, so count(*) per span IS document
+    // frequency — no count-distinct shuffle needed
+    val freq = pairs.groupBy("span").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= T10MinDocs)
+      .select("span")
+    val hits = pairs.join(broadcast(freq), Seq("span"))
+      .groupBy("doc_id").agg(count(lit(1)).as("hit_cnt"))
+    spans.select(col("doc_id"), size(col("spans")).as("n_spans"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("hit_cnt"), lit(0L)).cast("int").as("n_frequent"))
+      .withColumn("is_boilerplate",
+        col("n_frequent") * T10FlagDen > col("n_spans"))
+      .orderBy("doc_id")
+  }
+
   /** The documented t8 FALLBACK spelling — explode bigrams → broadcast
     * join against the counts table → re-aggregate per doc — for an
     * alphabet whose observed-bigram table outgrew a broadcast model.
@@ -617,6 +705,33 @@ object TextAnalysis {
          |  CAST(len(list_distinct(sh)) AS INTEGER) AS n_distinct3,
          |  (len(list_distinct(sh)) * 5 < len(sh) * 4) AS is_repetitive
          |FROM sh_t ORDER BY doc_id""".stripMargin,
+    // same planting CASE, same 5-gram shingle arithmetic, same
+    // per-doc-distinct span stream on both the inventory and the
+    // tagging side; the df floor and the flag are exact integer
+    // comparisons so no float crosses the gate
+    "t10_boilerplate_spans" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, CASE WHEN doc_id % $T10PlantMod = 0
+         |    THEN text || ' ' || '$T10Footer'
+         |    ELSE text END AS text
+         |  FROM documents),
+         |norm_t AS (SELECT doc_id, ${TextOps.sqlNormText} AS norm
+         |  FROM planted),
+         |tok_t AS (SELECT doc_id, ${TextOps.sqlToks} AS toks FROM norm_t),
+         |sp_t AS (SELECT doc_id,
+         |  list_distinct(${TextOps.sqlShinglesW(T10SpanW)}) AS spans
+         |  FROM tok_t),
+         |pairs AS (SELECT doc_id, unnest(spans) AS span FROM sp_t),
+         |freq AS (SELECT span FROM pairs GROUP BY span
+         |  HAVING count(*) >= $T10MinDocs),
+         |hits AS (SELECT doc_id, count(*) AS hit_cnt
+         |  FROM pairs JOIN freq USING (span) GROUP BY doc_id)
+         |SELECT s.doc_id, CAST(len(spans) AS INTEGER) AS n_spans,
+         |  CAST(coalesce(h.hit_cnt, 0) AS INTEGER) AS n_frequent,
+         |  (coalesce(h.hit_cnt, 0) * $T10FlagDen > len(spans))
+         |    AS is_boilerplate
+         |FROM sp_t s LEFT JOIN hits h USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // same normalized text, same offset arithmetic (generate_series is
     // inclusive like Spark's sequence), same 1-based character substr
     "t9_doc_chunks" ->
@@ -745,5 +860,6 @@ object TextAnalysis {
     "t7_rep_ngrams" -> t7RepNgrams,
     "t8_charlm_filter" -> t8CharlmFilter,
     "t9_doc_chunks" -> t9DocChunks,
+    "t10_boilerplate_spans" -> t10BoilerplateSpans,
   )
 }

@@ -241,6 +241,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(docs.exists(_._1 % TextAnalysis.T7PlantMod == 0), "nothing planted")
   }
 
+  test("t10 matches a brute-force frequent-span count; plant discriminates") {
+    import graft.operators.TextAnalysis
+    val docs = graft.Tables.documents(s, dir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def spans(text: String): Seq[String] = {
+      val toks = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val m = math.max(toks.length - (TextAnalysis.T10SpanW - 1), 1)
+      (0 until m).map(i =>
+        toks.slice(i, i + TextAnalysis.T10SpanW).mkString(" ")).distinct
+    }
+    val perDoc = docs.map { case (id, text) =>
+      val t =
+        if (id % TextAnalysis.T10PlantMod == 0)
+          text + " " + TextAnalysis.T10Footer
+        else text
+      id -> spans(t)
+    }
+    val df = perDoc.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+    val frequent = df.filter(_._2 >= TextAnalysis.T10MinDocs).keySet
+    val expected = perDoc.map { case (id, sp) =>
+      val nf = sp.count(frequent)
+      id -> ((sp.size, nf, nf * TextAnalysis.T10FlagDen > sp.size))
+    }.toMap
+    val got = TextAnalysis.t10BoilerplateSpans(s, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getBoolean(3))))
+      .toMap
+    assert(got == expected)
+    // the plant must discriminate end-to-end: every planted doc is
+    // boilerplate-flagged, every unplanted word-soup doc is clean
+    docs.foreach { case (id, _) =>
+      assert(got(id)._3 == (id % TextAnalysis.T10PlantMod == 0),
+        s"doc $id: flag ${got(id)._3} vs planted ${id % TextAnalysis.T10PlantMod == 0}")
+    }
+    assert(docs.exists(_._1 % TextAnalysis.T10PlantMod == 0), "nothing planted")
+  }
+
   test("t8 matches a brute-force bigram frequency model; plant discriminates") {
     import graft.operators.TextAnalysis
     val docs = graft.Tables.documents(s, dir).select("doc_id", "text")

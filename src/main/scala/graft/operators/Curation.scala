@@ -232,6 +232,46 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** c7: per-source dataset card — the "datasheet for datasets"
+    * summary every published training corpus ships (docs, distinct
+    * texts, language spread, volume in chars and whitespace tokens,
+    * low-quality share per source). Composes the engine's own
+    * metrics — d1's content hash, t3's whitespace token count, t2's
+    * quality score against [[QualityMin]] — so the card can never
+    * disagree with the operators it summarizes. Returns one row per
+    * source, every measure an exact integer.
+    *
+    * Scale shape: the corpus-sized aggregation is TWO-LEVEL so the
+    * distinct counts never Expand the raw scan: level 1 collapses to
+    * (source, lang, content-hash) with map-side-combinable sums (one
+    * keyed shuffle of already-collapsed partials — exact duplicates
+    * merge map-side), level 2 runs count/count-distinct over the
+    * collapsed frame, which is bounded by distinct texts, not docs.
+    * The only other corpus touch is the t2 score join c1 also pays.
+    * At 100 TB: two linear scans + one combinable shuffle; the card
+    * itself is O(sources) rows. */
+  def c7DatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val quality = TextAnalysis.t2QualityScore(s, dir).select("doc_id", "score")
+    val base = Tables.documents(s, dir)
+      .withColumn("h", md5(TextOps.normText(col("text"))))
+      .withColumn("ws_tokens",
+        size(expr("filter(split(text, ' '), t -> t <> '')")).cast("long"))
+      .join(quality, "doc_id")
+    base.groupBy("source", "lang", "h")
+      .agg(count(lit(1)).as("cnt"),
+        sum("n_chars").as("chars"),
+        sum("ws_tokens").as("toks"),
+        sum(when(col("score") < QualityMin, 1L).otherwise(0L)).as("lowq"))
+      .groupBy("source")
+      .agg(sum("cnt").as("n_docs"),
+        countDistinct("h").as("n_distinct_texts"),
+        countDistinct("lang").as("n_langs"),
+        sum("chars").as("total_chars"),
+        sum("toks").as("total_ws_tokens"),
+        sum("lowq").as("n_low_quality"))
+      .orderBy("source")
+  }
+
   /** DuckDB CTE `sized` over `clus` (from [[Dedup.sqlClusterCtes]]) and
     * a score CTE `q` with (doc_id, score): whole-corpus cluster size +
     * quality-ranked member rank. Shared by the c2 and c4 oracles so the
@@ -521,6 +561,32 @@ object Curation {
          |    AS cluster_size, score
          |FROM sized WHERE rk = 1 AND cluster_size <= $MaxClusterSize
          |ORDER BY doc_id""".stripMargin,
+    // single-level GROUP BY in SQL ≡ Spark's two-level spelling (sum of
+    // per-(lang,hash) partial counts = count; distinct over the
+    // collapsed frame = distinct); every measure cast to BIGINT so
+    // DuckDB's HUGEINT sums don't dtype-mismatch Spark's longs
+    "c7_dataset_card" ->
+      s"""WITH norm_t AS (
+         |  SELECT *, ${TextOps.sqlNormText} AS norm FROM documents),
+         |tok_t AS (SELECT *, ${TextOps.sqlToks} AS toks FROM norm_t),
+         |m AS (SELECT doc_id, source, lang, n_chars, md5(norm) AS h,
+         |    len(list_filter(string_split(text, ' '), t -> t <> ''))
+         |      AS ws_tokens,
+         |    CAST(len(toks) AS INTEGER) AS n_tok,
+         |    CAST(len(list_filter(toks,
+         |      t -> t IN (${TextAnalysis.sqlStopList}))) AS BIGINT) AS n_stop
+         |  FROM tok_t),
+         |q AS (SELECT *, ${TextAnalysis.sqlScore("n_stop", "n_tok")} AS score
+         |  FROM m)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_texts,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(sum(ws_tokens) AS BIGINT) AS total_ws_tokens,
+         |  CAST(count(*) FILTER (score < $QualityMin) AS BIGINT)
+         |    AS n_low_quality
+         |FROM q GROUP BY source ORDER BY source""".stripMargin,
     "c1_curation_pipeline" ->
       s"""${Dedup.sqlConfirmedCtes},
          |m AS (SELECT doc_id, lang,
@@ -549,5 +615,6 @@ object Curation {
     "c4_report" -> c4Report,
     "c5_mixture_sample" -> c5MixtureSample,
     "c6_pack_sequences" -> c6PackSequences,
+    "c7_dataset_card" -> c7DatasetCard,
   )
 }

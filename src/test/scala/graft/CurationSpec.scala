@@ -213,6 +213,39 @@ class CurationSpec extends AnyFunSuite {
     assert(lo.subsetOf(hi) && lo.nonEmpty && lo.size < hi.size)
   }
 
+  test("c7 dataset card matches a driver-side brute force") {
+    import graft.operators.TextAnalysis
+    val docs = graft.Tables.documents(s, dir)
+      .select("doc_id", "source", "lang", "n_chars", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getString(4)))
+    val scores = TextAnalysis.t2QualityScore(s, dir).select("doc_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def md5hex(t: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def norm(t: String): String = t.replaceAll("\\s+", " ").trim.toLowerCase
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      src -> ((ds.length.toLong,
+        ds.map(d => md5hex(norm(d._5))).distinct.length.toLong,
+        ds.map(_._3).distinct.length.toLong,
+        ds.map(_._4).sum,
+        ds.map(_._5.split(" ", -1).count(_.nonEmpty).toLong).sum,
+        ds.count(d => scores(d._1) < Curation.QualityMin).toLong))
+    }
+    val got = Curation.c7DatasetCard(s, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expected)
+    // the card must actually discriminate on this corpus: multiple
+    // languages per source, and the low-quality share is non-trivial
+    // somewhere without being everything everywhere
+    assert(got.values.exists(_._3 > 1), "no source with >1 language")
+    assert(got.values.exists(_._6 > 0), "no low-quality docs anywhere")
+    assert(got.values.forall(v => v._6 < v._1), "a source entirely low-quality")
+  }
+
   test("c6 packing matches a per-shard sequential fill; budget closes sequences") {
     val B = Curation.C6PackBudget
     val K = Curation.C6PackShards

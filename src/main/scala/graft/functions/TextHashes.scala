@@ -274,6 +274,56 @@ object TextHashKernels {
       out.asInstanceOf[Array[Any]])
   }
 
+  /** Scan-local scrubber for t11's boilerplate-span removal: walk every
+    * word `w`-gram start of `toks` (same end-clamp as [[wordShingles]] —
+    * docs shorter than `w` words yield one whole-doc gram), mark the
+    * words of each gram found in the broadcast frequent-span [[SpanSet]]
+    * as covered, and rebuild the document from the uncovered words.
+    * Word Strings are materialized ONCE (the per-gram StringBuilder
+    * joins pre-decoded Strings), so the pass is O(w · doc bytes) — the
+    * t-family linear shape. Returns (clean_text, n_words, n_removed). */
+  def scrubSpans(toks: ArrayData, inv: SpanSet,
+      w: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = toks.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(""), 0, 0))
+    val words = new Array[String](n)
+    var i = 0
+    while (i < n) { words(i) = toks.getUTF8String(i).toString; i += 1 }
+    val covered = new Array[Boolean](n)
+    val m = math.max(n - (w - 1), 1)
+    var s = 0
+    while (s < m) {
+      val end = math.min(s + w, n)
+      val sb = new java.lang.StringBuilder()
+      var k = s
+      while (k < end) {
+        if (k > s) sb.append(' ')
+        sb.append(words(k))
+        k += 1
+      }
+      if (inv.contains(sb.toString)) {
+        var c = s
+        while (c < end) { covered(c) = true; c += 1 }
+      }
+      s += 1
+    }
+    var removed = 0
+    val out = new java.lang.StringBuilder()
+    i = 0
+    while (i < n) {
+      if (covered(i)) removed += 1
+      else {
+        if (out.length > 0) out.append(' ')
+        out.append(words(i))
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(out.toString), n, removed))
+  }
+
   /** Polynomial rolling hash over codepoints: acc = (acc*31 + cp) mod 1e9+7,
     * left-to-right — equals the DuckDB list_reduce over string_split('')
     * + ascii(c) (ascii() yields the codepoint of the character). */
@@ -428,6 +478,55 @@ case class RareBigramStats(child: Expression,
   }
 
   override protected def withNewChildInternal(newChild: Expression): RareBigramStats =
+    copy(child = newChild)
+}
+
+/** t11's broadcast frequent-span inventory: the corpus-wide set of word
+  * 5-grams recurring in ≥ [[graft.operators.TextAnalysis.T10MinDocs]]
+  * distinct documents (t10's inventory, pigeonhole-bounded at
+  * Σspans/df_min and the Zipf head in practice — MBs even on web-scale
+  * crawls). Plain String set: the per-gram probe cost is one hash of a
+  * string the scrubber already built. */
+final class SpanSet(val spans: java.util.HashSet[String])
+    extends Serializable {
+  @inline def contains(s: String): Boolean = spans.contains(s)
+  def size: Int = spans.size
+}
+
+/** `t11_scrub(array<string>)`-shaped expression holding t11's broadcast
+  * frequent-span inventory — constructed programmatically via
+  * `org.apache.spark.sql.graftbridge.GraftColumns` for the same reasons
+  * as [[RareBigramStats]] (a driver-side artifact cannot ride through
+  * SQL text; the session FunctionRegistry stays immutable on the query
+  * path). The Broadcast handle serializes into tasks, so the inventory
+  * ships once per executor; codegen resolves `.value()` once per task. */
+case class ScrubSpans(child: Expression,
+    inv: org.apache.spark.broadcast.Broadcast[SpanSet], width: Int)
+    extends UnaryExpression {
+  override val nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "clean_text", DataTypes.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "n_words", DataTypes.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField(
+        "n_removed", DataTypes.IntegerType, nullable = false)))
+  override def prettyName: String = "t11_scrub"
+
+  override def nullSafeEval(a: Any): Any =
+    TextHashKernels.scrubSpans(a.asInstanceOf[ArrayData], inv.value, width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("t11InvBc", inv,
+      "org.apache.spark.broadcast.Broadcast")
+    val resolved = ctx.addMutableState("graft.functions.SpanSet", "t11Inv",
+      v => s"$v = (graft.functions.SpanSet)$ref.value();")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashKernels.scrubSpans($c, $resolved, $width)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ScrubSpans =
     copy(child = newChild)
 }
 

@@ -277,6 +277,100 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(docs.exists(_._1 % TextAnalysis.T10PlantMod == 0), "nothing planted")
   }
 
+  test("t11 matches a brute-force span scrub; plant discriminates") {
+    import graft.operators.TextAnalysis
+    val W = TextAnalysis.T10SpanW
+    val docs = graft.Tables.documents(s, dir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def toksOf(text: String): Seq[String] =
+      text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    def grams(toks: Seq[String]): Seq[String] = {
+      val m = math.max(toks.length - (W - 1), 1)
+      (0 until m).map(i => toks.slice(i, i + W).mkString(" "))
+    }
+    val perDoc = docs.map { case (id, text) =>
+      val t =
+        if (id % TextAnalysis.T10PlantMod == 0)
+          text + " " + TextAnalysis.T10Footer
+        else text
+      id -> toksOf(t)
+    }
+    val frequent = perDoc.flatMap { case (_, toks) => grams(toks).distinct }
+      .groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 >= TextAnalysis.T10MinDocs).keySet
+    val expected = perDoc.map { case (id, toks) =>
+      val n = toks.length
+      val covered = Array.fill(n)(false)
+      grams(toks).zipWithIndex.foreach { case (g, st) =>
+        if (frequent(g))
+          (st until math.min(st + W, n)).foreach(covered(_) = true)
+      }
+      val clean = toks.zipWithIndex.collect {
+        case (w, i) if !covered(i) => w
+      }.mkString(" ")
+      id -> ((clean, n, covered.count(identity)))
+    }.toMap
+    val got = TextAnalysis.t11ScrubBoilerplate(s, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(got == expected)
+    // the plant must discriminate end-to-end: every planted doc loses
+    // its whole appended footer (24 words, frequent at this SF) and no
+    // footer phrase survives; word-soup organic text is untouched on
+    // at least some unplanted doc
+    val footerLen = TextAnalysis.T10Footer.split(" ").length
+    docs.foreach { case (id, _) =>
+      if (id % TextAnalysis.T10PlantMod == 0) {
+        assert(got(id)._3 >= footerLen,
+          s"doc $id: planted footer not fully scrubbed (${got(id)._3})")
+        assert(!got(id)._1.contains("click here to subscribe"),
+          s"doc $id: footer text survived the scrub")
+      }
+    }
+    assert(docs.exists { case (id, _) =>
+      id % TextAnalysis.T10PlantMod != 0 && got(id)._3 == 0
+    }, "no unplanted doc survived unmodified")
+  }
+
+  test("t11 kernel spelling equals the documented join fallback") {
+    val a = graft.operators.TextAnalysis.t11ScrubBoilerplate(s, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    val b = graft.operators.TextAnalysis.t11ScrubJoinSpelling(s, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("t11 inventory cache invalidates on re-ingest at the same path") {
+    // same contract as t8's model cache: keyed on the corpus
+    // FINGERPRINT, so re-ingesting at the same path rebuilds the
+    // inventory and the new generation's spans are probed
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("t11-reingest").toString
+    def ingest(rows: Seq[(Long, String, String, String, Int)]): Unit =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // five docs (none planted: ids % 9 != 0) sharing one verbatim span
+    val shared = "alpha beta gamma delta epsilon"
+    val gen1 = (1L to 5L).map(i =>
+      (i, s"unique$i filler$i $shared tail$i", "en", "web", 40))
+    ingest(gen1)
+    TextAnalysis.clearT11Cache()
+    val before = TextAnalysis.t11BuildCount.get()
+    val inv1 = TextAnalysis.t11InventoryFor(s, tmp)
+    TextAnalysis.t11InventoryFor(s, tmp) // same generation: cache hit
+    assert(TextAnalysis.t11BuildCount.get() == before + 1)
+    assert(inv1.value.contains(shared))
+    // generation 2: a NEW shared span appears in 5 docs
+    val shared2 = "zeta eta theta iota kappa"
+    ingest(gen1 ++ (6L to 10L).map(i =>
+      (i, s"unique$i filler$i $shared2 tail$i", "en", "web", 40)))
+    val inv2 = TextAnalysis.t11InventoryFor(s, tmp)
+    assert(TextAnalysis.t11BuildCount.get() == before + 2,
+      "re-ingested corpus at the same path served a stale inventory")
+    assert(inv2.value.contains(shared2),
+      "generation-2 inventory missing generation-2 spans")
+  }
+
   test("t8 matches a brute-force bigram frequency model; plant discriminates") {
     import graft.operators.TextAnalysis
     val docs = graft.Tables.documents(s, dir).select("doc_id", "text")

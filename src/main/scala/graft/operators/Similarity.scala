@@ -312,17 +312,26 @@ object Similarity {
     * mirrored tie-break and fold order, so the gate is a full
     * rows+schema+hash match (recall vs s1 additionally measured in
     * SimilaritySpec, including on an id-shuffled corpus). */
+  /** SQL text of `array(struct(cos, id), …)` scoring `embedding`
+    * against every trained centroid inlined as FLOAT literals — the
+    * shared assignment primitive of s3 (cell routing) and d10 (cell
+    * blocking). `array_max` over it picks the max-cosine cell with
+    * ties to the HIGHER cell id (struct ordering is lexicographic),
+    * mirrored in the oracles by `ORDER BY ccos DESC, cid DESC`. */
+  private def centroidStructsArr(centroids: Array[(Int, Array[Float])]): String = {
+    def litVec(v: Array[Float]) =
+      s"array(${v.map(x => s"CAST($x AS FLOAT)").mkString(",")})"
+    "array(" + centroids.map { case (id, v) =>
+      s"struct(cosine_sim(embedding, ${litVec(v)}) AS cos, $id AS id)"
+    }.mkString(",") + ")"
+  }
+
   def s3Ivf(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val centroids: Array[(Int, Array[Float])] =
       centroidsFor(s, dir).zipWithIndex.map { case (v, i) => (i, v) }
 
-    def litVec(v: Array[Float]) =
-      s"array(${v.map(x => s"CAST($x AS FLOAT)").mkString(",")})"
-    val structsArr =
-      "array(" + centroids.map { case (id, v) =>
-        s"struct(cosine_sim(embedding, ${litVec(v)}) AS cos, $id AS id)"
-      }.mkString(",") + ")"
+    val structsArr = centroidStructsArr(centroids)
     val cellExpr = expr(s"array_max($structsArr).id")
     val probeExpr = expr(
       s"transform(slice(reverse(array_sort($structsArr)), 1, $IvfProbes)," +
@@ -344,6 +353,60 @@ object Similarity {
       .filter(col("rnk") <= TopK)
       .select("query_id", "rnk", "neighbor_id", "cos")
       .orderBy("query_id", "rnk")
+  }
+
+  /** Semantic-duplicate threshold for [[d10SemDedup]]. The synthetic
+    * embeddings are near-orthogonal (max pairwise cosine 0.48–0.60,
+    * ZERO pairs above 0.8 at any SF — probed round 10), so the
+    * production SemDeDup threshold (~0.95 on real encoder output)
+    * would drop nothing here; 0.3 sits at the ≈99.3rd percentile of
+    * the pairwise-cosine distribution (920 / 990 / 14922 global pairs
+    * at sf0.001 / 0.01 / 0.1) and yields a non-trivial drop set at
+    * every SF. Corpus-calibrated, the same reasoning as d5's
+    * corpus-scaled bits-per-band. */
+  val D10Tau = 0.3
+
+  /** `d10_semdedup` — SemDeDup-style semantic pruning (Abbas et al.
+    * 2023, arXiv:2303.09540): block the corpus by the SAME trained
+    * quantizer s3 routes queries with ([[centroidsFor]], k-means
+    * cells), then drop any vector whose cosine to a LOWER-id vector
+    * in its cell is ≥ [[D10Tau]] — the keep-list rule d1/d4/d5 use
+    * (lowest id = canonical representative). Output is the full audit
+    * — one row per vector `(vec_id, cell, is_kept)` — not just the
+    * keep list, so the gate hashes the cell assignment too.
+    *
+    * Scale shape: cell assignment is scan-local (trained centroids
+    * inlined as literals — zero shuffle, the exact primitive s3 uses);
+    * then ONE keyed shuffle on cell id, and the within-cell self-join
+    * is bounded by cell occupancy, which production keeps O(1) by
+    * scaling k with corpus size (the SemDeDup paper runs 100k clusters
+    * on LAION — k ≈ n / target occupancy, exactly how d5 scales its
+    * bits-per-band). Never all-pairs across cells. The final
+    * audit-flag join keys on vec_id — Spark picks shuffle-hash /
+    * broadcast via AQE since `dropped` is a small distinct id set
+    * (≤ the duplicate count, not the corpus). */
+  def d10SemDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val centroids: Array[(Int, Array[Float])] =
+      centroidsFor(s, dir).zipWithIndex.map { case (v, i) => (i, v) }
+    val cellExpr = expr(s"array_max(${centroidStructsArr(centroids)}).id")
+
+    val cells = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), cellExpr.as("cell"))
+    val lo = cells.select(col("cell").as("cell_a"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"))
+    val hi = cells.select(col("cell").as("cell_b"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"))
+    val dropped = lo
+      .join(hi, col("cell_a") === col("cell_b") && col("vec_a") < col("vec_b"))
+      .filter(VectorOps.cosine("ea", "eb") >= D10Tau)
+      .select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("hit", lit(1))
+    cells
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("hit").isNotNull, lit(0)).otherwise(lit(1)).as("is_kept"))
+      .orderBy("vec_id")
   }
 
   // ---------------------------------------------------------------- oracle
@@ -393,11 +456,50 @@ object Similarity {
        |FROM ranked WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** DuckDB mirror of [[d10SemDedup]] with the trained centroids
+    * inlined — same argmax cell assignment as [[s3OracleSql]] (ties to
+    * the higher cid, mirroring Spark's struct array_max), then the
+    * within-cell lower-id pair rule and the audit flag. The shared
+    * left-fold cosine keeps the ≥ τ decision bit-identical across
+    * engines, so no boundary pair can flip between Spark and the
+    * oracle. */
+  private[graft] def d10OracleSql(cent: Array[Array[Float]]): String = {
+    def litVec(v: Array[Float]) =
+      v.map(x => s"CAST($x AS FLOAT)").mkString("[", ",", "]")
+    val vals = cent.zipWithIndex
+      .map { case (v, i) => s"($i, ${litVec(v)})" }.mkString(",\n    ")
+    s"""WITH cent(cid, cv) AS (VALUES
+       |    $vals),
+       |scored_cells AS (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |    ${VectorOps.sqlCosine("embedding", "cv")} AS ccos
+       |  FROM embeddings e CROSS JOIN cent c),
+       |cells AS (
+       |  SELECT vec_id, embedding, cid AS cell FROM (
+       |    SELECT vec_id, embedding, cid, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY ccos DESC, cid DESC) AS crnk
+       |    FROM scored_cells) WHERE crnk = 1),
+       |dropped AS (
+       |  SELECT DISTINCT y.vec_id
+       |  FROM cells x JOIN cells y
+       |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE ${VectorOps.sqlCosine("x.embedding", "y.embedding")} >= $D10Tau)
+       |SELECT c.vec_id, CAST(c.cell AS INTEGER) AS cell,
+       |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER)
+       |    AS is_kept
+       |FROM cells c LEFT JOIN dropped d ON d.vec_id = c.vec_id
+       |ORDER BY c.vec_id""".stripMargin
+  }
+
   /** Oracle for an EXPLICIT corpus: trains (or cache-hits) the
-    * quantizer for `dir` on demand, so the s3 entry never depends on
-    * which corpus happened to run last — the dump path Verify uses. */
-  def oracleFor(s: SparkSession, dir: String): Map[String, String] =
-    staticOracle + ("s3_ann_ivf" -> s3OracleSql(centroidsFor(s, dir)))
+    * quantizer for `dir` on demand, so the s3/d10 entries never depend
+    * on which corpus happened to run last — the dump path Verify uses. */
+  def oracleFor(s: SparkSession, dir: String): Map[String, String] = {
+    val cent = centroidsFor(s, dir)
+    staticOracle +
+      ("s3_ann_ivf" -> s3OracleSql(cent)) +
+      ("d10_semdedup" -> d10OracleSql(cent))
+  }
 
   /** s1/s2 are static SQL; s3's entry requires a trained quantizer.
     * This no-arg form (the static SparkEntry.oracleSql contract) FAILS
@@ -408,11 +510,13 @@ object Similarity {
   def oracle: Map[String, String] = {
     val cached = lastCorpusKey.flatMap(k => Option(centroidCache.get(k)))
     cached match {
-      case Some(c) => staticOracle + ("s3_ann_ivf" -> s3OracleSql(c))
+      case Some(c) => staticOracle +
+        ("s3_ann_ivf" -> s3OracleSql(c)) +
+        ("d10_semdedup" -> d10OracleSql(c))
       case None => throw new IllegalStateException(
-        "s3_ann_ivf oracle requested but no centroids are cached for any " +
-          "corpus — run s3Ivf (or Similarity.centroidsFor) for the gate " +
-          "corpus first, or use Similarity.oracleFor(spark, dir)")
+        "s3_ann_ivf/d10_semdedup oracle requested but no centroids are " +
+          "cached for any corpus — run s3Ivf (or Similarity.centroidsFor) " +
+          "for the gate corpus first, or use Similarity.oracleFor(spark, dir)")
     }
   }
 
@@ -456,5 +560,6 @@ object Similarity {
     "s1_ann_bruteforce" -> s1BruteForce,
     "s2_ann_lsh" -> s2Lsh,
     "s3_ann_ivf" -> s3Ivf, // oracle generated with inlined centroids
+    "d10_semdedup" -> d10SemDedup, // oracle generated with inlined centroids
   )
 }

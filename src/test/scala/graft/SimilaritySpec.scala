@@ -102,6 +102,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sql.contains(s"rnk <= ${Similarity.TopK}"))
   }
 
+  test("d10 semdedup audit matches a driver-side brute-force recomputation") {
+    val rows = Similarity.d10SemDedup(s, dir).collect()
+    val emb = graft.Tables.embeddings(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // one audit row per corpus vector, cells within the trained range
+    assert(rows.length == emb.size)
+    assert(rows.map(_.getLong(0)).toSet == emb.keySet)
+    assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) < Similarity.IvfCells))
+    val dropped = rows.filter(_.getInt(2) == 0).map(_.getLong(0)).toSet
+    val kept = rows.filter(_.getInt(2) == 1).map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty, "tau is not discriminating on this corpus")
+    assert(kept.nonEmpty)
+    // brute-force the rule: dropped ⟺ ∃ lower-id same-cell partner ≥ τ
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cellOf = rows.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expectDropped = emb.keys.filter { b =>
+      emb.keys.exists(a => a < b && cellOf(a) == cellOf(b) &&
+        cos(emb(a), emb(b)) >= Similarity.D10Tau - 1e-12)
+    }.toSet
+    assert(dropped == expectDropped,
+      s"keep-list rule mismatch: ${(dropped diff expectDropped).take(5)} / " +
+        s"${(expectDropped diff dropped).take(5)}")
+  }
+
+  test("d10 oracle SQL inlines the trained centroids and the tau") {
+    Similarity.s3Ivf(s, dir).collect() // ensure centroids cached
+    val sql = Similarity.oracle("d10_semdedup")
+    assert((0 until Similarity.IvfCells).forall(i => sql.contains(s"($i, [CAST(")))
+    assert(sql.contains(s">= ${Similarity.D10Tau}"))
+    assert(sql.contains("is_kept"))
+  }
+
   test("s3 IVF recall holds on an id-shuffled corpus (not an id-order artifact)") {
     // permute vec_ids with a multiplicative bijection mod n, so the
     // query set and the k-means sample both pick entirely different

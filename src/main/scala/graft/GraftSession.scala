@@ -22,8 +22,9 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
-      // The synthetic `events` table carries parquet INT64(TIMESTAMP(NANOS))
-      // which Spark refuses by default; read as long and convert in Tables.
+      // Legacy-generation `events` corpora carry INT64(TIMESTAMP(NANOS))
+      // which Spark refuses by default; read as long and convert in Tables
+      // (a no-op for the current TIMESTAMP(MICROS) generation).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Permissive eval semantics (out-of-range element_at → null, etc.);
       // all graft operators guard their own arithmetic explicitly.

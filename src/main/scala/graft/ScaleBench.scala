@@ -129,7 +129,7 @@ object ScaleBench {
       Seq("l_orderkey" -> mOrd, "l_partkey" -> mPart, "l_suppkey" -> mSupp)),
       "lineitem")
 
-    val ev = Tables.eventsRaw(s, sfDir) // ts stays int64 nanos
+    val ev = Tables.eventsRaw(s, sfDir) // ts passes through as stored
     val mEv = maxOf(ev, "event_id")
     val mUser = maxOf(ev, "user_id")
     write(scaled(ev, Seq("event_id" -> mEv, "user_id" -> mUser)), "events")

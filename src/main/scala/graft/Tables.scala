@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
 
 /** Typed loaders for the test star schema (see TESTDATA.md).
   *
@@ -21,16 +21,38 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = s.read.parquet(p(dir, "part"))
   def orders(s: SparkSession, dir: String): DataFrame    = s.read.parquet(p(dir, "orders"))
   def lineitem(s: SparkSession, dir: String): DataFrame  = s.read.parquet(p(dir, "lineitem"))
-  /** `events.ts` is parquet INT64(TIMESTAMP(NANOS)) which Spark cannot map
-    * to TimestampType; read nanos as long and convert to a micros timestamp
-    * (session TZ is UTC, matching the naive-UTC semantics of the writer). */
-  def events(s: SparkSession, dir: String): DataFrame =
-    eventsRaw(s, dir).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  /** events with `ts` normalized to TimestampType (micros, session TZ =
+    * UTC), whichever on-disk generation is present. The current
+    * test-corpus writer emits parquet TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false), which Spark scans as TIMESTAMP_NTZ — the
+    * naive value IS the UTC instant, so a cast to TimestampType under
+    * the UTC session is a pure reinterpretation, not a clock shift. An
+    * earlier generation wrote INT64(TIMESTAMP(NANOS)), which Spark
+    * cannot map to a timestamp at all; that shape (or a plain
+    * int64-nanos column) is read as raw long and truncated to micros.
+    * Type-dispatch on the scanned schema keeps every generation
+    * readable — at cluster scale a long-lived table inevitably spans
+    * writer generations, and the reader, not the writer, absorbs that. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val df = eventsRaw(s, dir)
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(
+          org.apache.spark.sql.types.TimestampType))
+      case _ => df // already TIMESTAMP (LTZ)
+    }
+  }
 
-  /** events with `ts` still the raw int64 nanos — predicates built from
-    * literals against this column push down to the parquet scan (see
-    * Relational.q17TimeRangeFilter). */
+  /** events with `ts` exactly as stored — TIMESTAMP_NTZ for the current
+    * corpus generation, raw int64 nanos for the legacy one. Used where
+    * predicates must be spelled against the scan-native column so they
+    * push down to the parquet reader (Relational.q17TimeRangeFilter,
+    * ScaleBench's pass-through corpus copy). Callers dispatch on
+    * `schema("ts").dataType`. */
   def eventsRaw(s: SparkSession, dir: String): DataFrame = {
+    // no-op for TIMESTAMP(MICROS) files; lets legacy NANOS files load as long
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(p(dir, "events"))
   }

@@ -211,19 +211,39 @@ object Relational {
     * result is deterministic (twitter_airflow.py:126 uses now()-1d).
     *
     * Two-phase for scan pruning: phase 1 is a column-pruned max over the
-    * raw int64-nanos column (at cluster scale parquet footer stats make
+    * scan-native ts column (at cluster scale parquet footer stats make
     * this near-free); phase 2 filters with the resulting LITERAL on the
-    * raw column, so the predicate reaches the parquet reader
+    * same scan-native column, so the predicate reaches the parquet reader
     * (PushedFilters) and row groups outside the trailing day are skipped
     * entirely — the one-shot lazy formulation (crossJoin of a broadcast
-    * scalar) must stream every row group instead. */
+    * scalar) must stream every row group instead. The predicate spelling
+    * dispatches on the stored type (Tables.eventsRaw): a TIMESTAMP_NTZ
+    * literal for the current TIMESTAMP(MICROS, naive-UTC) generation,
+    * an int64 literal for the legacy nanos one. */
   def q17TimeRangeFilter(s: SparkSession, dir: String): DataFrame = {
     val raw = Tables.eventsRaw(s, dir)
-    val maxNanos = raw.agg(max("ts")).head.getLong(0)
-    // ts_micros > max_micros − 1 day, expressed on the raw nanos column:
-    // (ts div 1000) > T  ⟺  ts ≥ (T+1)·1000
-    val tMicros = maxNanos / 1000L - 86400L * 1000000L
-    raw.filter(col("ts") >= lit((tMicros + 1L) * 1000L))
+    val windowed = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        val maxNanos = raw.agg(max("ts")).head.getLong(0)
+        // ts_micros > max_micros − 1 day, expressed on the raw nanos column:
+        // (ts div 1000) > T  ⟺  ts ≥ (T+1)·1000
+        val tMicros = maxNanos / 1000L - 86400L * 1000000L
+        raw.filter(col("ts") >= lit((tMicros + 1L) * 1000L))
+      case _ =>
+        // naive-UTC NTZ column: compute the cutoff in epoch micros, then
+        // spell it back as a LocalDateTime literal of the SAME type so
+        // the comparison reaches PushedFilters untouched by casts
+        val maxMicros = raw
+          .agg(max(unix_micros(col("ts").cast("timestamp"))))
+          .head.getLong(0)
+        val cutoff = maxMicros - 86400L * 1000000L
+        val ldt = java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(cutoff, 1000000L),
+          Math.floorMod(cutoff, 1000000L).toInt * 1000,
+          java.time.ZoneOffset.UTC)
+        raw.filter(col("ts") > lit(ldt))
+    }
+    windowed
       .groupBy("event_type").agg(count(lit(1)).as("cnt"))
       .orderBy("event_type")
   }

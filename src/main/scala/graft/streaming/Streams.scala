@@ -251,11 +251,11 @@ object Streams {
          |  ${Exact.sqlDsum("value")} AS sum_value
          |FROM events GROUP BY 1, 2
          |ORDER BY bucket_start, event_type""".stripMargin,
-    // the join predicate compares epoch_us (not raw TIMESTAMP_NS) so the
-    // oracle's boundary precision matches the Spark side EXPLICITLY —
-    // Tables.events truncates the int64-nanos column to micros, and a
-    // corpus with sub-microsecond components would otherwise diverge at
-    // the >=/<= edges (st3's oracle normalizes the same way)
+    // the join predicate compares epoch_us (not the raw stored type) so
+    // the oracle's boundary precision matches the Spark side EXPLICITLY —
+    // Tables.events normalizes either corpus generation to micros, and a
+    // legacy corpus with sub-microsecond components would otherwise
+    // diverge at the >=/<= edges (st3's oracle normalizes the same way)
     "st5_stream_join" ->
       """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
         |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us

@@ -324,6 +324,22 @@ object TextHashKernels {
       Array[Any](UTF8String.fromString(out.toString), n, removed))
   }
 
+  /** Number of array elements present in the probe set — one hash probe
+    * per element, no per-row set construction (the set is a broadcast
+    * artifact). Callers pass an already-DISTINCT array when they want
+    * distinct-overlap semantics (st6 does; mirrors d9's
+    * array_distinct-upstream spelling). */
+  def countInSpanSet(arr: ArrayData, set: SpanSet): Int = {
+    var c = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (set.contains(arr.getUTF8String(i).toString)) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** Polynomial rolling hash over codepoints: acc = (acc*31 + cp) mod 1e9+7,
     * left-to-right — equals the DuckDB list_reduce over string_split('')
     * + ascii(c) (ascii() yields the codepoint of the character). */
@@ -527,6 +543,40 @@ case class ScrubSpans(child: Expression,
   }
 
   override protected def withNewChildInternal(newChild: Expression): ScrubSpans =
+    copy(child = newChild)
+}
+
+/** `count_in_spanset(array<string>)`-shaped expression holding a
+  * broadcast probe set ([[SpanSet]]) — counts the array elements present
+  * in the set. st6's streaming-decontamination hot kernel: unlike
+  * `count_in` (whose comma-separated word-list literal cannot carry
+  * word-SHINGLE entries — normalized tokens may themselves contain
+  * commas), the set rides a Broadcast handle, shipping once per
+  * executor with no in-band separator at all. Constructed
+  * programmatically via GraftColumns (the t8/t11 pattern: a driver-side
+  * artifact cannot ride through SQL text, and the session
+  * FunctionRegistry stays immutable on the query path); codegen
+  * resolves `.value()` once per task. */
+case class CountInSpanSet(child: Expression,
+    inv: org.apache.spark.broadcast.Broadcast[SpanSet])
+    extends UnaryExpression {
+  override val nullIntolerant: Boolean = true
+  override def dataType: DataType = DataTypes.IntegerType
+  override def prettyName: String = "count_in_spanset"
+
+  override def nullSafeEval(a: Any): Any =
+    TextHashKernels.countInSpanSet(a.asInstanceOf[ArrayData], inv.value)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("st6InvBc", inv,
+      "org.apache.spark.broadcast.Broadcast")
+    val resolved = ctx.addMutableState("graft.functions.SpanSet", "st6Inv",
+      v => s"$v = (graft.functions.SpanSet)$ref.value();")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextHashKernels.countInSpanSet($c, $resolved)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountInSpanSet =
     copy(child = newChild)
 }
 

@@ -660,6 +660,59 @@ object Dedup {
     path
   }
 
+  private type D9Inv =
+    org.apache.spark.broadcast.Broadcast[graft.functions.SpanSet]
+
+  /** Per-corpus decontamination inventory for st6 — the staged benchmark
+    * suite's ([[d9BenchmarksPath]]) distinct word-[[D9ShingleW]]-gram
+    * shingles collected into a broadcast probe set
+    * ([[graft.functions.SpanSet]]). The t8/t11/s3 offline-artifact
+    * pattern: built once per corpus GENERATION per JVM — keyed
+    * (applicationId, documents-table fingerprint) so a re-ingested
+    * corpus rebuilds and a fresh session never sees a dead
+    * SparkContext's Broadcast — then shipped once per executor. The
+    * collect is suite-sized (real benchmark suites are MBs against a
+    * 100 TB corpus), the same bound that lets d9 broadcast-join its
+    * inventory. Build runs while HOLDING the cache monitor (the
+    * memoize-under-lock tradeoff t11InventoryFor documents). */
+  private val d9InvCache =
+    new java.util.LinkedHashMap[String, D9Inv](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, D9Inv]): Boolean = size > 16
+    }
+
+  /** Spec hook: number of actual inventory builds in this JVM. */
+  private[graft] val d9InvBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private[graft] def clearD9InvCache(): Unit =
+    d9InvCache.synchronized(d9InvCache.clear())
+
+  def d9InventoryFor(s: SparkSession, dir: String): D9Inv = {
+    graft.functions.GraftFunctions.register(s)
+    val key = s.sparkContext.applicationId + "/" +
+      Tables.fingerprint(s, dir, "documents")
+    d9InvCache.synchronized {
+      val hit = d9InvCache.get(key)
+      if (hit != null) hit
+      else {
+        d9InvBuildCount.incrementAndGet()
+        val rows = s.read.parquet(d9BenchmarksPath(s, dir))
+          .withColumn("norm", TextOps.normText(col("prompt")))
+          .withColumn("toks", expr(TextOps.toksExpr))
+          .select(explode(
+            expr(s"array_distinct(word_shingles(toks, $D9ShingleW))"))
+            .as("shingle"))
+          .distinct().collect()
+        val set = new java.util.HashSet[String](rows.length * 2)
+        rows.foreach(r => set.add(r.getString(0)))
+        val v = s.sparkContext.broadcast(new graft.functions.SpanSet(set))
+        d9InvCache.put(key, v)
+        v
+      }
+    }
+  }
+
   /** d9_xt: decontamination against a GENUINE second table — the
     * production shape of [[d9Decontaminate]], whose gate entry slices
     * the benchmark out of the same corpus. Here the suite arrives as

@@ -145,7 +145,7 @@ object TextAnalysis {
   private[operators] def sampleBucket(docId: org.apache.spark.sql.Column) =
     bucketMod(docId, 100)
 
-  private[operators] def sqlSampleBucket(docId: String): String =
+  private[graft] def sqlSampleBucket(docId: String): String =
     sqlBucketMod(docId, 100)
 
   def t5StratifiedSample(s: SparkSession, dir: String,

@@ -82,6 +82,20 @@ object Sources {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Hive-layout partitioned table: one directory per `partCol` value,
+    * enabling static partition pruning and DPP on every subsequent read
+    * (graft.operators.Partitioned). The pre-write `repartition` on the
+    * partition column co-locates each partition's rows in one task, so
+    * the layout lands as one file per directory instead of (tasks ×
+    * partitions) shards — the small-files guard that matters at 100 TB
+    * far more than here. */
+  def writePartitioned(df: DataFrame, table: String, partCol: String): Unit =
+    df.repartition(col(partCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Parallel-fetch ingest fan-out (luigi/taxi_data_import.py:40-76:
     * DownloadTaxiData spawns one Luigi task per month URL; the Dask
     * Distributed notebook does the same with `client.submit`): each

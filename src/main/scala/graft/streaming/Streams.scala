@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.Tables
-import graft.operators.Exact
+import graft.operators.{Dedup, Exact, TextAnalysis, TextOps}
 
 /** Structured Streaming operators (reference: Chapter 6 Spark Streaming
   * notebook's socket word-count; streaming/tweepy_stream.py).
@@ -187,6 +187,45 @@ object Streams {
     intervalJoin(views.withWatermark("ts", watermarkDelay),
       purchases.withWatermark("ts", watermarkDelay))
 
+  /** st6 (shared transform): per-document decontamination flag against a
+    * BROADCAST benchmark-shingle inventory — the streaming face of d9,
+    * the filter an always-on ingest pipeline runs so leaked eval data
+    * never reaches the training corpus in the first place (d9's batch
+    * sweep is the retroactive audit; this is the gatekeeper).
+    *
+    * The scale-critical choice is the SPELLING: d9's batch plan
+    * (explode shingles → join inventory → re-aggregate per doc) would
+    * be a stateful streaming aggregation — per-doc state in the state
+    * store until watermark close, results dribbling out in update mode.
+    * Instead the overlap count is a pure per-row projection: one
+    * codegen'd hash probe per distinct shingle against the broadcast
+    * set ([[graft.functions.CountInSpanSet]]), so the stream plan is
+    * STATELESS — append mode, no watermark, no shuffle, each doc
+    * emitted the moment it arrives, state size zero regardless of
+    * stream length. Same transform, batch or stream (the gate runs it
+    * batch; StreamsSpec drives a MemoryStream through it). */
+  def decontaminateFlag(docs: DataFrame,
+      inv: org.apache.spark.broadcast.Broadcast[graft.functions.SpanSet])
+      : DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val nShared = org.apache.spark.sql.graftbridge.GraftColumns.column(
+      graft.functions.CountInSpanSet(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("shset"),
+        inv))
+    docs
+      .withColumn("norm", TextOps.normText(col("text")))
+      .withColumn("toks", expr(TextOps.toksExpr))
+      .withColumn("shset",
+        expr(s"array_distinct(word_shingles(toks, ${Dedup.D9ShingleW}))"))
+      .withColumn("n_shared", nShared.cast("long"))
+      .select(col("doc_id"), col("n_shared"),
+        (col("n_shared") >= Dedup.D9MinShared).as("contaminated"))
+  }
+
+  def st6Query(s: SparkSession, dir: String): DataFrame =
+    decontaminateFlag(Tables.documents(s, dir), Dedup.d9InventoryFor(s, dir))
+      .orderBy("doc_id")
+
   /** Durable stream→parquet sink: exactly-once via checkpointed file
     * sink; `Trigger.AvailableNow` drains whatever the source currently
     * has and stops, so scheduled micro-batch ingestion (the
@@ -286,6 +325,29 @@ object Streams {
          |  max(n_events) AS max_session_events,
          |  CAST(sum(n_events) AS BIGINT) AS total_events
          |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // inventory = the staged suite's distinct 8-gram shingles, derived
+    // from `documents`' bench sample bucket exactly like the d9_xt
+    // oracle; every doc kept with its overlap count (LEFT JOIN) — the
+    // keep-all/flag spelling of d9's drop-list
+    "st6_stream_decontaminate" ->
+      s"""${TextOps.sqlShingleCte},
+         |s6sets AS (
+         |  SELECT doc_id,
+         |    list_distinct(${TextOps.sqlShinglesW(Dedup.D9ShingleW)}) AS shset8
+         |  FROM tok_t),
+         |s6bench AS (
+         |  SELECT DISTINCT unnest(shset8) AS shingle FROM s6sets
+         |  WHERE ${TextAnalysis.sqlSampleBucket("doc_id")} < ${Dedup.D9BenchPct}),
+         |s6tr AS (
+         |  SELECT doc_id, unnest(shset8) AS shingle FROM s6sets),
+         |s6ov AS (
+         |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM s6tr t JOIN s6bench b ON t.shingle = b.shingle
+         |  GROUP BY t.doc_id)
+         |SELECT d.doc_id, COALESCE(o.n_shared, 0) AS n_shared,
+         |  COALESCE(o.n_shared, 0) >= ${Dedup.D9MinShared} AS contaminated
+         |FROM documents d LEFT JOIN s6ov o ON d.doc_id = o.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -293,5 +355,6 @@ object Streams {
     "st2_windowed_agg" -> st2Query,
     "st3_sessionize" -> st3Query,
     "st5_stream_join" -> st5Query,
+    "st6_stream_decontaminate" -> st6Query,
   )
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Partitioned
+
+/** q30: hive-partitioned fact staging + both pruning modes. The oracle
+  * gate proves value parity on the raw table; these specs prove the
+  * PLAN properties the layout exists for. */
+class PartitionedSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val dir = TestSpark.SfDir
+
+  test("q30 equals the direct year/quarter filter on raw orders") {
+    val got = Partitioned.q30DppJoin(s, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val expected = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === Partitioned.DppYear &&
+        quarter(col("o_orderdate")) === Partitioned.DppQuarter)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.operators.Exact.dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.nonEmpty && got == expected)
+  }
+
+  test("q30 executed plan prunes fact partitions DYNAMICALLY (DPP subquery present)") {
+    val df = Partitioned.q30DppJoin(s, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamicpruning expression in the fact scan's PartitionFilters:\n$plan")
+  }
+
+  test("static partition pruning reads exactly one directory for one month") {
+    val (ft, _) = Partitioned.ensureTables(s, dir)
+    val all = s.table(ft).select("o_ym").distinct().count()
+    assert(all > 10, s"expected many month partitions, got $all")
+    val files = s.table(ft).filter(col("o_ym") === lit("1995-03"))
+      .select(input_file_name()).distinct().count()
+    assert(files == 1,
+      s"one-month filter read $files files — pruning did not reach the listing")
+  }
+
+  test("partitioned layout lands one file per directory (small-files guard)") {
+    val (ft, _) = Partitioned.ensureTables(s, dir)
+    val perDir = s.table(ft)
+      .select(col("o_ym"), input_file_name().as("f")).distinct()
+      .groupBy("o_ym").agg(count(lit(1)).as("nf"))
+      .agg(max("nf")).head.getLong(0)
+    assert(perDir == 1, s"a partition directory holds $perDir files")
+  }
+}

@@ -269,4 +269,46 @@ class StreamsSpec extends AnyFunSuite {
       assert(got == expected)
     } finally q.stop()
   }
+
+  test("st6: streaming decontamination flag is stateless and matches the batch run") {
+    val sess = s
+    import sess.implicits._
+    val inv = graft.operators.Dedup.d9InventoryFor(s, dir)
+    // a mix of suite-bucket docs (their shingles ARE the inventory —
+    // must flag) and ordinary docs
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).limit(60).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)](s)
+    val stream = Streams.decontaminateFlag(
+      input.toDF().toDF("doc_id", "text"), inv)
+    // stateless transform ⇒ append mode with NO watermark is legal
+    val q = stream.writeStream.format("memory").queryName("st6_out")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val got = s.table("st6_out").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      val expected = Streams.decontaminateFlag(
+          docs.toDF("doc_id", "text"), inv).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      assert(got == expected)
+      assert(got.size == docs.size)
+      // both classes present: suite-sourced docs flag, clean docs don't
+      assert(expected.values.exists(_._2) && expected.values.exists(!_._2))
+    } finally q.stop()
+  }
+
+  test("st6 inventory: built once per corpus generation, cache-hit after") {
+    graft.operators.Dedup.clearD9InvCache()
+    val before = graft.operators.Dedup.d9InvBuildCount.get()
+    val a = graft.operators.Dedup.d9InventoryFor(s, dir)
+    val mid = graft.operators.Dedup.d9InvBuildCount.get()
+    val b = graft.operators.Dedup.d9InventoryFor(s, dir)
+    assert(mid == before + 1)
+    assert(graft.operators.Dedup.d9InvBuildCount.get() == mid)
+    assert(a eq b)
+    assert(a.value.size > 0)
+  }
 }

@@ -977,12 +977,13 @@ object Dedup {
   /** Shared DuckDB CTE chain ending in `fp`(doc_id, simhash) — the
     * simhash60 kernel mirror, reused by d3 and d7 so they cannot
     * drift. */
-  private lazy val sqlSimhashCtes: String =
-    s"""WITH norm_t AS (
-       |  SELECT doc_id, ${TextOps.sqlNormText} AS norm FROM documents),
-       |tok_t AS (
-       |  SELECT doc_id, unnest(${TextOps.sqlToks}) AS t FROM norm_t),
-       |h_t AS (SELECT doc_id, substr(md5(t), 1, 15) AS h FROM tok_t),
+  /** h_t → bits → fp tail of the simhash60 kernel mirror: per-token md5
+    * → ±1 per bit → sign-packed fingerprint. Expects a relation
+    * `(doc_id, t)` named `src` in scope. Shared by d3/d7 (word-token
+    * stream) and m4 (payload hex-gram stream) so the kernel mirror
+    * cannot drift between token sources. */
+  private[operators] def sqlSimhashTail(src: String): String =
+    s"""h_t AS (SELECT doc_id, substr(md5(t), 1, 15) AS h FROM $src),
        |bits AS (
        |  SELECT doc_id, j,
        |    SUM(CASE WHEN (((strpos('0123456789abcdef',
@@ -994,6 +995,13 @@ object Dedup {
        |    THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)
        |    AS BIGINT) AS simhash
        |  FROM bits GROUP BY doc_id)""".stripMargin
+
+  private lazy val sqlSimhashCtes: String =
+    s"""WITH norm_t AS (
+       |  SELECT doc_id, ${TextOps.sqlNormText} AS norm FROM documents),
+       |tok_t AS (
+       |  SELECT doc_id, unnest(${TextOps.sqlToks}) AS t FROM norm_t),
+       |""".stripMargin + sqlSimhashTail("tok_t")
 
   /** Shared DuckDB CTE block for d9's overlap detection, ending in
     * `d9over`(doc_id, n_shared, n_shingles) — one row per CONTAMINATED

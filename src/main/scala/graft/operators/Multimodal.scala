@@ -126,6 +126,42 @@ object Multimodal {
         hex(col("payload")).as("payload_hex"))
       .orderBy("doc_id")
 
+  /** m4's gram width in HEX CHARS: 8 hex chars = 4 payload bytes per
+    * gram — the byte-level analog of d3's word tokens, wide enough that
+    * grams carry local structure, narrow enough that a small payload
+    * edit perturbs few of them. */
+  val M4GramHex = 8
+
+  /** m4: near-duplicate MEDIA detection on the OPAQUE payload — no
+    * decode, no codec: fingerprint = `simhash60` over 4-byte grams of
+    * the raw bytes (hex-encoded so the existing char-shingle kernel
+    * supplies the gram stream), then d3's pigeonhole banding + hot-
+    * bucket split finds every pair within the hamming threshold at
+    * recall 1.0. This is the media half of corpus dedup (re-encoded
+    * thumbnails, byte-shifted re-uploads, watermark-stamped copies
+    * cluster near the original's fingerprint) and it runs BEFORE any
+    * decoder exists in the pipeline — the shape web-scale image dedup
+    * uses, here over the same banding machinery the text side already
+    * measured at 10×/100× (SURVEY §5 d3 probes; the corpus side is one
+    * scan-local fingerprint projection + the d3 candidate plan).
+    *
+    * The oracle recomputes the fingerprints from the hex payload and
+    * brute-forces all pairs (gate-scale n²) — so the banding's recall,
+    * not just the fingerprint math, is hash-checked per SF, exactly
+    * like d7. */
+  def m4MediaDedup(s: SparkSession, dir: String,
+      maxHamming: Int = 6): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val fp = mediaTable(s, dir)
+      .withColumn("hx", hex(col("payload")))
+      .select(col("doc_id"),
+        expr(s"simhash60(char_shingles(hx, $M4GramHex))").as("simhash"))
+    Dedup.d3CandidatesFromGroups(
+      fp.groupBy("simhash")
+        .agg(sort_array(collect_list(col("doc_id"))).as("members")),
+      maxHamming, Dedup.D3HotBucketOcc)
+  }
+
   /** DuckDB mirror of [[m1Decode]]: the stub decode is deterministic
     * arithmetic over the utf-8 payload bytes, so it IS SQL-expressible —
     * bytes recovered by hex-ing the encoded blob and folding nibble
@@ -189,11 +225,33 @@ object Multimodal {
         |       ELSE CAST(0 AS DOUBLE) END AS f_mean,
         |  CAST((bsum * 31 + n) % 997 AS DOUBLE) AS f_hash
         |FROM s ORDER BY doc_id""".stripMargin,
+    "m4_media_dedup" -> m4Oracle,
   )
+
+  /** m4 mirror: same fingerprints from the hex payload (gram stream =
+    * the char_shingles clamp spelling over hex(encode(text)), then
+    * Dedup.sqlSimhashTail's shared md5/±1/pack CTEs), then BRUTE-FORCE
+    * all-pairs hamming — so the Spark side's banding must reproduce
+    * recall 1.0 to hash-match, exactly like d7's gate entry. */
+  private def m4Oracle: String =
+    s"""WITH hx_t AS (
+       |  SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+       |g_t AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, greatest(length(hx) - ${M4GramHex - 1}, 1)),
+       |    i -> substr(hx, i, $M4GramHex))) AS t
+       |  FROM hx_t),
+       |${Dedup.sqlSimhashTail("g_t")}
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+       |FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_multimodal_meta" -> m1Decode,
     "m2_frame_sample" -> m2FrameSample,
     "m3_resize_meta" -> m3ResizeMeta,
+    "m4_media_dedup" -> ((s, dir) => m4MediaDedup(s, dir)),
   )
 }

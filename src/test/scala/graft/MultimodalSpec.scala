@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, expr, hex}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Multimodal
@@ -91,5 +92,51 @@ class MultimodalSpec extends AnyFunSuite {
       .join(Tables.documents(s, dir), "doc_id")
       .filter(col("n_bytes").cast("long") =!= col("n_chars"))
     assert(joined.count() == 0)
+  }
+
+  test("m4 banding equals brute-force hamming pairs on the payload fingerprints") {
+    graft.functions.GraftFunctions.register(s)
+    val fp = Multimodal.mediaTable(s, dir)
+      .withColumn("hx", hex(col("payload")))
+      .select(col("doc_id"),
+        expr(s"simhash60(char_shingles(hx, ${Multimodal.M4GramHex}))")
+          .as("simhash"))
+    val brute = fp.as("x").join(fp.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .withColumn("hamming", expr("bit_count(x.simhash ^ y.simhash)"))
+      .filter(col("hamming") <= 6)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("hamming").cast("int").as("hamming"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = Multimodal.m4MediaDedup(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute, "banding must have recall 1.0 vs brute force")
+    assert(banded.nonEmpty, "synthetic corpus should contain near-dup payloads")
+  }
+
+  test("m4 flags a byte-perturbed re-upload near its original") {
+    graft.functions.GraftFunctions.register(s)
+    // plant: copy one payload, flipping a single 4-byte-aligned gram —
+    // a thumbnail-style perturbation; the copy must pair with its
+    // original within the hamming threshold
+    val one = Multimodal.mediaTable(s, dir)
+      .orderBy("doc_id").limit(1)
+      .select(col("doc_id"), col("payload")).collect()(0)
+    val orig = one.getAs[Array[Byte]]("payload")
+    val tweak = orig.clone(); if (tweak.length > 4) tweak(4) = (tweak(4) ^ 0x5a).toByte
+    val sess = s
+    import sess.implicits._
+    val planted = Seq((1L, orig), (2L, tweak)).toDF("doc_id", "payload")
+    val fp = planted.withColumn("hx", hex(col("payload")))
+      .select(col("doc_id"),
+        expr(s"simhash60(char_shingles(hx, ${Multimodal.M4GramHex}))")
+          .as("simhash"))
+    val ham = fp.as("x").join(fp.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .select(expr("bit_count(x.simhash ^ y.simhash)")).head.getInt(0)
+    // one perturbed byte changes ~16 of ~2·n_bytes gram instances: the
+    // pair must sit FAR below the ~30-bit distance of unrelated
+    // payloads (each changed gram shifts per-bit sums by O(1) against a
+    // O(√n_grams) margin)
+    assert(ham <= 15, s"one-byte perturbation moved the fingerprint $ham bits")
   }
 }

@@ -288,6 +288,8 @@ object GraftFunctions {
         new ExpressionInfo(clazz.getName, name), builder)
     reg("cosine_sim", classOf[CosineSim], cs => CosineSim(cs(0), cs(1)))
     reg("simhash60", classOf[SimHash60], cs => SimHash60(cs(0)))
+    reg("payload_simhash", classOf[PayloadSimhash],
+      cs => PayloadSimhash(cs(0)))
     reg("minhash_min", classOf[MinHashMin], cs => MinHashMin(cs(0), cs(1)))
     reg("minhash_sig", classOf[MinHashSig], cs => MinHashSig(cs(0), cs(1)))
     reg("minhash_band_keys", classOf[MinHashBandKeys], cs =>

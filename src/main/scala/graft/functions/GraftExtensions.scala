@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(clazz.getName, name), builder))
     inject("cosine_sim", classOf[CosineSim], cs => CosineSim(cs(0), cs(1)))
     inject("simhash60", classOf[SimHash60], cs => SimHash60(cs(0)))
+    inject("payload_simhash", classOf[PayloadSimhash],
+      cs => PayloadSimhash(cs(0)))
     inject("minhash_min", classOf[MinHashMin], cs => MinHashMin(cs(0), cs(1)))
     inject("minhash_sig", classOf[MinHashSig], cs => MinHashSig(cs(0), cs(1)))
     inject("minhash_band_keys", classOf[MinHashBandKeys], cs =>

@@ -324,6 +324,54 @@ object TextHashKernels {
       Array[Any](UTF8String.fromString(out.toString), n, removed))
   }
 
+  private val upperHex = "0123456789ABCDEF".getBytes
+
+  /** simhash60 over BYTE-ALIGNED 4-byte grams of a raw payload — m4's
+    * fused fingerprint. Each gram hashes as the md5 of its UPPERCASE
+    * hex spelling (8 ASCII chars — the cross-engine-mirrorable token:
+    * DuckDB rebuilds the identical stream with a step-2
+    * generate_series over hex(payload)); windows clamp at the tail
+    * like [[charShingles]]. Striding one BYTE instead of one hex char
+    * halves the md5 volume of the composed
+    * `simhash60(char_shingles(hex(payload), 8))` spelling — the
+    * straddling odd-offset grams it drops are nibble-split views of
+    * the same byte windows, not information — and the fusion removes
+    * the intermediate hex string + gram array per row entirely. */
+  def payloadSimhash(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    val m = math.max(n - 3, 1)
+    val counts = new Array[Int](60)
+    val buf = new Array[Byte](8)
+    var i = 0
+    while (i < m) {
+      val end = math.min(i + 4, n)
+      var k = i
+      var p = 0
+      while (k < end) {
+        val b = bytes(k) & 0xff
+        buf(p) = upperHex(b >> 4)
+        buf(p + 1) = upperHex(b & 0xf)
+        p += 2
+        k += 1
+      }
+      val hex = md5hex(if (p == 8) buf else java.util.Arrays.copyOf(buf, p))
+      var j = 0
+      while (j < 60) {
+        val v = Character.digit(hex(14 - j / 4), 16)
+        counts(j) += (if (((v >> (j % 4)) & 1) == 1) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 60) {
+      if (counts(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
   /** Number of array elements present in the probe set — one hash probe
     * per element, no per-row set construction (the set is a broadcast
     * artifact). Callers pass an already-DISTINCT array when they want
@@ -372,6 +420,27 @@ case class SimHash60(child: Expression)
       c => s"graft.functions.TextHashKernels.simhash60($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+/** `payload_simhash(binary) -> bigint` — fused byte-gram SimHash over
+  * an opaque payload (TextHashKernels.payloadSimhash): m4's media
+  * fingerprint, one pass over the raw bytes with no hex-string or
+  * gram-array materialization. */
+case class PayloadSimhash(child: Expression)
+    extends UnaryExpression {
+  override val nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "payload_simhash"
+
+  override def nullSafeEval(a: Any): Any =
+    TextHashKernels.payloadSimhash(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextHashKernels.payloadSimhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PayloadSimhash =
     copy(child = newChild)
 }
 

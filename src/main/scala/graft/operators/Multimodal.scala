@@ -129,33 +129,36 @@ object Multimodal {
   /** m4's gram width in HEX CHARS: 8 hex chars = 4 payload bytes per
     * gram — the byte-level analog of d3's word tokens, wide enough that
     * grams carry local structure, narrow enough that a small payload
-    * edit perturbs few of them. */
+    * edit perturbs few of them. The gram stream strides one BYTE
+    * (every byte-aligned 4-byte window; see
+    * [[graft.functions.TextHashKernels.payloadSimhash]]). */
   val M4GramHex = 8
 
   /** m4: near-duplicate MEDIA detection on the OPAQUE payload — no
-    * decode, no codec: fingerprint = `simhash60` over 4-byte grams of
-    * the raw bytes (hex-encoded so the existing char-shingle kernel
-    * supplies the gram stream), then d3's pigeonhole banding + hot-
-    * bucket split finds every pair within the hamming threshold at
-    * recall 1.0. This is the media half of corpus dedup (re-encoded
-    * thumbnails, byte-shifted re-uploads, watermark-stamped copies
-    * cluster near the original's fingerprint) and it runs BEFORE any
-    * decoder exists in the pipeline — the shape web-scale image dedup
-    * uses, here over the same banding machinery the text side already
-    * measured at 10×/100× (SURVEY §5 d3 probes; the corpus side is one
-    * scan-local fingerprint projection + the d3 candidate plan).
+    * decode, no codec: fingerprint = SimHash over every byte-aligned
+    * 4-byte gram of the raw bytes (the fused `payload_simhash` kernel:
+    * one codegen'd pass per row, no hex-string or gram-array
+    * materialization), then d3's pigeonhole banding + hot-bucket split
+    * finds every pair within the hamming threshold at recall 1.0.
+    * This is the media half of corpus dedup (re-encoded thumbnails,
+    * byte-shifted re-uploads, watermark-stamped copies cluster near
+    * the original's fingerprint) and it runs BEFORE any decoder exists
+    * in the pipeline — the shape web-scale image dedup uses, here over
+    * the same banding machinery the text side already measured at
+    * 10×/100× (SURVEY §5 d3 probes; the corpus side is one scan-local
+    * fingerprint projection + the d3 candidate plan).
     *
-    * The oracle recomputes the fingerprints from the hex payload and
-    * brute-forces all pairs (gate-scale n²) — so the banding's recall,
-    * not just the fingerprint math, is hash-checked per SF, exactly
-    * like d7. */
+    * The oracle recomputes the fingerprints from hex(payload) with a
+    * step-2 gram series (hex stride 2 = byte stride 1) and brute-forces
+    * all pairs (gate-scale n²) — so the banding's recall, not just the
+    * fingerprint math, is hash-checked per SF, exactly like d7.
+    * MultimodalSpec additionally pins the fused kernel bit-identical
+    * to the composed HOF spelling. */
   def m4MediaDedup(s: SparkSession, dir: String,
       maxHamming: Int = 6): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val fp = mediaTable(s, dir)
-      .withColumn("hx", hex(col("payload")))
-      .select(col("doc_id"),
-        expr(s"simhash60(char_shingles(hx, $M4GramHex))").as("simhash"))
+      .select(col("doc_id"), expr("payload_simhash(payload)").as("simhash"))
     Dedup.d3CandidatesFromGroups(
       fp.groupBy("simhash")
         .agg(sort_array(collect_list(col("doc_id"))).as("members")),
@@ -229,16 +232,18 @@ object Multimodal {
   )
 
   /** m4 mirror: same fingerprints from the hex payload (gram stream =
-    * the char_shingles clamp spelling over hex(encode(text)), then
-    * Dedup.sqlSimhashTail's shared md5/±1/pack CTEs), then BRUTE-FORCE
-    * all-pairs hamming — so the Spark side's banding must reproduce
-    * recall 1.0 to hash-match, exactly like d7's gate entry. */
+    * byte-aligned $M4GramHex-hex-char windows via a STEP-2
+    * generate_series — hex stride 2 ≡ byte stride 1, clamped at the
+    * tail exactly like the kernel — then Dedup.sqlSimhashTail's shared
+    * md5/±1/pack CTEs), then BRUTE-FORCE all-pairs hamming — so the
+    * Spark side's banding must reproduce recall 1.0 to hash-match,
+    * exactly like d7's gate entry. */
   private def m4Oracle: String =
     s"""WITH hx_t AS (
        |  SELECT doc_id, hex(encode(text)) AS hx FROM documents),
        |g_t AS (
        |  SELECT doc_id, unnest(list_transform(
-       |    generate_series(1, greatest(length(hx) - ${M4GramHex - 1}, 1)),
+       |    generate_series(1, greatest(length(hx) - ${M4GramHex - 1}, 1), 2),
        |    i -> substr(hx, i, $M4GramHex))) AS t
        |  FROM hx_t),
        |${Dedup.sqlSimhashTail("g_t")}

@@ -94,13 +94,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(joined.count() == 0)
   }
 
+  test("m4 fused kernel is bit-identical to the composed HOF spelling") {
+    graft.functions.GraftFunctions.register(s)
+    // the documented fallback spelling: hex + step-2 window series +
+    // simhash60 — interpreted HOFs, same bits (incl. empty/short docs)
+    val both = Multimodal.mediaTable(s, dir)
+      .withColumn("hx", hex(col("payload")))
+      .select(col("doc_id"),
+        expr("payload_simhash(payload)").as("fused"),
+        expr(s"simhash60(transform(sequence(1, greatest(length(hx) - " +
+          s"${Multimodal.M4GramHex - 1}, 1), 2), " +
+          s"i -> substring(hx, i, ${Multimodal.M4GramHex})))").as("hof"))
+    assert(both.filter(col("fused") =!= col("hof")).count() == 0)
+    // short-payload edges through the same parity
+    val sess = s
+    import sess.implicits._
+    val edges = Seq(1L -> Array[Byte](), 2L -> Array[Byte](7),
+      3L -> Array[Byte](1, 2, 3), 4L -> Array[Byte](1, 2, 3, 4))
+      .toDF("doc_id", "payload")
+      .withColumn("hx", hex(col("payload")))
+      .select(
+        expr("payload_simhash(payload)").as("fused"),
+        expr(s"simhash60(transform(sequence(1, greatest(length(hx) - " +
+          s"${Multimodal.M4GramHex - 1}, 1), 2), " +
+          s"i -> substring(hx, i, ${Multimodal.M4GramHex})))").as("hof"))
+    assert(edges.filter(col("fused") =!= col("hof")).count() == 0)
+  }
+
   test("m4 banding equals brute-force hamming pairs on the payload fingerprints") {
     graft.functions.GraftFunctions.register(s)
     val fp = Multimodal.mediaTable(s, dir)
-      .withColumn("hx", hex(col("payload")))
-      .select(col("doc_id"),
-        expr(s"simhash60(char_shingles(hx, ${Multimodal.M4GramHex}))")
-          .as("simhash"))
+      .select(col("doc_id"), expr("payload_simhash(payload)").as("simhash"))
     val brute = fp.as("x").join(fp.as("y"),
         col("x.doc_id") < col("y.doc_id"))
       .withColumn("hamming", expr("bit_count(x.simhash ^ y.simhash)"))
@@ -116,8 +140,8 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("m4 flags a byte-perturbed re-upload near its original") {
     graft.functions.GraftFunctions.register(s)
-    // plant: copy one payload, flipping a single 4-byte-aligned gram —
-    // a thumbnail-style perturbation; the copy must pair with its
+    // plant: copy one payload, flipping a single byte — a
+    // thumbnail-style perturbation; the copy must pair with its
     // original within the hamming threshold
     val one = Multimodal.mediaTable(s, dir)
       .orderBy("doc_id").limit(1)
@@ -127,13 +151,11 @@ class MultimodalSpec extends AnyFunSuite {
     val sess = s
     import sess.implicits._
     val planted = Seq((1L, orig), (2L, tweak)).toDF("doc_id", "payload")
-    val fp = planted.withColumn("hx", hex(col("payload")))
-      .select(col("doc_id"),
-        expr(s"simhash60(char_shingles(hx, ${Multimodal.M4GramHex}))")
-          .as("simhash"))
+    val fp = planted
+      .select(col("doc_id"), expr("payload_simhash(payload)").as("simhash"))
     val ham = fp.as("x").join(fp.as("y"), col("x.doc_id") < col("y.doc_id"))
       .select(expr("bit_count(x.simhash ^ y.simhash)")).head.getInt(0)
-    // one perturbed byte changes ~16 of ~2·n_bytes gram instances: the
+    // one perturbed byte changes ~8 of ~n_bytes gram instances: the
     // pair must sit FAR below the ~30-bit distance of unrelated
     // payloads (each changed gram shifts per-bit sums by O(1) against a
     // O(√n_grams) margin)

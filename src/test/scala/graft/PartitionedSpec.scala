@@ -44,6 +44,41 @@ class PartitionedSpec extends AnyFunSuite {
       s"one-month filter read $files files — pruning did not reach the listing")
   }
 
+  test("dynamic partition overwrite replaces only the loaded month; re-runs are idempotent") {
+    import graft.sources.Sources
+    val table = "graft_ppart_incr_spec"
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table)
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val base = Tables.orders(s, dir)
+      .withColumn("o_ym", date_format(col("o_orderdate"), "yyyy-MM"))
+      .select("o_orderkey", "o_totalprice", "o_ym")
+    Sources.writePartitioned(base, table, "o_ym")
+    val month = s.table(table).select("o_ym").orderBy("o_ym").head.getString(0)
+    val before = s.table(table).count()
+    val otherSumBefore = s.table(table).filter(col("o_ym") =!= month)
+      .agg(sum("o_totalprice")).head.getDouble(0)
+
+    // incremental load: this month's rows re-priced — only its
+    // directory may change
+    val load = base.filter(col("o_ym") === month)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    Sources.overwritePartitions(load, table, "o_ym")
+    assert(s.table(table).count() == before)
+    val otherSumAfter = s.table(table).filter(col("o_ym") =!= month)
+      .agg(sum("o_totalprice")).head.getDouble(0)
+    assert(otherSumAfter == otherSumBefore, "untouched months must not change")
+    val monthSum = s.table(table).filter(col("o_ym") === month)
+      .agg(sum("o_totalprice")).head.getDouble(0)
+
+    // idempotent re-run: same load, same table state
+    Sources.overwritePartitions(load, table, "o_ym")
+    assert(s.table(table).count() == before)
+    assert(s.table(table).filter(col("o_ym") === month)
+      .agg(sum("o_totalprice")).head.getDouble(0) == monthSum)
+  }
+
   test("partitioned layout lands one file per directory (small-files guard)") {
     val (ft, _) = Partitioned.ensureTables(s, dir)
     val perDir = s.table(ft)

@@ -517,6 +517,108 @@ object TextAnalysis {
       .withColumn("chunk_len", length(col("chunk")).cast("int"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** t12 planting A (doc_id % [[T12PlantModA]] == 0): symbol/ellipsis
+    * pollution — a symbol-heavy line, a bullet with inline hashes, and
+    * two ellipsis-terminated teaser lines. Trips the symbol and
+    * ellipsis rules on every planted doc and the alphabetic-word rule
+    * on short ones (graded, mirrored exactly in the oracle). */
+  val T12PlantModA = 11
+  val T12PlantA: String =
+    "\n### --- ### --- ### --- ### ---" +
+      "\n- click here ### now\nread more...\nterms apply..."
+
+  /** t12 planting B (doc_id % [[T12PlantModB]] == 0): a ten-line bullet
+    * list — 10 of 11 lines start with "- " (90.9% > the 90% Gopher
+    * bound), tripping the bullet rule for pure-B docs; docs planted
+    * with BOTH pollutions have 15 lines and pass it (exact mirror). */
+  val T12PlantModB = 13
+  val T12PlantB: String =
+    (1 to 10).map(_ => "- list item entry").mkString("\n", "\n", "")
+
+  /** t12: the Gopher quality-rule battery (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", table A1 — the repetition rule of
+    * that battery is t7, the model-based gate is t8; this operator is
+    * the remaining surface-shape rules, the same battery FineWeb and
+    * Dolma re-implement). Seven per-document rules, every one an exact
+    * integer rational so no float crosses the gate:
+    *   r_words    10·word-count within [10·min, 10·max]   (min=20 here,
+    *              scaled to the synthetic 10–99-word docs; Gopher: 50)
+    *   r_meanlen  3·n_words ≤ Σ word-len ≤ 10·n_words     (Gopher 3–10)
+    *   r_symbol   10·(n_'#' + n_'...') < n_words          (Gopher 0.1)
+    *   r_bullet   10·bullet-lines < 9·n_lines             (Gopher 0.9)
+    *   r_ellipsis 10·'...'-terminated-lines < 3·n_lines   (Gopher 0.3)
+    *   r_alpha    10·words-with-a-letter > 8·n_words      (Gopher 0.8)
+    *   r_stop     ≥ 2 stop-word occurrences               (Gopher ≥ 2)
+    * `passes_gopher` is their conjunction. Returns the full count
+    * evidence next to every flag so a curation pass can re-threshold
+    * without re-scanning.
+    *
+    * Scale shape: pure scan-local projection — line stats and word
+    * stats are per-row array folds over codegen'd `functions._` (no
+    * UDF, no shuffle beyond the presentation sort); at 100 TB it runs
+    * at read time like t1–t4 and composes with c1's quality floor. */
+  def t12GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val planted =
+      when(col("doc_id") % T12PlantModA === 0 &&
+        col("doc_id") % T12PlantModB === 0,
+        concat(col("text"), lit(T12PlantA), lit(T12PlantB)))
+        .when(col("doc_id") % T12PlantModA === 0,
+          concat(col("text"), lit(T12PlantA)))
+        .when(col("doc_id") % T12PlantModB === 0,
+          concat(col("text"), lit(T12PlantB)))
+        .otherwise(col("text"))
+    Tables.documents(s, dir)
+      .withColumn("ptext", planted)
+      .withColumn("lines", split(col("ptext"), "\n"))
+      .withColumn("flat", translate(col("ptext"), "\n", " "))
+      .withColumn("words",
+        expr("filter(split(flat, ' '), w -> w <> '')"))
+      .withColumn("n_words", size(col("words")))
+      .withColumn("n_lines", size(col("lines")))
+      .withColumn("char_sum",
+        expr("aggregate(words, 0, (a, w) -> a + length(w))"))
+      .withColumn("n_sym",
+        (length(col("ptext")) - length(regexp_replace(col("ptext"), "#", "")))
+          + expr("(length(ptext) - length(replace(ptext, '...', ''))) div 3"))
+      .withColumn("n_bullet",
+        size(expr("filter(lines, l -> substring(l, 1, 2) = '- ')")))
+      .withColumn("n_ellend",
+        size(expr("filter(lines, l -> length(l) >= 3 AND " +
+          "substring(l, length(l) - 2, 3) = '...')")))
+      .withColumn("n_alpha",
+        size(expr("filter(words, w -> w rlike '[a-z]')")))
+      .withColumn("n_stop",
+        size(expr("filter(words, w -> w IN " +
+          "('the','a','of','and','to','that','with','be','have'))")))
+      .withColumn("r_words",
+        col("n_words") >= 20 && col("n_words") <= 100000)
+      .withColumn("r_meanlen",
+        col("n_words") * 3 <= col("char_sum") &&
+          col("char_sum") <= col("n_words") * 10)
+      .withColumn("r_symbol", col("n_sym") * 10 < col("n_words"))
+      .withColumn("r_bullet", col("n_bullet") * 10 < col("n_lines") * 9)
+      .withColumn("r_ellipsis", col("n_ellend") * 10 < col("n_lines") * 3)
+      .withColumn("r_alpha", col("n_alpha") * 10 > col("n_words") * 8)
+      .withColumn("r_stop", col("n_stop") >= 2)
+      .withColumn("passes_gopher",
+        col("r_words") && col("r_meanlen") && col("r_symbol") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
+          col("r_stop"))
+      .select(col("doc_id"),
+        col("n_words").cast("int").as("n_words"),
+        col("n_lines").cast("int").as("n_lines"),
+        col("char_sum").cast("int").as("char_sum"),
+        col("n_sym").cast("int").as("n_sym"),
+        col("n_bullet").cast("int").as("n_bullet"),
+        col("n_ellend").cast("int").as("n_ellend"),
+        col("n_alpha").cast("int").as("n_alpha"),
+        col("n_stop").cast("int").as("n_stop"),
+        col("r_words"), col("r_meanlen"), col("r_symbol"), col("r_bullet"),
+        col("r_ellipsis"), col("r_alpha"), col("r_stop"),
+        col("passes_gopher"))
+      .orderBy("doc_id")
+  }
+
   /** t10 span width: word 5-grams — long enough that organic word-soup
     * collisions across documents stay rare, short enough that a
     * boilerplate footer of a couple dozen words yields many spans. */
@@ -823,7 +925,77 @@ object TextAnalysis {
        |  SELECT doc_id, lang, ${TextOps.sqlNormText} AS norm FROM documents),
        |tok_t AS (SELECT *, ${TextOps.sqlToks} AS toks FROM norm_t)""".stripMargin
 
+  /** t12's plant strings as DuckDB SQL expressions — the Scala literals
+    * carry real newlines, so the SQL spells them `chr(10)` piece by
+    * piece (a raw newline inside a SQL literal survives DuckDB but not
+    * a round-trip through the dumped oracle_sql.json readably). */
+  private def sqlT12Plant(plant: String): String =
+    plant.split("\n", -1).map(p => s"'${p}'")
+      .mkString(" || chr(10) || ").stripPrefix("'' || ")
+
   val oracle: Map[String, String] = Map(
+    // same planting CASEs, same line/word splits (chr(10) mirrors the
+    // Scala literal's newlines), same integer rationals on every rule —
+    // no float crosses the gate
+    "t12_gopher_rules" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, CASE
+         |    WHEN doc_id % $T12PlantModA = 0 AND doc_id % $T12PlantModB = 0
+         |      THEN text || ${sqlT12Plant(T12PlantA)} || ${sqlT12Plant(T12PlantB)}
+         |    WHEN doc_id % $T12PlantModA = 0
+         |      THEN text || ${sqlT12Plant(T12PlantA)}
+         |    WHEN doc_id % $T12PlantModB = 0
+         |      THEN text || ${sqlT12Plant(T12PlantB)}
+         |    ELSE text END AS ptext
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, ptext,
+         |    string_split(ptext, chr(10)) AS lines,
+         |    list_filter(string_split(replace(ptext, chr(10), ' '), ' '),
+         |      w -> w <> '') AS words
+         |  FROM planted),
+         |c AS (
+         |  SELECT doc_id,
+         |    len(words) AS n_words,
+         |    len(lines) AS n_lines,
+         |    coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+         |      AS char_sum,
+         |    (length(ptext) - length(replace(ptext, '#', '')))
+         |      + (length(ptext) - length(replace(ptext, '...', ''))) // 3
+         |      AS n_sym,
+         |    len(list_filter(lines, l -> substr(l, 1, 2) = '- ')) AS n_bullet,
+         |    len(list_filter(lines, l -> length(l) >= 3
+         |      AND substr(l, length(l) - 2, 3) = '...')) AS n_ellend,
+         |    len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+         |      AS n_alpha,
+         |    len(list_filter(words, w -> w IN ('the','a','of','and','to',
+         |      'that','with','be','have'))) AS n_stop
+         |  FROM m)
+         |SELECT doc_id,
+         |  CAST(n_words AS INTEGER) AS n_words,
+         |  CAST(n_lines AS INTEGER) AS n_lines,
+         |  CAST(char_sum AS INTEGER) AS char_sum,
+         |  CAST(n_sym AS INTEGER) AS n_sym,
+         |  CAST(n_bullet AS INTEGER) AS n_bullet,
+         |  CAST(n_ellend AS INTEGER) AS n_ellend,
+         |  CAST(n_alpha AS INTEGER) AS n_alpha,
+         |  CAST(n_stop AS INTEGER) AS n_stop,
+         |  (n_words >= 20 AND n_words <= 100000) AS r_words,
+         |  (n_words * 3 <= char_sum AND char_sum <= n_words * 10)
+         |    AS r_meanlen,
+         |  (n_sym * 10 < n_words) AS r_symbol,
+         |  (n_bullet * 10 < n_lines * 9) AS r_bullet,
+         |  (n_ellend * 10 < n_lines * 3) AS r_ellipsis,
+         |  (n_alpha * 10 > n_words * 8) AS r_alpha,
+         |  (n_stop >= 2) AS r_stop,
+         |  ((n_words >= 20 AND n_words <= 100000)
+         |    AND (n_words * 3 <= char_sum AND char_sum <= n_words * 10)
+         |    AND (n_sym * 10 < n_words)
+         |    AND (n_bullet * 10 < n_lines * 9)
+         |    AND (n_ellend * 10 < n_lines * 3)
+         |    AND (n_alpha * 10 > n_words * 8)
+         |    AND (n_stop >= 2)) AS passes_gopher
+         |FROM c ORDER BY doc_id""".stripMargin,
     // same planting CASE, same bigram clamp (generate_series mirrors the
     // kernel's max(n-1,1); substr is character-based like
     // UTF8String.substring), same integer rarity/flag rationals — the
@@ -1075,5 +1247,6 @@ object TextAnalysis {
     "t9_doc_chunks" -> t9DocChunks,
     "t10_boilerplate_spans" -> t10BoilerplateSpans,
     "t11_scrub_boilerplate" -> t11ScrubBoilerplate,
+    "t12_gopher_rules" -> t12GopherRules,
   )
 }

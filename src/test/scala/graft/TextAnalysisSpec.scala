@@ -490,4 +490,40 @@ class TextAnalysisSpec extends AnyFunSuite {
       .collect().map(key).toMap
     assert(kernel.nonEmpty && kernel == joined)
   }
+
+  test("t12 rules fire where planted and the verdict is their conjunction") {
+    val rows = TextAnalysis.t12GopherRules(s, dir).collect()
+    assert(rows.nonEmpty)
+    val modA = TextAnalysis.T12PlantModA
+    val modB = TextAnalysis.T12PlantModB
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (rWords, rMean, rSym, rBul, rEll, rAlpha, rStop, passes) =
+        (r.getBoolean(9), r.getBoolean(10), r.getBoolean(11),
+          r.getBoolean(12), r.getBoolean(13), r.getBoolean(14),
+          r.getBoolean(15), r.getBoolean(16))
+      assert(passes == (rWords && rMean && rSym && rBul && rEll &&
+        rAlpha && rStop), s"doc $id: verdict is not the conjunction")
+      val (plantA, plantB) = (id % modA == 0, id % modB == 0)
+      if (plantA) {
+        assert(!rSym, s"doc $id: plant A must trip the symbol rule")
+        // A+B docs have 15 lines, so 2 ellipsis-ends (13%) pass there
+        if (!plantB)
+          assert(!rEll, s"doc $id: plant A must trip the ellipsis rule")
+      }
+      if (plantB && !plantA)
+        // 10 of 11 lines are bullets (90.9% > 90%); A+B docs have 15
+        // lines and legitimately pass
+        assert(!rBul, s"doc $id: pure plant B must trip the bullet rule")
+      if (!plantA && !plantB) {
+        assert(rSym && rBul && rEll,
+          s"doc $id: unplanted doc tripped a line/symbol rule")
+        assert(r.getInt(2) == 1, s"doc $id: unplanted doc is single-line")
+      }
+    }
+    // the battery must discriminate: both verdicts present, and the
+    // word-count floor fails some docs naturally (10..99-word corpus)
+    assert(rows.exists(_.getBoolean(16)) && rows.exists(!_.getBoolean(16)))
+    assert(rows.exists(!_.getBoolean(9)) && rows.exists(_.getBoolean(9)))
+  }
 }

@@ -272,6 +272,42 @@ object Curation {
       .orderBy("source")
   }
 
+  /** c8 split geometry: md5 bucket of the CLUSTER id mod 10 — buckets
+    * 0–7 train, 8 val, 9 test (the conventional 80/10/10). */
+  val C8SplitBuckets = 10
+  val C8TrainBuckets = 8
+
+  /** c8: LEAKAGE-FREE train/val/test split — the split assignment an
+    * LLM pipeline must make BY NEAR-DUP CLUSTER, not by document: a
+    * doc-hash split puts two near-identical documents on opposite
+    * sides of the train/test fence, and the held-out loss silently
+    * measures memorization (the failure d9 guards against
+    * cross-corpus, recreated inside one corpus by a naive split).
+    * Every document is assigned the md5 bucket of its d8 cluster id —
+    * so entire duplicate clusters move together and no confirmed
+    * near-dup pair can ever straddle splits (spec-asserted). Docs in
+    * no cluster are their own singleton, giving the uniform 80/10/10
+    * hash split as the degenerate case. Returns (doc_id, cluster_id,
+    * bucket, split), auditable per document.
+    *
+    * Scale shape: the memoized d8 membership (star contraction,
+    * O(log² n) keyed shuffles, shared with c2/c4) plus ONE corpus-wide
+    * left join; bucket and split are scan-local projections. At 100 TB
+    * the membership build is the cost — already paid by any curation
+    * run — and the split itself adds a single broadcast-free join. */
+  def c8SplitLeakfree(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("doc_id")
+      .join(Dedup.clusterMembership(s, dir), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col("doc_id")))
+      .withColumn("bucket",
+        TextAnalysis.bucketMod(col("cluster_id"), C8SplitBuckets))
+      .withColumn("split",
+        when(col("bucket") < C8TrainBuckets, "train")
+          .when(col("bucket") === C8TrainBuckets, "val")
+          .otherwise("test"))
+      .select("doc_id", "cluster_id", "bucket", "split")
+      .orderBy("doc_id")
+
   /** DuckDB CTE `sized` over `clus` (from [[Dedup.sqlClusterCtes]]) and
     * a score CTE `q` with (doc_id, score): whole-corpus cluster size +
     * quality-ranked member rank. Shared by the c2 and c4 oracles so the
@@ -407,6 +443,20 @@ object Curation {
   }
 
   val oracle: Map[String, String] = Map(
+    // same recursive-CTE membership as d8, same md5-bucket arithmetic
+    // as t5/c5 applied to the cluster id; integers and strings only
+    "c8_split_leakfree" ->
+      s"""${Dedup.sqlClusterCtes},
+         |b AS (
+         |  SELECT doc_id, cluster_id,
+         |    ${TextAnalysis.sqlBucketMod("cluster_id", C8SplitBuckets)}
+         |      AS bucket
+         |  FROM clus)
+         |SELECT doc_id, cluster_id, bucket,
+         |  CASE WHEN bucket < $C8TrainBuckets THEN 'train'
+         |    WHEN bucket = $C8TrainBuckets THEN 'val'
+         |    ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin,
     // same whitespace token count as t3, same shard arithmetic, same
     // exclusive running sum; seq_id is integer division in both engines
     "c6_pack_sequences" ->
@@ -616,5 +666,6 @@ object Curation {
     "c5_mixture_sample" -> c5MixtureSample,
     "c6_pack_sequences" -> c6PackSequences,
     "c7_dataset_card" -> c7DatasetCard,
+    "c8_split_leakfree" -> c8SplitLeakfree,
   )
 }

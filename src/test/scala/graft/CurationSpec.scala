@@ -315,4 +315,32 @@ class CurationSpec extends AnyFunSuite {
     Dedup.confirmedPairs(s, "/root/testdata/sf0.01").count()
     assert(Dedup.confirmedBuildCount.get() == before + 2)
   }
+
+  test("c8 split is cluster-coherent, total, and roughly 80/10/10") {
+    val rows = Curation.c8SplitLeakfree(s, dir).collect()
+    val nDocs = Tables.documents(s, dir).count()
+    assert(rows.length == nDocs, "split must cover every document")
+    // leakage-freedom: every cluster lives entirely in one split
+    rows.groupBy(_.getLong(1)).foreach { case (cid, members) =>
+      assert(members.map(_.getString(3)).distinct.length == 1,
+        s"cluster $cid straddles splits")
+    }
+    // no confirmed near-dup pair straddles the fence either (the
+    // property the operator exists for, asserted on the raw pairs)
+    val split = rows.map(r => r.getLong(0) -> r.getString(3)).toMap
+    val pairs = Dedup.confirmedPairs(s, dir)
+      .filter(org.apache.spark.sql.functions.col("jaccard")
+        >= Dedup.KeepMinJaccard)
+      .select("doc_a", "doc_b").collect()
+    assert(pairs.nonEmpty, "corpus has no confirmed pairs to protect")
+    pairs.foreach { p =>
+      assert(split(p.getLong(0)) == split(p.getLong(1)),
+        s"near-dup pair ${p.getLong(0)}/${p.getLong(1)} straddles splits")
+    }
+    // all three splits populated, train the large one (wide tolerance)
+    val byName = rows.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+    assert(Set("train", "val", "test").subsetOf(byName.keySet), s"$byName")
+    assert(byName("train") > byName("val") && byName("train") > byName("test"))
+    assert(byName("train") * 10 > rows.length * 6, s"train share low: $byName")
+  }
 }

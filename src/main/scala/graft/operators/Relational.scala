@@ -396,6 +396,72 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q31: audience-OVERLAP estimation by MERGING KMV sketches — the
+    * capability a sketch exists for: |A∪B|, |A∩B| and Jaccard between
+    * every pair of event-type audiences computed from the per-type
+    * sketches ALONE, never re-touching the raw corpus (Beyer et al.
+    * 2007, "On Synopses for Distinct-Value Estimation Under Multiset
+    * Operations" — the KMV union is the k smallest of the pooled
+    * sketch hashes, and the fraction of the union sketch present in
+    * both input sketches estimates Jaccard). Under capacity the union
+    * sketch holds every distinct union hash, so the report is exact —
+    * sf0.001 exercises that branch, sf0.01/0.1 the estimate branch.
+    * All outputs are deterministic integers (md5-derived hashes,
+    * integer division; the Jaccard is reported in permille), so the
+    * gate is a full cross-engine hash match like q29's.
+    *
+    * Scale shape: the only corpus pass is q29's (distinct (key, hash)
+    * collapse, one combinable shuffle); everything after operates on
+    * sketch rows — k·|types| of them — so pairwise overlap across P
+    * key pairs costs O(P·k) tiny-table work, not another corpus scan.
+    * At 100 TB with thousands of keys the sketches are still KBs;
+    * the pair expansion broadcasts them. */
+  def q31KmvOverlap(s: SparkSession, dir: String,
+      k: Int = KmvK): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashes = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), " +
+          "16, 10) AS BIGINT)").as("h"))
+      .distinct()
+    val w = Window.partitionBy("event_type").orderBy("h")
+    val sk = hashes.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).select("event_type", "h")
+    val types = sk.select(col("event_type").as("t")).distinct()
+    val tpairs = types.select(col("t").as("type_a"))
+      .crossJoin(types.select(col("t").as("type_b")))
+      .filter(col("type_a") < col("type_b"))
+    val aSide = tpairs
+      .join(sk.withColumnRenamed("event_type", "type_a"), Seq("type_a"))
+      .select(col("type_a"), col("type_b"), col("h"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+    val bSide = tpairs
+      .join(sk.withColumnRenamed("event_type", "type_b"), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("h"),
+        lit(0).as("in_a"), lit(1).as("in_b"))
+    val wp = Window.partitionBy("type_a", "type_b").orderBy("h")
+    aSide.unionByName(bSide)
+      .groupBy("type_a", "type_b", "h")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+      .withColumn("rk", row_number().over(wp)).filter(col("rk") <= k)
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_k"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+          .otherwise(0L)).as("n_both"),
+        max("h").as("kth"))
+      .withColumn("est_union", when(col("n_k") === k,
+        expr(s"CAST((${k - 1} * CAST(4294967296 AS BIGINT)) " +
+          "div nullif(kth, 0) AS BIGINT)"))
+        .otherwise(col("n_k")))
+      .select(col("type_a"), col("type_b"),
+        col("n_k").cast("int").as("n_k"),
+        col("n_both").cast("int").as("n_both"),
+        col("est_union"),
+        expr("CAST((n_both * est_union) div n_k AS BIGINT)").as("est_inter"),
+        expr("CAST((n_both * 1000) div n_k AS INT)").as("jac_permille"))
+      .orderBy("type_a", "type_b")
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
@@ -430,6 +496,54 @@ object Relational {
          |    AS BIGINT), n_t.n_hashes) AS kmv_est
          |FROM n_t LEFT JOIN k_t USING (event_type)
          |ORDER BY event_type""".stripMargin,
+    // same md5-derived hashes and rank-k sketches, same union-sketch
+    // membership flags, same integer estimate arithmetic as the plan
+    "q31_kmv_overlap" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type, ${sqlHash32("user_id")} AS h
+         |  FROM events),
+         |sk AS (
+         |  SELECT event_type, h FROM (
+         |    SELECT event_type, h, row_number() OVER (
+         |      PARTITION BY event_type ORDER BY h) AS rk FROM h)
+         |  WHERE rk <= $KmvK),
+         |ty AS (SELECT DISTINCT event_type FROM sk),
+         |tp AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b
+         |  FROM ty a, ty b WHERE a.event_type < b.event_type),
+         |m AS (
+         |  SELECT type_a, type_b, h,
+         |    max(in_a) AS in_a, max(in_b) AS in_b
+         |  FROM (
+         |    SELECT tp.type_a, tp.type_b, s.h, 1 AS in_a, 0 AS in_b
+         |    FROM tp JOIN sk s ON s.event_type = tp.type_a
+         |    UNION ALL
+         |    SELECT tp.type_a, tp.type_b, s.h, 0 AS in_a, 1 AS in_b
+         |    FROM tp JOIN sk s ON s.event_type = tp.type_b)
+         |  GROUP BY type_a, type_b, h),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY type_a, type_b ORDER BY h) AS rk FROM m),
+         |g AS (
+         |  SELECT type_a, type_b, count(*) AS n_k,
+         |    sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+         |      AS n_both,
+         |    max(h) AS kth
+         |  FROM r WHERE rk <= $KmvK GROUP BY type_a, type_b),
+         |e AS (
+         |  SELECT type_a, type_b, n_k, n_both,
+         |    CASE WHEN n_k = $KmvK
+         |      THEN CAST((${KmvK - 1} * 4294967296) // NULLIF(kth, 0)
+         |        AS BIGINT)
+         |      ELSE CAST(n_k AS BIGINT) END AS est_union
+         |  FROM g)
+         |SELECT type_a, type_b,
+         |  CAST(n_k AS INTEGER) AS n_k,
+         |  CAST(n_both AS INTEGER) AS n_both,
+         |  est_union,
+         |  CAST((n_both * est_union) // n_k AS BIGINT) AS est_inter,
+         |  CAST((n_both * 1000) // n_k AS INTEGER) AS jac_permille
+         |FROM e ORDER BY type_a, type_b""".stripMargin,
     "q1_multi_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(count(*) AS BIGINT) AS cnt,
@@ -630,5 +744,6 @@ object Relational {
     "q27_window_rank" -> q27WindowRank,
     "q28_rollup_agg" -> q28RollupAgg,
     "q29_kmv_distinct" -> ((s, dir) => q29KmvDistinct(s, dir)),
+    "q31_kmv_overlap" -> ((s, dir) => q31KmvOverlap(s, dir)),
   )
 }

@@ -101,4 +101,53 @@ class RelationalSpec extends AnyFunSuite {
       "capacity fallback not exercised")
     assert(byType.values.exists(_.length >= 8), "sketch path not exercised")
   }
+
+  test("q31 sketch-merge overlap matches driver-side truth below capacity " +
+      "and the merge formula above it") {
+    import graft.operators.Relational
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(uid: Long): Long = {
+      val hex = md.digest(uid.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val pairs = Tables.events(s, dir).select("event_type", "user_id")
+      .collect().map(r => r.getString(0) -> h32(r.getLong(1))).distinct
+    val byType = pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    def check(k: Int): Unit = {
+      val got = Relational.q31KmvOverlap(s, dir, k).collect()
+      val typeList = byType.keys.toSeq.sorted
+      val wantPairs =
+        for (a <- typeList; b <- typeList if a < b) yield (a, b)
+      assert(got.map(r => (r.getString(0), r.getString(1))).toSeq
+        == wantPairs, s"pair coverage at k=$k")
+      got.foreach { r =>
+        val (a, b) = (r.getString(0), r.getString(1))
+        val (nK, nBoth) = (r.getInt(2), r.getInt(3))
+        val (estU, estI) = (r.getLong(4), r.getLong(5))
+        // reproduce the merge driver-side from the PER-TYPE sketches
+        val skA = byType(a).toSeq.sorted.take(k).toSet
+        val skB = byType(b).toSeq.sorted.take(k).toSet
+        val unionK = (skA ++ skB).toSeq.sorted.take(k)
+        assert(nK == unionK.length, s"$a/$b n_k")
+        assert(nBoth == unionK.count(h => skA(h) && skB(h)), s"$a/$b n_both")
+        val wantU =
+          if (unionK.length == k) (k - 1).toLong * 4294967296L / unionK.last
+          else unionK.length.toLong
+        assert(estU == wantU, s"$a/$b est_union")
+        assert(estI == nBoth.toLong * estU / nK, s"$a/$b est_inter")
+        assert(r.getInt(6) == (nBoth.toLong * 1000 / nK).toInt)
+        // exact branch: union under capacity reports truth exactly
+        val trueU = (byType(a) ++ byType(b)).size
+        val trueI = (byType(a) & byType(b)).size
+        if (trueU < k) {
+          assert(estU == trueU, s"$a/$b exact union")
+          assert(estI == trueI, s"$a/$b exact intersection")
+        }
+      }
+    }
+    check(Relational.KmvK)
+    check(8) // force the estimate branch on this corpus
+  }
 }

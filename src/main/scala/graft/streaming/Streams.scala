@@ -226,6 +226,67 @@ object Streams {
     decontaminateFlag(Tables.documents(s, dir), Dedup.d9InventoryFor(s, dir))
       .orderBy("doc_id")
 
+  /** st7 per-key admission quota: the first [[St7Cap]] events of each
+    * type are admitted, the rest flagged. */
+  val St7Cap = 50
+
+  case class CapEvt(event_id: Long, tus: Long, event_type: String)
+  case class CapState(seen: Long)
+  case class CapOut(event_id: Long, event_type: String, rank: Long,
+      admitted: Boolean)
+
+  /** st7 (streaming spelling): stateful per-key ADMISSION QUOTA — the
+    * rate-limiting/ingest-cap primitive of a live training-data intake
+    * (c3 is its batch cousin at curation altitude): each key's state is
+    * ONE counter, each event gets its arrival rank and an admitted
+    * flag. First-come-first-served BY ARRIVAL (the only meaning of
+    * "first N" a stream can offer under out-of-order delivery; within
+    * a batch, ties are ordered by event time then id). The batch
+    * formulation ([[capBatch]]) is the deterministic EVENT-TIME
+    * spelling the gate pins; under in-order feeds the two agree
+    * (spec-asserted parity across multiple triggers).
+    *
+    * Scale shape: one hash shuffle on the key; state is O(keys) × 16
+    * bytes with NO growth in events — a fixed source/type catalog
+    * needs no eviction (unlike st3/st4, whose keys are unbounded
+    * users/hashes: for an unbounded key universe, compose an
+    * EventTimeTimeout like st3's to forget idle keys, trading quota
+    * amnesia for bounded state the same way st4 trades re-emission). */
+  def capStream(events: Dataset[CapEvt], cap: Int = St7Cap)
+      : Dataset[CapOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[CapState, CapOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, evts: Iterator[CapEvt], state: GroupState[CapState]) =>
+          val sorted = evts.toSeq.sortBy(e => (e.tus, e.event_id))
+          var n = state.getOption.map(_.seen).getOrElse(0L)
+          val out = sorted.map { e =>
+            n += 1
+            CapOut(e.event_id, key, n, n <= cap)
+          }
+          state.update(CapState(n))
+          out.iterator
+      }
+  }
+
+  /** st7 (batch formulation): the same quota as one window pass —
+    * row_number per key over (event time, id). WindowGroupLimit does
+    * NOT apply (every row is kept, flagged); the plan is one hash
+    * shuffle + per-key sort, linear. */
+  def capBatch(events: DataFrame, cap: Int = St7Cap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("tus", "event_id")
+    events
+      .withColumn("tus", unix_micros(col("ts")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("event_id"), col("event_type"), col("rank"),
+        (col("rank") <= cap).as("admitted"))
+  }
+
+  def st7Query(s: SparkSession, dir: String): DataFrame =
+    capBatch(Tables.events(s, dir)).orderBy("event_id")
+
   /** Durable stream→parquet sink: exactly-once via checkpointed file
     * sink; `Trigger.AvailableNow` drains whatever the source currently
     * has and stops, so scheduled micro-batch ingestion (the
@@ -348,6 +409,16 @@ object Streams {
          |  COALESCE(o.n_shared, 0) >= ${Dedup.D9MinShared} AS contaminated
          |FROM documents d LEFT JOIN s6ov o ON d.doc_id = o.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // same (event time, id) rank per key as capBatch; epoch_us mirrors
+    // unix_micros under the UTC session (st3/st5 normalize identically)
+    "st7_stream_cap" ->
+      s"""WITH r AS (
+         |  SELECT event_id, event_type,
+         |    CAST(row_number() OVER (PARTITION BY event_type
+         |      ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rank
+         |  FROM events)
+         |SELECT event_id, event_type, rank, rank <= $St7Cap AS admitted
+         |FROM r ORDER BY event_id""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -356,5 +427,6 @@ object Streams {
     "st3_sessionize" -> st3Query,
     "st5_stream_join" -> st5Query,
     "st6_stream_decontaminate" -> st6Query,
+    "st7_stream_cap" -> st7Query,
   )
 }

@@ -311,4 +311,44 @@ class StreamsSpec extends AnyFunSuite {
     assert(a eq b)
     assert(a.value.size > 0)
   }
+
+  test("st7: streaming quota matches the batch spelling under an in-order " +
+      "feed; rank counters carry across triggers") {
+    val sess = s
+    import sess.implicits._
+    // real corpus events in event-time order, split across three
+    // triggers so ranks must continue from carried state
+    val evts = Tables.events(s, dir)
+      .select(col("event_id"), unix_micros(col("ts")).as("tus"),
+        col("event_type"))
+      .as[Streams.CapEvt].collect().sortBy(e => (e.tus, e.event_id))
+    val cap = 7 // small enough that every slice crosses the quota
+    val input = MemoryStream[Streams.CapEvt](s)
+    val q = Streams.capStream(input.toDS(), cap)
+      .writeStream.format("memory").queryName("st7_cap")
+      .outputMode("update").start()
+    try {
+      evts.grouped(math.max(evts.length / 3, 1)).foreach { slice =>
+        input.addData(slice.toSeq)
+        q.processAllAvailable()
+      }
+      val got = s.table("st7_cap").collect()
+        .map(r => (r.getLong(0), (r.getString(1), r.getLong(2),
+          r.getBoolean(3)))).toMap
+      val want = Streams.capBatch(Tables.events(s, dir), cap).collect()
+        .map(r => (r.getLong(0), (r.getString(1), r.getLong(2),
+          r.getBoolean(3)))).toMap
+      assert(got.size == evts.length, "every event emitted exactly once")
+      assert(got == want, "streaming quota diverged from batch spelling")
+      // parity implies carried state: batch ranks reach each key's
+      // TOTAL count, which a per-trigger reset could never produce —
+      // but demand explicitly that a key was seen in >1 trigger
+      val firstSlice = evts.take(math.max(evts.length / 3, 1))
+      assert(firstSlice.map(_.event_type).toSet
+        .exists(t => got.values.count(_._1 == t) >
+          firstSlice.count(_.event_type == t)),
+        "no key spanned a trigger boundary")
+      assert(got.values.exists(!_._3), "quota never rejected")
+    } finally q.stop()
+  }
 }

@@ -462,6 +462,42 @@ object Relational {
       .orderBy("type_a", "type_b")
   }
 
+  /** q32: staged conversion FUNNEL over the event stream — the
+    * sequential-pattern analytic (view → click → purchase, each stage
+    * gated on happening at-or-after the previous stage's FIRST
+    * occurrence per user) that product/event pipelines run beside the
+    * frequency reports the reference computes (its Dask chat-log and
+    * twitter notebooks stop at per-type counts; a funnel is the same
+    * events asked "in what order"). Stage n counts users whose first
+    * occurrences satisfy t₁ ≤ t₂ ≤ … ≤ tₙ — comparisons in exact
+    * event-time micros, inclusive so simultaneous first events (a
+    * batch-landed session) count as ordered. Returns one row per
+    * stage with the user count; exact integers only.
+    *
+    * Scale shape: one map-side-combinable per-user pivot (min event
+    * time per funnel type — a single keyed shuffle of 3-column
+    * partials), then a global 1-row aggregation of stage flags and a
+    * constant 3-row stack projection. Linear in events, state bounded
+    * by users, no window functions, no per-user sort. */
+  def q32Funnel(s: SparkSession, dir: String): DataFrame = {
+    def firstOf(t: String) =
+      min(when(col("event_type") === t, col("tus"))).as(s"t_$t")
+    val firsts = Tables.events(s, dir)
+      .withColumn("tus", unix_micros(col("ts")))
+      .groupBy("user_id")
+      .agg(firstOf("view"), firstOf("click"), firstOf("purchase"))
+    val s1 = col("t_view").isNotNull
+    val s2 = s1 && col("t_click") >= col("t_view")
+    val s3 = s2 && col("t_purchase") >= col("t_click")
+    firsts
+      .agg(sum(when(s1, 1L).otherwise(0L)).as("n1"),
+        sum(when(s2, 1L).otherwise(0L)).as("n2"),
+        sum(when(s3, 1L).otherwise(0L)).as("n3"))
+      .selectExpr("stack(3, 1, 'view', n1, 2, 'view>click', n2, " +
+        "3, 'view>click>purchase', n3) AS (stage, label, n_users)")
+      .orderBy("stage")
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
@@ -544,6 +580,34 @@ object Relational {
          |  CAST((n_both * est_union) // n_k AS BIGINT) AS est_inter,
          |  CAST((n_both * 1000) // n_k AS INTEGER) AS jac_permille
          |FROM e ORDER BY type_a, type_b""".stripMargin,
+    // same per-user first-occurrence pivot in epoch micros, same
+    // inclusive stage ordering; NULL comparisons are false in the CASE
+    // guards of both engines
+    "q32_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |      AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |      AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      AS t_purchase
+        |  FROM events GROUP BY user_id),
+        |g AS (
+        |  SELECT
+        |    sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN t_view IS NOT NULL AND t_click >= t_view
+        |      THEN 1 ELSE 0 END) AS n2,
+        |    sum(CASE WHEN t_view IS NOT NULL AND t_click >= t_view
+        |      AND t_purchase >= t_click THEN 1 ELSE 0 END) AS n3
+        |  FROM f)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage, 'view' AS label, CAST(n1 AS BIGINT) AS n_users
+        |  FROM g
+        |  UNION ALL SELECT 2, 'view>click', CAST(n2 AS BIGINT) FROM g
+        |  UNION ALL SELECT 3, 'view>click>purchase', CAST(n3 AS BIGINT)
+        |  FROM g)
+        |ORDER BY stage""".stripMargin,
     "q1_multi_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(count(*) AS BIGINT) AS cnt,
@@ -745,5 +809,6 @@ object Relational {
     "q28_rollup_agg" -> q28RollupAgg,
     "q29_kmv_distinct" -> ((s, dir) => q29KmvDistinct(s, dir)),
     "q31_kmv_overlap" -> ((s, dir) => q31KmvOverlap(s, dir)),
+    "q32_funnel" -> q32Funnel,
   )
 }

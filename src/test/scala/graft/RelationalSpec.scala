@@ -150,4 +150,32 @@ class RelationalSpec extends AnyFunSuite {
     check(Relational.KmvK)
     check(8) // force the estimate branch on this corpus
   }
+
+  test("q32 funnel matches a driver-side replay and is monotone") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val evts = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = evts.groupBy(_._1)
+    def first(rows: Array[(Long, String, Long)], t: String): Option[Long] = {
+      val ts = rows.filter(_._2 == t).map(_._3)
+      if (ts.isEmpty) None else Some(ts.min)
+    }
+    var (n1, n2, n3) = (0L, 0L, 0L)
+    byUser.values.foreach { rows =>
+      val (v, c, p) =
+        (first(rows, "view"), first(rows, "click"), first(rows, "purchase"))
+      val s1 = v.isDefined
+      val s2 = s1 && c.isDefined && c.get >= v.get
+      val s3 = s2 && p.isDefined && p.get >= c.get
+      if (s1) n1 += 1; if (s2) n2 += 1; if (s3) n3 += 1
+    }
+    val got = Relational.q32Funnel(s, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, "view", n1), (2, "view>click", n2),
+      (3, "view>click>purchase", n3)))
+    assert(n1 >= n2 && n2 >= n3, "funnel must be monotone")
+    assert(n1 > 0, "funnel entry stage empty")
+  }
 }

@@ -409,6 +409,78 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // ------------------------------------------------------------- s4 BM25
+
+  /** BM25 parameters (Robertson–Spärck Jones / Okapi defaults). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 10
+  /** Fixed keyword query — one rare term (high idf) + three common ones,
+    * so the ranking exercises both idf extremes of the corpus vocab. */
+  val Bm25Terms: Seq[String] = Seq("dup", "spark", "window", "query")
+
+  /** Per-(doc,term) BM25 partial score, spelled ONCE and parsed by both
+    * engines (the VectorOps.sqlCosine sharing pattern): identical
+    * expression tree ⇒ identical IEEE-754 op sequence ⇒ bit-identical
+    * doubles, EXCEPT `ln`, the gate's only transcendental — libm vs JVM
+    * log may skew 1 ulp (measured: 1/297 BM25-shaped arguments), so the
+    * idf is rounded to 6 decimals the moment it is born; a 1-ulp input
+    * skew flips that rounding with probability ~1e-9 per distinct df,
+    * and there are ≤ |Bm25Terms| distinct dfs per corpus.
+    * Columns expected in scope: tf, df, dl (per doc,term) and n_docs,
+    * tot_len (corpus constants). Scala's shortest-round-trip Double
+    * formatting makes the k1/b literals re-parse bit-identically. */
+  private def bm25TermScoreSql: String =
+    s"round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6) * " +
+      s"((tf * ${Bm25K1 + 1.0}) / (tf + $Bm25K1 * (${1.0 - Bm25B} + " +
+      s"$Bm25B * (CAST(dl * n_docs AS DOUBLE) / tot_len))))"
+
+  /** s4: BM25 top-k keyword retrieval over `documents` — the LEXICAL
+    * face of the search family (s1–s3 rank by embedding cosine; a
+    * corpus-scale pipeline needs both: BM25 is the standard first-stage
+    * retriever in front of vector rerankers, and the quality/dedup
+    * stack uses it to pull "docs about X" work lists). Okapi BM25
+    * (k1=1.2, b=0.75, Lucene's +1-inside-the-log idf so scores stay
+    * positive at any df) over whitespace tokens, fixed query
+    * [[Bm25Terms]], top-[[Bm25TopK]] docs by (score DESC, doc_id).
+    *
+    * Scale shape: tokens are filtered to the query terms BEFORE the
+    * explode, so the only data-sized shuffle — groupBy(doc_id, term) —
+    * carries matched occurrences, not the corpus vocabulary (for a
+    * 4-term query that is a tiny fraction of 100 TB; a full inverted
+    * index is never built because a FIXED query needs only its own
+    * postings). df (≤ |terms| rows) and the (n_docs, tot_len) scalar
+    * pair join back as broadcasts; the final top-k is a
+    * TakeOrderedAndProject, never a global sort. Two corpus scans (one
+    * for the length stats, one for postings) — a resident deployment
+    * would stage the per-doc length projection once (the t8/s3
+    * artifact pattern) and amortize it across every query. Per-term
+    * partials are rounded to 6 decimals and summed as DECIMAL(18,6),
+    * so the per-doc score is independent of Spark's partial-agg
+    * merge order. */
+  def s4Bm25(s: SparkSession, dir: String): DataFrame = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        expr(s"filter(toks, x -> x IN ($termList))").as("qtoks"))
+    val stats = d.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_len"))
+    val tf = d
+      .select(col("doc_id"), col("dl"), explode(col("qtoks")).as("term"))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("ts",
+        expr(s"CAST(round($bm25TermScoreSql, 6) AS DECIMAL(18,6))"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_terms"),
+        sum("ts").cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** DuckDB mirror of [[s3Ivf]] with the trained centroids inlined as
@@ -521,6 +593,33 @@ object Similarity {
   }
 
   private val staticOracle: Map[String, String] = Map(
+    // same shared bm25TermScoreSql expression tree, same 6-decimal
+    // idf/partial rounding, same DECIMAL(18,6) order-free sum
+    "s4_bm25_topk" -> {
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+         |  FROM documents),
+         |d AS (
+         |  SELECT doc_id, len(toks) AS dl,
+         |    list_filter(toks, x -> x IN ($termList)) AS qtoks
+         |  FROM tk),
+         |st AS (SELECT count(*) AS n_docs, sum(dl) AS tot_len FROM d),
+         |tf AS (
+         |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+         |    SELECT doc_id, dl, unnest(qtoks) AS term FROM d) t
+         |  GROUP BY doc_id, dl, term),
+         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (
+         |  SELECT doc_id,
+         |    CAST(round($bm25TermScoreSql, 6) AS DECIMAL(18,6)) AS ts
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN st)
+         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms,
+         |  CAST(sum(ts) AS DOUBLE) AS score
+         |FROM sc GROUP BY doc_id
+         |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+    },
     "s1_ann_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
          |  FROM embeddings WHERE vec_id < $NumQueries),
@@ -561,5 +660,6 @@ object Similarity {
     "s2_ann_lsh" -> s2Lsh,
     "s3_ann_ivf" -> s3Ivf, // oracle generated with inlined centroids
     "d10_semdedup" -> d10SemDedup, // oracle generated with inlined centroids
+    "s4_bm25_topk" -> s4Bm25,
   )
 }

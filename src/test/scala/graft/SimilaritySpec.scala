@@ -161,4 +161,60 @@ class SimilaritySpec extends AnyFunSuite {
     info(f"shuffled-id IVF recall@${Similarity.TopK} = $recall%.2f")
     assert(recall >= 0.93)
   }
+
+  test("s4 BM25 matches an independent in-JVM scorer") {
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    val docs = graft.Tables.documents(s, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val nDocs = docs.length.toLong
+    val totLen = docs.map(_._2.length.toLong).sum
+    val dfOf = Similarity.Bm25Terms.map { t =>
+      t -> docs.count(_._2.contains(t)).toLong
+    }.toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, HALF_UP)
+    val expect = docs.flatMap { case (id, toks) =>
+      val dl = toks.length
+      val terms = Similarity.Bm25Terms
+        .map(t => t -> toks.count(_ == t).toLong).filter(_._2 > 0)
+      if (terms.isEmpty) None
+      else {
+        val score = terms.map { case (t, tf) =>
+          val df = dfOf(t)
+          val idf = r6(math.log(
+            (nDocs - df + 0.5) / (df + 0.5) + 1.0)).toDouble
+          val norm = 0.25 + 0.75 * (dl.toLong * nDocs).toDouble / totLen
+          r6(idf * ((tf * 2.2) / (tf + 1.2 * norm)))
+        }.sum
+        Some((id, terms.length, score.toDouble))
+      }
+    }.sortBy { case (id, _, sc) => (-sc, id) }.take(Similarity.Bm25TopK)
+    val got = Similarity.s4Bm25(s, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(got.map(_._1).sameElements(expect.map(_._1)),
+      s"ranking mismatch: got ${got.toSeq} expect ${expect.toSeq}")
+    got.zip(expect).foreach { case ((_, gn, gs), (_, en, es)) =>
+      assert(gn == en)
+      assert(math.abs(gs - es) < 1e-9, s"score $gs != $es")
+    }
+  }
+
+  test("s4 BM25 ranks rare-term docs first; plan is broadcast-only top-k") {
+    val df = Similarity.s4Bm25(s, dir)
+    val top = df.collect()
+    assert(top.length == Similarity.Bm25TopK)
+    // idf('dup') ≈ 2.98 vs ≈ 0.26 for the common terms: every top doc
+    // must contain the rare term on this corpus
+    val dupDocs = graft.Tables.documents(s, dir)
+      .filter(org.apache.spark.sql.functions.expr(
+        "array_contains(filter(split(text, ' '), x -> x <> ''), 'dup')"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(top.take(3).forall(r => dupDocs(r.getLong(0))),
+      "rare-term docs should dominate the head of the ranking")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "global top-k must be TakeOrdered, not a full sort")
+    assert(!plan.contains("SortMergeJoin"),
+      s"df/stats joins must broadcast:\n$plan")
+  }
 }

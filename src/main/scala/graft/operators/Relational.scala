@@ -498,6 +498,39 @@ object Relational {
       .orderBy("stage")
   }
 
+  /** q33: per-group EXACT quantile summary (p25/p50/p75 + min/max/n) —
+    * the `describe`-style distribution profile every reference frame
+    * gets before modeling (tasks.py's min/max/mean/median family asked
+    * for the full quartile picture). The one design decision is the
+    * VALUE SPACE: quantiles interpolate `lo + (hi-lo)·frac`, and on raw
+    * doubles that arithmetic is engine-order sensitive; on integer
+    * CENTS with quartile fracs (0.25/0.5/0.75 — exact binary doubles)
+    * every product and sum is an exact multiple of 0.25 well under
+    * 2^53, so Spark's `percentile` and DuckDB's `quantile_cont` agree
+    * BIT-IDENTICALLY whichever way they parenthesize. p95-style fracs
+    * would not survive this (0.95·(n−1) can round across an integer
+    * boundary differently per engine) — a production caller wanting
+    * arbitrary fracs takes approx_percentile and loses the oracle.
+    *
+    * Scale shape: ONE keyed shuffle; Spark's exact percentile buffers a
+    * value→count map per group in partial aggregation (map-side
+    * combinable — maps merge), so executor state is bounded by DISTINCT
+    * cents per group — here the finite price grid, NOT row count; an
+    * unbounded-domain metric at 100 TB switches to approx_percentile's
+    * fixed-size sketch instead. */
+  def q33Quantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        min("cents").as("min_cents"),
+        expr("percentile(cents, 0.25)").as("p25"),
+        expr("percentile(cents, 0.5)").as("p50"),
+        expr("percentile(cents, 0.75)").as("p75"),
+        max("cents").as("max_cents"))
+      .orderBy("l_returnflag")
+
   // ---------------------------------------------------------------- oracle
 
   private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
@@ -608,6 +641,19 @@ object Relational {
         |  UNION ALL SELECT 3, 'view>click>purchase', CAST(n3 AS BIGINT)
         |  FROM g)
         |ORDER BY stage""".stripMargin,
+    // same integer-cents value space, same exact-binary quartile fracs;
+    // quantile_cont and percentile interpolate identically on that grid
+    "q33_quantiles" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  min(cents) AS min_cents,
+        |  quantile_cont(cents, 0.25) AS p25,
+        |  quantile_cont(cents, 0.5) AS p50,
+        |  quantile_cont(cents, 0.75) AS p75,
+        |  max(cents) AS max_cents
+        |FROM (SELECT l_returnflag,
+        |        CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |      FROM lineitem) t
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q1_multi_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(count(*) AS BIGINT) AS cnt,
@@ -810,5 +856,6 @@ object Relational {
     "q29_kmv_distinct" -> ((s, dir) => q29KmvDistinct(s, dir)),
     "q31_kmv_overlap" -> ((s, dir) => q31KmvOverlap(s, dir)),
     "q32_funnel" -> q32Funnel,
+    "q33_quantiles" -> q33Quantiles,
   )
 }

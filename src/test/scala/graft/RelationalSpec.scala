@@ -178,4 +178,32 @@ class RelationalSpec extends AnyFunSuite {
     assert(n1 >= n2 && n2 >= n3, "funnel must be monotone")
     assert(n1 > 0, "funnel entry stage empty")
   }
+
+  test("q33 quantiles match a driver-side exact interpolation in cents") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val cents = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def interp(v: Array[Long], q: Double): Double = {
+      val rp = q * (v.length - 1)
+      val lo = rp.toLong; val hi = math.ceil(rp).toLong
+      if (lo == hi) v(lo.toInt).toDouble
+      else v(lo.toInt) * (hi - rp) + v(hi.toInt) * (rp - lo)
+    }
+    val got = Relational.q33Quantiles(s, dir).collect()
+    assert(got.map(_.getString(0)).sorted.sameElements(cents.keys.toArray.sorted))
+    got.foreach { r =>
+      val v = cents(r.getString(0))
+      assert(r.getLong(1) == v.length)
+      assert(r.getLong(2) == v.head && r.getLong(6) == v.last)
+      // quartile fracs are exact binary doubles ⇒ the comparison is
+      // BIT-exact, no tolerance — the same property the oracle relies on
+      assert(r.getDouble(3) == interp(v, 0.25), "p25")
+      assert(r.getDouble(4) == interp(v, 0.5), "p50")
+      assert(r.getDouble(5) == interp(v, 0.75), "p75")
+      assert(r.getDouble(3) <= r.getDouble(4) && r.getDouble(4) <= r.getDouble(5))
+    }
+  }
 }

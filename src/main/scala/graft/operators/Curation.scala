@@ -308,6 +308,83 @@ object Curation {
       .select("doc_id", "cluster_id", "bucket", "split")
       .orderBy("doc_id")
 
+  /** c9 feature space: hashed-unigram buckets (md5 first byte mod
+    * [[C9Buckets]]) and the fixed-point scale of the affinity ratio
+    * (score 10000 = "exactly source-average affinity to the target"). */
+  val C9Buckets = 64
+  val C9Scale = 10000L
+  /** The target DOMAIN whose distribution c9 upweights toward. */
+  val C9TargetLang = "en"
+  /** Base acceptance at affinity 1.0 — a doc exactly at the corpus
+    * average keeps a 50% Bernoulli sample; twice-target-like keeps all. */
+  val C9BaseDen = 2L
+
+  private def c9BucketCol(word: org.apache.spark.sql.Column) =
+    conv(substring(md5(word), 1, 2), 16, 10).cast("int") % C9Buckets
+
+  private def sqlC9Bucket(w: String): String = {
+    def nib(i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5($w), $i, 1)) - 1)"
+    s"((${nib(1)} * 16 + ${nib(2)}) % $C9Buckets)"
+  }
+
+  /** c9: DSIR-shaped importance SELECTION — reweight the corpus toward
+    * a target domain by hashed-n-gram distribution ratio (the Data
+    * Selection via Importance Resampling recipe, Xie et al. 2023,
+    * arXiv:2302.03169: featurize docs into hashed n-gram buckets,
+    * weight by target/source probability ratio, resample ∝ weight).
+    * Target here = the [[C9TargetLang]] sub-corpus; features = hashed
+    * unigrams into [[C9Buckets]] buckets. Two deliberate departures
+    * from the paper, both for the cross-engine gate: the per-bucket
+    * log-ratio becomes an exact INTEGER ratio in [[C9Scale]] units
+    * (Laplace-smoothed `((tgt+1)·(S+B)·10⁴) div ((src+1)·(T+B))` —
+    * so a doc's importance is the c-weighted MEAN of bucket ratios
+    * rather than the product of per-token ratios; same ordering
+    * signal, zero transcendentals), and the resampling step is the
+    * house deterministic md5-bucket Bernoulli (t5/c5 machinery):
+    * accept iff hash-bucket(doc) < min(1, score/(2·10⁴))·10⁴ — i.e.
+    * acceptance ∝ importance, capped at 1, with no RNG, so the same
+    * doc decides the same way in both engines and across runs.
+    * Output per doc: (score_10k, accept_buckets, is_selected) — the
+    * full audit, not just survivors.
+    *
+    * Scale shape: two corpus scans, both map-side combinable — one
+    * collapses to [[C9Buckets]] global (src,tgt) counts (64-key agg,
+    * effectively free), one to per-(doc,bucket) counts (the only
+    * data-sized shuffle, ≤64 rows per doc); the 64-row affinity table
+    * and its 1-row totals ride as broadcasts, and selection is
+    * row-local hash arithmetic. Integer headroom: counts×scale stay
+    * under 2⁶³ through ~sf10 corpus sizes; a 100 TB deployment
+    * rescales both totals by a common power of two (ratios are
+    * scale-invariant) or widens to DECIMAL(38,0). */
+  def c9DsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
+      .withColumn("b", c9BucketCol(col("word")))
+    val buckets = toks.groupBy("b")
+      .agg(count(lit(1)).as("src_c"),
+        sum(when(col("lang") === C9TargetLang, 1L).otherwise(0L)).as("tgt_c"))
+    val totals = buckets.agg(sum("src_c").as("s_tot"), sum("tgt_c").as("t_tot"))
+    val aff = buckets.crossJoin(broadcast(totals))
+      .withColumn("a", expr(
+        s"((tgt_c + 1) * (s_tot + $C9Buckets) * $C9Scale) div " +
+          s"((src_c + 1) * (t_tot + $C9Buckets))"))
+      .select("b", "a")
+    toks.groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c"))
+      .join(broadcast(aff), "b")
+      .groupBy("doc_id", "lang")
+      .agg(sum(expr("c * a")).as("w"), sum("c").as("dl"))
+      .withColumn("score_10k", expr("w div dl"))
+      .withColumn("accept_buckets",
+        least(lit(C9Scale), expr(s"w div ($C9BaseDen * dl)")).cast("int"))
+      .withColumn("is_selected",
+        (TextAnalysis.bucketMod(col("doc_id"), C9Scale.toInt) <
+          col("accept_buckets")).cast("int"))
+      .select("doc_id", "lang", "score_10k", "accept_buckets", "is_selected")
+      .orderBy("doc_id")
+  }
+
   /** DuckDB CTE `sized` over `clus` (from [[Dedup.sqlClusterCtes]]) and
     * a score CTE `q` with (doc_id, score): whole-corpus cluster size +
     * quality-ranked member rank. Shared by the c2 and c4 oracles so the
@@ -443,6 +520,44 @@ object Curation {
   }
 
   val oracle: Map[String, String] = Map(
+    // same md5-byte bucketing, same Laplace-smoothed integer affinity
+    // ratio, same md5-bucket Bernoulli — pure integer arithmetic
+    // throughout (DuckDB's HUGEINT intermediates collapse back to the
+    // same BIGINT values Spark computes; all counts are positive and
+    // far under 2^63)
+    "c9_dsir_select" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, ${sqlC9Bucket("word")} AS b FROM (
+         |    SELECT doc_id, lang,
+         |      unnest(string_split(text, ' ')) AS word
+         |    FROM documents) raw
+         |  WHERE word <> ''),
+         |bk AS (
+         |  SELECT b, count(*) AS src_c,
+         |    count(*) FILTER (WHERE lang = '$C9TargetLang') AS tgt_c
+         |  FROM t GROUP BY b),
+         |tot AS (SELECT CAST(sum(src_c) AS BIGINT) AS s_tot,
+         |               CAST(sum(tgt_c) AS BIGINT) AS t_tot FROM bk),
+         |aff AS (
+         |  SELECT b, ((tgt_c + 1) * (s_tot + $C9Buckets) * $C9Scale) //
+         |    ((src_c + 1) * (t_tot + $C9Buckets)) AS a
+         |  FROM bk CROSS JOIN tot),
+         |db AS (
+         |  SELECT doc_id, lang, b, count(*) AS c FROM t
+         |  GROUP BY doc_id, lang, b),
+         |sc AS (
+         |  SELECT doc_id, lang,
+         |    CAST(sum(c * a) AS BIGINT) AS w,
+         |    CAST(sum(c) AS BIGINT) AS dl
+         |  FROM db JOIN aff USING (b) GROUP BY doc_id, lang)
+         |SELECT doc_id, lang,
+         |  CAST(w // dl AS BIGINT) AS score_10k,
+         |  CAST(least($C9Scale, w // ($C9BaseDen * dl)) AS INTEGER)
+         |    AS accept_buckets,
+         |  CAST(CASE WHEN ${TextAnalysis.sqlBucketMod("doc_id", 10000)} <
+         |    least($C9Scale, w // ($C9BaseDen * dl)) THEN 1 ELSE 0 END
+         |    AS INTEGER) AS is_selected
+         |FROM sc ORDER BY doc_id""".stripMargin,
     // same recursive-CTE membership as d8, same md5-bucket arithmetic
     // as t5/c5 applied to the cluster id; integers and strings only
     "c8_split_leakfree" ->
@@ -667,5 +782,6 @@ object Curation {
     "c6_pack_sequences" -> c6PackSequences,
     "c7_dataset_card" -> c7DatasetCard,
     "c8_split_leakfree" -> c8SplitLeakfree,
+    "c9_dsir_select" -> c9DsirSelect,
   )
 }

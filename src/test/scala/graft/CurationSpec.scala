@@ -213,6 +213,71 @@ class CurationSpec extends AnyFunSuite {
     assert(lo.subsetOf(hi) && lo.nonEmpty && lo.size < hi.size)
   }
 
+  test("c9 DSIR selection matches a driver-side integer brute force") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def wordBucket(w: String): Int = {
+      val d = md.digest(w.getBytes("UTF-8"))
+      (d(0) & 0xff) % Curation.C9Buckets
+    }
+    val docs = graft.Tables.documents(s, dir)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").filter(_.nonEmpty).map(wordBucket)))
+    val src = new Array[Long](Curation.C9Buckets)
+    val tgt = new Array[Long](Curation.C9Buckets)
+    docs.foreach { case (_, lang, bs) =>
+      bs.foreach { b =>
+        src(b) += 1
+        if (lang == Curation.C9TargetLang) tgt(b) += 1
+      }
+    }
+    val (sTot, tTot) = (src.sum, tgt.sum)
+    val aff = Array.tabulate(Curation.C9Buckets) { b =>
+      ((tgt(b) + 1) * (sTot + Curation.C9Buckets) * Curation.C9Scale) /
+        ((src(b) + 1) * (tTot + Curation.C9Buckets))
+    }
+    val expect = docs.map { case (id, lang, bs) =>
+      val w = bs.map(aff).sum
+      val dl = bs.length.toLong
+      val acc = math.min(Curation.C9Scale, w / (Curation.C9BaseDen * dl)).toInt
+      val sel = if (TestSpark.bucketMod(id, 10000) < acc) 1 else 0
+      (id, (lang, w / dl, acc, sel))
+    }.toMap
+    val got = Curation.c9DsirSelect(s, dir).collect()
+      .map(r => (r.getLong(0),
+        (r.getString(1), r.getLong(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(got == expect)
+    assert(got.values.exists(_._4 == 1) && got.values.exists(_._4 == 0),
+      "both selection outcomes should occur on this corpus")
+  }
+
+  test("c9 importance is monotone in target-likeness (planted corpus)") {
+    // target (en) docs are pure 'alpha'; probe docs mix alpha/beta —
+    // score_10k must rise strictly with their alpha share
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-c9").toString
+    val en = (0 until 10).map(i =>
+      (100L + i, Array.fill(20)("alpha").mkString(" "), "en"))
+    val probes = (0 until 20).map { j =>
+      (200L + j,
+        (Array.fill(j)("alpha") ++ Array.fill(20 - j)("beta")).mkString(" "),
+        "xx")
+    }
+    (en ++ probes).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val scores = Curation.c9DsirSelect(s, out).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val probeScores = (0 until 20).map(j => scores(200L + j))
+    probeScores.sliding(2).foreach { case Seq(a, b) =>
+      assert(a < b, s"not strictly monotone: $probeScores")
+    }
+    assert(en.forall(e => scores(e._1) >= probeScores.last),
+      "pure-target docs must score at least any mixed doc")
+    assert(probeScores.head < Curation.C9Scale &&
+      probeScores.last > Curation.C9Scale,
+      "probe range should straddle the neutral 1.0 affinity")
+  }
+
   test("c7 dataset card matches a driver-side brute force") {
     import graft.operators.TextAnalysis
     val docs = graft.Tables.documents(s, dir)

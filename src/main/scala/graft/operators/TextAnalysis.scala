@@ -904,6 +904,65 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t13 decoration prefixes, one per doc_id mod 3 — decomposed
+    * (NFC composes it), precomposed (NFC fixpoint), and a two-mark
+    * mix — shared verbatim with the oracle SQL so both engines
+    * normalize the SAME bytes. The test corpus is pure ASCII (its
+    * own NFC form), so without the decoration the operator would be
+    * verified only on its identity path. */
+  private[graft] val T13Deco: Seq[String] = Seq(
+    "e\u0301clair", // decomposed: e + COMBINING ACUTE, NFC composes it
+    "\u00e9clair", // precomposed U+00E9: already in NFC form
+    "A\u030acafe\u0301") // ring + acute marks, both compose
+
+  /** The control/duplicate-whitespace segment t13 plants between the
+    * prefix and the text (a tab flanked by spaces — collapses to one
+    * space). */
+  private[graft] val T13Gap = " \t "
+
+  /** Whitespace/control run: one-or-more of space, C0 controls or
+    * DEL — identical semantics in java.util.regex and RE2 (explicit
+    * class; `\s` differs between the engines on \x0B). */
+  private[graft] val T13WsRe = "[ \\x00-\\x1f\\x7f]+"
+
+  /** t13: text NORMALIZATION — the canonicalization pass a corpus
+    * pipeline runs before any hashing/dedup so byte-different,
+    * render-identical strings (decomposed vs precomposed accents,
+    * exotic whitespace) cannot defeat d1's exact hash or fragment
+    * d2's shingles: Unicode NFC ([[graft.functions.NfcNormalize]],
+    * codegen'd java.text.Normalizer with an ASCII fast path that
+    * never leaves UTF8String) → collapse space/control runs to one
+    * space → trim. The gate corpus is ASCII, so each doc is first
+    * DECORATED deterministically ([[T13Deco]] by doc_id mod 3 +
+    * [[T13Gap]]) — both the compose-work path and the fixpoint path
+    * are exercised and hash-verified; `changed` audits which.
+    *
+    * Scale shape: pure scan-local projection — zero shuffles beyond
+    * the presentation sort, no state; at 100 TB this runs at read
+    * bandwidth inside whole-stage codegen, and the ASCII fast path
+    * makes the NFC step a byte scan on the (dominant) ASCII rows. */
+  def t13Normalize(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val deco = T13Deco.map(d => lit(d))
+    Tables.documents(s, dir)
+      .withColumn("raw", concat(
+        when(col("doc_id") % 3 === 0, deco(0))
+          .when(col("doc_id") % 3 === 1, deco(1))
+          .otherwise(deco(2)),
+        // gap only on even ids: odd precomposed-prefix docs are already
+        // fully normalized, so `changed` genuinely varies in the gate
+        when(col("doc_id") % 2 === 0, lit(T13Gap)).otherwise(lit(" ")),
+        col("text")))
+      .withColumn("norm",
+        trim(regexp_replace(expr("nfc_normalize(raw)"), T13WsRe, " ")))
+      .select(col("doc_id"),
+        length(col("raw")).as("n_raw"),
+        length(col("norm")).as("n_norm"),
+        (col("norm") =!= col("raw")).cast("int").as("changed"),
+        col("norm"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Stop-word IN-list shared by the t2 and c1 oracles. */
@@ -1233,6 +1292,30 @@ object TextAnalysis {
          |        c -> CAST(ascii(c) AS BIGINT))),
          |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_roll
          |FROM norm_t ORDER BY doc_id""".stripMargin,
+    // same T13Deco/T13Gap decoration bytes (interpolated verbatim),
+    // DuckDB's utf8proc NFC vs java.text.Normalizer implement the same
+    // Unicode tables, and the ws/control run regex is an explicit class
+    // with identical semantics in RE2 and java.util.regex
+    "t13_normalize" ->
+      s"""SELECT doc_id,
+         |  CAST(length(raw) AS INTEGER) AS n_raw,
+         |  CAST(length(norm) AS INTEGER) AS n_norm,
+         |  CAST(CASE WHEN norm <> raw THEN 1 ELSE 0 END AS INTEGER)
+         |    AS changed,
+         |  norm
+         |FROM (
+         |  SELECT doc_id, raw,
+         |    trim(regexp_replace(nfc_normalize(raw), '$T13WsRe', ' ', 'g'))
+         |      AS norm
+         |  FROM (
+         |    SELECT doc_id,
+         |      (CASE doc_id % 3 WHEN 0 THEN '${T13Deco(0)}'
+         |        WHEN 1 THEN '${T13Deco(1)}'
+         |        ELSE '${T13Deco(2)}' END) ||
+         |      (CASE WHEN doc_id % 2 = 0 THEN '$T13Gap' ELSE ' ' END) ||
+         |      text AS raw
+         |    FROM documents) a) b
+         |ORDER BY doc_id""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1248,5 +1331,6 @@ object TextAnalysis {
     "t10_boilerplate_spans" -> t10BoilerplateSpans,
     "t11_scrub_boilerplate" -> t11ScrubBoilerplate,
     "t12_gopher_rules" -> t12GopherRules,
+    "t13_normalize" -> t13Normalize,
   )
 }

@@ -251,6 +251,27 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("nfc_normalize kernel matches java.text.Normalizer; ASCII is zero-copy") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.NormalizeKernels
+    val crafted = Seq(
+      "e\u0301clair", "\u00e9clair", "A\u030a", "s\u0323\u0307",
+      "cafe\u0301  \tx", "", "mixed ascii then e\u0301")
+    crafted.foreach { t =>
+      val got = NormalizeKernels.nfc(UTF8String.fromString(t)).toString
+      val exp = java.text.Normalizer.normalize(
+        t, java.text.Normalizer.Form.NFC)
+      assert(got == exp, s"NFC mismatch on ${t.map(_.toInt)}")
+    }
+    // the ASCII fast path must hand back the INPUT object — the whole
+    // point is no String materialization on the dominant path
+    val ascii = UTF8String.fromString("plain ascii text only")
+    assert(NormalizeKernels.nfc(ascii) eq ascii)
+    // … and an already-NFC non-ASCII string must still be value-equal
+    val pre = UTF8String.fromString("é")
+    assert(NormalizeKernels.nfc(pre).toString == "é")
+  }
+
   test("cosine_sim participates in whole-stage codegen") {
     val s = TestSpark.spark
     GraftFunctions.register(s)

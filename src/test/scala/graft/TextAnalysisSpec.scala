@@ -526,4 +526,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows.exists(_.getBoolean(16)) && rows.exists(!_.getBoolean(16)))
     assert(rows.exists(!_.getBoolean(9)) && rows.exists(_.getBoolean(9)))
   }
+
+  test("t13 normalization: NFC composes, runs collapse, changed varies") {
+    val rows = TextAnalysis.t13Normalize(s, dir).collect()
+    val docs = Tables.documents(s, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == docs.size)
+    val pre = "\u00e9clair" // NFC form of both T13Deco spellings
+    rows.foreach { r =>
+      val (id, nRaw, nNorm) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      val (changed, norm) = (r.getInt(3), r.getString(4))
+      // decomposed-prefix docs must come back composed: the prefix
+      // byte-changes, so changed=1 and the norm starts precomposed
+      if (id % 3 == 0) {
+        assert(norm.startsWith(pre) && changed == 1, s"doc $id")
+        assert(nNorm < nRaw, s"doc $id: compose+collapse must shrink")
+      }
+      // precomposed prefix + plain space + ASCII text is already
+      // normalized — the ONLY unchanged class
+      if (id % 3 == 1 && id % 2 == 1) {
+        assert(changed == 0 && nNorm == nRaw, s"doc $id")
+        assert(norm == pre + " " + docs(id), s"doc $id: must be identity")
+      } else assert(changed == 1, s"doc $id")
+      // planted tab gap always collapses to a single space
+      assert(!norm.contains("\t") && !norm.contains("  "), s"doc $id")
+    }
+    assert(rows.exists(_.getInt(3) == 0) && rows.exists(_.getInt(3) == 1))
+  }
 }

@@ -421,19 +421,30 @@ object Similarity {
 
   /** Per-(doc,term) BM25 partial score, spelled ONCE and parsed by both
     * engines (the VectorOps.sqlCosine sharing pattern): identical
-    * expression tree ⇒ identical IEEE-754 op sequence ⇒ bit-identical
-    * doubles, EXCEPT `ln`, the gate's only transcendental — libm vs JVM
-    * log may skew 1 ulp (measured: 1/297 BM25-shaped arguments), so the
-    * idf is rounded to 6 decimals the moment it is born; a 1-ulp input
-    * skew flips that rounding with probability ~1e-9 per distinct df,
-    * and there are ≤ |Bm25Terms| distinct dfs per corpus.
+    * pure-double expression tree ⇒ identical IEEE-754 op sequence ⇒
+    * bit-identical doubles, EXCEPT `ln`, the gate's only
+    * transcendental — libm vs JVM log may skew 1 ulp (measured: 1/297
+    * BM25-shaped arguments), so the idf is rounded to 6 decimals the
+    * moment it is born; a 1-ulp input skew flips that rounding with
+    * probability ~1e-9 per distinct df, and there are ≤ |Bm25Terms|
+    * distinct dfs per corpus.
     * Columns expected in scope: tf, df, dl (per doc,term) and n_docs,
     * tot_len (corpus constants). Scala's shortest-round-trip Double
     * formatting makes the k1/b literals re-parse bit-identically. */
-  private def bm25TermScoreSql: String =
-    s"round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0), 6) * " +
-      s"((tf * ${Bm25K1 + 1.0}) / (tf + $Bm25K1 * (${1.0 - Bm25B} + " +
-      s"$Bm25B * (CAST(dl * n_docs AS DOUBLE) / tot_len))))"
+  private def bm25TermScoreSql: String = {
+    // every literal and column is explicitly CAST to DOUBLE: a bare
+    // `0.5`/`2.2` parses as DECIMAL in Spark (promoting the whole
+    // subtree to decimal arithmetic with its own rounding) but as
+    // DOUBLE in DuckDB — the explicit casts are the one spelling both
+    // engines read as the same pure-double expression tree
+    def d(x: Double) = s"CAST($x AS DOUBLE)"
+    s"round(ln((CAST(n_docs - df AS DOUBLE) + ${d(0.5)}) / " +
+      s"(CAST(df AS DOUBLE) + ${d(0.5)}) + ${d(1.0)}), 6) * " +
+      s"((CAST(tf AS DOUBLE) * ${d(Bm25K1 + 1.0)}) / " +
+      s"(CAST(tf AS DOUBLE) + ${d(Bm25K1)} * (${d(1.0 - Bm25B)} + " +
+      s"${d(Bm25B)} * (CAST(dl * n_docs AS DOUBLE) / " +
+      s"CAST(tot_len AS DOUBLE)))))"
+  }
 
   /** s4: BM25 top-k keyword retrieval over `documents` — the LEXICAL
     * face of the search family (s1–s3 rank by embedding cosine; a

@@ -512,24 +512,69 @@ object Relational {
     * boundary differently per engine) — a production caller wanting
     * arbitrary fracs takes approx_percentile and loses the oracle.
     *
-    * Scale shape: ONE keyed shuffle; Spark's exact percentile buffers a
-    * value→count map per group in partial aggregation (map-side
-    * combinable — maps merge), so executor state is bounded by DISTINCT
-    * cents per group — here the finite price grid, NOT row count; an
-    * unbounded-domain metric at 100 TB switches to approx_percentile's
-    * fixed-size sketch instead. */
-  def q33Quantiles(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    * Scale shape: built-in exact `percentile` was REJECTED after
+    * measurement (6.9s at sf0.1 — 3× the next-slowest gate query): it
+    * buffers a value→count OpenHashMap per partial aggregate and
+    * re-merges those maps at the reducer, so both CPU and memory are
+    * O(distinct values) PER TASK. This spelling gets the same exact
+    * result from relational pieces (0.6s, distinct-BOUNDED state):
+    * one map-side-combinable groupBy collapses the scan to the
+    * (group, cents) HISTOGRAM, one keyed window pass turns it into
+    * cumulative ranks, and each quantile reads its two straddling
+    * values with a rank-interval predicate — `lo + (hi−lo)·frac`
+    * interpolation exactly as `percentile`/`quantile_cont` define it.
+    * All arithmetic stays on the exact grid (see above), so the
+    * rewrite is bit-identical to the builtin, and the oracle keeps
+    * DuckDB's independent quantile_cont as the cross-check. */
+  def q33Quantiles(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.lineitem(s, dir)
       .select(col("l_returnflag"),
         expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
-      .groupBy("l_returnflag")
-      .agg(count(lit(1)).as("n"),
+      .groupBy("l_returnflag", "cents").agg(count(lit(1)).as("cnt"))
+    val wOrd = Window.partitionBy("l_returnflag").orderBy("cents")
+    val wAll = Window.partitionBy("l_returnflag")
+    var ranked = hist
+      .withColumn("cum", sum("cnt").over(wOrd))
+      .withColumn("n", sum("cnt").over(wAll))
+    val qs = Seq("25" -> 0.25, "50" -> 0.5, "75" -> 0.75)
+    qs.foreach { case (tag, q) =>
+      // rank position rp = q·(n−1): exact (q is an exact binary
+      // double, n−1 < 2^50); the straddling ranks are its floor/ceil
+      ranked = ranked.withColumn(s"rp$tag",
+        expr(s"CAST($q AS DOUBLE) * CAST(n - 1 AS DOUBLE)"))
+    }
+    def valueAt(pos: org.apache.spark.sql.Column) =
+      max(when(col("cum") - col("cnt") <= pos && pos <= col("cum") - 1,
+        col("cents")))
+    ranked.groupBy("l_returnflag")
+      .agg(max("n").as("n"),
         min("cents").as("min_cents"),
-        expr("percentile(cents, 0.25)").as("p25"),
-        expr("percentile(cents, 0.5)").as("p50"),
-        expr("percentile(cents, 0.75)").as("p75"),
-        max("cents").as("max_cents"))
+        max("cents").as("max_cents"),
+        max(col("rp25")).as("rp25"),
+        max(col("rp50")).as("rp50"),
+        max(col("rp75")).as("rp75"),
+        valueAt(floor(col("rp25"))).as("lo25"),
+        valueAt(ceil(col("rp25"))).as("hi25"),
+        valueAt(floor(col("rp50"))).as("lo50"),
+        valueAt(ceil(col("rp50"))).as("hi50"),
+        valueAt(floor(col("rp75"))).as("lo75"),
+        valueAt(ceil(col("rp75"))).as("hi75"))
+      .select(col("l_returnflag"), col("n"),
+        col("min_cents"),
+        expr(quantileInterp("25")).as("p25"),
+        expr(quantileInterp("50")).as("p50"),
+        expr(quantileInterp("75")).as("p75"),
+        col("max_cents"))
       .orderBy("l_returnflag")
+  }
+
+  /** `lo + (hi−lo)·frac` on the exact grid — every term an exact
+    * double (cents < 2^27, frac a multiple of 0.25), so this equals
+    * the builtin `percentile` and DuckDB's `quantile_cont`
+    * bit-for-bit, including the integer-position case (frac 0 ⇒ lo). */
+  private def quantileInterp(tag: String): String =
+    s"CAST(lo$tag AS DOUBLE) + CAST(hi$tag - lo$tag AS DOUBLE) * " +
+      s"(rp$tag - FLOOR(rp$tag))"
 
   // ---------------------------------------------------------------- oracle
 

@@ -568,6 +568,31 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** q34: COHORT RETENTION — the first-seen-day × activity-day matrix
+    * (cohort analysis) every product/event pipeline derives from the
+    * same stream the reference only frequency-counts: users who first
+    * appeared on day d, how many were active again d+k days later?
+    * Day index is pure integer arithmetic (`epoch_us div 86_400e6`) —
+    * no calendar/week-start conventions to disagree on cross-engine.
+    *
+    * Scale shape: ONE data-sized shuffle. The per-user distinct-day
+    * set rides `collect_set` (partial sets merge map-side; state per
+    * user is bounded by the CALENDAR — distinct active days — not by
+    * event count), cohort = array_min of the same set, and the
+    * (cohort, offset) matrix is a second, output-sized aggregation.
+    * The oracle spells the textbook distinct → min → self-join
+    * instead — an independent plan reaching the same matrix. */
+  def q34RetentionCohorts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("user_id")
+      .agg(collect_set("day").as("days"))
+      .withColumn("cohort_day", array_min(col("days")))
+      .select(col("cohort_day"), explode(col("days")).as("day"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+
   /** `lo + (hi−lo)·frac` on the exact grid — every term an exact
     * double (cents < 2^27, frac a multiple of 0.25), so this equals
     * the builtin `percentile` and DuckDB's `quantile_cont`
@@ -686,6 +711,19 @@ object Relational {
         |  UNION ALL SELECT 3, 'view>click>purchase', CAST(n3 AS BIGINT)
         |  FROM g)
         |ORDER BY stage""".stripMargin,
+    // independent spelling: textbook distinct → per-user min → join,
+    // vs the plan's one-shuffle collect_set — same integer matrix
+    "q34_retention_cohorts" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM d
+        |      GROUP BY user_id)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM d JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // same integer-cents value space, same exact-binary quartile fracs;
     // quantile_cont and percentile interpolate identically on that grid
     "q33_quantiles" ->
@@ -902,5 +940,6 @@ object Relational {
     "q31_kmv_overlap" -> ((s, dir) => q31KmvOverlap(s, dir)),
     "q32_funnel" -> q32Funnel,
     "q33_quantiles" -> q33Quantiles,
+    "q34_retention_cohorts" -> q34RetentionCohorts,
   )
 }

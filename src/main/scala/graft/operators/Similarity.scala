@@ -469,7 +469,15 @@ object Similarity {
     * partials are rounded to 6 decimals and summed as DECIMAL(18,6),
     * so the per-doc score is independent of Spark's partial-agg
     * merge order. */
-  def s4Bm25(s: SparkSession, dir: String): DataFrame = {
+  def s4Bm25(s: SparkSession, dir: String): DataFrame =
+    bm25Scored(s, dir)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+
+  /** The scored-docs frame behind [[s4Bm25]] (every doc matching ≥ 1
+    * query term, with its BM25 score) — shared with [[s5HybridRerank]],
+    * which takes a deeper candidate cut before reranking. */
+  private[graft] def bm25Scored(s: SparkSession, dir: String): DataFrame = {
     val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
     val d = Tables.documents(s, dir)
       .select(col("doc_id"),
@@ -488,8 +496,89 @@ object Similarity {
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("int").as("n_terms"),
         sum("ts").cast("double").as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  // ------------------------------------------------------- s5 hybrid
+
+  /** Lexical candidate depth of the hybrid retriever — the BM25 cut
+    * reranking then works inside. */
+  val S5Candidates = 50
+  /** The query embedding: vec 0 stands in for an externally-encoded
+    * query vector (documents and embeddings share the id domain). */
+  val S5QueryVec = 0
+  /** The canonical RRF smoothing constant (Cormack et al. 2009). */
+  val RrfK = 60
+
+  /** s5: HYBRID retrieval — BM25 candidates reranked by embedding
+    * cosine and fused with reciprocal-rank fusion, the standard
+    * two-stage shape of production search (lexical recall first,
+    * semantic precision second; RRF because raw BM25 and cosine
+    * scores are incommensurable, while ranks always fuse).
+    * `rrf = Σ 1e6 div (60 + rank)` keeps the gate in exact integers —
+    * the division's truncation loses nothing: RRF only ever ORDERS.
+    *
+    * Scale shape: the lexical leg pays s4's plan and cuts to
+    * [[S5Candidates]] rows via TakeOrdered — everything after is
+    * bounded by the CANDIDATE count, not the corpus: the
+    * unpartitioned rank windows run over ≤50 rows (fine HERE exactly
+    * because the cut came first; ranking the full scored frame that
+    * way would serialize a corpus-sized sort), the embedding lookup
+    * broadcasts the candidate list into a hash join against the
+    * embeddings scan, and the query vector rides a 1-row broadcast.
+    * Candidate ranks within the cut equal global ranks because the
+    * cut is a PREFIX of the same (score DESC, doc_id) total order. */
+  def s5HybridRerank(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val wLex = Window.orderBy(col("score").desc, col("doc_id"))
+    val cand = bm25Scored(s, dir)
+      .orderBy(col("score").desc, col("doc_id")).limit(S5Candidates)
+      .withColumn("rank_lex", row_number().over(wLex))
+      .select("doc_id", "rank_lex")
+    val q = Tables.embeddings(s, dir)
+      .filter(col("vec_id") === S5QueryVec)
+      .select(col("embedding").as("qe"))
+    val wSem = Window.orderBy(col("cos").desc, col("doc_id"))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+      .join(broadcast(cand), "doc_id")
+      .crossJoin(broadcast(q))
+      .withColumn("cos", VectorOps.cosine("embedding", "qe"))
+      .withColumn("rank_sem", row_number().over(wSem))
+      .withColumn("rrf_micro", expr(
+        s"CAST(1000000 div ($RrfK + CAST(rank_lex AS BIGINT)) + " +
+          s"1000000 div ($RrfK + CAST(rank_sem AS BIGINT)) AS BIGINT)"))
+      .select("doc_id", "rank_lex", "rank_sem", "cos", "rrf_micro")
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
       .limit(Bm25TopK)
+  }
+
+  /** The BM25 scored-docs CTE chain shared by the s4 and s5 oracles —
+    * ends in `bscore(doc_id, n_terms, score)`, the SQL mirror of
+    * [[bm25Scored]]. */
+  private def bm25ScoredCtes: String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""tk AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |d AS (
+       |  SELECT doc_id, len(toks) AS dl,
+       |    list_filter(toks, x -> x IN ($termList)) AS qtoks
+       |  FROM tk),
+       |st AS (SELECT count(*) AS n_docs, sum(dl) AS tot_len FROM d),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+       |    SELECT doc_id, dl, unnest(qtoks) AS term FROM d) t
+       |  GROUP BY doc_id, dl, term),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |sc AS (
+       |  SELECT doc_id,
+       |    CAST(round($bm25TermScoreSql, 6) AS DECIMAL(18,6)) AS ts
+       |  FROM tf JOIN dfq USING (term) CROSS JOIN st),
+       |bscore AS (
+       |  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms,
+       |    CAST(sum(ts) AS DOUBLE) AS score
+       |  FROM sc GROUP BY doc_id)""".stripMargin
   }
 
   // ---------------------------------------------------------------- oracle
@@ -606,31 +695,37 @@ object Similarity {
   private val staticOracle: Map[String, String] = Map(
     // same shared bm25TermScoreSql expression tree, same 6-decimal
     // idf/partial rounding, same DECIMAL(18,6) order-free sum
-    "s4_bm25_topk" -> {
-      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
-      s"""WITH tk AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
-         |  FROM documents),
-         |d AS (
-         |  SELECT doc_id, len(toks) AS dl,
-         |    list_filter(toks, x -> x IN ($termList)) AS qtoks
-         |  FROM tk),
-         |st AS (SELECT count(*) AS n_docs, sum(dl) AS tot_len FROM d),
-         |tf AS (
-         |  SELECT doc_id, dl, term, count(*) AS tf FROM (
-         |    SELECT doc_id, dl, unnest(qtoks) AS term FROM d) t
-         |  GROUP BY doc_id, dl, term),
-         |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         |sc AS (
-         |  SELECT doc_id,
-         |    CAST(round($bm25TermScoreSql, 6) AS DECIMAL(18,6)) AS ts
-         |  FROM tf JOIN dfq USING (term) CROSS JOIN st)
-         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_terms,
-         |  CAST(sum(ts) AS DOUBLE) AS score
-         |FROM sc GROUP BY doc_id
-         |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
-    },
+    "s4_bm25_topk" ->
+      s"""WITH $bm25ScoredCtes
+         |SELECT doc_id, n_terms, score FROM bscore
+         |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin,
+    // same bm25 CTEs for the lexical leg, the shared left-fold cosine
+    // for the semantic leg, integer reciprocal-rank fusion throughout
+    "s5_hybrid_rerank" ->
+      s"""WITH $bm25ScoredCtes,
+         |cand AS (
+         |  SELECT doc_id, row_number() OVER (
+         |    ORDER BY score DESC, doc_id) AS rank_lex
+         |  FROM bscore),
+         |q AS (SELECT embedding AS qe FROM embeddings
+         |      WHERE vec_id = $S5QueryVec),
+         |scored AS (
+         |  SELECT c.doc_id, c.rank_lex,
+         |    ${VectorOps.sqlCosine("e.embedding", "q.qe")} AS cos
+         |  FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id
+         |  CROSS JOIN q
+         |  WHERE c.rank_lex <= $S5Candidates),
+         |r AS (
+         |  SELECT doc_id, rank_lex, cos, row_number() OVER (
+         |    ORDER BY cos DESC, doc_id) AS rank_sem
+         |  FROM scored)
+         |SELECT doc_id,
+         |  CAST(rank_lex AS INTEGER) AS rank_lex,
+         |  CAST(rank_sem AS INTEGER) AS rank_sem, cos,
+         |  CAST(1000000 // ($RrfK + rank_lex) +
+         |       1000000 // ($RrfK + rank_sem) AS BIGINT) AS rrf_micro
+         |FROM r
+         |ORDER BY rrf_micro DESC, doc_id LIMIT $Bm25TopK""".stripMargin,
     "s1_ann_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
          |  FROM embeddings WHERE vec_id < $NumQueries),
@@ -672,5 +767,6 @@ object Similarity {
     "s3_ann_ivf" -> s3Ivf, // oracle generated with inlined centroids
     "d10_semdedup" -> d10SemDedup, // oracle generated with inlined centroids
     "s4_bm25_topk" -> s4Bm25,
+    "s5_hybrid_rerank" -> s5HybridRerank,
   )
 }

@@ -179,6 +179,28 @@ class RelationalSpec extends AnyFunSuite {
     assert(n1 > 0, "funnel entry stage empty")
   }
 
+  test("q34 retention matrix matches a driver-side replay; offset-0 is the cohort size") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val cohort = days.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expect = days
+      .map { case (u, d) => (cohort(u), d - cohort(u)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Relational.q34RetentionCohorts(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expect)
+    // every user is active on their first day, so offset 0 counts the
+    // whole cohort and no later offset can exceed it
+    val sizes = cohort.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    got.foreach { case ((c, off), n) =>
+      assert(n <= sizes(c), s"cohort $c offset $off exceeds cohort size")
+      if (off == 0L) assert(n == sizes(c), s"cohort $c day-0 != size")
+    }
+    assert(got.keys.exists(_._2 > 0), "matrix has no retention tail")
+  }
+
   test("q33 quantiles match a driver-side exact interpolation in cents") {
     import org.apache.spark.sql.functions.{col, expr}
     val cents = Tables.lineitem(s, dir)

@@ -199,6 +199,43 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("s5 hybrid fusion matches a driver-side RRF replay over the two legs") {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val emb = graft.Tables.embeddings(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val qe = emb(Similarity.S5QueryVec.toLong)
+    val lex = Similarity.bm25Scored(s, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+      .sortBy { case (id, sc) => (-sc, id) }
+      .take(Similarity.S5Candidates)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val sem = lex.keys.toSeq.map(id => id -> cos(emb(id), qe))
+      .sortBy { case (id, c) => (-c, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    def rrf(id: Long): Long =
+      1000000L / (Similarity.RrfK + lex(id)) +
+        1000000L / (Similarity.RrfK + sem(id))
+    val expect = lex.keys.toSeq.map(id => (id, rrf(id)))
+      .sortBy { case (id, f) => (-f, id) }.take(Similarity.Bm25TopK)
+    val got = Similarity.s5HybridRerank(s, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(4)))
+    assert(got.map(_._1).sameElements(expect.map(_._1)),
+      s"fusion order: got ${got.toSeq} expect ${expect.toSeq}")
+    got.foreach { case (id, rl, rs, f) =>
+      assert(rl == lex(id) && rs == sem(id) && f == rrf(id), s"doc $id")
+    }
+    // both legs genuinely contribute: the fused head is neither leg's head order
+    assert(got.map(_._2).toSeq != got.map(_._3).toSeq,
+      "lexical and semantic ranks coincide — fusion untested on this corpus")
+  }
+
   test("s4 BM25 ranks rare-term docs first; plan is broadcast-only top-k") {
     val df = Similarity.s4Bm25(s, dir)
     val top = df.collect()

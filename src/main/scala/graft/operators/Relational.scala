@@ -568,6 +568,76 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** CMS geometry: depth (independent hash rows) × width (buckets per
+    * row). 4×256 = 1024 counters TOTAL — the point of the sketch. */
+  val CmsDepth = 4
+  val CmsWidth = 256
+  /** Fixed probe list: common words, the rare 'dup', and one absent
+    * token — the estimate-vs-truth audit covers all three regimes. */
+  val CmsProbes: Seq[String] =
+    Seq("dup", "query", "scan", "spark", "the", "zzz_absent")
+
+  /** First 32 bits of md5("d|" + word) mod [[CmsWidth]] — the row-d CMS
+    * bucket; [[sqlCmsHash]] is the bit-exact DuckDB mirror. */
+  private def cmsHash(d: Int, w: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(s"$d|"), w)), 1, 8), 16, 10)
+      .cast("long") % CmsWidth
+
+  private def sqlCmsHash(d: Int, w: String): String = {
+    def nib(i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5('$d|' || $w), $i, 1)) - 1)"
+    s"((${nib(1)} * 268435456 + ${nib(2)} * 16777216 + " +
+      s"${nib(3)} * 1048576 + ${nib(4)} * 65536 + ${nib(5)} * 4096 + " +
+      s"${nib(6)} * 256 + ${nib(7)} * 16 + ${nib(8)}) % $CmsWidth)"
+  }
+
+  /** q35: COUNT-MIN-SKETCH frequency estimates — the third sketch of
+    * the family (q29 KMV answers "how many distinct", q31 "how much
+    * overlap", CMS answers "how often does X occur" in O(depth·width)
+    * memory however large the stream; Cormode & Muthukrishnan 2005).
+    * est(w) = min over rows d of cell[d][h_d(w)] — an UPPER bound on
+    * the true count (collisions only ever add), audited here against
+    * exact truth for [[CmsProbes]] spanning rare/common/absent.
+    * Deterministic md5 row-hashes make this — like KMV, unlike
+    * HLL — a sketch with a bit-exact CROSS-ENGINE oracle.
+    *
+    * Scale shape: the sketch is built from the WORD-COUNT frame, not
+    * the token stream — one combinable vocab-bounded groupBy (q13's
+    * shuffle), then a vocab×depth projection collapsing into
+    * depth·width = 1024 cells (a second, tiny combinable agg). The
+    * probe lookup joins 24 (probe,row) pairs against the 1024-cell
+    * frame — broadcast, output-sized. At 100 TB the only data-sized
+    * stage is the word count every corpus pays anyway; in a streaming
+    * deployment the same cells are the `sum` state of an st2-style
+    * windowed agg (bounded state by construction). */
+  def q35CmsTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wc = Tables.documents(s, dir)
+      .select(explode(expr("filter(split(text, ' '), x -> x <> '')"))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val rows = (0 until CmsDepth).map(d =>
+      struct(lit(d).as("d"), cmsHash(d, col("word")).as("b")))
+    val cells = wc
+      .select(explode(array(rows: _*)).as("db"), col("cnt"))
+      .groupBy(col("db.d").as("d"), col("db.b").as("b"))
+      .agg(sum("cnt").as("cell"))
+    val probeCells = CmsProbes.toDF("word")
+      .select(col("word"), explode(array(rows: _*)).as("db"))
+      .select(col("word"), col("db.d").as("d"), col("db.b").as("b"))
+    probeCells
+      .join(broadcast(cells), Seq("d", "b"), "left")
+      .groupBy("word")
+      .agg(min(coalesce(col("cell"), lit(0L))).as("cms_est"))
+      .join(broadcast(wc.filter(col("word").isin(CmsProbes: _*))),
+        Seq("word"), "left")
+      .select(col("word"),
+        coalesce(col("cnt"), lit(0L)).as("true_cnt"),
+        col("cms_est"),
+        (col("cms_est") - coalesce(col("cnt"), lit(0L))).as("overcount"))
+      .orderBy("word")
+  }
+
   /** q34: COHORT RETENTION — the first-seen-day × activity-day matrix
     * (cohort analysis) every product/event pipeline derives from the
     * same stream the reference only frequency-counts: users who first
@@ -711,6 +781,36 @@ object Relational {
         |  UNION ALL SELECT 3, 'view>click>purchase', CAST(n3 AS BIGINT)
         |  FROM g)
         |ORDER BY stage""".stripMargin,
+    // same md5 row-hashes, same vocab-frame sketch build, same min-of-
+    // rows estimate; integers only
+    "q35_cms_topk" -> {
+      val cellRows = (0 until CmsDepth).map(d =>
+        s"SELECT ${d} AS d, ${sqlCmsHash(d, "word")} AS b, cnt FROM wc")
+        .mkString("\n    UNION ALL ")
+      val probeRows = (0 until CmsDepth).map(d =>
+        s"SELECT word, ${d} AS d, ${sqlCmsHash(d, "word")} AS b FROM p")
+        .mkString("\n    UNION ALL ")
+      val probeVals = CmsProbes.map(w => s"('$w')").mkString(", ")
+      s"""WITH wc AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word
+         |    FROM documents) t
+         |  WHERE word <> '' GROUP BY word),
+         |cells AS (
+         |  SELECT d, b, CAST(sum(cnt) AS BIGINT) AS cell FROM (
+         |    $cellRows) u
+         |  GROUP BY d, b),
+         |p(word) AS (VALUES $probeVals),
+         |pc AS (
+         |    $probeRows),
+         |est AS (
+         |  SELECT word, min(COALESCE(cell, 0)) AS cms_est
+         |  FROM pc LEFT JOIN cells USING (d, b) GROUP BY word)
+         |SELECT e.word, COALESCE(w.cnt, 0) AS true_cnt, e.cms_est,
+         |  e.cms_est - COALESCE(w.cnt, 0) AS overcount
+         |FROM est e LEFT JOIN wc w ON w.word = e.word
+         |ORDER BY e.word""".stripMargin
+    },
     // independent spelling: textbook distinct → per-user min → join,
     // vs the plan's one-shuffle collect_set — same integer matrix
     "q34_retention_cohorts" ->
@@ -941,5 +1041,6 @@ object Relational {
     "q32_funnel" -> q32Funnel,
     "q33_quantiles" -> q33Quantiles,
     "q34_retention_cohorts" -> q34RetentionCohorts,
+    "q35_cms_topk" -> q35CmsTopk,
   )
 }

@@ -201,6 +201,61 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.keys.exists(_._2 > 0), "matrix has no retention tail")
   }
 
+  test("q35 CMS matches a driver replay; collisions overcount on a wide vocab") {
+    import org.apache.spark.sql.functions.col
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(d: Int, w: String): Long = {
+      val dig = md.digest(s"$d|$w".getBytes("UTF-8"))
+      val v = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+        ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+      v % Relational.CmsWidth
+    }
+    def replay(counts: Map[String, Long]): Map[String, (Long, Long)] = {
+      val cells = new scala.collection.mutable.HashMap[(Int, Long), Long]()
+      counts.foreach { case (w, c) =>
+        (0 until Relational.CmsDepth).foreach { d =>
+          val k = (d, h(d, w)); cells(k) = cells.getOrElse(k, 0L) + c
+        }
+      }
+      Relational.CmsProbes.map { w =>
+        val est = (0 until Relational.CmsDepth)
+          .map(d => cells.getOrElse((d, h(d, w)), 0L)).min
+        w -> (counts.getOrElse(w, 0L), est)
+      }.toMap
+    }
+    val real = Tables.documents(s, dir).select("text").collect()
+      .flatMap(_.getString(0).split(" ").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expect = replay(real)
+    val got = Relational.q35CmsTopk(s, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect)
+    got.values.foreach { case (t, e) => assert(e >= t, "CMS must upper-bound") }
+    // planted 3000-word vocab >> 256 buckets (λ ≈ 11.7 words/cell,
+    // P[any cell empty] ≈ 1024·e^-11.7 ≈ 0.8%): every row's cells fill
+    // up, so absent probes must collide into positive estimates (600
+    // words was NOT enough — each row kept ~25 empty cells and all six
+    // probes deterministically found one)
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-q35").toString
+    val planted = (0 until 3000).map(i =>
+      (i.toLong, Array.fill(i % 5 + 1)(s"w$i").mkString(" ")))
+    planted.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val pGot = Relational.q35CmsTopk(s, out).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val pCounts = planted.flatMap(_._2.split(" "))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pExpect = replay(pCounts)
+    pGot.foreach { case (w, t, e, over) =>
+      assert((t, e) == pExpect(w), s"probe $w")
+      assert(e >= t && over == e - t)
+    }
+    assert(pGot.forall(_._2 == 0L), "probes are absent from the planted vocab")
+    assert(pGot.exists(_._4 > 0L),
+      "no collision overcount — sketch audit untested")
+  }
+
   test("q33 quantiles match a driver-side exact interpolation in cents") {
     import org.apache.spark.sql.functions.{col, expr}
     val cents = Tables.lineitem(s, dir)

@@ -59,6 +59,20 @@ object Sources {
   def jsonl(s: SparkSession, path: String, schema: StructType): DataFrame =
     s.read.schema(schema).json(path)
 
+  /** ORC read with an explicit schema — the second columnar lake
+    * format next to parquet (Spark ships the reader/writer natively;
+    * ORC footers carry the same min/max stripe statistics, so filter
+    * pushdown and column pruning work exactly as on parquet scans —
+    * SourcesSpec asserts pushed filters on a round-trip). An explicit
+    * schema skips the footer-sampling inference pass for the same
+    * reason [[csv]] demands one. */
+  def orc(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).orc(path)
+
+  /** ORC write, snappy-compressed like the parquet sinks. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "snappy").orc(path)
+
   /** Flatten one level of a struct column into top-level columns —
     * the tweet-record flatten (twitter_airflow.py:35-66). */
   def flattenStruct(df: DataFrame, structCol: String): DataFrame = {

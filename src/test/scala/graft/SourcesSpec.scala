@@ -82,6 +82,28 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("orc round-trips losslessly and pushes filters to the scan") {
+    val s = TestSpark.spark
+    val out = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val src = Tables.orders(s, TestSpark.SfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    Sources.writeOrc(src, s"$out/orders.orc")
+    val back = Sources.orc(s, s"$out/orders.orc", src.schema)
+    // lossless round-trip, exact values
+    assert(back.count() == src.count())
+    val a = src.collect().map(_.toSeq).sortBy(_.toString)
+    val b = back.collect().map(_.toSeq).sortBy(_.toString)
+    assert(a.sameElements(b))
+    // filter + projection reach the ORC scan like they do on parquet
+    val q = back.filter(col("o_custkey") === 42L).select("o_orderkey")
+    q.collect()
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,42)"),
+      s"filter not pushed to ORC scan:\n$scan")
+    assert(scan.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>"),
+      s"projection not pruned at ORC scan:\n$scan")
+  }
+
   test("appendOnce is idempotent per key across re-runs") {
     val s = TestSpark.spark
     import s.implicits._

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOf, Bucketed, Curation, Dedup, Geo, Multimodal, Partitioned, Relational, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOf, Bpe, Bucketed, Curation, Dedup, Geo, Multimodal, Partitioned, Relational, Similarity, Skew, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -25,7 +25,7 @@ object SparkEntry {
     Relational.queries ++ Dedup.queries ++ Similarity.queries ++
       TextAnalysis.queries ++ Multimodal.queries ++ Streams.queries ++
       AsOf.queries ++ Bucketed.queries ++ Geo.queries ++ Skew.queries ++
-      Curation.queries ++ Partitioned.queries
+      Curation.queries ++ Partitioned.queries ++ Bpe.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. s3_ann_ivf's SQL is GENERATED at dump
@@ -36,13 +36,14 @@ object SparkEntry {
     * a premature dump must not silently shrink the gate); Verify uses
     * [[oracleSqlFor]], which trains on demand for its explicit corpus. */
   def oracleSql: Map[String, String] =
-    staticOracles ++ Similarity.oracle
+    staticOracles ++ Similarity.oracle ++ Bpe.oracle
 
   /** Corpus-aware dump: identical to [[oracleSql]] except s3's entry is
     * derived for the GIVEN corpus dir (cache-hit if its query already
     * ran), with no dependence on run order or global state. */
   def oracleSqlFor(spark: SparkSession, sfDir: String): Map[String, String] =
-    staticOracles ++ Similarity.oracleFor(spark, sfDir)
+    staticOracles ++ Similarity.oracleFor(spark, sfDir) ++
+      Bpe.oracleFor(spark, sfDir)
 
   private def staticOracles: Map[String, String] =
     Relational.oracle ++ Dedup.oracle ++

@@ -1,0 +1,255 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Byte-pair-encoding VOCABULARY TRAINING — the tokenizer-fit step at
+  * the head of every LLM data pipeline (Sennrich et al. 2016; the
+  * word-count-first formulation every production trainer uses:
+  * HF-tokenizers and SentencePiece aggregate the corpus to a word
+  * frequency table, then iterate merges over the VOCAB, never over the
+  * corpus).
+  *
+  * Split of labor at 100 TB: the corpus-sized work is ONE distributed
+  * word count (q13's combinable shuffle); the merge loop then runs
+  * driver-side over the collected vocab — bounded by DISTINCT words,
+  * not tokens (the s3-kmeans / t8-model offline-train shape), and the
+  * trained merge list is a KB-scale artifact every executor can apply
+  * scan-locally.
+  *
+  * Cross-engine verification is in two layers, stronger than the
+  * s3/t8 inlined-artifact pattern where training itself goes
+  * unverified: `c10_bpe_merges`' oracle REPLAYS the full training in
+  * SQL (char segmentation → pair counts → argmax → merge application,
+  * step by step — no trained values inlined), so the gate
+  * hash-verifies the TRAINER; `c10_bpe_tokenize` then verifies the
+  * APPLICATION with the learned merges inlined into a generated
+  * oracle, s3-style.
+  *
+  * Merge semantics pinned across all three implementations (driver
+  * list pass, SQL replay, distributed application): leftmost greedy
+  * non-overlapping per step. The SQL spelling is the space-separated
+  * string form `' d a t a '` where one merge = replace of
+  * `' lhs rhs '` with `' lhsrhs '` — applied TWICE, because a run of
+  * the same pair shares its separating space and a single
+  * resume-after-match pass merges only every other occurrence
+  * (`' a b a b '` → `' ab a b '`); the second pass provably finishes
+  * the run, and merging can create no NEW same-pair adjacency (the
+  * merged symbol is a single token that no longer equals lhs). */
+object Bpe {
+  /** Merge steps trained/verified by the gate (each step adds one CTE
+    * layer to the replay oracle — 6 keeps the SQL mechanical). */
+  val BpeMerges = 6
+
+  final case class Merge(step: Int, lhs: String, rhs: String, cnt: Long)
+
+  /** Per-corpus trained merges, fingerprint-keyed like the t8/s3
+    * artifacts — a re-ingested corpus at the same path retrains. */
+  private val cache =
+    new java.util.LinkedHashMap[String, Seq[Merge]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[Merge]]): Boolean = size > 16
+    }
+
+  /** Spec hook: number of actual trainings in this JVM. */
+  private[graft] val trainCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private[graft] def clearCache(): Unit = cache.synchronized(cache.clear())
+
+  /** The distributed side of training: the corpus word-frequency
+    * table. Everything after is vocab-bounded. */
+  private def wordCounts(s: SparkSession, dir: String): Array[(String, Long)] =
+    Tables.documents(s, dir)
+      .select(explode(expr("filter(split(text, ' '), x -> x <> '')"))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+  /** Classic BPE over the word table: count symbol pairs weighted by
+    * word frequency, merge the argmax (ties: smallest (lhs, rhs)),
+    * repeat. Leftmost-greedy non-overlapping application. */
+  private[graft] def train(wc: Array[(String, Long)]): Seq[Merge] = {
+    var words: Array[(Array[String], Long)] =
+      wc.map { case (w, c) => (w.toCharArray.map(_.toString), c) }
+    (1 to BpeMerges).map { step =>
+      val pc = new scala.collection.mutable.HashMap[(String, String), Long]()
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pc(k) = pc.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      require(pc.nonEmpty, s"corpus exhausted before merge $step")
+      val ((lhs, rhs), cnt) = pc.minBy { case ((l, r), c) => (-c, l, r) }
+      words = words.map { case (syms, c) =>
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == lhs && syms(i + 1) == rhs) {
+            out += lhs + rhs; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.toArray, c)
+      }
+      Merge(step, lhs, rhs, cnt)
+    }
+  }
+
+  def mergesFor(s: SparkSession, dir: String): Seq[Merge] = {
+    val key = s.sparkContext.applicationId + "/" +
+      Tables.fingerprint(s, dir, "documents")
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else {
+        trainCount.incrementAndGet()
+        val v = train(wordCounts(s, dir))
+        cache.put(key, v)
+        v
+      }
+    }
+  }
+
+  /** c10a: the trained merge table itself — (step, lhs, rhs,
+    * pair_count). The oracle replays training end-to-end in SQL. */
+  def c10BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mergesFor(s, dir).toDF("step", "lhs", "rhs", "pair_count")
+      .orderBy("step")
+  }
+
+  private def q(lit: String): String = lit.replace("'", "''")
+
+  /** The merge chain applied to a char-spaced word expression —
+    * generated replace chain, identical shape in both engines (each
+    * step twice; see the object doc for why). */
+  private def appliedExpr(merges: Seq[Merge], seed: String): String =
+    merges.foldLeft(seed) { (e, m) =>
+      val pat = s"' ${q(m.lhs)} ${q(m.rhs)} '"
+      val rep = s"' ${q(m.lhs)}${q(m.rhs)} '"
+      s"replace(replace($e, $pat, $rep), $pat, $rep)"
+    }
+
+  /** c10b: distributed APPLICATION of the trained merges — per doc,
+    * the whitespace-token count, the char-symbol count, and the piece
+    * count after all [[BpeMerges]] merges. Pure scan-local projection
+    * (the merge chain is 2·steps string replaces per word inside a
+    * HOF — at production scale the chain compiles into a byte-walk
+    * kernel like t8's, but the gate keeps the transparent spelling).
+    * Oracle: generated with the trained merges inlined (the s3
+    * pattern — training itself is verified by c10_bpe_merges). */
+  def c10BpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    val merges = mergesFor(s, dir)
+    val applied = appliedExpr(merges,
+      "concat(' ', regexp_replace(w, '(.)', '$1 '))")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).as("n_words"),
+        expr("aggregate(transform(ws, w -> length(w)), 0, (a, b) -> a + b)")
+          .as("n_chars_sym"),
+        expr(s"""aggregate(transform(ws, w ->
+          size(filter(split($applied, ' '), p -> p <> ''))),
+          0, (a, b) -> a + b)""").as("n_pieces"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- oracle
+
+  /** SQL replay of the whole trainer — corpus-independent (nothing
+    * inlined): 6 × (pair-count CTE, argmax CTE, merge-application
+    * CTE) stacked on the char segmentation of the word-count table. */
+  private def sqlMergesOracle: String = {
+    val steps = (1 to BpeMerges).map { i =>
+      s"""p$i AS (
+         |  SELECT toks[j] AS lhs, toks[j + 1] AS rhs,
+         |    CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM (SELECT list_filter(string_split(seg, ' '), x -> x <> '')
+         |          AS toks, c
+         |        FROM seg${i - 1}) t,
+         |       unnest(generate_series(1, len(toks) - 1)) AS u(j)
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT lhs, rhs, cnt FROM p$i
+         |        ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |seg$i AS (
+         |  SELECT replace(replace(seg,
+         |      ' ' || m.lhs || ' ' || m.rhs || ' ',
+         |      ' ' || m.lhs || m.rhs || ' '),
+         |      ' ' || m.lhs || ' ' || m.rhs || ' ',
+         |      ' ' || m.lhs || m.rhs || ' ') AS seg, c
+         |  FROM seg${i - 1} CROSS JOIN m$i m)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to BpeMerges).map(i =>
+      s"SELECT $i AS step, lhs, rhs, cnt AS pair_count FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH wc AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS word
+       |    FROM documents) t
+       |  WHERE word <> '' GROUP BY word),
+       |seg0 AS (
+       |  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' '
+       |    AS seg, c
+       |  FROM wc),
+       |$steps
+       |SELECT * FROM ($rows) ORDER BY step""".stripMargin
+  }
+
+  /** Generated tokenize oracle for an explicit corpus — the trained
+    * merges inlined into the same double-replace chain over the same
+    * char-spacing (RE2 spells the backref `\\1` where Spark spells
+    * `$$1`; both space every character). */
+  private def sqlTokenizeOracle(merges: Seq[Merge]): String = {
+    val applied = appliedExpr(merges,
+      "(' ' || regexp_replace(w, '(.)', '\\1 ', 'g'))")
+    s"""SELECT doc_id,
+       |  CAST(len(ws) AS INTEGER) AS n_words,
+       |  CAST(list_reduce(list_prepend(0,
+       |    list_transform(ws, w -> length(w))), (a, b) -> a + b)
+       |    AS INTEGER) AS n_chars_sym,
+       |  CAST(list_reduce(list_prepend(0, list_transform(ws, w ->
+       |    len(list_filter(string_split($applied, ' '), p -> p <> '')))),
+       |    (a, b) -> a + b) AS INTEGER) AS n_pieces
+       |FROM (
+       |  SELECT doc_id,
+       |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+       |  FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Corpus-aware oracle (the Verify dump path): trains on demand for
+    * the explicit corpus, like Similarity.oracleFor. */
+  def oracleFor(s: SparkSession, dir: String): Map[String, String] = Map(
+    "c10_bpe_merges" -> sqlMergesOracle,
+    "c10_bpe_tokenize" -> sqlTokenizeOracle(mergesFor(s, dir)))
+
+  /** Static form — fails loudly if no training has happened (same
+    * contract as Similarity.oracle: a premature dump must not
+    * silently shrink the gate). */
+  def oracle: Map[String, String] = {
+    val trained = cache.synchronized {
+      val it = cache.values().iterator()
+      if (it.hasNext) Some(it.next()) else None
+    }
+    trained match {
+      case Some(m) => Map(
+        "c10_bpe_merges" -> sqlMergesOracle,
+        "c10_bpe_tokenize" -> sqlTokenizeOracle(m))
+      case None => throw new IllegalStateException(
+        "c10_bpe_tokenize oracle requested but no merges are trained — " +
+          "run Bpe.mergesFor for the gate corpus first, or use " +
+          "Bpe.oracleFor(spark, dir)")
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c10_bpe_merges" -> c10BpeMerges,
+    "c10_bpe_tokenize" -> c10BpeTokenize,
+  )
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Bpe
+
+class BpeSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  private val dir = TestSpark.SfDir
+
+  test("trainer reproduces the classic BPE hand example") {
+    // Sennrich-style toy vocab: pair counts are dominated by 'es'
+    // (9+6), then 'est' ... — verify the first merges by hand.
+    // low×5 lower×2 newest×6 widest×3
+    val wc = Array(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = Bpe.train(wc)
+    // pair counts step 1: (e,s) 9, (s,t) 9, (l,o) 7, (o,w) 7, (w,e) 8,
+    // (e,r) 2, (n,e) 6, (e,w) 6, (w,i) 3, (i,d) 3, (d,e) 3
+    // argmax ties (e,s)=(s,t)=9 → lexicographic smallest (e,s)
+    assert((merges(0).lhs, merges(0).rhs, merges(0).cnt) == ("e", "s", 9L))
+    // step 2: 'es' now a symbol; (es,t) has 9 — next merge
+    assert((merges(1).lhs, merges(1).rhs, merges(1).cnt) == ("es", "t", 9L))
+    // step 3: (w,e) dropped to 2 ('newest' consumed its e); (l,o)/(o,w) 7
+    assert((merges(2).lhs, merges(2).rhs, merges(2).cnt) == ("l", "o", 7L))
+    assert(merges.map(_.step) == (1 to Bpe.BpeMerges))
+  }
+
+  test("list-merge semantics equal the double-replace spelling on runs") {
+    // 'aaaa' exercises the consecutive-same-pair case where ONE string
+    // replace pass diverges (shared separating space): list semantics
+    // give [aa, aa]; the operator's double-replace chain must agree
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    val docs = Seq(
+      (0L, "aaaa aaa aa"), (1L, "aaaa aaaa baab"), (2L, "ab ba aaab"))
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val merges = Bpe.mergesFor(s, out)
+    assert((merges.head.lhs, merges.head.rhs) == ("a", "a"),
+      s"(a,a) must dominate this corpus: $merges")
+    // driver-side ground truth with explicit list semantics
+    def applyAll(w: String): Int = {
+      var syms = w.toCharArray.map(_.toString)
+      merges.foreach { m =>
+        val outB = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == m.lhs && syms(i + 1) == m.rhs) {
+            outB += m.lhs + m.rhs; i += 2
+          } else { outB += syms(i); i += 1 }
+        }
+        syms = outB.toArray
+      }
+      syms.length
+    }
+    val expect = docs.map { case (id, text) =>
+      id -> text.split(" ").filter(_.nonEmpty).map(applyAll).sum
+    }.toMap
+    val got = Bpe.c10BpeTokenize(s, out).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(got == expect, s"got $got expect $expect")
+  }
+
+  test("merges train once per corpus and piece counts shrink monotonically") {
+    Bpe.clearCache()
+    val before = Bpe.trainCount.get()
+    Bpe.c10BpeMerges(s, dir).collect()
+    val rows = Bpe.c10BpeTokenize(s, dir).collect()
+    assert(Bpe.trainCount.get() == before + 1, "second call must cache-hit")
+    rows.foreach { r =>
+      val (nw, nc, np) = (r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(np <= nc, "merging can only reduce pieces")
+      assert(np >= nw, "a word is never fewer than one piece")
+    }
+    // the corpus really exercises merging: strictly fewer pieces than chars
+    assert(rows.map(_.getInt(3)).sum < rows.map(_.getInt(2)).sum)
+  }
+}

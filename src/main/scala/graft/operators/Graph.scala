@@ -164,4 +164,95 @@ object Graph {
       .filter(col("u") =!= col("v"))
       .distinct()
   }
+
+  // ------------------------------------------------------ q36 PageRank
+
+  /** PageRank iterations (fixed — the gate verifies a deterministic
+    * computation, not a convergence test) and the fixed-point scale:
+    * ranks live in millionths, damping 0.85 as the exact integer step
+    * `150000 + (85·inflow) div 100`. */
+  val PrIters = 5
+  val PrScale = 1000000L
+  val PrTopK = 20
+
+  /** q36: PAGERANK over the customer–supplier trade graph — the
+    * iterative message-passing analytic beside d8's star contraction
+    * (components answer "which nodes connect"; PageRank answers "which
+    * nodes matter", the centrality every entity-resolution / source-
+    * trust pipeline runs on its link graph). Nodes are 'c<custkey>' /
+    * 's<suppkey>', edges the distinct trade pairs from orders⋈lineitem
+    * symmetrized (both directions — no dangling nodes by
+    * construction, so no dangling-mass term). All arithmetic is exact
+    * fixed-point INTEGER: contrib = rank div outdeg, next =
+    * 150000 + (85·Σcontrib) div 100 — order-free integer sums, so the
+    * result is bit-identical however partials merge, and the DuckDB
+    * oracle UNROLLS the same five iterations as stacked CTEs (SQL
+    * forbids aggregation inside a recursive CTE member — same pattern
+    * as c10's trainer replay).
+    *
+    * Scale shape: the edge list with out-degrees attached is built
+    * once and eagerly localCheckpoint'ed (the [[connectedComponents]]
+    * lineage rule: without the cut, every iteration re-derives the
+    * orders⋈lineitem distinct and the plan grows by a full copy per
+    * round); each iteration is then the canonical TWO keyed shuffles —
+    * join ranks on src, re-aggregate on dst — and the final top-k is
+    * a TakeOrderedAndProject. At 100 TB: edges persist to reliable
+    * storage instead, iterations stay two shuffles each. */
+  def q36Pagerank(s: SparkSession, dir: String): DataFrame = {
+    val trade = graft.Tables.orders(s, dir)
+      .join(graft.Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("a"),
+        concat(lit("s"), col("l_suppkey")).as("b"))
+      .distinct()
+    val edges = trade
+      .select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(trade.select(col("b").as("src"), col("a").as("dst")))
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eo = edges.join(outdeg, "src").localCheckpoint(true)
+    var ranks = outdeg
+      .select(col("src").as("node"), lit(PrScale).as("rank"))
+    for (_ <- 1 to PrIters) {
+      ranks = eo.join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("rank div outdeg").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("inflow"))
+        .select(col("dst").as("node"),
+          expr("150000 + (85 * inflow) div 100").as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks.orderBy(col("rank").desc, col("node")).limit(PrTopK)
+  }
+
+  /** The q36 oracle: same node/edge construction, same five unrolled
+    * integer iterations. */
+  private[operators] def sqlPagerankOracle: String = {
+    val iters = (1 to PrIters).map { i =>
+      s"""pr$i AS (
+         |  SELECT e.dst AS node,
+         |    150000 + (85 * sum(p.rank // e.outdeg)) // 100 AS rank
+         |  FROM eo e JOIN pr${i - 1} p ON p.node = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH trade AS (
+       |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM trade
+       |  UNION ALL SELECT b AS src, a AS dst FROM trade),
+       |outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |eo AS (SELECT e.src, e.dst, o.outdeg FROM edges e
+       |       JOIN outdeg o ON o.src = e.src),
+       |pr0 AS (SELECT src AS node, $PrScale AS rank FROM outdeg),
+       |$iters
+       |SELECT node, CAST(rank AS BIGINT) AS rank FROM pr$PrIters
+       |ORDER BY rank DESC, node LIMIT $PrTopK""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_pagerank" -> q36Pagerank,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q36_pagerank" -> sqlPagerankOracle,
+  )
 }

@@ -287,6 +287,79 @@ object Streams {
   def st7Query(s: SparkSession, dir: String): DataFrame =
     capBatch(Tables.events(s, dir)).orderBy("event_id")
 
+  case class FunEvt(user_id: Long, tus: Long, event_type: String)
+  /** -1 = not seen yet; otherwise the minimum event-time micros seen
+    * so far for that funnel type. */
+  case class FunState(tView: Long, tClick: Long, tPurchase: Long)
+  case class FunOut(user_id: Long, stage: Int)
+
+  /** Stage from first-occurrence times — q32's inclusive ordering rule,
+    * shared by the streaming state and the batch spelling. */
+  private def stageOf(v: Long, c: Long, p: Long): Int =
+    if (v < 0) 0
+    else if (c < 0 || c < v) 1
+    else if (p < 0 || p < c) 2
+    else 3
+
+  /** st8 (streaming spelling): per-user FUNNEL PROGRESSION — the live
+    * counterpart of q32's batch funnel: each user's state is the MIN
+    * event-time seen so far per funnel type (three longs), and every
+    * trigger emits the user's current stage. Because min is
+    * associative/commutative, the final state is arrival-order
+    * INDEPENDENT — a late-arriving early view converges the stage to
+    * exactly the batch truth (spec feeds an out-of-order stream and
+    * asserts it); mid-stream emissions are running estimates that may
+    * move DOWN under disorder (an earlier view can break an already-
+    * satisfied view≤click ordering), which is the honest semantics of
+    * "funnel so far" — only the converged value is contractual.
+    *
+    * Scale shape: one hash shuffle on user_id; state is O(users) × 24
+    * bytes with no growth in events; for an unbounded user universe
+    * compose st3's EventTimeTimeout eviction (same trade as st7). */
+  def funnelStream(events: Dataset[FunEvt]): Dataset[FunOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunState, FunOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evts: Iterator[FunEvt], state: GroupState[FunState]) =>
+          var st = state.getOption.getOrElse(FunState(-1L, -1L, -1L))
+          evts.foreach { e =>
+            def m(cur: Long) = if (cur < 0 || e.tus < cur) e.tus else cur
+            e.event_type match {
+              case "view" => st = st.copy(tView = m(st.tView))
+              case "click" => st = st.copy(tClick = m(st.tClick))
+              case "purchase" => st = st.copy(tPurchase = m(st.tPurchase))
+              case _ => ()
+            }
+          }
+          state.update(st)
+          Iterator.single(
+            FunOut(uid, stageOf(st.tView, st.tClick, st.tPurchase)))
+      }
+  }
+
+  /** st8 (batch formulation, the gate spelling): per-user first-
+    * occurrence times + attained stage — q32's per-user detail before
+    * its global 3-row aggregation. One combinable keyed shuffle. */
+  def funnelBatch(events: DataFrame): DataFrame = {
+    def firstOf(t: String) =
+      min(when(col("event_type") === t, col("tus"))).as(s"t_$t")
+    events
+      .withColumn("tus", unix_micros(col("ts")))
+      .groupBy("user_id")
+      .agg(firstOf("view"), firstOf("click"), firstOf("purchase"))
+      .select(col("user_id"), col("t_view"), col("t_click"),
+        col("t_purchase"),
+        when(col("t_view").isNull, 0)
+          .when(col("t_click").isNull || col("t_click") < col("t_view"), 1)
+          .when(col("t_purchase").isNull ||
+            col("t_purchase") < col("t_click"), 2)
+          .otherwise(3).as("stage"))
+  }
+
+  def st8Query(s: SparkSession, dir: String): DataFrame =
+    funnelBatch(Tables.events(s, dir)).orderBy("user_id")
+
   /** Durable stream→parquet sink: exactly-once via checkpointed file
     * sink; `Trigger.AvailableNow` drains whatever the source currently
     * has and stops, so scheduled micro-batch ingestion (the
@@ -419,6 +492,25 @@ object Streams {
          |  FROM events)
          |SELECT event_id, event_type, rank, rank <= $St7Cap AS admitted
          |FROM r ORDER BY event_id""".stripMargin,
+    // same per-user first-occurrence pivot in epoch micros, same
+    // inclusive stage rule as q32's guards
+    "st8_stream_funnel" ->
+      """SELECT user_id, t_view, t_click, t_purchase,
+        |  CAST(CASE
+        |    WHEN t_view IS NULL THEN 0
+        |    WHEN t_click IS NULL OR t_click < t_view THEN 1
+        |    WHEN t_purchase IS NULL OR t_purchase < t_click THEN 2
+        |    ELSE 3 END AS INTEGER) AS stage
+        |FROM (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |      AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |      AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      AS t_purchase
+        |  FROM events GROUP BY user_id) f
+        |ORDER BY user_id""".stripMargin,
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -428,5 +520,6 @@ object Streams {
     "st5_stream_join" -> st5Query,
     "st6_stream_decontaminate" -> st6Query,
     "st7_stream_cap" -> st7Query,
+    "st8_stream_funnel" -> st8Query,
   )
 }

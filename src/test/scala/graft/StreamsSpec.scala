@@ -351,4 +351,43 @@ class StreamsSpec extends AnyFunSuite {
       assert(got.values.exists(!_._3), "quota never rejected")
     } finally q.stop()
   }
+
+  test("st8: streaming funnel converges to the batch stage, even out of order") {
+    val sess = s
+    import sess.implicits._
+    val evts = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_type"))
+      .as[Streams.FunEvt].collect()
+    val want = Streams.funnelBatch(Tables.events(s, dir)).collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+    // ADVERSARIAL arrival order: reverse event time — every user's
+    // early views arrive after their clicks/purchases, so mid-stream
+    // stages move around and only min-tracking state can converge
+    val reversed = evts.sortBy(e => (-e.tus, e.user_id))
+    val input = MemoryStream[Streams.FunEvt](s)
+    val q = Streams.funnelStream(input.toDS())
+      .writeStream.format("memory").queryName("st8_funnel")
+      .outputMode("update").start()
+    try {
+      reversed.grouped(math.max(reversed.length / 3, 1)).foreach { slice =>
+        input.addData(slice.toSeq)
+        q.processAllAvailable()
+      }
+      // memory sink in update mode appends every emission; the LAST
+      // emission per user is the converged stage
+      val emissions = s.table("st8_funnel").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      val got = emissions.zipWithIndex
+        .groupBy(_._1._1).view
+        .mapValues(_.maxBy(_._2)._1._2).toMap
+      assert(got == want,
+        s"converged stages diverged from batch: ${got.toSeq.sorted.take(5)}")
+      assert(want.values.toSet.size > 1, "corpus funnel is degenerate")
+      // disorder was real: some user emitted different stages over time
+      val perUser = emissions.groupBy(_._1)
+      assert(perUser.values.exists(e => e.map(_._2).distinct.length > 1),
+        "no user's running stage ever moved — out-of-order path untested")
+    } finally q.stop()
+  }
 }

@@ -40,6 +40,7 @@ object Probe {
     if (sections("d8ab")) probeD8AB(spark) // not in the default set
     if (sections("c4")) probeC4(spark, sfDir) // not in the default set
     if (sections("t8")) probeT8(spark, sfDir) // not in the default set
+    if (sections("q36")) probeQ36(spark, sfDir) // not in the default set
     spark.stop()
   }
 
@@ -352,6 +353,59 @@ object Probe {
     * pairs, and the verdict is the per-pair ordering, not absolute
     * seconds. Not in the default section set: it exists to justify the
     * production spelling, not to re-measure it every round. */
+  /** ---- q36 phase timing: where do the PageRank seconds go — the
+    * one-time edge materialization (orders⋈lineitem distinct,
+    * symmetrize, outdeg, eager localCheckpoint) or the five
+    * broadcast-join + dst-agg + checkpoint rounds? */
+  private def probeQ36(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[q36probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val trade = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey").cast("long") * 2).as("a"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("b"))
+      .distinct()
+    val edges = t("edges checkpoint")(trade
+      .select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(trade.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true))
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val eo = t("eo checkpoint")(
+      edges.join(bcast(outdeg), "src").localCheckpoint(true))
+    println(s"[q36probe] eo rows: ${t("eo count")(eo.count())}")
+    var ranks = t("pr0 checkpoint")(outdeg
+      .select(col("src").as("node"),
+        lit(graft.operators.Graph.PrScale).as("rank"))
+      .localCheckpoint(true))
+    for (i <- 1 to graft.operators.Graph.PrIters) {
+      ranks = t(s"iter $i") {
+        eo.join(bcast(ranks), col("src") === col("node"))
+          .select(col("dst"), expr("rank div outdeg").as("contrib"))
+          .groupBy("dst").agg(sum("contrib").as("inflow"))
+          .select(col("dst").as("node"),
+            expr("150000 + (85 * inflow) div 100").as("rank"))
+          .localCheckpoint(true)
+      }
+    }
+    t("topk")(ranks
+      .select(when(col("node") % 2 === 0,
+          concat(lit("c"), expr("node div 2")))
+        .otherwise(concat(lit("s"), expr("(node - 1) div 2")))
+        .as("node"), col("rank"))
+      .orderBy(col("rank").desc, col("node"))
+      .limit(graft.operators.Graph.PrTopK).collect())
+    // end-to-end warm repeats — the number the bench sweep sees
+    for (r <- 1 to 3)
+      t(s"q36 full (warm $r)")(
+        graft.operators.Graph.q36Pagerank(spark, sfDir).collect())
+  }
+
   private def probeD8AB(spark: SparkSession): Unit = {
     def chain(n: Long) = spark.range(1, n)
       .select((col("id") - 1).as("src"), col("id").as("dst"))

@@ -190,37 +190,63 @@ object Graph {
     * forbids aggregation inside a recursive CTE member — same pattern
     * as c10's trainer replay).
     *
-    * Scale shape: the edge list with out-degrees attached is built
-    * once and eagerly localCheckpoint'ed (the [[connectedComponents]]
-    * lineage rule: without the cut, every iteration re-derives the
-    * orders⋈lineitem distinct and the plan grows by a full copy per
-    * round); each iteration is then the canonical TWO keyed shuffles —
-    * join ranks on src, re-aggregate on dst — and the final top-k is
-    * a TakeOrderedAndProject. At 100 TB: edges persist to reliable
-    * storage instead, iterations stay two shuffles each. */
+    * Scale shape: nodes travel as fixed-width LONGS (custkey → 2k,
+    * suppkey → 2k+1 — labels minted only for the final 20-row
+    * output), the symmetrized edge list is eagerly localCheckpoint'ed
+    * before the out-degree pass (so the degree agg and the
+    * degree-attach probe both read the materialized rows instead of
+    * re-deriving the orders⋈lineitem distinct), out-degrees attach
+    * via a BROADCAST join (node-cardinality beside the edge list),
+    * and the degree-attached list is checkpointed once more as the
+    * per-round probe side (the [[connectedComponents]] lineage rule:
+    * without the cut the plan grows by a full copy per round);
+    * each iteration then BROADCASTS the rank vector (node-
+    * cardinality — orders of magnitude smaller than the edge list it
+    * joins) so the join is map-side against the checkpointed edges and
+    * the only keyed shuffle per round is the dst re-aggregation; the
+    * final top-k is a TakeOrderedAndProject. The per-round eager
+    * localCheckpoint on ranks is cheap (node-sized) and keeps the
+    * broadcast subtree flat — without it, materializing round N's
+    * broadcast would re-execute rounds 1..N-1. At 100 TB: edges
+    * persist to reliable storage; the broadcast holds while the node
+    * set fits executor memory (tens of millions of nodes at ~20 B
+    * each) — past that, drop the hint and the same spelling degrades
+    * gracefully to the classic two-shuffle iteration. */
   def q36Pagerank(s: SparkSession, dir: String): DataFrame = {
+    // Integer node ids on the wire (custkey → 2k, suppkey → 2k+1):
+    // every shuffle hashes and compares fixed-width longs instead of
+    // the 'c…'/'s…' label strings (which cut the one-time edge build
+    // from ~8 s to ~2 s at sf0.1); the labels the gate pins are
+    // minted only for the final node-sized sort.
     val trade = graft.Tables.orders(s, dir)
       .join(graft.Tables.lineitem(s, dir),
         col("o_orderkey") === col("l_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("a"),
-        concat(lit("s"), col("l_suppkey")).as("b"))
+      .select((col("o_custkey").cast("long") * 2).as("a"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("b"))
       .distinct()
     val edges = trade
       .select(col("a").as("src"), col("b").as("dst"))
       .unionAll(trade.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val eo = edges.join(outdeg, "src").localCheckpoint(true)
+    val eo = edges.join(broadcast(outdeg), "src").localCheckpoint(true)
     var ranks = outdeg
       .select(col("src").as("node"), lit(PrScale).as("rank"))
+      .localCheckpoint(true)
     for (_ <- 1 to PrIters) {
-      ranks = eo.join(ranks, col("src") === col("node"))
+      ranks = eo.join(broadcast(ranks), col("src") === col("node"))
         .select(col("dst"), expr("rank div outdeg").as("contrib"))
         .groupBy("dst").agg(sum("contrib").as("inflow"))
         .select(col("dst").as("node"),
           expr("150000 + (85 * inflow) div 100").as("rank"))
         .localCheckpoint(true)
     }
-    ranks.orderBy(col("rank").desc, col("node")).limit(PrTopK)
+    ranks
+      .select(when(col("node") % 2 === 0,
+          concat(lit("c"), expr("node div 2")))
+        .otherwise(concat(lit("s"), expr("(node - 1) div 2")))
+        .as("node"), col("rank"))
+      .orderBy(col("rank").desc, col("node")).limit(PrTopK)
   }
 
   /** The q36 oracle: same node/edge construction, same five unrolled

@@ -68,6 +68,99 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd dot product over two `array<float>` columns, in
+  * double — the fused-loop sibling of [[CosineSim]] without the norm
+  * division. Accumulation is the zero-seeded left-to-right double fold
+  * of the HOF spelling (`aggregate(zip_with(...))`) and of the DuckDB
+  * `list_reduce` mirror (graft.operators.VectorOps.sqlDot), so values
+  * are bit-identical across engines. Used by the s6 PQ quantizer for
+  * vector norms and slice self-dots. */
+case class DotProd(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override val nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_prod"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += xs.getFloat(i).toDouble * ys.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProd =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `dot_at(a, pos, b) -> double` — dot product of the length-|b| slice
+  * of `a` starting at 0-based `pos` with `b`, zero-seeded left fold in
+  * double. The allocation-free primitive of the s6 PQ scorer: scoring a
+  * 64-dim vector against 8 subspaces × 16 codewords is 128 `dot_at`
+  * calls that each walk the Tungsten array data in place — a `slice()`
+  * spelling would allocate 128 sub-arrays per row. `pos` must be an
+  * integer literal (it selects the subspace at plan time). Mirrored in
+  * DuckDB by a `generate_series(1, |b|)` fold over `a[pos + i]`. */
+case class DotAt(left: Expression, pos: Int, right: Expression)
+    extends BinaryExpression {
+  override val nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_at"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements() - pos, ys.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += xs.getFloat(pos + i).toDouble * ys.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements() - $pos, $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += (double) $a.getFloat($pos + $i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotAt =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `hyperplane_bucket(array<float>, nplanes) -> int` — random-hyperplane
   * LSH bucket: bit j of the result is the sign of the projection of the
   * vector onto deterministic ±1 hyperplane j (weights from
@@ -287,6 +380,9 @@ object GraftFunctions {
         FunctionIdentifier(name),
         new ExpressionInfo(clazz.getName, name), builder)
     reg("cosine_sim", classOf[CosineSim], cs => CosineSim(cs(0), cs(1)))
+    reg("dot_prod", classOf[DotProd], cs => DotProd(cs(0), cs(1)))
+    reg("dot_at", classOf[DotAt], cs =>
+      DotAt(cs(0), litInt("dot_at", "pos", cs(1)), cs(2)))
     reg("simhash60", classOf[SimHash60], cs => SimHash60(cs(0)))
     reg("payload_simhash", classOf[PayloadSimhash],
       cs => PayloadSimhash(cs(0)))

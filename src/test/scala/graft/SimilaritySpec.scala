@@ -94,6 +94,7 @@ class SimilaritySpec extends AnyFunSuite {
     // the corpus-aware dump trains on demand instead
     assert(Similarity.oracleFor(s, dir).contains("s3_ann_ivf"))
     Similarity.s3Ivf(s, dir).collect()
+    Similarity.s6Pq(s, dir).collect() // static oracle needs both quantizers
     val sql = Similarity.oracle("s3_ann_ivf")
     // all 16 cells inlined, probing and top-k parameters match the plan
     assert((0 until Similarity.IvfCells)
@@ -135,6 +136,7 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("d10 oracle SQL inlines the trained centroids and the tau") {
     Similarity.s3Ivf(s, dir).collect() // ensure centroids cached
+    Similarity.s6Pq(s, dir).collect() // static oracle needs both quantizers
     val sql = Similarity.oracle("d10_semdedup")
     assert((0 until Similarity.IvfCells).forall(i => sql.contains(s"($i, [CAST(")))
     assert(sql.contains(s">= ${Similarity.D10Tau}"))
@@ -253,5 +255,115 @@ class SimilaritySpec extends AnyFunSuite {
       "global top-k must be TakeOrdered, not a full sort")
     assert(!plan.contains("SortMergeJoin"),
       s"df/stats joins must broadcast:\n$plan")
+  }
+
+  test("s6 PQ matches a driver-side replay and trains once per corpus") {
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    s.conf.set("spark.graft.pq.dir",
+      java.nio.file.Files.createTempDirectory("graft-pq").toString)
+    Similarity.clearPqCache()
+    val before = Similarity.pqTrainCount.get()
+    val rows = Similarity.s6Pq(s, dir).collect()
+    assert(Similarity.pqTrainCount.get() == before + 1)
+    Similarity.s6Pq(s, dir).collect()
+    assert(Similarity.pqTrainCount.get() == before + 1,
+      "second s6 call re-trained the codebooks")
+    // cross-JVM path: the parquet artifact must satisfy a cache reload
+    Similarity.clearPqCache()
+    Similarity.s6Pq(s, dir).collect()
+    assert(Similarity.pqTrainCount.get() == before + 1,
+      "artifact miss: cache reload re-trained the codebooks")
+
+    // independent in-JVM replay of encode + ADC from the same codebooks
+    val (cb, nCorpus) = Similarity.pqFor(s, dir)
+    val shortDepth = Similarity.pqShortlistFor(nCorpus)
+    val emb = graft.Tables.embeddings(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def nrm(v: Array[Float]): Double = {
+      var ss = 0.0; var i = 0
+      while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(ss)
+    }
+    def dotAt(v: Array[Float], off: Int, w: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < w.length) { d += v(off + i).toDouble * w(i).toDouble; i += 1 }
+      d
+    }
+    def cnorm(w: Array[Float]): Double = {
+      var ss = 0.0; var i = 0
+      while (i < w.length) { ss += w(i).toDouble * w(i).toDouble; i += 1 }
+      ss
+    }
+    def codesOf(v: Array[Float]): Array[Int] = {
+      val n = nrm(v)
+      Array.tabulate(Similarity.PqM) { m =>
+        var best = 0; var bestS = Double.MaxValue; var c = 0
+        while (c < Similarity.PqK) {
+          val sc = cnorm(cb(m)(c)) -
+            2.0 * (dotAt(v, m * Similarity.PqSubDim, cb(m)(c)) / n)
+          if (sc < bestS) { bestS = sc; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+    val codes = emb.map { case (id, v) => id -> codesOf(v) }
+    def pd(qv: Array[Float], m: Int, c: Int): BigDecimal = {
+      val n = nrm(qv); val off = m * Similarity.PqSubDim
+      var qs = 0.0; var i = 0
+      while (i < Similarity.PqSubDim) {
+        qs += qv(off + i).toDouble * qv(off + i).toDouble; i += 1
+      }
+      val x = qs / (n * n) -
+        2.0 * (dotAt(qv, off, cb(m)(c)) / n) + cnorm(cb(m)(c))
+      BigDecimal.valueOf(x).setScale(Similarity.PqRound, HALF_UP)
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb2 = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb2 += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb2))
+    }
+    val expected = (0L until Similarity.NumQueries).flatMap { qid =>
+      val qv = emb(qid)
+      val short = emb.keys.filter(_ != qid).map { nid =>
+        val adist = (0 until Similarity.PqM)
+          .map(m => pd(qv, m, codes(nid)(m))).sum.toDouble
+        (nid, adist)
+      }.toSeq.sortBy(t => (t._2, t._1)).take(shortDepth)
+      short.map { case (nid, adist) => (nid, adist, cos(qv, emb(nid))) }
+        .sortBy(t => (-t._3, t._1)).take(Similarity.TopK)
+        .zipWithIndex.map { case ((n2, a, c2), i) => (qid, i + 1, n2, a, c2) }
+    }
+    val got = rows.map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected, "Spark PQ result != driver-side replay")
+
+    // quantization recall vs the exact s1 ranking — reported, floored
+    val truth = Similarity.s1BruteForce(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val found = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (truth & found).size.toDouble / truth.size
+    info(f"PQ+rerank recall@${Similarity.TopK} vs s1 = $recall%.2f")
+    assert(recall >= 0.4,
+      "ADC shortlist + exact rerank should beat pure-ADC (~0.3) recall")
+    s.conf.unset("spark.graft.pq.dir")
+  }
+
+  test("s6 oracle SQL inlines all 128 codewords; corpus plan is shuffle-free before the top-k") {
+    Similarity.s6Pq(s, dir).collect() // ensure codebooks cached
+    Similarity.s3Ivf(s, dir).collect() // static oracle needs both quantizers
+    val sql = Similarity.oracle("s6_ann_pq")
+    for (m <- 0 until Similarity.PqM; c <- 0 until Similarity.PqK)
+      assert(sql.contains(s"($m, $c, [CAST("), s"codeword ($m,$c) not inlined")
+    assert(sql.contains(s"rnk <= ${Similarity.TopK}"))
+    // encoding must be scan-local: the only exchanges in the plan are
+    // the broadcast of the 5-query table and the top-k window's hash
+    // partitioning on query_id
+    val plan = Similarity.s6Pq(s, dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"PQ join must broadcast:\n$plan")
   }
 }

@@ -663,6 +663,89 @@ object Relational {
       .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort_day", "day_offset")
 
+  /** Power-user cap for q37: each user contributes at most this many
+    * distinct items to the pair fan-out. 12 sits below the median
+    * profile size of the synthetic click stream (13/12/12 items at the
+    * three SFs, max 20–24), so the cap genuinely reshapes most
+    * profiles at every SF — spec-asserted, because a cap the corpus
+    * never reaches would leave the operator's scale story untested. */
+  val CoocCap = 12
+  val CoocTopK = 20
+
+  /** q37: ITEM-ITEM CO-OCCURRENCE over the click stream — the
+    * "customers who clicked X also clicked Y" matrix every
+    * recommendation / related-content pipeline derives from the same
+    * events the reference only frequency-counts (q9's altitude, one
+    * hop up). Items are the `props.k` ids (the q15 extraction); a
+    * pair's weight is the number of users with BOTH items in their
+    * capped click profile.
+    *
+    * Scale shape: the pair fan-out is the quadratic hazard — a user
+    * with d distinct items contributes d(d−1)/2 pairs, so ONE
+    * power user at 100 TB (bots, crawlers) can emit more pairs than
+    * the rest of the corpus combined. The fix is the production
+    * standard (Spark ALS / co-occurrence pipelines all ship it): cap
+    * each user's profile at [[CoocCap]] items, kept DETERMINISTICALLY
+    * (top-clicks, item-id tie-break) via a row_number window that
+    * Spark 4 prunes map-side (WindowGroupLimit), bounding the blow-up
+    * at C(C−1)/2 per user. After the cap: per-user profiles self-join
+    * on user_id (both sides share the window's hash partitioning — the
+    * exchange is planned once and REUSED), the pair count is a
+    * map-side-combinable aggregation, and the final top-k is a
+    * TakeOrderedAndProject. */
+  def q37Cooccur(s: SparkSession, dir: String): DataFrame = {
+    val clicks = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .groupBy("user_id", "item")
+      .agg(count(lit(1)).as("clicks"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("clicks").desc, col("item"))
+    val capped = clicks
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= CoocCap)
+      .select("user_id", "item")
+    capped.select(col("user_id"), col("item").as("item_a"))
+      .join(capped.select(col("user_id"), col("item").as("item_b")),
+        "user_id")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("users"))
+      .orderBy(col("users").desc, col("item_a"), col("item_b"))
+      .limit(CoocTopK)
+  }
+
+  /** q38: MARKOV TRANSITION MATRIX over event types — P(next event
+    * type | current) per user session stream, the behavioral-model
+    * fingerprint (bot detection, funnel diagnostics) of the stream
+    * q32/q34 analyze by position and calendar. Each user's events are
+    * ordered by (ts, event_id); every consecutive pair is one
+    * transition; the matrix row-normalizes to integer PERMILLE
+    * (`1000·cnt div row_total` — exact integer division, the q36/s5
+    * fixed-point rule, so the gate never hashes a quotient double).
+    *
+    * Scale shape: one keyed shuffle (user_id) for the lag window —
+    * the same partitioning st3/q32 ride; the (prev, next) aggregation
+    * is map-side-combinable into a TYPE²-sized frame (constant: 5×5
+    * here), and the row totals attach via a window over that
+    * constant-sized frame, never a second data shuffle. */
+  def q38Transitions(s: SparkSession, dir: String): DataFrame = {
+    val wSeq = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val wRow = Window.partitionBy("prev_type")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(wSeq))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("permille",
+        expr("1000 * cnt div sum(cnt) OVER (PARTITION BY prev_type)"))
+      .select("prev_type", "next_type", "cnt", "permille")
+      .orderBy("prev_type", "next_type")
+  }
+
   /** `lo + (hi−lo)·frac` on the exact grid — every term an exact
     * double (cents < 2^27, frac a multiple of 0.25), so this equals
     * the builtin `percentile` and DuckDB's `quantile_cont`
@@ -824,6 +907,40 @@ object Relational {
         |  CAST(count(*) AS BIGINT) AS n_users
         |FROM d JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // same capped profiles (clicks-desc/item row_number), same strict
+    // lower-triangle pair rule, same (users desc, item, item) order
+    "q37_cooccur" ->
+      s"""WITH ci AS (
+         |  SELECT user_id,
+         |    CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER)
+         |      AS item,
+         |    count(*) AS clicks
+         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         |capped AS (
+         |  SELECT user_id, item FROM (
+         |    SELECT user_id, item, row_number() OVER (
+         |      PARTITION BY user_id ORDER BY clicks DESC, item) AS rn
+         |    FROM ci) WHERE rn <= $CoocCap)
+         |SELECT a.item AS item_a, b.item AS item_b,
+         |  CAST(count(*) AS BIGINT) AS users
+         |FROM capped a JOIN capped b
+         |  ON a.user_id = b.user_id AND a.item < b.item
+         |GROUP BY 1, 2
+         |ORDER BY users DESC, item_a, item_b LIMIT $CoocTopK""".stripMargin,
+    // same (ts, event_id) sequence order, same integer-permille
+    // row normalization
+    "q38_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type, lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |t AS (
+        |  SELECT prev_type, event_type AS next_type, count(*) AS cnt
+        |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(1000 * cnt // sum(cnt) OVER (PARTITION BY prev_type)
+        |    AS BIGINT) AS permille
+        |FROM t ORDER BY prev_type, next_type""".stripMargin,
     // same integer-cents value space, same exact-binary quartile fracs;
     // quantile_cont and percentile interpolate identically on that grid
     "q33_quantiles" ->
@@ -1042,5 +1159,7 @@ object Relational {
     "q33_quantiles" -> q33Quantiles,
     "q34_retention_cohorts" -> q34RetentionCohorts,
     "q35_cms_topk" -> q35CmsTopk,
+    "q37_cooccur" -> q37Cooccur,
+    "q38_transitions" -> q38Transitions,
   )
 }

@@ -283,4 +283,69 @@ class RelationalSpec extends AnyFunSuite {
       assert(r.getDouble(3) <= r.getDouble(4) && r.getDouble(4) <= r.getDouble(5))
     }
   }
+
+  test("q37 co-occurrence matches a driver replay and the cap genuinely binds") {
+    import org.apache.spark.sql.functions.{col, expr, get_json_object}
+    val clicks = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    // the power-user hazard must be present in the corpus, or the test
+    // (and the operator's scale story) exercises nothing
+    val profileSizes = clicks.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.length).toMap
+    assert(profileSizes.values.exists(_ > Relational.CoocCap),
+      s"no user exceeds the cap at $dir — cap untested")
+    // replay: per-user (clicks desc, item) top-C profile, then pairs
+    val capped = clicks.groupBy(_._1).view.mapValues { xs =>
+      xs.groupBy(_._2).view.mapValues(_.length).toSeq
+        .sortBy { case (item, n) => (-n, item) }
+        .take(Relational.CoocCap).map(_._1).toSet
+    }.toMap
+    val pairCounts = capped.values.toSeq
+      .flatMap(items => items.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((a, b), n) => (a, b, n) }
+      .sortBy { case (a, b, n) => (-n, a, b) }
+      .take(Relational.CoocTopK)
+    val got = Relational.q37Cooccur(s, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == pairCounts, "co-occurrence top-k != driver replay")
+    // the pair explosion stays capped: no profile feeds more than
+    // C(C-1)/2 pairs
+    val plan = Relational.q37Cooccur(s, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "final top-k must be TakeOrdered, not a global sort")
+  }
+
+  test("q38 transition matrix: exact replay, permille rows, conservation") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val transitions = ev.groupBy(_._1).values.flatMap { es =>
+      val seq = es.sortBy(e => (e._2.getTime, e._2.getNanos, e._3)).map(_._4)
+      seq.zip(seq.tail)
+    }.toSeq
+    val cnt = transitions.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rowTot = cnt.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum).toMap
+    val expected = cnt.toSeq.map { case ((p, n), c) =>
+      (p, n, c, 1000L * c / rowTot(p))
+    }.sortBy(t => (t._1, t._2))
+    val got = Relational.q38Transitions(s, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected, "transition matrix != driver replay")
+    // conservation: every user contributes (events - 1) transitions
+    val users = ev.map(_._1).distinct.length
+    assert(got.map(_._3).sum == ev.length - users)
+    // each row's permille mass is ≤ 1000 and within truncation slack
+    got.groupBy(_._1).foreach { case (p, rows) =>
+      val mass = rows.map(_._4).sum
+      assert(mass <= 1000 && mass > 1000 - rows.length,
+        s"row $p permille mass $mass out of floor-division range")
+    }
+  }
 }

@@ -822,38 +822,40 @@ object Similarity {
     * Reference altitude: the course's pipelines stop at exact
     * pairwise similarity; s6 is the LLM-data-pipeline extension the
     * builder prompt asks for (embedding-index compression). */
-  def s6Pq(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    val (cb, nCorpus) = pqFor(s, dir)
-    val shortDepth = pqShortlistFor(nCorpus)
-
-    val nv = Tables.embeddings(s, dir)
+  /** The embeddings scan with its norm attached — the shared base of
+    * the PQ corpus and query sides. */
+  private def pqNv(s: SparkSession, dir: String) =
+    Tables.embeddings(s, dir)
       .withColumn("nrm", expr("sqrt(dot_prod(embedding, embedding))"))
 
-    // corpus side: 8 argmin codes, scan-local against inlined literals.
-    // score(m,c) = ‖c‖² − 2·(x_m·c)/nrm ranks exactly like the true
-    // slice distance (the vector's own slice norm is constant in c).
-    def scoreSpark(m: Int, c: Int): String = {
-      val cn = pqCnorm(cb(m)(c))
-      s"(CAST($cn AS DOUBLE) - CAST(2 AS DOUBLE) * " +
-        s"(dot_at(embedding, ${m * PqSubDim}, ${pqFloatLit(cb(m)(c), spark = true)}) / nrm))"
-    }
-    val codeCols = (0 until PqM).map { m =>
+  /** Corpus-side assignment score, scan-local against inlined
+    * literals: score(m,c) = ‖c‖² − 2·(x_m·c)/nrm ranks exactly like
+    * the true slice distance (the vector's own slice norm is constant
+    * in c). */
+  private def pqScoreSpark(cb: Array[Array[Array[Float]]])(m: Int, c: Int): String = {
+    val cn = pqCnorm(cb(m)(c))
+    s"(CAST($cn AS DOUBLE) - CAST(2 AS DOUBLE) * " +
+      s"(dot_at(embedding, ${m * PqSubDim}, ${pqFloatLit(cb(m)(c), spark = true)}) / nrm))"
+  }
+
+  /** The 8 argmin code columns c0..c7 (ties to the lower cid via
+    * struct array_min). */
+  private def pqCodeCols(cb: Array[Array[Array[Float]]]): Seq[org.apache.spark.sql.Column] =
+    (0 until PqM).map { m =>
       expr("array_min(array(" + (0 until PqK).map(c =>
-        s"named_struct('s', ${scoreSpark(m, c)}, 'c', $c)").mkString(",") +
+        s"named_struct('s', ${pqScoreSpark(cb)(m, c)}, 'c', $c)").mkString(",") +
         ")).c").as(s"c$m")
     }
-    val cand = nv.select(
-      (col("vec_id").as("neighbor_id") +: codeCols): _*)
 
-    // query side (NumQueries rows): the 8×16 ADC table of true
-    // per-subspace squared distances, as rounded decimal partials
+  /** Query-side ADC table columns qt0..qt7: per-subspace TRUE squared
+    * distances to every codeword, as rounded decimal partials. */
+  private def pqQtabCols(cb: Array[Array[Array[Float]]]): Seq[org.apache.spark.sql.Column] = {
     def qsq(m: Int): String = {
       val o1 = m * PqSubDim + 1 // Spark slice() is 1-based
       s"(dot_prod(slice(embedding, $o1, $PqSubDim), " +
         s"slice(embedding, $o1, $PqSubDim)) / (nrm * nrm))"
     }
-    val qtabCols = (0 until PqM).map { m =>
+    (0 until PqM).map { m =>
       expr("array(" + (0 until PqK).map { c =>
         val cn = pqCnorm(cb(m)(c))
         s"CAST(round(${qsq(m)} - CAST(2 AS DOUBLE) * " +
@@ -861,22 +863,18 @@ object Similarity {
           s"CAST($cn AS DOUBLE), $PqRound) AS DECIMAL(18,$PqRound))"
       }.mkString(",") + ")").as(s"qt$m")
     }
-    val q = nv.filter(col("vec_id") < NumQueries)
-      .select((col("vec_id").as("query_id") +: qtabCols): _*)
+  }
 
-    val adist = expr("CAST(" + (0 until PqM).map(m =>
+  /** ADC distance of a joined (codes, table) row: 8 lookups summed as
+    * exact decimals, cast to double. */
+  private def pqAdistExpr: org.apache.spark.sql.Column =
+    expr("CAST(" + (0 until PqM).map(m =>
       s"element_at(qt$m, c$m + 1)").mkString(" + ") + " AS DOUBLE)")
-    val wAdc = Window.partitionBy("query_id")
-      .orderBy(col("adist").asc, col("neighbor_id"))
-    val shortlist = cand
-      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", adist)
-      .withColumn("arnk", row_number().over(wAdc))
-      .filter(col("arnk") <= shortDepth)
-      .select("query_id", "neighbor_id", "adist")
 
-    // exact rerank: only shortlist·queries float vectors are fetched —
-    // both joins broadcast the (tiny) shortlist side
+  /** Exact rerank of an ADC shortlist: only shortlist·queries float
+    * vectors are fetched — both joins broadcast the (tiny) shortlist
+    * side. */
+  private def pqRerank(s: SparkSession, dir: String, shortlist: DataFrame): DataFrame = {
     val ne = Tables.embeddings(s, dir)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
     val qe = Tables.embeddings(s, dir)
@@ -891,6 +889,80 @@ object Similarity {
       .filter(col("rnk") <= TopK)
       .select("query_id", "rnk", "neighbor_id", "adist", "cos")
       .orderBy("query_id", "rnk")
+  }
+
+  def s6Pq(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val (cb, nCorpus) = pqFor(s, dir)
+    val shortDepth = pqShortlistFor(nCorpus)
+    val nv = pqNv(s, dir)
+
+    val cand = nv.select(
+      (col("vec_id").as("neighbor_id") +: pqCodeCols(cb)): _*)
+    val q = nv.filter(col("vec_id") < NumQueries)
+      .select((col("vec_id").as("query_id") +: pqQtabCols(cb)): _*)
+
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    val shortlist = cand
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", pqAdistExpr)
+      .withColumn("arnk", row_number().over(wAdc))
+      .filter(col("arnk") <= shortDepth)
+      .select("query_id", "neighbor_id", "adist")
+
+    pqRerank(s, dir, shortlist)
+  }
+
+  /** s7: IVF-PQ — the composition both families exist FOR (FAISS's
+    * default index, "IVFx,PQy"): s3's trained coarse quantizer routes
+    * every vector to a cell and each query to its [[IvfProbes]]
+    * nearest cells, so the ADC scan touches only probed cells
+    * (nprobe/cells of the corpus) instead of everything; within the
+    * probed candidates the s6 machinery runs unchanged (8-byte codes,
+    * decimal ADC partials, corpus-scaled shortlist, exact rerank).
+    * At 100 TB this is THE deployable shape: IVF bounds the scan,
+    * PQ bounds the memory, the rerank restores precision — and both
+    * training artifacts are the cached per-corpus models s3/s6
+    * already persist (zero new training).
+    *
+    * Plan shape: cell id AND codes are one scan-local projection
+    * (literal centroids + literal codebooks — zero shuffle); the
+    * probe-exploded query table broadcasts into a hash join on cell
+    * id (the s3 shape) carrying the ADC tables; shortlist and top-k
+    * are WindowGroupLimit-pruned; rerank broadcasts. */
+  def s7IvfPq(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val centroids: Array[(Int, Array[Float])] =
+      centroidsFor(s, dir).zipWithIndex.map { case (v, i) => (i, v) }
+    val (cb, nCorpus) = pqFor(s, dir)
+    val shortDepth = pqShortlistFor(nCorpus)
+    val nv = pqNv(s, dir)
+
+    val structsArr = centroidStructsArr(centroids)
+    val cellExpr = expr(s"array_max($structsArr).id")
+    val probeExpr = expr(
+      s"transform(slice(reverse(array_sort($structsArr)), 1, $IvfProbes)," +
+        " x -> x.id)")
+
+    val cand = nv.select(
+      (col("vec_id").as("neighbor_id") +: cellExpr.as("cell") +:
+        pqCodeCols(cb)): _*)
+    val q = nv.filter(col("vec_id") < NumQueries)
+      .select((col("vec_id").as("query_id") +:
+        explode(probeExpr).as("qc") +: pqQtabCols(cb)): _*)
+
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    val shortlist = cand
+      .join(broadcast(q),
+        col("cell") === col("qc") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", pqAdistExpr)
+      .withColumn("arnk", row_number().over(wAdc))
+      .filter(col("arnk") <= shortDepth)
+      .select("query_id", "neighbor_id", "adist")
+
+    pqRerank(s, dir, shortlist)
   }
 
   /** DuckDB mirror of [[s6Pq]] with the trained codebooks inlined as a
@@ -946,6 +1018,103 @@ object Similarity {
        |  SELECT query_id, c.vec_id AS neighbor_id, pd
        |  FROM codes c JOIN qd ON qd.m = c.m AND qd.cid = c.cid
        |    AND c.vec_id <> qd.query_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, CAST(sum(pd) AS DOUBLE) AS adist
+       |  FROM contrib GROUP BY query_id, neighbor_id),
+       |short AS (
+       |  SELECT query_id, neighbor_id, adist FROM (
+       |    SELECT query_id, neighbor_id, adist, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY adist, neighbor_id) AS arnk
+       |    FROM scored) WHERE arnk <= $shortlist),
+       |rr AS (
+       |  SELECT sh.query_id, sh.neighbor_id, sh.adist,
+       |    qv.embedding AS qe, nv2.embedding AS ce
+       |  FROM short sh
+       |  JOIN embeddings nv2 ON nv2.vec_id = sh.neighbor_id
+       |  JOIN embeddings qv ON qv.vec_id = sh.query_id),
+       |rranked AS (
+       |  SELECT query_id, neighbor_id, adist,
+       |    ${VectorOps.sqlCosine("qe", "ce")} AS cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ${VectorOps.sqlCosine("qe", "ce")} DESC, neighbor_id)
+       |      AS rnk
+       |  FROM rr)
+       |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, adist, cos
+       |FROM rranked WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** DuckDB mirror of [[s7IvfPq]]: the s3 cell-routing CTEs (cent
+    * VALUES, argmax assignment with ties to the HIGHER cid, probe
+    * list crnk ≤ nprobe) composed with the s6 PQ CTEs (codebook
+    * VALUES through the DOUBLE-mediated float cast, argmin codes,
+    * decimal ADC partials, shortlist, exact-cosine rerank); the
+    * contrib join additionally requires the candidate's cell to be
+    * one of the query's probes — a candidate matches at most one
+    * probe, so no pair duplicates. */
+  private[graft] def s7OracleSql(cent: Array[Array[Float]],
+      model: (Array[Array[Array[Float]]], Long)): String = {
+    val (cb, nCorpus) = model
+    val shortlist = pqShortlistFor(nCorpus)
+    val cbVals = (for { m <- 0 until PqM; c <- 0 until PqK } yield
+      s"($m, $c, ${pqFloatLit(cb(m)(c), spark = false)}, " +
+        s"CAST(${pqCnorm(cb(m)(c))} AS DOUBLE))").mkString(",\n    ")
+    def litVec(v: Array[Float]) =
+      v.map(x => s"CAST($x AS FLOAT)").mkString("[", ",", "]")
+    val centVals = cent.zipWithIndex
+      .map { case (v, i) => s"($i, ${litVec(v)})" }.mkString(",\n    ")
+    def dot8(v: String, w: String): String =
+      s"list_reduce(list_transform(generate_series(1, $PqSubDim), " +
+        s"i -> CAST($v[m * $PqSubDim + i] AS DOUBLE) * CAST($w[i] AS DOUBLE)), " +
+        "(x, y) -> x + y)"
+    def dot8self(v: String): String =
+      s"list_reduce(list_transform(generate_series(1, $PqSubDim), " +
+        s"i -> CAST($v[m * $PqSubDim + i] AS DOUBLE) * " +
+        s"CAST($v[m * $PqSubDim + i] AS DOUBLE)), (x, y) -> x + y)"
+    val dot64 =
+      "list_reduce(list_transform(generate_series(1, 64), " +
+        "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), " +
+        "(x, y) -> x + y)"
+    s"""WITH cb(m, cid, cv, cnorm) AS (VALUES
+       |    $cbVals),
+       |cent(icid, icv) AS (VALUES
+       |    $centVals),
+       |nv AS (
+       |  SELECT vec_id, embedding, sqrt($dot64) AS nrm FROM embeddings),
+       |cellsc AS (
+       |  SELECT e.vec_id, c.icid,
+       |    ${VectorOps.sqlCosine("embedding", "icv")} AS ccos
+       |  FROM embeddings e CROSS JOIN cent c),
+       |rankedc AS (
+       |  SELECT vec_id, icid, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY ccos DESC, icid DESC) AS crnk
+       |  FROM cellsc),
+       |cells AS (SELECT vec_id, icid AS cell FROM rankedc WHERE crnk = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, icid AS qc
+       |  FROM rankedc WHERE vec_id < $NumQueries AND crnk <= $IvfProbes),
+       |sc AS (
+       |  SELECT vec_id, m, cid,
+       |    (cnorm - CAST(2 AS DOUBLE) * (${dot8("embedding", "cv")} / nrm))
+       |      AS score
+       |  FROM nv CROSS JOIN cb),
+       |codes AS (
+       |  SELECT vec_id, m, cid FROM (
+       |    SELECT vec_id, m, cid, row_number() OVER (
+       |      PARTITION BY vec_id, m ORDER BY score, cid) AS rn
+       |    FROM sc) WHERE rn = 1),
+       |qd AS (
+       |  SELECT vec_id AS query_id, m, cid,
+       |    CAST(round((${dot8self("embedding")} / (nrm * nrm)) -
+       |      CAST(2 AS DOUBLE) * (${dot8("embedding", "cv")} / nrm) + cnorm,
+       |      $PqRound) AS DECIMAL(18,$PqRound)) AS pd
+       |  FROM nv CROSS JOIN cb WHERE vec_id < $NumQueries),
+       |contrib AS (
+       |  SELECT qd.query_id, c.vec_id AS neighbor_id, pd
+       |  FROM codes c
+       |  JOIN cells ce ON ce.vec_id = c.vec_id
+       |  JOIN qd ON qd.m = c.m AND qd.cid = c.cid
+       |    AND c.vec_id <> qd.query_id
+       |  JOIN qprobe qp ON qp.query_id = qd.query_id AND qp.qc = ce.cell),
        |scored AS (
        |  SELECT query_id, neighbor_id, CAST(sum(pd) AS DOUBLE) AS adist
        |  FROM contrib GROUP BY query_id, neighbor_id),
@@ -1058,10 +1227,12 @@ object Similarity {
     * on which corpus happened to run last — the dump path Verify uses. */
   def oracleFor(s: SparkSession, dir: String): Map[String, String] = {
     val cent = centroidsFor(s, dir)
+    val pq = pqFor(s, dir)
     staticOracle +
       ("s3_ann_ivf" -> s3OracleSql(cent)) +
       ("d10_semdedup" -> d10OracleSql(cent)) +
-      ("s6_ann_pq" -> s6OracleSql(pqFor(s, dir)))
+      ("s6_ann_pq" -> s6OracleSql(pq)) +
+      ("s7_ann_ivfpq" -> s7OracleSql(cent, pq))
   }
 
   /** s1/s2 are static SQL; s3's entry requires a trained quantizer.
@@ -1077,11 +1248,12 @@ object Similarity {
       case (Some(c), Some(p)) => staticOracle +
         ("s3_ann_ivf" -> s3OracleSql(c)) +
         ("d10_semdedup" -> d10OracleSql(c)) +
-        ("s6_ann_pq" -> s6OracleSql(p))
+        ("s6_ann_pq" -> s6OracleSql(p)) +
+        ("s7_ann_ivfpq" -> s7OracleSql(c, p))
       case _ => throw new IllegalStateException(
-        "s3_ann_ivf/d10_semdedup/s6_ann_pq oracle requested but no " +
-          "trained quantizer is cached for any corpus — run the queries " +
-          "for the gate corpus first, or use Similarity.oracleFor(spark, dir)")
+        "s3/d10/s6/s7 oracle requested but no trained quantizer is " +
+          "cached for any corpus — run the queries for the gate corpus " +
+          "first, or use Similarity.oracleFor(spark, dir)")
     }
   }
 
@@ -1162,5 +1334,6 @@ object Similarity {
     "s4_bm25_topk" -> s4Bm25,
     "s5_hybrid_rerank" -> s5HybridRerank,
     "s6_ann_pq" -> s6Pq, // oracle generated with inlined codebooks
+    "s7_ann_ivfpq" -> s7IvfPq, // oracle generated with both models inlined
   )
 }

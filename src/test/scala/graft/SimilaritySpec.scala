@@ -353,6 +353,98 @@ class SimilaritySpec extends AnyFunSuite {
     s.conf.unset("spark.graft.pq.dir")
   }
 
+  test("s7 IVF-PQ matches a driver replay; candidates confined to probed cells") {
+    import scala.math.BigDecimal.RoundingMode.HALF_UP
+    val rows = Similarity.s7IvfPq(s, dir).collect()
+    val cent = Similarity.centroidsFor(s, dir)
+    val (cb, nCorpus) = Similarity.pqFor(s, dir)
+    val shortDepth = Similarity.pqShortlistFor(nCorpus)
+    val emb = graft.Tables.embeddings(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb2 = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb2 += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb2))
+    }
+    // cell ranking mirrors s3: cosine DESC, centroid id DESC on ties
+    def cellRanking(v: Array[Float]): Seq[Int] =
+      cent.indices.map(i => (cos(v, cent(i)), i))
+        .sortBy { case (c, i) => (-c, -i) }.map(_._2)
+    val cellOf = emb.map { case (id, v) => id -> cellRanking(v).head }
+    val probesOf = (0L until Similarity.NumQueries)
+      .map(q => q -> cellRanking(emb(q)).take(Similarity.IvfProbes).toSet)
+      .toMap
+    // every returned neighbor must live in one of its query's probes
+    rows.foreach { r =>
+      assert(probesOf(r.getLong(0))(cellOf(r.getLong(2))),
+        s"neighbor ${r.getLong(2)} outside query ${r.getLong(0)}'s probes")
+    }
+    // full replay: PQ codes + ADC within probed cells + exact rerank
+    def nrm(v: Array[Float]): Double = {
+      var ss = 0.0; var i = 0
+      while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
+      math.sqrt(ss)
+    }
+    def dotAt(v: Array[Float], off: Int, w: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < w.length) { d += v(off + i).toDouble * w(i).toDouble; i += 1 }
+      d
+    }
+    def cnorm(w: Array[Float]): Double = {
+      var ss = 0.0; var i = 0
+      while (i < w.length) { ss += w(i).toDouble * w(i).toDouble; i += 1 }
+      ss
+    }
+    def codesOf(v: Array[Float]): Array[Int] = {
+      val n = nrm(v)
+      Array.tabulate(Similarity.PqM) { m =>
+        var best = 0; var bestS = Double.MaxValue; var c = 0
+        while (c < Similarity.PqK) {
+          val sc = cnorm(cb(m)(c)) -
+            2.0 * (dotAt(v, m * Similarity.PqSubDim, cb(m)(c)) / n)
+          if (sc < bestS) { bestS = sc; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+    val codes = emb.map { case (id, v) => id -> codesOf(v) }
+    def pd(qv: Array[Float], m: Int, c: Int): BigDecimal = {
+      val n = nrm(qv); val off = m * Similarity.PqSubDim
+      var qs = 0.0; var i = 0
+      while (i < Similarity.PqSubDim) {
+        qs += qv(off + i).toDouble * qv(off + i).toDouble; i += 1
+      }
+      val x = qs / (n * n) -
+        2.0 * (dotAt(qv, off, cb(m)(c)) / n) + cnorm(cb(m)(c))
+      BigDecimal.valueOf(x).setScale(Similarity.PqRound, HALF_UP)
+    }
+    val expected = (0L until Similarity.NumQueries).flatMap { qid =>
+      val qv = emb(qid)
+      val short = emb.keys
+        .filter(nid => nid != qid && probesOf(qid)(cellOf(nid)))
+        .map { nid =>
+          val adist = (0 until Similarity.PqM)
+            .map(m => pd(qv, m, codes(nid)(m))).sum.toDouble
+          (nid, adist)
+        }.toSeq.sortBy(t => (t._2, t._1)).take(shortDepth)
+      short.map { case (nid, adist) => (nid, adist, cos(qv, emb(nid))) }
+        .sortBy(t => (-t._3, t._1)).take(Similarity.TopK)
+        .zipWithIndex.map { case ((n2, a, c2), i) => (qid, i + 1, n2, a, c2) }
+    }
+    val got = rows.map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected, "Spark IVF-PQ result != driver-side replay")
+    val truth = Similarity.s1BruteForce(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val found = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    info(f"IVF-PQ recall@${Similarity.TopK} vs s1 = ${(truth & found).size.toDouble / truth.size}%.2f")
+  }
+
   test("s6 oracle SQL inlines all 128 codewords; corpus plan is shuffle-free before the top-k") {
     Similarity.s6Pq(s, dir).collect() // ensure codebooks cached
     Similarity.s3Ivf(s, dir).collect() // static oracle needs both quantizers

@@ -519,7 +519,88 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** c12 staged-snapshot derivation constants: of v1's documents,
+    * every 97th doc is DROPPED in v2, every 83rd surviving doc is
+    * CHANGED (a ` [rev2]` suffix), and every 101st doc additionally
+    * arrives as a NEW doc re-keyed past v1's max id. Deterministic, so
+    * the oracle reproduces v2 from `documents` in SQL while the Spark
+    * side reads the genuinely staged second parquet. */
+  val C12DropMod = 97
+  val C12ChangeMod = 83
+  val C12AddMod = 101
+
+  /** The staged v2 snapshot — written once per corpus generation under
+    * a fingerprint-keyed path (the d9BenchmarksPath pattern: _SUCCESS
+    * short-circuits repeats, re-ingest invalidates). */
+  def c12SnapshotPath(s: SparkSession, dir: String): String = {
+    val path = s"target/snapdata/${Tables.fingerprint(s, dir, "documents")}" +
+      "/documents_v2.parquet"
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success)) {
+      val docs = Tables.documents(s, dir)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      docs.filter(col("doc_id") % C12DropMod =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % C12ChangeMod === 0,
+            concat(col("text"), lit(" [rev2]"))).otherwise(col("text"))
+            .as("text"))
+        .unionAll(docs.filter(col("doc_id") % C12AddMod === 0)
+          .select((col("doc_id") + maxId + 1).as("doc_id"), col("text")))
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** c12: SNAPSHOT DIFF — the incremental-ingestion audit every
+    * versioned corpus store (Delta/Iceberg-shaped pipelines, dataset
+    * cards tracking drift) derives when a new crawl lands: per doc,
+    * is it added / removed / changed / unchanged vs the previous
+    * snapshot? Content equality is judged on md5 FINGERPRINTS, not
+    * text — the scale point: the diff join shuffles fixed-width
+    * hashes, never the 100 TB of bodies, and the hash is the same
+    * scan-local projection d1 dedups on.
+    *
+    * Plan: both snapshots project (doc_id, md5(text)) scan-locally,
+    * FULL OUTER join on doc_id (one co-partitioned shuffle pair —
+    * the only data-sized movement), status is a row-local CASE. The
+    * staged v2 is a genuine second parquet ([[c12SnapshotPath]] —
+    * the d9_xt production-plumbing argument: a second path, a second
+    * read, zero operators below the scan change). */
+  def c12SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("h1"))
+    val v2 = s.read.parquet(c12SnapshotPath(s, dir))
+      .select(col("doc_id"), md5(col("text")).as("h2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h1").isNull, lit("added"))
+          .when(col("h2").isNull, lit("removed"))
+          .when(col("h1") =!= col("h2"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .orderBy("doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    // v2 is reproduced from documents by the same deterministic
+    // derivation the staging wrote; md5 hex agrees across engines
+    "c12_snapshot_diff" ->
+      s"""WITH mx AS (SELECT max(doc_id) AS mxid FROM documents),
+         |v2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % $C12ChangeMod = 0 THEN text || ' [rev2]'
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % $C12DropMod <> 0
+         |  UNION ALL
+         |  SELECT doc_id + mxid + 1 AS doc_id, text
+         |  FROM documents CROSS JOIN mx WHERE doc_id % $C12AddMod = 0)
+         |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |  CASE WHEN a.doc_id IS NULL THEN 'added'
+         |       WHEN b.doc_id IS NULL THEN 'removed'
+         |       WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+         |       ELSE 'unchanged' END AS status
+         |FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+         |ORDER BY doc_id""".stripMargin,
     // same md5-byte bucketing, same Laplace-smoothed integer affinity
     // ratio, same md5-bucket Bernoulli — pure integer arithmetic
     // throughout (DuckDB's HUGEINT intermediates collapse back to the
@@ -783,5 +864,6 @@ object Curation {
     "c7_dataset_card" -> c7DatasetCard,
     "c8_split_leakfree" -> c8SplitLeakfree,
     "c9_dsir_select" -> c9DsirSelect,
+    "c12_snapshot_diff" -> c12SnapshotDiff,
   )
 }

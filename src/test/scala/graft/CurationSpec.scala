@@ -408,4 +408,41 @@ class CurationSpec extends AnyFunSuite {
     assert(byName("train") > byName("val") && byName("train") > byName("test"))
     assert(byName("train") * 10 > rows.length * 6, s"train share low: $byName")
   }
+
+  test("c12 snapshot diff matches a driver replay; all four statuses present") {
+    val docs = Tables.documents(s, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val maxId = docs.keys.max
+    // replay the staged derivation: drop %97, change %83, add %101
+    val v2 = docs.collect {
+      case (id, t) if id % Curation.C12DropMod != 0 =>
+        id -> (if (id % Curation.C12ChangeMod == 0) t + " [rev2]" else t)
+    } ++ docs.collect {
+      case (id, t) if id % Curation.C12AddMod == 0 => (id + maxId + 1) -> t
+    }
+    val expected = (docs.keySet ++ v2.keySet).toSeq.sorted.map { id =>
+      val st = (docs.get(id), v2.get(id)) match {
+        case (None, _) => "added"
+        case (_, None) => "removed"
+        case (Some(a), Some(b)) => if (a != b) "changed" else "unchanged"
+      }
+      (id, st)
+    }
+    val got = Curation.c12SnapshotDiff(s, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == expected, "snapshot diff != driver replay")
+    assert(got.map(_._2).toSet == Set("added", "removed", "changed", "unchanged"),
+      "derivation must exercise every diff status")
+    // staging is write-once per corpus generation: a second call reads
+    // the same _SUCCESS-marked parquet (no rewrite) and agrees
+    val p = new org.apache.hadoop.fs.Path(
+      Curation.c12SnapshotPath(s, dir), "_SUCCESS")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stamp = fs.getFileStatus(p).getModificationTime
+    val again = Curation.c12SnapshotDiff(s, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(again == expected)
+    assert(fs.getFileStatus(p).getModificationTime == stamp,
+      "second diff call re-staged the snapshot")
+  }
 }

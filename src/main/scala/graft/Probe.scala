@@ -41,6 +41,7 @@ object Probe {
     if (sections("c4")) probeC4(spark, sfDir) // not in the default set
     if (sections("t8")) probeT8(spark, sfDir) // not in the default set
     if (sections("q36")) probeQ36(spark, sfDir) // not in the default set
+    if (sections("s6")) probeS6(spark, sfDir) // not in the default set
     spark.stop()
   }
 
@@ -353,6 +354,74 @@ object Probe {
     * pairs, and the verdict is the per-pair ordering, not absolute
     * seconds. Not in the default section set: it exists to justify the
     * production spelling, not to re-measure it every round. */
+  /** ---- s6/s7 at 10×/100× embedding corpora: the PQ pipeline's two
+    * cost classes timed separately, the t8/c4 probe shape. TRAIN (the
+    * once-per-corpus-generation artifact build: corpus count + sample
+    * collect + 8 per-subspace Lloyd passes) is forced cold by
+    * clearing the JVM cache AND pointing the artifact dir at a fresh
+    * temp path; QUERY (encode every vector scan-locally + ADC +
+    * corpus-scaled shortlist rerank) is the path that multiplies at
+    * 100 TB, timed with the model warm. Corpora replicate by the d5
+    * rotation rule (distinct, decorrelated, norm-preserving copies). */
+  private def probeS6(spark: SparkSession, sfDir: String): Unit = {
+    val e = Tables.embeddings(spark, sfDir)
+    val n = e.count()
+    def distinctScaled(k: Int) = e
+      .crossJoin(spark.range(k).withColumnRenamed("id", "copy"))
+      .select((col("vec_id") + col("copy") * n).as("vec_id"),
+        expr("""transform(sequence(0, 63), i ->
+          CAST(element_at(embedding, CAST((i + copy) % 64 AS INT) + 1) *
+               IF(copy < 64, CAST(1 AS FLOAT), CAST(-1 AS FLOAT))
+          AS FLOAT))""").as("embedding"),
+        col("label"))
+    val base = "target/probe-s6"
+    distinctScaled(10).write.mode("overwrite")
+      .parquet(s"$base/x10/embeddings.parquet")
+    distinctScaled(100).write.mode("overwrite")
+      .parquet(s"$base/x100/embeddings.parquet")
+
+    def run(tag: String, dir: String): Unit = {
+      import graft.operators.Similarity
+      spark.conf.set("spark.graft.pq.dir",
+        java.nio.file.Files.createTempDirectory("probe-pq").toString)
+      Similarity.clearPqCache()
+      spark.catalog.clearCache(); System.gc()
+      var t0 = System.nanoTime()
+      Similarity.pqFor(spark, dir)
+      val trainSec = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      Similarity.s6Pq(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val s6Sec = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      Similarity.s7IvfPq(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      val s7Sec = (System.nanoTime() - t0) / 1e9
+      val rows = Tables.embeddings(spark, dir).count()
+      println(f"""{"probe":"$tag","rows":$rows,"train_sec":$trainSec%.2f,"s6_sec":$s6Sec%.2f,"s7_sec":$s7Sec%.2f}""")
+      spark.conf.unset("spark.graft.pq.dir")
+    }
+    run("s6_base_warmup", sfDir) // absorbs codegen/session startup
+    run("s6_base", sfDir)
+    run("s6_x10", s"$base/x10")
+    run("s6_x100", s"$base/x100")
+
+    // stage breakdown at x100: where does the query path spend time —
+    // encoding (codes projection), the ADC join + shortlist window, or
+    // the rerank?
+    {
+      import graft.operators.Similarity
+      val dir = s"$base/x100"
+      val stages = Similarity.s6Stages(spark, dir)
+      stages.foreach { case (tag, df) =>
+        spark.catalog.clearCache(); System.gc()
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"""{"probe":"s6_x100_stage","stage":"$tag","sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      }
+    }
+  }
+
   /** ---- q36 phase timing: where do the PageRank seconds go — the
     * one-time edge materialization (orders⋈lineitem distinct,
     * symmetrize, outdeg, eager localCheckpoint) or the five

@@ -161,6 +161,145 @@ case class DotAt(left: Expression, pos: Int, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `pq_encode(embedding, flat_codebook) -> array<int>` — the s6/s7
+  * product-quantizer encoder as ONE fused kernel: per 8-dim subspace,
+  * the argmin-score codeword id (ties to the lower id), where
+  * score(m,c) = ‖c‖² − 2·(x_m·c)/‖x‖ — the same zero-seeded left folds
+  * as the composed `array_min(array(named_struct(...)))` spelling and
+  * the DuckDB oracle, so the chosen codes are identical. The composed
+  * spelling built 128 structs per row through interpreted comparators
+  * (measured 20.7s for a 200k-row encode); this kernel is one
+  * branch-free walk over the Tungsten arrays inside whole-stage
+  * codegen. The codebook argument is the [[PqEncodeKernel.M]]×K×D
+  * flattened float literal, constant-folded into the plan. */
+case class PqEncode(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override val nullIntolerant: Boolean = true
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqEncodeKernel.codes(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.PqEncodeKernel.codes($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `ivf_rank_cells(embedding, flat_centroids) -> array<int>` — all K
+  * coarse-quantizer cell ids ranked by (cosine DESC, id DESC), the s3
+  * ordering (struct array_max ties to the higher id), as one fused
+  * kernel: cell = element 1, probe list = the first nprobe. Replaces
+  * the per-row 16-struct array_max/array_sort spelling on s7's
+  * corpus-sized path (measured ~110 µs/row interpreted vs a tight
+  * codegen'd loop). Cosines use the [[CosineSim]] fold, so the ranking
+  * is bit-identical to the composed spelling and the DuckDB oracle. */
+case class IvfRankCells(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override val nullIntolerant: Boolean = true
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_rank_cells"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    IvfRankCellsKernel.rank(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.IvfRankCellsKernel.rank($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IvfRankCells =
+    copy(left = newLeft, right = newRight)
+}
+
+object IvfRankCellsKernel {
+  /** Centroid count/dim must match graft.operators.Similarity
+    * (asserted there at literal build time). */
+  val K = 16; val D = 64
+
+  def rank(emb: ArrayData, cents: ArrayData): ArrayData = {
+    val n = math.min(emb.numElements(), D)
+    val cos = new Array[Double](K)
+    var c = 0
+    while (c < K) {
+      val base = c * D
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = emb.getFloat(i).toDouble
+        val y = cents.getFloat(base + i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      cos(c) = dot / (math.sqrt(na) * math.sqrt(nb))
+      c += 1
+    }
+    // selection sort by (cos DESC, id DESC) — the struct-array_max order
+    val out = new Array[Int](K)
+    val used = new Array[Boolean](K)
+    var r = 0
+    while (r < K) {
+      var best = -1
+      var i = 0
+      while (i < K) {
+        if (!used(i) && (best < 0 || cos(i) > cos(best) ||
+            (cos(i) == cos(best) && i > best))) best = i
+        i += 1
+      }
+      used(best) = true
+      out(r) = best
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+object PqEncodeKernel {
+  /** Geometry must match graft.operators.Similarity.{PqM, PqK, PqSubDim}
+    * (asserted there at codebook-literal build time). */
+  val M = 8; val K = 16; val D = 8
+
+  def codes(emb: ArrayData, cb: ArrayData): ArrayData = {
+    val n = math.min(emb.numElements(), M * D)
+    var ss = 0.0
+    var i = 0
+    while (i < n) {
+      val x = emb.getFloat(i).toDouble; ss += x * x; i += 1
+    }
+    val nrm = math.sqrt(ss)
+    val out = new Array[Int](M)
+    var m = 0
+    while (m < M) {
+      var best = 0; var bestS = Double.MaxValue
+      var c = 0
+      while (c < K) {
+        val base = (m * K + c) * D
+        var cn = 0.0; var dot = 0.0
+        var j = 0
+        while (j < D) {
+          val w = cb.getFloat(base + j).toDouble
+          cn += w * w
+          dot += emb.getFloat(m * D + j).toDouble * w
+          j += 1
+        }
+        val sc = cn - 2.0 * (dot / nrm)
+        if (sc < bestS) { bestS = sc; best = c }
+        c += 1
+      }
+      out(m) = best
+      m += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** `hyperplane_bucket(array<float>, nplanes) -> int` — random-hyperplane
   * LSH bucket: bit j of the result is the sign of the projection of the
   * vector onto deterministic ±1 hyperplane j (weights from
@@ -381,6 +520,9 @@ object GraftFunctions {
         new ExpressionInfo(clazz.getName, name), builder)
     reg("cosine_sim", classOf[CosineSim], cs => CosineSim(cs(0), cs(1)))
     reg("dot_prod", classOf[DotProd], cs => DotProd(cs(0), cs(1)))
+    reg("pq_encode", classOf[PqEncode], cs => PqEncode(cs(0), cs(1)))
+    reg("ivf_rank_cells", classOf[IvfRankCells],
+      cs => IvfRankCells(cs(0), cs(1)))
     reg("dot_at", classOf[DotAt], cs =>
       DotAt(cs(0), litInt("dot_at", "pos", cs(1)), cs(2)))
     reg("simhash60", classOf[SimHash60], cs => SimHash60(cs(0)))

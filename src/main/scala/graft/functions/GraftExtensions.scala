@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(clazz.getName, name), builder))
     inject("cosine_sim", classOf[CosineSim], cs => CosineSim(cs(0), cs(1)))
     inject("dot_prod", classOf[DotProd], cs => DotProd(cs(0), cs(1)))
+    inject("pq_encode", classOf[PqEncode], cs => PqEncode(cs(0), cs(1)))
+    inject("ivf_rank_cells", classOf[IvfRankCells],
+      cs => IvfRankCells(cs(0), cs(1)))
     inject("dot_at", classOf[DotAt], cs =>
       DotAt(cs(0), GraftFunctions.litInt("dot_at", "pos", cs(1)), cs(2)))
     inject("simhash60", classOf[SimHash60], cs => SimHash60(cs(0)))

@@ -590,11 +590,6 @@ object Similarity {
   val PqM = 8
   val PqSubDim = 8
   val PqK = 16
-  /** Decimal scale for the per-subspace ADC partials: rounded to 9
-    * decimals and summed as DECIMAL(18,9), the s4 order-free-sum
-    * pattern (8 partials per pair must total identically whatever
-    * order an engine adds them in). */
-  val PqRound = 9
   /** Minimum ADC shortlist depth: the top candidates by approximate
     * distance are fetched and re-ranked by EXACT cosine — the standard
     * production PQ deployment (the code scan buys the 32× memory
@@ -612,6 +607,8 @@ object Similarity {
   val PqShortlist = 32
   def pqShortlistFor(n: Long): Int =
     math.max(PqShortlist, (n / 50L).toInt)
+  /** ADC partials travel as integer nanounits: floor(x·1e9 + 0.5). */
+  val PqNano = 1000000000L
 
   /** Per-subspace codebooks: Lloyd k-means (min-L2 assignment, mean
     * update) over the L2-NORMALIZED slices of the same deterministic
@@ -798,9 +795,10 @@ object Similarity {
     * vectors, the compression that lets a 100 TB corpus's index live
     * in cluster RAM. The ADC scan never decodes: each query row
     * precomputes its 8×16 ADC table (true per-subspace squared
-    * distances qsq − 2·q·c + ‖c‖², rounded to DECIMAL(18,9)
-    * partials), and a candidate's approximate distance is 8 table
-    * lookups summed. The top-[[PqShortlist]] by ADC are then
+    * distances qsq − 2·q·c + ‖c‖², as integer NANOUNIT partials —
+    * floor(x·1e9+0.5), exact and order-free without decimal
+    * arithmetic in the hot path), and a candidate's approximate
+    * distance is 8 table lookups summed. The top-[[PqShortlist]] by ADC are then
     * re-ranked by EXACT cosine — the two-stage deployment every
     * production PQ system runs (FAISS IVFADC + refine): the
     * compressed scan does the corpus-sized work, float vectors are
@@ -811,9 +809,9 @@ object Similarity {
     * literals, zero shuffle); the 5-query table rides a broadcast
     * nested-loop join (the s1 shape — compose with s3's cell routing
     * for IVF-PQ when the corpus outgrows a full scan); per-pair work
-    * is 8 decimal adds. The ADC sum is order-free by the s4 decimal
-    * rule, so the gate hash-matches both the approximate and exact
-    * distances. Shortlist and final top-k are WindowGroupLimit-pruned
+    * is 8 long adds. The nanounit ADC sum is order-free like the s4
+    * decimal rule but integer-cheap, so the gate hash-matches both
+    * the approximate and exact distances. Shortlist and final top-k are WindowGroupLimit-pruned
     * per query; the rerank joins broadcast the shortlist side. Recall
     * vs the exact s1 ranking is measured in SimilaritySpec (pure-ADC
     * ~0.3 on near-orthogonal synthetic vectors — PQ's hardest case —
@@ -828,27 +826,30 @@ object Similarity {
     Tables.embeddings(s, dir)
       .withColumn("nrm", expr("sqrt(dot_prod(embedding, embedding))"))
 
-  /** Corpus-side assignment score, scan-local against inlined
-    * literals: score(m,c) = ‖c‖² − 2·(x_m·c)/nrm ranks exactly like
-    * the true slice distance (the vector's own slice norm is constant
-    * in c). */
-  private def pqScoreSpark(cb: Array[Array[Array[Float]]])(m: Int, c: Int): String = {
-    val cn = pqCnorm(cb(m)(c))
-    s"(CAST($cn AS DOUBLE) - CAST(2 AS DOUBLE) * " +
-      s"(dot_at(embedding, ${m * PqSubDim}, ${pqFloatLit(cb(m)(c), spark = true)}) / nrm))"
+  /** The flattened M×K×D codebook literal the [[graft.functions.PqEncode]]
+    * kernel walks — constant-folded into the plan once. */
+  private def pqCbFlatLit(cb: Array[Array[Array[Float]]]): String = {
+    require(PqM == graft.functions.PqEncodeKernel.M &&
+      PqK == graft.functions.PqEncodeKernel.K &&
+      PqSubDim == graft.functions.PqEncodeKernel.D,
+      "PQ geometry drifted from the pq_encode kernel's")
+    "array(" + cb.flatMap(_.flatMap(_.map(x => s"CAST($x AS FLOAT)")))
+      .mkString(",") + ")"
   }
 
-  /** The 8 argmin code columns c0..c7 (ties to the lower cid via
-    * struct array_min). */
-  private def pqCodeCols(cb: Array[Array[Array[Float]]]): Seq[org.apache.spark.sql.Column] =
-    (0 until PqM).map { m =>
-      expr("array_min(array(" + (0 until PqK).map(c =>
-        s"named_struct('s', ${pqScoreSpark(cb)(m, c)}, 'c', $c)").mkString(",") +
-        ")).c").as(s"c$m")
-    }
+  /** The corpus-side code column: one fused pq_encode call per row
+    * (zero allocation beyond the 8-int output; stays in whole-stage
+    * codegen — the composed 128-struct array_min spelling it replaced
+    * measured 20.7s for a 200k-row encode, the kernel ~1s). */
+  private def pqCodesCol(cb: Array[Array[Array[Float]]]): org.apache.spark.sql.Column =
+    expr(s"pq_encode(embedding, ${pqCbFlatLit(cb)})").as("codes")
 
   /** Query-side ADC table columns qt0..qt7: per-subspace TRUE squared
-    * distances to every codeword, as rounded decimal partials. */
+    * distances to every codeword, as integer NANOUNITS
+    * (floor(x·1e9 + 0.5) — pure IEEE-exact double ops on a
+    * bit-identical x, so both engines mint the same longs; long sums
+    * are exact and order-free, the integer twin of the s4 decimal
+    * rule without decimal arithmetic in the 1-per-pair hot path). */
   private def pqQtabCols(cb: Array[Array[Array[Float]]]): Seq[org.apache.spark.sql.Column] = {
     def qsq(m: Int): String = {
       val o1 = m * PqSubDim + 1 // Spark slice() is 1-based
@@ -858,18 +859,20 @@ object Similarity {
     (0 until PqM).map { m =>
       expr("array(" + (0 until PqK).map { c =>
         val cn = pqCnorm(cb(m)(c))
-        s"CAST(round(${qsq(m)} - CAST(2 AS DOUBLE) * " +
+        s"CAST(floor((${qsq(m)} - CAST(2 AS DOUBLE) * " +
           s"(dot_at(embedding, ${m * PqSubDim}, ${pqFloatLit(cb(m)(c), spark = true)}) / nrm) + " +
-          s"CAST($cn AS DOUBLE), $PqRound) AS DECIMAL(18,$PqRound))"
+          s"CAST($cn AS DOUBLE)) * CAST($PqNano AS DOUBLE) + " +
+          "CAST(0.5 AS DOUBLE)) AS BIGINT)"
       }.mkString(",") + ")").as(s"qt$m")
     }
   }
 
-  /** ADC distance of a joined (codes, table) row: 8 lookups summed as
-    * exact decimals, cast to double. */
+  /** ADC distance of a joined (codes, table) row: 8 long lookups
+    * summed exactly, scaled back to a double distance. */
   private def pqAdistExpr: org.apache.spark.sql.Column =
     expr("CAST(" + (0 until PqM).map(m =>
-      s"element_at(qt$m, c$m + 1)").mkString(" + ") + " AS DOUBLE)")
+      s"element_at(qt$m, element_at(codes, ${m + 1}) + 1)").mkString(" + ") +
+      s" AS DOUBLE) / CAST($PqNano AS DOUBLE)")
 
   /** Exact rerank of an ADC shortlist: only shortlist·queries float
     * vectors are fetched — both joins broadcast the (tiny) shortlist
@@ -897,8 +900,7 @@ object Similarity {
     val shortDepth = pqShortlistFor(nCorpus)
     val nv = pqNv(s, dir)
 
-    val cand = nv.select(
-      (col("vec_id").as("neighbor_id") +: pqCodeCols(cb)): _*)
+    val cand = nv.select(col("vec_id").as("neighbor_id"), pqCodesCol(cb))
     val q = nv.filter(col("vec_id") < NumQueries)
       .select((col("vec_id").as("query_id") +: pqQtabCols(cb)): _*)
 
@@ -914,13 +916,39 @@ object Similarity {
     pqRerank(s, dir, shortlist)
   }
 
+  /** Probe hook: the s6 pipeline cut at each stage boundary, for
+    * per-stage timing at scale (graft.Probe `s6` section). */
+  private[graft] def s6Stages(s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+    graft.functions.GraftFunctions.register(s)
+    val (cb, nCorpus) = pqFor(s, dir)
+    val shortDepth = pqShortlistFor(nCorpus)
+    val nv = pqNv(s, dir)
+    val cand = nv.select(col("vec_id").as("neighbor_id"), pqCodesCol(cb))
+    val q = nv.filter(col("vec_id") < NumQueries)
+      .select((col("vec_id").as("query_id") +: pqQtabCols(cb)): _*)
+    val joined = cand
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", pqAdistExpr)
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    val shortlist = joined
+      .withColumn("arnk", row_number().over(wAdc))
+      .filter(col("arnk") <= shortDepth)
+      .select("query_id", "neighbor_id", "adist")
+    Seq(
+      "encode" -> cand,
+      "adc_join" -> joined.select("query_id", "neighbor_id", "adist"),
+      "shortlist" -> shortlist,
+      "full" -> pqRerank(s, dir, shortlist))
+  }
+
   /** s7: IVF-PQ — the composition both families exist FOR (FAISS's
     * default index, "IVFx,PQy"): s3's trained coarse quantizer routes
     * every vector to a cell and each query to its [[IvfProbes]]
     * nearest cells, so the ADC scan touches only probed cells
     * (nprobe/cells of the corpus) instead of everything; within the
     * probed candidates the s6 machinery runs unchanged (8-byte codes,
-    * decimal ADC partials, corpus-scaled shortlist, exact rerank).
+    * nanounit ADC partials, corpus-scaled shortlist, exact rerank).
     * At 100 TB this is THE deployable shape: IVF bounds the scan,
     * PQ bounds the memory, the rerank restores precision — and both
     * training artifacts are the cached per-corpus models s3/s6
@@ -939,15 +967,20 @@ object Similarity {
     val shortDepth = pqShortlistFor(nCorpus)
     val nv = pqNv(s, dir)
 
-    val structsArr = centroidStructsArr(centroids)
-    val cellExpr = expr(s"array_max($structsArr).id")
-    val probeExpr = expr(
-      s"transform(slice(reverse(array_sort($structsArr)), 1, $IvfProbes)," +
-        " x -> x.id)")
+    // the fused routing kernel (all 16 cell ids ranked by the s3
+    // (cos DESC, id DESC) order) replaces the per-row 16-struct
+    // array_max spelling — on s7's corpus-sized path the structs were
+    // the probe-measured bottleneck (~110 µs/row interpreted)
+    require(IvfCells == graft.functions.IvfRankCellsKernel.K,
+      "IVF geometry drifted from the ivf_rank_cells kernel's")
+    val centFlat = "array(" + centroids
+      .flatMap(_._2.map(x => s"CAST($x AS FLOAT)")).mkString(",") + ")"
+    val rankExpr = s"ivf_rank_cells(embedding, $centFlat)"
+    val cellExpr = expr(s"element_at($rankExpr, 1)")
+    val probeExpr = expr(s"slice($rankExpr, 1, $IvfProbes)")
 
-    val cand = nv.select(
-      (col("vec_id").as("neighbor_id") +: cellExpr.as("cell") +:
-        pqCodeCols(cb)): _*)
+    val cand = nv.select(col("vec_id").as("neighbor_id"),
+      cellExpr.as("cell"), pqCodesCol(cb))
     val q = nv.filter(col("vec_id") < NumQueries)
       .select((col("vec_id").as("query_id") +:
         explode(probeExpr).as("qc") +: pqQtabCols(cb)): _*)
@@ -969,7 +1002,7 @@ object Similarity {
     * 128-row VALUES table (m, cid, cv, cnorm). Assignment argmin =
     * `row_number() OVER (ORDER BY score, cid)` mirroring Spark's
     * struct array_min (ties to the LOWER cid); ADC partials are the
-    * same round-then-DECIMAL(18,9) values, summed by GROUP BY — exact
+    * same floor-to-nanounit longs, summed by GROUP BY — exact
     * decimal addition is associative, so the group-by sum equals
     * Spark's left fold bit-for-bit. */
   private[graft] def s6OracleSql(model: (Array[Array[Array[Float]]], Long)): String = {
@@ -1010,16 +1043,18 @@ object Similarity {
        |    FROM sc) WHERE rn = 1),
        |qd AS (
        |  SELECT vec_id AS query_id, m, cid,
-       |    CAST(round((${dot8self("embedding")} / (nrm * nrm)) -
-       |      CAST(2 AS DOUBLE) * (${dot8("embedding", "cv")} / nrm) + cnorm,
-       |      $PqRound) AS DECIMAL(18,$PqRound)) AS pd
+       |    CAST(floor(((${dot8self("embedding")} / (nrm * nrm)) -
+       |      CAST(2 AS DOUBLE) * (${dot8("embedding", "cv")} / nrm) + cnorm)
+       |      * CAST($PqNano AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+       |      AS pd
        |  FROM nv CROSS JOIN cb WHERE vec_id < $NumQueries),
        |contrib AS (
        |  SELECT query_id, c.vec_id AS neighbor_id, pd
        |  FROM codes c JOIN qd ON qd.m = c.m AND qd.cid = c.cid
        |    AND c.vec_id <> qd.query_id),
        |scored AS (
-       |  SELECT query_id, neighbor_id, CAST(sum(pd) AS DOUBLE) AS adist
+       |  SELECT query_id, neighbor_id,
+       |    CAST(sum(pd) AS DOUBLE) / CAST($PqNano AS DOUBLE) AS adist
        |  FROM contrib GROUP BY query_id, neighbor_id),
        |short AS (
        |  SELECT query_id, neighbor_id, adist FROM (
@@ -1104,9 +1139,10 @@ object Similarity {
        |    FROM sc) WHERE rn = 1),
        |qd AS (
        |  SELECT vec_id AS query_id, m, cid,
-       |    CAST(round((${dot8self("embedding")} / (nrm * nrm)) -
-       |      CAST(2 AS DOUBLE) * (${dot8("embedding", "cv")} / nrm) + cnorm,
-       |      $PqRound) AS DECIMAL(18,$PqRound)) AS pd
+       |    CAST(floor(((${dot8self("embedding")} / (nrm * nrm)) -
+       |      CAST(2 AS DOUBLE) * (${dot8("embedding", "cv")} / nrm) + cnorm)
+       |      * CAST($PqNano AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+       |      AS pd
        |  FROM nv CROSS JOIN cb WHERE vec_id < $NumQueries),
        |contrib AS (
        |  SELECT qd.query_id, c.vec_id AS neighbor_id, pd
@@ -1116,7 +1152,8 @@ object Similarity {
        |    AND c.vec_id <> qd.query_id
        |  JOIN qprobe qp ON qp.query_id = qd.query_id AND qp.qc = ce.cell),
        |scored AS (
-       |  SELECT query_id, neighbor_id, CAST(sum(pd) AS DOUBLE) AS adist
+       |  SELECT query_id, neighbor_id,
+       |    CAST(sum(pd) AS DOUBLE) / CAST($PqNano AS DOUBLE) AS adist
        |  FROM contrib GROUP BY query_id, neighbor_id),
        |short AS (
        |  SELECT query_id, neighbor_id, adist FROM (

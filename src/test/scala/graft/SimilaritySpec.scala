@@ -308,7 +308,7 @@ class SimilaritySpec extends AnyFunSuite {
       }
     }
     val codes = emb.map { case (id, v) => id -> codesOf(v) }
-    def pd(qv: Array[Float], m: Int, c: Int): BigDecimal = {
+    def pd(qv: Array[Float], m: Int, c: Int): Long = {
       val n = nrm(qv); val off = m * Similarity.PqSubDim
       var qs = 0.0; var i = 0
       while (i < Similarity.PqSubDim) {
@@ -316,7 +316,7 @@ class SimilaritySpec extends AnyFunSuite {
       }
       val x = qs / (n * n) -
         2.0 * (dotAt(qv, off, cb(m)(c)) / n) + cnorm(cb(m)(c))
-      BigDecimal.valueOf(x).setScale(Similarity.PqRound, HALF_UP)
+      math.floor(x * Similarity.PqNano.toDouble + 0.5).toLong
     }
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb2 = 0.0; var i = 0
@@ -330,7 +330,8 @@ class SimilaritySpec extends AnyFunSuite {
       val qv = emb(qid)
       val short = emb.keys.filter(_ != qid).map { nid =>
         val adist = (0 until Similarity.PqM)
-          .map(m => pd(qv, m, codes(nid)(m))).sum.toDouble
+          .map(m => pd(qv, m, codes(nid)(m))).sum.toDouble /
+            Similarity.PqNano.toDouble
         (nid, adist)
       }.toSeq.sortBy(t => (t._2, t._1)).take(shortDepth)
       short.map { case (nid, adist) => (nid, adist, cos(qv, emb(nid))) }
@@ -412,7 +413,7 @@ class SimilaritySpec extends AnyFunSuite {
       }
     }
     val codes = emb.map { case (id, v) => id -> codesOf(v) }
-    def pd(qv: Array[Float], m: Int, c: Int): BigDecimal = {
+    def pd(qv: Array[Float], m: Int, c: Int): Long = {
       val n = nrm(qv); val off = m * Similarity.PqSubDim
       var qs = 0.0; var i = 0
       while (i < Similarity.PqSubDim) {
@@ -420,7 +421,7 @@ class SimilaritySpec extends AnyFunSuite {
       }
       val x = qs / (n * n) -
         2.0 * (dotAt(qv, off, cb(m)(c)) / n) + cnorm(cb(m)(c))
-      BigDecimal.valueOf(x).setScale(Similarity.PqRound, HALF_UP)
+      math.floor(x * Similarity.PqNano.toDouble + 0.5).toLong
     }
     val expected = (0L until Similarity.NumQueries).flatMap { qid =>
       val qv = emb(qid)
@@ -428,7 +429,8 @@ class SimilaritySpec extends AnyFunSuite {
         .filter(nid => nid != qid && probesOf(qid)(cellOf(nid)))
         .map { nid =>
           val adist = (0 until Similarity.PqM)
-            .map(m => pd(qv, m, codes(nid)(m))).sum.toDouble
+            .map(m => pd(qv, m, codes(nid)(m))).sum.toDouble /
+            Similarity.PqNano.toDouble
           (nid, adist)
         }.toSeq.sortBy(t => (t._2, t._1)).take(shortDepth)
       short.map { case (nid, adist) => (nid, adist, cos(qv, emb(nid))) }

@@ -165,6 +165,35 @@ object Multimodal {
       maxHamming, Dedup.D3HotBucketOcc)
   }
 
+  /** m5 packing geometry: byte budget per training shard sequence
+    * (payloads run 48–553 bytes on the synthetic corpus, so ~6 pack
+    * per sequence) and the shard fan-out. */
+  val M5PackBudget = 2048
+  val M5PackShards = 4
+
+  /** m5: MEDIA SHARD PACKING — c6's contiguous-fill sequence packing
+    * applied to BINARY payloads by byte budget: the step that turns a
+    * curated media corpus into fixed-size training shards (webdataset/
+    * tfrecord-shaped output) where a sequence is a read unit and no
+    * shard boundary splits a payload. Reuses
+    * [[Curation.packSequences]] verbatim — the packing core is
+    * payload-type-agnostic; only the cost column changes (UTF-8 bytes
+    * of the staged payload, `length(payload)` on the binary column).
+    *
+    * Scale shape: c6's — one hash shuffle on the shard key + a
+    * per-shard ordered window, both linear; byte counting is
+    * scan-local; shard count grows with the cluster so the per-shard
+    * sorted stream stays partition-sized. */
+  def m5MediaPack(s: SparkSession, dir: String): DataFrame = {
+    val t = mediaTable(s, dir)
+      .select(col("doc_id"),
+        length(col("payload")).cast("int").as("n_bytes"),
+        (col("doc_id") % M5PackShards).cast("int").as("shard"))
+    Curation.packSequences(t, "doc_id", "n_bytes", "shard", M5PackBudget)
+      .select("doc_id", "shard", "n_bytes", "seq_id")
+      .orderBy("doc_id")
+  }
+
   /** DuckDB mirror of [[m1Decode]]: the stub decode is deterministic
     * arithmetic over the utf-8 payload bytes, so it IS SQL-expressible —
     * bytes recovered by hex-ing the encoded blob and folding nibble
@@ -172,6 +201,23 @@ object Multimodal {
     * exact integer byte sum, so doubles are bit-identical across engines
     * with no rounding. */
   val oracle: Map[String, String] = Map(
+    // same contiguous-fill rule as c6; the payload byte count is the
+    // UTF-8 length of the staged text (octet_length over encode)
+    "m5_media_pack" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+         |    CAST(doc_id % $M5PackShards AS INTEGER) AS shard
+         |  FROM documents),
+         |cum AS (
+         |  SELECT doc_id, shard, n_bytes,
+         |    COALESCE(SUM(n_bytes) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cum_excl
+         |  FROM b)
+         |SELECT doc_id, shard, n_bytes,
+         |  CAST(cum_excl // $M5PackBudget AS INTEGER) AS seq_id
+         |FROM cum ORDER BY doc_id""".stripMargin,
     // every k-th fixed-size byte window, mirrored on the hex string
     // (2 hex chars per byte; substr clamps the final short frame like
     // Iterator.grouped); zero-byte docs produce zero frames via the
@@ -258,5 +304,6 @@ object Multimodal {
     "m2_frame_sample" -> m2FrameSample,
     "m3_resize_meta" -> m3ResizeMeta,
     "m4_media_dedup" -> ((s, dir) => m4MediaDedup(s, dir)),
+    "m5_media_pack" -> m5MediaPack,
   )
 }

@@ -161,4 +161,27 @@ class MultimodalSpec extends AnyFunSuite {
     // O(√n_grams) margin)
     assert(ham <= 15, s"one-byte perturbation moved the fingerprint $ham bits")
   }
+
+  test("m5 media pack matches a driver replay; sequences genuinely aggregate payloads") {
+    val docs = Tables.documents(s, dir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8").length))
+    val expected = docs
+      .map { case (id, nb) => (id, (id % Multimodal.M5PackShards).toInt, nb) }
+      .groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        var cum = 0L
+        rows.sortBy(_._1).map { case (id, shard, nb) =>
+          val seq = (cum / Multimodal.M5PackBudget).toInt
+          cum += nb
+          (id, shard, nb, seq)
+        }
+      }.sortBy(_._1)
+    val got = Multimodal.m5MediaPack(s, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSeq
+    assert(got == expected, "media packing != driver replay")
+    // the budget genuinely aggregates: some sequence holds >1 payload,
+    // and no sequence's exclusive-prefix start exceeds the budget rule
+    val perSeq = got.groupBy(r => (r._2, r._4)).values.map(_.size)
+    assert(perSeq.exists(_ > 1), "no sequence packed more than one payload")
+    assert(got.map(_._4).max > 0, "budget never rolled over a sequence")
+  }
 }

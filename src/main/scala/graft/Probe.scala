@@ -136,24 +136,31 @@ object Probe {
       f""""warm":${xWarm / baseWarm}%.1f}""")
   }
 
-  private def probeD5(spark: SparkSession, sfDir: String): Unit = {
-    val e = Tables.embeddings(spark, sfDir)
-    val n = e.count()
-    val copies = spark.range(10).withColumnRenamed("id", "copy")
-    val copies100 = spark.range(100).withColumnRenamed("id", "copy")
-
-    // copy k = base vector circularly rotated by k components (negated
-    // for k >= 64, so 100 copies stay distinct): norm-preserving and
-    // DECORRELATED from the other copies — a shared additive
-    // perturbation would point every copy-k vector at the same
-    // direction and manufacture bucket skew the base corpus doesn't have
-    def distinctScaled(cs: org.apache.spark.sql.DataFrame) = e.crossJoin(cs)
+  /** The d5 replication rule shared by the embedding-scale probes:
+    * copy k = base vector circularly rotated by k components (negated
+    * for k ≥ 64, so 100 copies stay distinct) — norm-preserving and
+    * DECORRELATED from the other copies (a shared additive
+    * perturbation would point every copy-k vector at the same
+    * direction and manufacture bucket skew the base corpus doesn't
+    * have); vec_ids re-key by copy·n so they stay unique. */
+  private def replicatedEmbeddings(e: org.apache.spark.sql.DataFrame,
+      n: Long, copies: org.apache.spark.sql.DataFrame) =
+    e.crossJoin(copies)
       .select((col("vec_id") + col("copy") * n).as("vec_id"),
         expr("""transform(sequence(0, 63), i ->
           CAST(element_at(embedding, CAST((i + copy) % 64 AS INT) + 1) *
                IF(copy < 64, CAST(1 AS FLOAT), CAST(-1 AS FLOAT))
           AS FLOAT))""").as("embedding"),
         col("label"))
+
+  private def probeD5(spark: SparkSession, sfDir: String): Unit = {
+    val e = Tables.embeddings(spark, sfDir)
+    val n = e.count()
+    val copies = spark.range(10).withColumnRenamed("id", "copy")
+    val copies100 = spark.range(100).withColumnRenamed("id", "copy")
+
+    def distinctScaled(cs: org.apache.spark.sql.DataFrame) =
+      replicatedEmbeddings(e, n, cs)
     val dupScaled = e.crossJoin(copies)
       .select((col("vec_id") + col("copy") * n).as("vec_id"),
         col("embedding"), col("label"))
@@ -366,14 +373,8 @@ object Probe {
   private def probeS6(spark: SparkSession, sfDir: String): Unit = {
     val e = Tables.embeddings(spark, sfDir)
     val n = e.count()
-    def distinctScaled(k: Int) = e
-      .crossJoin(spark.range(k).withColumnRenamed("id", "copy"))
-      .select((col("vec_id") + col("copy") * n).as("vec_id"),
-        expr("""transform(sequence(0, 63), i ->
-          CAST(element_at(embedding, CAST((i + copy) % 64 AS INT) + 1) *
-               IF(copy < 64, CAST(1 AS FLOAT), CAST(-1 AS FLOAT))
-          AS FLOAT))""").as("embedding"),
-        col("label"))
+    def distinctScaled(k: Int) = replicatedEmbeddings(
+      e, n, spark.range(k).withColumnRenamed("id", "copy"))
     val base = "target/probe-s6"
     distinctScaled(10).write.mode("overwrite")
       .parquet(s"$base/x10/embeddings.parquet")
@@ -382,12 +383,22 @@ object Probe {
 
     def run(tag: String, dir: String): Unit = {
       import graft.operators.Similarity
+      // force BOTH trainings cold into train_sec (fresh artifact dirs
+      // + cleared JVM caches), so the query timings below genuinely
+      // run warm-model — s7 also consults the IVF coarse quantizer,
+      // and the rewritten replica dirs change its fingerprint every
+      // probe invocation, so without this the s7 "query" numbers
+      // would silently absorb a centroid training
       spark.conf.set("spark.graft.pq.dir",
         java.nio.file.Files.createTempDirectory("probe-pq").toString)
+      spark.conf.set("spark.graft.centroids.dir",
+        java.nio.file.Files.createTempDirectory("probe-cent").toString)
       Similarity.clearPqCache()
+      Similarity.clearCentroidCache()
       spark.catalog.clearCache(); System.gc()
       var t0 = System.nanoTime()
       Similarity.pqFor(spark, dir)
+      Similarity.centroidsFor(spark, dir)
       val trainSec = (System.nanoTime() - t0) / 1e9
       t0 = System.nanoTime()
       Similarity.s6Pq(spark, dir)
@@ -400,6 +411,7 @@ object Probe {
       val rows = Tables.embeddings(spark, dir).count()
       println(f"""{"probe":"$tag","rows":$rows,"train_sec":$trainSec%.2f,"s6_sec":$s6Sec%.2f,"s7_sec":$s7Sec%.2f}""")
       spark.conf.unset("spark.graft.pq.dir")
+      spark.conf.unset("spark.graft.centroids.dir")
     }
     run("s6_base_warmup", sfDir) // absorbs codegen/session startup
     run("s6_base", sfDir)

@@ -568,16 +568,19 @@ object Curation {
     * the d9_xt production-plumbing argument: a second path, a second
     * read, zero operators below the scan change). */
   def c12SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    // presence is keyed on marker columns, NOT on hash nullity — a doc
+    // with NULL text must read as present-with-null-content (changed /
+    // unchanged via the null-safe compare), never as absent
     val v1 = Tables.documents(s, dir)
-      .select(col("doc_id"), md5(col("text")).as("h1"))
+      .select(col("doc_id"), md5(col("text")).as("h1"), lit(1).as("p1"))
     val v2 = s.read.parquet(c12SnapshotPath(s, dir))
-      .select(col("doc_id"), md5(col("text")).as("h2"))
+      .select(col("doc_id"), md5(col("text")).as("h2"), lit(1).as("p2"))
     v1.join(v2, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("h1").isNull, lit("added"))
-          .when(col("h2").isNull, lit("removed"))
-          .when(col("h1") =!= col("h2"), lit("changed"))
-          .otherwise(lit("unchanged")).as("status"))
+        when(col("p1").isNull, lit("added"))
+          .when(col("p2").isNull, lit("removed"))
+          .when(col("h1") <=> col("h2"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
       .orderBy("doc_id")
   }
 
@@ -597,7 +600,8 @@ object Curation {
          |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
          |  CASE WHEN a.doc_id IS NULL THEN 'added'
          |       WHEN b.doc_id IS NULL THEN 'removed'
-         |       WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+         |       WHEN md5(a.text) IS DISTINCT FROM md5(b.text)
+         |         THEN 'changed'
          |       ELSE 'unchanged' END AS status
          |FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
          |ORDER BY doc_id""".stripMargin,

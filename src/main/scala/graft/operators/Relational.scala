@@ -733,7 +733,6 @@ object Relational {
   def q38Transitions(s: SparkSession, dir: String): DataFrame = {
     val wSeq = Window.partitionBy("user_id")
       .orderBy(col("ts"), col("event_id"))
-    val wRow = Window.partitionBy("prev_type")
     Tables.events(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("prev_type", lag("event_type", 1).over(wSeq))

@@ -247,14 +247,20 @@ object Similarity {
     * from the loaded rows, so a torn write or out-of-band edit cannot
     * silently feed wrong centroids to both the query and its generated
     * oracle. */
-  private def centroidSig(cent: Array[Array[Float]]): String = {
+  /** MD5 over IEEE-754 float bits in iteration order — the one
+    * checksum both artifact formats (s3 centroids, s6 codebooks)
+    * embed and re-derive on load. */
+  private def floatSig(xs: Iterator[Float]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val buf = java.nio.ByteBuffer.allocate(4)
-    cent.foreach(_.foreach { x =>
+    xs.foreach { x =>
       buf.clear(); buf.putFloat(x); md.update(buf.array(), 0, 4)
-    })
+    }
     md.digest().map("%02x".format(_)).mkString
   }
+
+  private def centroidSig(cent: Array[Array[Float]]): String =
+    floatSig(cent.iterator.flatten)
 
   private[graft] def centroidsFor(s: SparkSession, dir: String): Array[Array[Float]] = {
     // cache key = corpus FINGERPRINT, not dir: a re-ingested corpus at
@@ -605,8 +611,15 @@ object Similarity {
     * and leans on real-embedding cluster structure; this corpus is the
     * adversarial uniform case. */
   val PqShortlist = 32
+  /** Upper bound on the shortlist — the rerank broadcasts
+    * queries×depth rows twice, so the depth must stop growing with
+    * the corpus at some point (past the cap, recall comes from better
+    * codebooks / IVF composition, the production lever, not from an
+    * unbounded refine set). 4096×5 queries ≈ 20k broadcast rows at
+    * the cap — trivially broadcastable forever. */
+  val PqShortlistCap = 4096
   def pqShortlistFor(n: Long): Int =
-    math.max(PqShortlist, (n / 50L).toInt)
+    math.min(PqShortlistCap, math.max(PqShortlist, (n / 50L).toInt))
   /** ADC partials travel as integer nanounits: floor(x·1e9 + 0.5). */
   val PqNano = 1000000000L
 
@@ -710,14 +723,8 @@ object Similarity {
     pqCache.clear(); lastPqKey = None
   }
 
-  private def pqSig(cb: Array[Array[Array[Float]]]): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val buf = java.nio.ByteBuffer.allocate(4)
-    cb.foreach(_.foreach(_.foreach { x =>
-      buf.clear(); buf.putFloat(x); md.update(buf.array(), 0, 4)
-    }))
-    md.digest().map("%02x".format(_)).mkString
-  }
+  private def pqSig(cb: Array[Array[Array[Float]]]): String =
+    floatSig(cb.iterator.flatMap(_.iterator.flatten))
 
   private[graft] def pqFor(s: SparkSession, dir: String): (Array[Array[Array[Float]]], Long) = {
     val key = graft.Tables.fingerprint(s, dir, "embeddings")
@@ -998,43 +1005,47 @@ object Similarity {
     pqRerank(s, dir, shortlist)
   }
 
-  /** DuckDB mirror of [[s6Pq]] with the trained codebooks inlined as a
-    * 128-row VALUES table (m, cid, cv, cnorm). Assignment argmin =
-    * `row_number() OVER (ORDER BY score, cid)` mirroring Spark's
-    * struct array_min (ties to the LOWER cid); ADC partials are the
-    * same floor-to-nanounit longs, summed by GROUP BY — exact
-    * decimal addition is associative, so the group-by sum equals
-    * Spark's left fold bit-for-bit. */
-  private[graft] def s6OracleSql(model: (Array[Array[Array[Float]]], Long)): String = {
-    val (cb, nCorpus) = model
-    val shortlist = pqShortlistFor(nCorpus)
+  // ---- shared DuckDB fragments of the s6/s7 oracles — spelled ONCE
+  // so the two generated gates can never desynchronize.
+
+  /** Zero-seeded left-fold dot of the 0-based subspace slice of a
+    * 1-based DuckDB list with an 8-dim codeword (column `m` from cb in
+    * scope). */
+  private def pqOracleDot8(v: String, w: String): String =
+    s"list_reduce(list_transform(generate_series(1, $PqSubDim), " +
+      s"i -> CAST($v[m * $PqSubDim + i] AS DOUBLE) * CAST($w[i] AS DOUBLE)), " +
+      "(x, y) -> x + y)"
+
+  /** Slice · itself — BOTH factors at the subspace offset (mirrors
+    * Spark's dot_prod(slice, slice)). */
+  private def pqOracleDot8Self(v: String): String =
+    s"list_reduce(list_transform(generate_series(1, $PqSubDim), " +
+      s"i -> CAST($v[m * $PqSubDim + i] AS DOUBLE) * " +
+      s"CAST($v[m * $PqSubDim + i] AS DOUBLE)), (x, y) -> x + y)"
+
+  private val pqOracleDot64: String =
+    "list_reduce(list_transform(generate_series(1, 64), " +
+      "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), " +
+      "(x, y) -> x + y)"
+
+  /** The PQ core CTE chain — codebook VALUES (through the
+    * DOUBLE-mediated float cast), norms, assignment scores, argmin
+    * codes (ties to the LOWER cid, mirroring Spark's pq_encode), and
+    * the query-side nanounit ADC partials. Callers append their own
+    * `contrib` CTE and then [[pqOracleTail]]. */
+  private def pqOracleCoreCtes(cb: Array[Array[Array[Float]]]): String = {
     val vals = (for { m <- 0 until PqM; c <- 0 until PqK } yield
       s"($m, $c, ${pqFloatLit(cb(m)(c), spark = false)}, " +
         s"CAST(${pqCnorm(cb(m)(c))} AS DOUBLE))").mkString(",\n    ")
-    // zero-seeded left-fold dot of the 0-based subspace slice of a
-    // 1-based DuckDB list with an 8-dim codeword / with itself
-    def dot8(v: String, w: String): String =
-      s"list_reduce(list_transform(generate_series(1, $PqSubDim), " +
-        s"i -> CAST($v[m * $PqSubDim + i] AS DOUBLE) * CAST($w[i] AS DOUBLE)), " +
-        "(x, y) -> x + y)"
-    // slice · itself — BOTH factors at the subspace offset (mirrors
-    // Spark's dot_prod(slice, slice))
-    def dot8self(v: String): String =
-      s"list_reduce(list_transform(generate_series(1, $PqSubDim), " +
-        s"i -> CAST($v[m * $PqSubDim + i] AS DOUBLE) * " +
-        s"CAST($v[m * $PqSubDim + i] AS DOUBLE)), (x, y) -> x + y)"
-    val dot64 =
-      "list_reduce(list_transform(generate_series(1, 64), " +
-        "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), " +
-        "(x, y) -> x + y)"
-    s"""WITH cb(m, cid, cv, cnorm) AS (VALUES
+    s"""cb(m, cid, cv, cnorm) AS (VALUES
        |    $vals),
        |nv AS (
-       |  SELECT vec_id, embedding, sqrt($dot64) AS nrm FROM embeddings),
+       |  SELECT vec_id, embedding, sqrt($pqOracleDot64) AS nrm
+       |  FROM embeddings),
        |sc AS (
        |  SELECT vec_id, m, cid,
-       |    (cnorm - CAST(2 AS DOUBLE) * (${dot8("embedding", "cv")} / nrm))
-       |      AS score
+       |    (cnorm - CAST(2 AS DOUBLE) *
+       |      (${pqOracleDot8("embedding", "cv")} / nrm)) AS score
        |  FROM nv CROSS JOIN cb),
        |codes AS (
        |  SELECT vec_id, m, cid FROM (
@@ -1043,16 +1054,19 @@ object Similarity {
        |    FROM sc) WHERE rn = 1),
        |qd AS (
        |  SELECT vec_id AS query_id, m, cid,
-       |    CAST(floor(((${dot8self("embedding")} / (nrm * nrm)) -
-       |      CAST(2 AS DOUBLE) * (${dot8("embedding", "cv")} / nrm) + cnorm)
+       |    CAST(floor(((${pqOracleDot8Self("embedding")} / (nrm * nrm)) -
+       |      CAST(2 AS DOUBLE) * (${pqOracleDot8("embedding", "cv")} / nrm)
+       |      + cnorm)
        |      * CAST($PqNano AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
        |      AS pd
-       |  FROM nv CROSS JOIN cb WHERE vec_id < $NumQueries),
-       |contrib AS (
-       |  SELECT query_id, c.vec_id AS neighbor_id, pd
-       |  FROM codes c JOIN qd ON qd.m = c.m AND qd.cid = c.cid
-       |    AND c.vec_id <> qd.query_id),
-       |scored AS (
+       |  FROM nv CROSS JOIN cb WHERE vec_id < $NumQueries)""".stripMargin
+  }
+
+  /** ADC sum → corpus-scaled shortlist → exact-cosine rerank → final
+    * select, reading a caller-supplied `contrib(query_id, neighbor_id,
+    * pd)` CTE. */
+  private def pqOracleTail(shortlist: Int): String =
+    s"""scored AS (
        |  SELECT query_id, neighbor_id,
        |    CAST(sum(pd) AS DOUBLE) / CAST($PqNano AS DOUBLE) AS adist
        |  FROM contrib GROUP BY query_id, neighbor_id),
@@ -1076,45 +1090,35 @@ object Similarity {
        |  FROM rr)
        |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, adist, cos
        |FROM rranked WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
+
+  /** DuckDB mirror of [[s6Pq]]: the shared PQ core CTEs, a full-corpus
+    * contrib join, and the shared shortlist/rerank tail. */
+  private[graft] def s6OracleSql(model: (Array[Array[Array[Float]]], Long)): String = {
+    val (cb, nCorpus) = model
+    s"""WITH ${pqOracleCoreCtes(cb)},
+       |contrib AS (
+       |  SELECT query_id, c.vec_id AS neighbor_id, pd
+       |  FROM codes c JOIN qd ON qd.m = c.m AND qd.cid = c.cid
+       |    AND c.vec_id <> qd.query_id),
+       |${pqOracleTail(pqShortlistFor(nCorpus))}""".stripMargin
   }
 
-  /** DuckDB mirror of [[s7IvfPq]]: the s3 cell-routing CTEs (cent
-    * VALUES, argmax assignment with ties to the HIGHER cid, probe
-    * list crnk ≤ nprobe) composed with the s6 PQ CTEs (codebook
-    * VALUES through the DOUBLE-mediated float cast, argmin codes,
-    * decimal ADC partials, shortlist, exact-cosine rerank); the
-    * contrib join additionally requires the candidate's cell to be
-    * one of the query's probes — a candidate matches at most one
-    * probe, so no pair duplicates. */
+  /** DuckDB mirror of [[s7IvfPq]]: the shared PQ core CTEs plus the s3
+    * cell-routing CTEs (cent VALUES, argmax assignment with ties to
+    * the HIGHER cid, probe list crnk ≤ nprobe); the contrib join
+    * additionally requires the candidate's cell to be one of the
+    * query's probes — a candidate matches at most one probe, so no
+    * pair duplicates — then the shared shortlist/rerank tail. */
   private[graft] def s7OracleSql(cent: Array[Array[Float]],
       model: (Array[Array[Array[Float]]], Long)): String = {
     val (cb, nCorpus) = model
-    val shortlist = pqShortlistFor(nCorpus)
-    val cbVals = (for { m <- 0 until PqM; c <- 0 until PqK } yield
-      s"($m, $c, ${pqFloatLit(cb(m)(c), spark = false)}, " +
-        s"CAST(${pqCnorm(cb(m)(c))} AS DOUBLE))").mkString(",\n    ")
     def litVec(v: Array[Float]) =
       v.map(x => s"CAST($x AS FLOAT)").mkString("[", ",", "]")
     val centVals = cent.zipWithIndex
       .map { case (v, i) => s"($i, ${litVec(v)})" }.mkString(",\n    ")
-    def dot8(v: String, w: String): String =
-      s"list_reduce(list_transform(generate_series(1, $PqSubDim), " +
-        s"i -> CAST($v[m * $PqSubDim + i] AS DOUBLE) * CAST($w[i] AS DOUBLE)), " +
-        "(x, y) -> x + y)"
-    def dot8self(v: String): String =
-      s"list_reduce(list_transform(generate_series(1, $PqSubDim), " +
-        s"i -> CAST($v[m * $PqSubDim + i] AS DOUBLE) * " +
-        s"CAST($v[m * $PqSubDim + i] AS DOUBLE)), (x, y) -> x + y)"
-    val dot64 =
-      "list_reduce(list_transform(generate_series(1, 64), " +
-        "i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), " +
-        "(x, y) -> x + y)"
-    s"""WITH cb(m, cid, cv, cnorm) AS (VALUES
-       |    $cbVals),
+    s"""WITH ${pqOracleCoreCtes(cb)},
        |cent(icid, icv) AS (VALUES
        |    $centVals),
-       |nv AS (
-       |  SELECT vec_id, embedding, sqrt($dot64) AS nrm FROM embeddings),
        |cellsc AS (
        |  SELECT e.vec_id, c.icid,
        |    ${VectorOps.sqlCosine("embedding", "icv")} AS ccos
@@ -1127,23 +1131,6 @@ object Similarity {
        |qprobe AS (
        |  SELECT vec_id AS query_id, icid AS qc
        |  FROM rankedc WHERE vec_id < $NumQueries AND crnk <= $IvfProbes),
-       |sc AS (
-       |  SELECT vec_id, m, cid,
-       |    (cnorm - CAST(2 AS DOUBLE) * (${dot8("embedding", "cv")} / nrm))
-       |      AS score
-       |  FROM nv CROSS JOIN cb),
-       |codes AS (
-       |  SELECT vec_id, m, cid FROM (
-       |    SELECT vec_id, m, cid, row_number() OVER (
-       |      PARTITION BY vec_id, m ORDER BY score, cid) AS rn
-       |    FROM sc) WHERE rn = 1),
-       |qd AS (
-       |  SELECT vec_id AS query_id, m, cid,
-       |    CAST(floor(((${dot8self("embedding")} / (nrm * nrm)) -
-       |      CAST(2 AS DOUBLE) * (${dot8("embedding", "cv")} / nrm) + cnorm)
-       |      * CAST($PqNano AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
-       |      AS pd
-       |  FROM nv CROSS JOIN cb WHERE vec_id < $NumQueries),
        |contrib AS (
        |  SELECT qd.query_id, c.vec_id AS neighbor_id, pd
        |  FROM codes c
@@ -1151,30 +1138,7 @@ object Similarity {
        |  JOIN qd ON qd.m = c.m AND qd.cid = c.cid
        |    AND c.vec_id <> qd.query_id
        |  JOIN qprobe qp ON qp.query_id = qd.query_id AND qp.qc = ce.cell),
-       |scored AS (
-       |  SELECT query_id, neighbor_id,
-       |    CAST(sum(pd) AS DOUBLE) / CAST($PqNano AS DOUBLE) AS adist
-       |  FROM contrib GROUP BY query_id, neighbor_id),
-       |short AS (
-       |  SELECT query_id, neighbor_id, adist FROM (
-       |    SELECT query_id, neighbor_id, adist, row_number() OVER (
-       |      PARTITION BY query_id ORDER BY adist, neighbor_id) AS arnk
-       |    FROM scored) WHERE arnk <= $shortlist),
-       |rr AS (
-       |  SELECT sh.query_id, sh.neighbor_id, sh.adist,
-       |    qv.embedding AS qe, nv2.embedding AS ce
-       |  FROM short sh
-       |  JOIN embeddings nv2 ON nv2.vec_id = sh.neighbor_id
-       |  JOIN embeddings qv ON qv.vec_id = sh.query_id),
-       |rranked AS (
-       |  SELECT query_id, neighbor_id, adist,
-       |    ${VectorOps.sqlCosine("qe", "ce")} AS cos,
-       |    row_number() OVER (PARTITION BY query_id
-       |      ORDER BY ${VectorOps.sqlCosine("qe", "ce")} DESC, neighbor_id)
-       |      AS rnk
-       |  FROM rr)
-       |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, adist, cos
-       |FROM rranked WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
+       |${pqOracleTail(pqShortlistFor(nCorpus))}""".stripMargin
   }
 
   // ---------------------------------------------------------------- oracle

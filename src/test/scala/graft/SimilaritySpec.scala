@@ -8,6 +8,56 @@ class SimilaritySpec extends AnyFunSuite {
   private lazy val s = TestSpark.spark
   private val dir = TestSpark.SfDir
 
+  // ---- shared driver-replay arithmetic for the s6/s7 PQ tests (the
+  // exact zero-seeded left folds the engines use)
+  private def pqCos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb2 = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb2 += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb2))
+  }
+  private def pqNrm(v: Array[Float]): Double = {
+    var ss = 0.0; var i = 0
+    while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
+    math.sqrt(ss)
+  }
+  private def pqDotAt(v: Array[Float], off: Int, w: Array[Float]): Double = {
+    var d = 0.0; var i = 0
+    while (i < w.length) { d += v(off + i).toDouble * w(i).toDouble; i += 1 }
+    d
+  }
+  private def pqCn(w: Array[Float]): Double = {
+    var ss = 0.0; var i = 0
+    while (i < w.length) { ss += w(i).toDouble * w(i).toDouble; i += 1 }
+    ss
+  }
+  private def pqCodesOf(cb: Array[Array[Array[Float]]])(v: Array[Float]): Array[Int] = {
+    val n = pqNrm(v)
+    Array.tabulate(Similarity.PqM) { m =>
+      var best = 0; var bestS = Double.MaxValue; var c = 0
+      while (c < Similarity.PqK) {
+        val sc = pqCn(cb(m)(c)) -
+          2.0 * (pqDotAt(v, m * Similarity.PqSubDim, cb(m)(c)) / n)
+        if (sc < bestS) { bestS = sc; best = c }
+        c += 1
+      }
+      best
+    }
+  }
+  private def pqPd(cb: Array[Array[Array[Float]]])(
+      qv: Array[Float], m: Int, c: Int): Long = {
+    val n = pqNrm(qv); val off = m * Similarity.PqSubDim
+    var qs = 0.0; var i = 0
+    while (i < Similarity.PqSubDim) {
+      qs += qv(off + i).toDouble * qv(off + i).toDouble; i += 1
+    }
+    val x = qs / (n * n) -
+      2.0 * (pqDotAt(qv, off, cb(m)(c)) / n) + pqCn(cb(m)(c))
+    math.floor(x * Similarity.PqNano.toDouble + 0.5).toLong
+  }
+
   test("s1 returns top-3 per query, self excluded, ranked by cosine") {
     val rows = Similarity.s1BruteForce(s, dir).collect()
     val byQuery = rows.groupBy(_.getLong(0))
@@ -258,7 +308,6 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("s6 PQ matches a driver-side replay and trains once per corpus") {
-    import scala.math.BigDecimal.RoundingMode.HALF_UP
     s.conf.set("spark.graft.pq.dir",
       java.nio.file.Files.createTempDirectory("graft-pq").toString)
     Similarity.clearPqCache()
@@ -279,53 +328,9 @@ class SimilaritySpec extends AnyFunSuite {
     val shortDepth = Similarity.pqShortlistFor(nCorpus)
     val emb = graft.Tables.embeddings(s, dir).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    def nrm(v: Array[Float]): Double = {
-      var ss = 0.0; var i = 0
-      while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
-      math.sqrt(ss)
-    }
-    def dotAt(v: Array[Float], off: Int, w: Array[Float]): Double = {
-      var d = 0.0; var i = 0
-      while (i < w.length) { d += v(off + i).toDouble * w(i).toDouble; i += 1 }
-      d
-    }
-    def cnorm(w: Array[Float]): Double = {
-      var ss = 0.0; var i = 0
-      while (i < w.length) { ss += w(i).toDouble * w(i).toDouble; i += 1 }
-      ss
-    }
-    def codesOf(v: Array[Float]): Array[Int] = {
-      val n = nrm(v)
-      Array.tabulate(Similarity.PqM) { m =>
-        var best = 0; var bestS = Double.MaxValue; var c = 0
-        while (c < Similarity.PqK) {
-          val sc = cnorm(cb(m)(c)) -
-            2.0 * (dotAt(v, m * Similarity.PqSubDim, cb(m)(c)) / n)
-          if (sc < bestS) { bestS = sc; best = c }
-          c += 1
-        }
-        best
-      }
-    }
-    val codes = emb.map { case (id, v) => id -> codesOf(v) }
-    def pd(qv: Array[Float], m: Int, c: Int): Long = {
-      val n = nrm(qv); val off = m * Similarity.PqSubDim
-      var qs = 0.0; var i = 0
-      while (i < Similarity.PqSubDim) {
-        qs += qv(off + i).toDouble * qv(off + i).toDouble; i += 1
-      }
-      val x = qs / (n * n) -
-        2.0 * (dotAt(qv, off, cb(m)(c)) / n) + cnorm(cb(m)(c))
-      math.floor(x * Similarity.PqNano.toDouble + 0.5).toLong
-    }
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb2 = 0.0; var i = 0
-      while (i < a.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        dot += x * y; na += x * x; nb2 += y * y; i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb2))
-    }
+    val codes = emb.map { case (id, v) => id -> pqCodesOf(cb)(v) }
+    def pd(qv: Array[Float], m: Int, c: Int): Long = pqPd(cb)(qv, m, c)
+    def cos(a: Array[Float], b: Array[Float]): Double = pqCos(a, b)
     val expected = (0L until Similarity.NumQueries).flatMap { qid =>
       val qv = emb(qid)
       val short = emb.keys.filter(_ != qid).map { nid =>
@@ -355,21 +360,13 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("s7 IVF-PQ matches a driver replay; candidates confined to probed cells") {
-    import scala.math.BigDecimal.RoundingMode.HALF_UP
     val rows = Similarity.s7IvfPq(s, dir).collect()
     val cent = Similarity.centroidsFor(s, dir)
     val (cb, nCorpus) = Similarity.pqFor(s, dir)
     val shortDepth = Similarity.pqShortlistFor(nCorpus)
     val emb = graft.Tables.embeddings(s, dir).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    def cos(a: Array[Float], b: Array[Float]): Double = {
-      var dot = 0.0; var na = 0.0; var nb2 = 0.0; var i = 0
-      while (i < a.length) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        dot += x * y; na += x * x; nb2 += y * y; i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb2))
-    }
+    def cos(a: Array[Float], b: Array[Float]): Double = pqCos(a, b)
     // cell ranking mirrors s3: cosine DESC, centroid id DESC on ties
     def cellRanking(v: Array[Float]): Seq[Int] =
       cent.indices.map(i => (cos(v, cent(i)), i))
@@ -384,45 +381,8 @@ class SimilaritySpec extends AnyFunSuite {
         s"neighbor ${r.getLong(2)} outside query ${r.getLong(0)}'s probes")
     }
     // full replay: PQ codes + ADC within probed cells + exact rerank
-    def nrm(v: Array[Float]): Double = {
-      var ss = 0.0; var i = 0
-      while (i < v.length) { ss += v(i).toDouble * v(i).toDouble; i += 1 }
-      math.sqrt(ss)
-    }
-    def dotAt(v: Array[Float], off: Int, w: Array[Float]): Double = {
-      var d = 0.0; var i = 0
-      while (i < w.length) { d += v(off + i).toDouble * w(i).toDouble; i += 1 }
-      d
-    }
-    def cnorm(w: Array[Float]): Double = {
-      var ss = 0.0; var i = 0
-      while (i < w.length) { ss += w(i).toDouble * w(i).toDouble; i += 1 }
-      ss
-    }
-    def codesOf(v: Array[Float]): Array[Int] = {
-      val n = nrm(v)
-      Array.tabulate(Similarity.PqM) { m =>
-        var best = 0; var bestS = Double.MaxValue; var c = 0
-        while (c < Similarity.PqK) {
-          val sc = cnorm(cb(m)(c)) -
-            2.0 * (dotAt(v, m * Similarity.PqSubDim, cb(m)(c)) / n)
-          if (sc < bestS) { bestS = sc; best = c }
-          c += 1
-        }
-        best
-      }
-    }
-    val codes = emb.map { case (id, v) => id -> codesOf(v) }
-    def pd(qv: Array[Float], m: Int, c: Int): Long = {
-      val n = nrm(qv); val off = m * Similarity.PqSubDim
-      var qs = 0.0; var i = 0
-      while (i < Similarity.PqSubDim) {
-        qs += qv(off + i).toDouble * qv(off + i).toDouble; i += 1
-      }
-      val x = qs / (n * n) -
-        2.0 * (dotAt(qv, off, cb(m)(c)) / n) + cnorm(cb(m)(c))
-      math.floor(x * Similarity.PqNano.toDouble + 0.5).toLong
-    }
+    val codes = emb.map { case (id, v) => id -> pqCodesOf(cb)(v) }
+    def pd(qv: Array[Float], m: Int, c: Int): Long = pqPd(cb)(qv, m, c)
     val expected = (0L until Similarity.NumQueries).flatMap { qid =>
       val qv = emb(qid)
       val short = emb.keys

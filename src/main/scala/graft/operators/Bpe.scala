@@ -57,7 +57,16 @@ object Bpe {
   private[graft] val trainCount =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
-  private[graft] def clearCache(): Unit = cache.synchronized(cache.clear())
+  /** Most recently trained/used corpus key — the static [[oracle]]
+    * resolves from THIS, not from the LRU's iteration order (an
+    * access-ordered LinkedHashMap iterates least-recently-used FIRST,
+    * so with two corpora trained in one JVM the old `values().next()`
+    * spelling silently inlined the STALE corpus's merges — the same
+    * trap Similarity.lastCorpusKey exists for). */
+  @volatile private[graft] var lastKey: Option[String] = None
+
+  private[graft] def clearCache(): Unit =
+    cache.synchronized { cache.clear(); lastKey = None }
 
   /** The distributed side of training: the corpus word-frequency
     * table. Everything after is vocab-bounded. */
@@ -68,12 +77,36 @@ object Bpe {
       .groupBy("word").agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
 
+  /** Code-point lexicographic compare — equivalent to UTF-8 BYTE order,
+    * which is what DuckDB's binary collation gives `ORDER BY lhs, rhs`
+    * in the SQL replay oracle. Scala's default String ordering compares
+    * UTF-16 code UNITS, which disagrees with byte order exactly when a
+    * BMP char in [U+E000, U+FFFF] meets a supplementary character — so
+    * a non-BMP corpus would diverge trainer-vs-oracle on tie-breaks. */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Segment a word into CODE POINTS — the unit the SQL replay oracle's
+    * `string_split(word, '')` produces. `toCharArray` (UTF-16 code
+    * units) would split surrogate pairs into lone-surrogate "symbols"
+    * the oracle never sees. */
+  private def codePointSyms(w: String): Array[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
   /** Classic BPE over the word table: count symbol pairs weighted by
-    * word frequency, merge the argmax (ties: smallest (lhs, rhs)),
-    * repeat. Leftmost-greedy non-overlapping application. */
+    * word frequency, merge the argmax (ties: smallest (lhs, rhs) in
+    * code-point order — see [[cpCompare]]), repeat. Leftmost-greedy
+    * non-overlapping application. */
   private[graft] def train(wc: Array[(String, Long)]): Seq[Merge] = {
     var words: Array[(Array[String], Long)] =
-      wc.map { case (w, c) => (w.toCharArray.map(_.toString), c) }
+      wc.map { case (w, c) => (codePointSyms(w), c) }
     (1 to BpeMerges).map { step =>
       val pc = new scala.collection.mutable.HashMap[(String, String), Long]()
       words.foreach { case (syms, c) =>
@@ -85,7 +118,15 @@ object Bpe {
         }
       }
       require(pc.nonEmpty, s"corpus exhausted before merge $step")
-      val ((lhs, rhs), cnt) = pc.minBy { case ((l, r), c) => (-c, l, r) }
+      val ((lhs, rhs), cnt) = pc.reduceLeft { (x, y) =>
+        val cmp =
+          if (x._2 != y._2) java.lang.Long.compare(y._2, x._2) // count DESC
+          else {
+            val cl = cpCompare(x._1._1, y._1._1)
+            if (cl != 0) cl else cpCompare(x._1._2, y._1._2)
+          }
+        if (cmp <= 0) x else y
+      }
       words = words.map { case (syms, c) =>
         val out = scala.collection.mutable.ArrayBuffer[String]()
         var i = 0
@@ -104,6 +145,7 @@ object Bpe {
     val key = s.sparkContext.applicationId + "/" +
       Tables.fingerprint(s, dir, "documents")
     cache.synchronized {
+      lastKey = Some(key)
       val hit = cache.get(key)
       if (hit != null) hit
       else {
@@ -231,11 +273,13 @@ object Bpe {
 
   /** Static form — fails loudly if no training has happened (same
     * contract as Similarity.oracle: a premature dump must not
-    * silently shrink the gate). */
+    * silently shrink the gate). Resolves the MOST RECENTLY used
+    * corpus via [[lastKey]] — the access-ordered LRU iterates
+    * least-recently-used first, so `values().next()` would pick the
+    * STALE corpus when two trained in one JVM. */
   def oracle: Map[String, String] = {
     val trained = cache.synchronized {
-      val it = cache.values().iterator()
-      if (it.hasNext) Some(it.next()) else None
+      lastKey.flatMap(k => Option(cache.get(k)))
     }
     trained match {
       case Some(m) => Map(

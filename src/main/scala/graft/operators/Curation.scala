@@ -366,11 +366,25 @@ object Curation {
       .agg(count(lit(1)).as("src_c"),
         sum(when(col("lang") === C9TargetLang, 1L).otherwise(0L)).as("tgt_c"))
     val totals = buckets.agg(sum("src_c").as("s_tot"), sum("tgt_c").as("t_tot"))
+    // DECIMAL(38,0) intermediates on the (tiny, bucket-count-sized)
+    // affinity frame: the plain BIGINT spelling silently WRAPS in
+    // non-ANSI Spark once corpus token counts pass ~sf10 headroom,
+    // while the DuckDB oracle promotes to HUGEINT — the engines would
+    // diverge with wrong scores and no error. Decimal holds the exact
+    // product to 1e38 (the oracle's HUGEINT reaches 1.7e38); `div`
+    // returns BIGINT and goes NULL rather than wrong if the ratio
+    // itself ever outgrew it, which assert_true turns into a loud
+    // job failure instead of a silently NULL-scored corpus.
     val aff = buckets.crossJoin(broadcast(totals))
-      .withColumn("a", expr(
-        s"((tgt_c + 1) * (s_tot + $C9Buckets) * $C9Scale) div " +
-          s"((src_c + 1) * (t_tot + $C9Buckets))"))
-      .select("b", "a")
+      .withColumn("a_raw", expr(
+        s"(CAST(tgt_c + 1 AS DECIMAL(38,0)) * (s_tot + $C9Buckets) " +
+          s"* $C9Scale) div " +
+          s"(CAST(src_c + 1 AS DECIMAL(38,0)) * (t_tot + $C9Buckets))"))
+      .select(col("b"),
+        when(assert_true(col("a_raw").isNotNull,
+          lit("c9 affinity ratio overflowed BIGINT — rescale totals " +
+            "(ratios are scale-invariant) or widen the score path")).isNull,
+          col("a_raw")).as("a"))
     toks.groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c"))
       .join(broadcast(aff), "b")
       .groupBy("doc_id", "lang")

@@ -911,8 +911,8 @@ object Relational {
     "q37_cooccur" ->
       s"""WITH ci AS (
          |  SELECT user_id,
-         |    CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER)
-         |      AS item,
+         |    CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '')
+         |      AS INTEGER) AS item,
          |    count(*) AS clicks
          |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
          |capped AS (
@@ -1053,8 +1053,8 @@ object Relational {
         |  FROM documents) t
         |GROUP BY tok ORDER BY tok""".stripMargin,
     "q15_json_extract" ->
-      s"""SELECT CAST(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1)
-         |    AS INTEGER) % 10 AS INTEGER) AS k_bucket,
+      s"""SELECT CAST(CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1),
+         |    '') AS INTEGER) % 10 AS INTEGER) AS k_bucket,
          |  CAST(count(*) AS BIGINT) AS cnt,
          |  ${Exact.sqlDsum("value")} AS sum_value
          |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,

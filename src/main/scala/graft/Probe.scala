@@ -42,7 +42,48 @@ object Probe {
     if (sections("t8")) probeT8(spark, sfDir) // not in the default set
     if (sections("q36")) probeQ36(spark, sfDir) // not in the default set
     if (sections("s6")) probeS6(spark, sfDir) // not in the default set
+    if (sections("bpe")) probeBpe(spark) // not in the default set
     spark.stop()
+  }
+
+  /** ---- c10 BPE trainer bound at 100× DISTINCT vocabulary (round 12,
+    * closing the r11 verdict's "uncapped vocab collect" weakness):
+    * corpora whose distinct-word count grows 1×/10×/100× — a 1k-word
+    * HEAD repeated enough to carry the merge statistics plus a tail of
+    * exactly-twice words that PASSES the BpeMinFreq floor (the
+    * adversarial shape: floored vocab far beyond BpeVocabCap). The
+    * distributed count+TakeOrdered collect and the driver merge loop
+    * are timed separately; the collected array must sit AT the cap for
+    * the 10×/100× tiers (collect bounded by the cap, not the corpus)
+    * and the merge loop's cost must be flat across tiers (it sees at
+    * most cap words whatever the corpus). Not in the default set. */
+  private def probeBpe(spark: SparkSession): Unit = {
+    println("== bpe: vocab-bounded trainer at 1x/10x/100x distinct words ==")
+    val headArr = "array(" +
+      (0 until 1000).map(i => f"'h$i%04d'").mkString(",") + ")"
+    for ((tier, nDocs) <- Seq(("1x", 800), ("10x", 8000), ("100x", 80000))) {
+      val dir = s"target/bpeprobe/$tier"
+      val tailVocab = nDocs * 25 // 50 tail slots/doc → each word twice
+      val headExpr = "array_join(transform(sequence(0, 19), j -> " +
+        s"element_at($headArr, CAST(1 + (id * 31 + j) % 1000 AS INT))), ' ')"
+      val tailExpr = "array_join(transform(sequence(0, 49), j -> " +
+        s"concat('t', (id * 50 + j) % $tailVocab)), ' ')"
+      spark.range(nDocs)
+        .selectExpr("id AS doc_id",
+          s"concat($headExpr, ' ', $tailExpr) AS text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val t0 = System.nanoTime()
+      val wc = operators.Bpe.wordCounts(spark, dir)
+      val t1 = System.nanoTime()
+      val merges = operators.Bpe.train(wc)
+      val t2 = System.nanoTime()
+      println(f"[bpe] $tier%-4s docs=$nDocs%6d " +
+        f"flooredVocab=${1000 + tailVocab}%8d collected=${wc.length}%6d " +
+        f"(cap=${operators.Bpe.BpeVocabCap}) " +
+        f"count+collect=${(t1 - t0) / 1e9}%6.2fs " +
+        f"train=${(t2 - t1) / 1e9}%6.2fs " +
+        s"merges=${merges.map(m => m.lhs + m.rhs).mkString(",")}")
+    }
   }
 
   /** ---- t8 at 100× corpus: the byte-walk kernel's 10× ScaleBench row

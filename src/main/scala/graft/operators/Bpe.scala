@@ -14,10 +14,12 @@ import graft.Tables
   *
   * Split of labor at 100 TB: the corpus-sized work is ONE distributed
   * word count (q13's combinable shuffle); the merge loop then runs
-  * driver-side over the collected vocab — bounded by DISTINCT words,
-  * not tokens (the s3-kmeans / t8-model offline-train shape), and the
-  * trained merge list is a KB-scale artifact every executor can apply
-  * scan-locally.
+  * driver-side over the collected vocab — bounded by the
+  * [[BpeMinFreq]] frequency floor and the [[BpeVocabCap]] top-N cap
+  * (the production trainers' `min_frequency`/`vocab limit`), NOT by
+  * the corpus's distinct-word count, which on web text is billions
+  * (the s3-kmeans / t8-model offline-train shape); the trained merge
+  * list is a KB-scale artifact every executor can apply scan-locally.
   *
   * Cross-engine verification is in two layers, stronger than the
   * s3/t8 inlined-artifact pattern where training itself goes
@@ -42,6 +44,28 @@ object Bpe {
   /** Merge steps trained/verified by the gate (each step adds one CTE
     * layer to the replay oracle — 6 keeps the SQL mechanical). */
   val BpeMerges = 6
+
+  /** Minimum corpus frequency for a word to enter the trainer's vocab
+    * (the production trainers' `min_frequency`: HF-tokenizers and
+    * SentencePiece both ship it). Web text makes "bounded by DISTINCT
+    * words" a non-bound — singleton tokens (URLs, hashes, typos) are
+    * roughly HALF a crawl's distinct-word table and carry no pair
+    * statistic worth learning; the floor drops them before the
+    * driver-side collect. NOTE: on a degenerate corpus whose floored
+    * vocab can't support [[BpeMerges]] merges the trainer still fails
+    * loudly ("corpus exhausted") rather than returning fewer merges —
+    * 6 merges over a vocabulary that thin is a config error. */
+  val BpeMinFreq = 2L
+
+  /** Hard cap on the collected vocabulary — top-N by (count DESC,
+    * word), the deterministic order both engines share. The driver
+    * collect is bounded by THIS, not by the corpus (TakeOrdered ships
+    * exactly N rows to the driver however many distinct words exist);
+    * truncating the Zipf tail perturbs pair counts by at most
+    * cap-rank-frequency × word-length per pair, which production
+    * trainers accept for the same reason (the head carries the merge
+    * statistics). */
+  val BpeVocabCap = 65536
 
   final case class Merge(step: Int, lhs: String, rhs: String, cnt: Long)
 
@@ -69,12 +93,23 @@ object Bpe {
     cache.synchronized { cache.clear(); lastKey = None }
 
   /** The distributed side of training: the corpus word-frequency
-    * table. Everything after is vocab-bounded. */
-  private def wordCounts(s: SparkSession, dir: String): Array[(String, Long)] =
+    * table, FLOORED at `minFreq` and CAPPED at the top-`cap` words by
+    * (count DESC, word) — so the driver-side collect is bounded by the
+    * cap, not by the corpus's distinct-word count (a 100 TB crawl has
+    * billions of distinct tokens; collecting them is the classic
+    * driver OOM). orderBy+limit plans as TakeOrderedAndProject:
+    * map-side local top-N, one final merge task, exactly N rows
+    * shipped. Everything after is cap-bounded. */
+  private[graft] def wordCounts(s: SparkSession, dir: String,
+      minFreq: Long = BpeMinFreq,
+      cap: Int = BpeVocabCap): Array[(String, Long)] =
     Tables.documents(s, dir)
       .select(explode(expr("filter(split(text, ' '), x -> x <> '')"))
         .as("word"))
       .groupBy("word").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minFreq)
+      .orderBy(col("c").desc, col("word"))
+      .limit(cap)
       .collect().map(r => (r.getString(0), r.getLong(1)))
 
   /** Code-point lexicographic compare — equivalent to UTF-8 BYTE order,
@@ -230,11 +265,16 @@ object Bpe {
     val rows = (1 to BpeMerges).map(i =>
       s"SELECT $i AS step, lhs, rhs, cnt AS pair_count FROM m$i")
       .mkString("\nUNION ALL ")
-    s"""WITH wc AS (
+    s"""WITH wc0 AS (
        |  SELECT word, CAST(count(*) AS BIGINT) AS c FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word
        |    FROM documents) t
-       |  WHERE word <> '' GROUP BY word),
+       |  WHERE word <> '' GROUP BY word
+       |  HAVING count(*) >= $BpeMinFreq),
+       |wc AS (
+       |  SELECT word, c FROM wc0
+       |  QUALIFY row_number() OVER (ORDER BY c DESC, word)
+       |    <= $BpeVocabCap),
        |seg0 AS (
        |  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' '
        |    AS seg, c

@@ -31,8 +31,11 @@ class BpeSpec extends AnyFunSuite {
     // give [aa, aa]; the operator's double-replace chain must agree
     import s.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    // every text twice (distinct ids): all words clear the BpeMinFreq
+    // floor, so the floored trainer sees the same vocabulary shape
     val docs = Seq(
-      (0L, "aaaa aaa aa"), (1L, "aaaa aaaa baab"), (2L, "ab ba aaab"))
+      (0L, "aaaa aaa aa"), (1L, "aaaa aaaa baab"), (2L, "ab ba aaab"),
+      (3L, "aaaa aaa aa"), (4L, "aaaa aaaa baab"), (5L, "ab ba aaab"))
     docs.toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     val merges = Bpe.mergesFor(s, out)
@@ -59,6 +62,27 @@ class BpeSpec extends AnyFunSuite {
     val got = Bpe.c10BpeTokenize(s, out).collect()
       .map(r => r.getLong(0) -> r.getInt(3)).toMap
     assert(got == expect, s"got $got expect $expect")
+  }
+
+  test("frequency floor and vocab cap bound the collected vocabulary") {
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-bpecap").toString
+    Seq((0L, "tok_a tok_a tok_b tok_b tok_b once1"),
+        (1L, "tok_c tok_c once2"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // floor binds: the two singleton words never reach the driver
+    val floored = Bpe.wordCounts(s, out).toSeq
+    assert(floored.toSet == Set(("tok_b", 3L), ("tok_a", 2L), ("tok_c", 2L)),
+      s"floor must drop once1/once2: $floored")
+    // cap binds, in (count DESC, word) order — ties cut by word, the
+    // same binary collation the SQL replay oracle's QUALIFY uses
+    val capped = Bpe.wordCounts(s, out, cap = 2).toSeq
+    assert(capped.toSet == Set(("tok_b", 3L), ("tok_a", 2L)),
+      s"cap=2 must keep tok_b then tok_a: $capped")
+    // and a floor of 1 really is the uncapped spelling (3 + 2 words)
+    val unfloored = Bpe.wordCounts(s, out, minFreq = 1L)
+    assert(unfloored.length == 5)
   }
 
   test("merges train once per corpus and piece counts shrink monotonically") {

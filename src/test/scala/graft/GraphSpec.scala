@@ -134,4 +134,16 @@ class GraphSpec extends AnyFunSuite {
     // ranks genuinely discriminate (not a uniform fixed point)
     assert(got.map(_._2).distinct.length > 1)
   }
+
+  test("q36 rank-join branches (broadcast vs shuffle) are bit-identical") {
+    // the adaptive threshold (PrBroadcastMaxNodes) swaps the physical
+    // join under the SAME integer arithmetic — force each branch on
+    // the gate corpus and require exact row-for-row equality
+    val viaBroadcast = Graph.q36PagerankWith(s, dir, Long.MaxValue)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val viaShuffle = Graph.q36PagerankWith(s, dir, 0L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaBroadcast == viaShuffle,
+      s"branches diverged: $viaBroadcast vs $viaShuffle")
+  }
 }

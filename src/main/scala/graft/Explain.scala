@@ -51,11 +51,39 @@ object Explain {
       (if (dirty) " (DIRTY TREE — not authoritative)" else "") + "\n")
     summary.append("# stale iff: ! git diff --quiet <commit>..HEAD -- " +
       "src/main build.sbt   (tools/check_plans.sh)\n")
-    summary.append("query | shuffles(exec+reused) | joins | pushed | readCols\n")
+    summary.append("# stages(S/T): shuffle-map/total STAGES executed " +
+      "during query build+run, from a SparkListener — unlike the plan " +
+      "columns this sees THROUGH localCheckpoint lineage cuts (q36's " +
+      "per-iteration shuffles, d8's contraction rounds) and through " +
+      "construction-time artifact jobs; a stage served by exchange " +
+      "reuse never re-runs, so reuse lowers S. First consumer of a " +
+      "memoized subtree (alphabetical order) carries its build stages.\n")
+    summary.append(
+      "query | shuffles(exec+reused) | stages(S/T) | joins | pushed | readCols\n")
 
     val joinRe = """([A-Za-z]*Join)""".r
 
+    // stage-level audit: the executed-plan text cannot see past a
+    // localCheckpoint (the round-11 verdict's blind spot — q36 read
+    // "0+0 shuffles" while running two keyed shuffles per iteration);
+    // a listener counts what the scheduler actually ran, checkpoint
+    // cuts and all. shuffleDepId identifies shuffle-map stages.
+    val allStages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val shuffleStages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        allStages.incrementAndGet()
+        if (org.apache.spark.graftbridge.GraftScheduler
+            .isShuffleMapStage(e.stageInfo)) shuffleStages.incrementAndGet()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      org.apache.spark.graftbridge.GraftScheduler
+        .drainListenerBus(spark.sparkContext)
+      allStages.set(0); shuffleStages.set(0)
       val df = SparkEntry.queries(name)(spark, dir)
       // drive the DATASET'S OWN QueryExecution to its AQE final plan (a
       // write action builds a separate QueryExecution and leaves df's at
@@ -64,6 +92,10 @@ object Explain {
       // per-partition counts back, so a large sfDir argument can't blow
       // driver memory on the pairwise queries the way collect() could
       df.queryExecution.toRdd.count()
+      org.apache.spark.graftbridge.GraftScheduler
+        .drainListenerBus(spark.sparkContext)
+      val stagesAll = allStages.get
+      val stagesShuffle = shuffleStages.get
       val plan = df.queryExecution.executedPlan.toString
       sb.append(s"===== $name =====\n$plan\n")
       // the adaptive plan prints "== Final Plan ==" AND "== Initial
@@ -83,8 +115,10 @@ object Explain {
       val readCols = lines.filter(_.contains("ReadSchema"))
         .map(l => l.substring(l.indexOf("ReadSchema")).count(_ == ':') - 1)
         .mkString(",")
-      summary.append(s"$name | $executed+$reused | $joins | $pushed | $readCols\n")
+      summary.append(s"$name | $executed+$reused | " +
+        s"$stagesShuffle/$stagesAll | $joins | $pushed | $readCols\n")
     }
+    spark.sparkContext.removeSparkListener(listener)
     Files.write(Paths.get(out), (summary.toString + "\n" + sb.toString).getBytes)
     println(s"[explain] wrote $out")
     println(summary.toString)

@@ -44,7 +44,56 @@ object Probe {
     if (sections("s6")) probeS6(spark, sfDir) // not in the default set
     if (sections("bpe")) probeBpe(spark) // not in the default set
     if (sections("q36b")) probeQ36B(spark) // not in the default set
+    if (sections("d11")) probeD11(spark, sfDir) // not in the default set
     spark.stop()
+  }
+
+  /** ---- d11 admission cost vs corpus size (round 12): the operator's
+    * claim is "admission scales with the INCREMENT, not the corpus" —
+    * so a FIXED-size shard (every 10th base doc, 500 at sf0.1; half
+    * near-copies, half novel) is admitted against the base corpus and
+    * a 10× replica (c4's replication rules). Index BUILD (the pay-once
+    * per-generation corpus pass) and ADMIT are timed separately; admit
+    * should ride the compact index scan (fixed-width signature rows)
+    * while build grows with the corpus. Not in the default set. */
+  private def probeD11(spark: SparkSession, sfDir: String): Unit = {
+    println("== d11: fixed-size shard admission vs 1x/10x corpus ==")
+    val doc = Tables.documents(spark, sfDir)
+    val mDoc = doc.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val cols = doc.columns
+    val x10 = "target/probe/d11x10"
+    doc.crossJoin(spark.range(10).withColumnRenamed("id", "copy"))
+      .withColumn("doc_id", col("doc_id") + col("copy") * mDoc)
+      .withColumn("text", concat(col("text"), lit(" copyword"),
+        col("copy").cast("string")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select(cols.map(col).toIndexedSeq: _*)
+      .write.mode("overwrite").parquet(s"$x10/documents.parquet")
+    // the fixed shard: half near-copies of base docs, half reversed
+    // (novel); ids far above both corpora per the d11Admit contract
+    val shard = doc.filter(col("doc_id") % 10 === 0).limit(1000)
+      .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+        when(col("doc_id") % 20 === 0, col("text"))
+          .otherwise(reverse(col("text"))).as("text"))
+      .localCheckpoint(true)
+    val conf = spark.sparkContext.hadoopConfiguration
+    for ((tier, dir) <- Seq(("1x", sfDir), ("10x", x10))) {
+      // force a cold index build (delete the fingerprint-keyed artifact)
+      val idxPath = new org.apache.hadoop.fs.Path(
+        s"target/dedupindex/${Tables.fingerprint(spark, dir, "documents")}")
+      idxPath.getFileSystem(conf).delete(idxPath, true)
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      operators.Dedup.d11IndexPath(spark, dir)
+      val t1 = System.nanoTime()
+      val n1 = operators.Dedup.d11Admit(spark, dir, shard).count()
+      val t2 = System.nanoTime()
+      val n2 = operators.Dedup.d11Admit(spark, dir, shard).count()
+      val t3 = System.nanoTime()
+      println(f"[d11] $tier%-4s indexBuild=${(t1 - t0) / 1e9}%6.2fs " +
+        f"admit1=${(t2 - t1) / 1e9}%6.2fs admit2=${(t3 - t2) / 1e9}%6.2fs " +
+        f"rows=$n1/$n2")
+    }
   }
 
   /** ---- q36's size-adaptive rank join on planted graphs (round 12,

@@ -251,4 +251,58 @@ class DedupSpec extends AnyFunSuite {
     }.toSet
     assert(implied.subsetOf(d9Flagged))
   }
+
+  test("d11 increment admission equals the batch keep-list on the union") {
+    import org.apache.spark.sql.functions._
+    val inc = s.read.parquet(Dedup.d11IncrementPath(s, dir))
+    val got = Dedup.d11DedupIncremental(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // stage corpus ∪ increment as its own corpus; run the full batch
+    // d2 screen → d4 confirm → greedy keep chain on it
+    val out = java.nio.file.Files.createTempDirectory("graft-d11").toString
+    Tables.documents(s, dir).select("doc_id", "text")
+      .unionAll(inc.select("doc_id", "text"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val kept = Dedup.dedupKeepList(s, out,
+        Dedup.d4Confirm(s, out, Dedup.d2Minhash(s, out)))
+      .collect().map(_.getLong(0)).toSet
+    got.foreach { case (id, flag) =>
+      assert((flag == 1) == kept.contains(id),
+        s"doc $id: incremental says $flag, batch union says " +
+          s"${kept.contains(id)}")
+    }
+    assert(got.values.toSet == Set(0, 1), "both verdicts must occur")
+  }
+
+  test("d11 drop classes land where planted; artifacts stage write-once") {
+    import org.apache.spark.sql.functions._
+    val ids = Tables.documents(s, dir).select("doc_id")
+      .collect().map(_.getLong(0))
+    val maxId = ids.max
+    val got = Dedup.d11DedupIncremental(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every exact re-upload is rejected
+    ids.filter(_ % Dedup.D11ExactMod == 0).foreach { id =>
+      assert(got(id + maxId + 1) == 0, s"exact copy of $id admitted")
+    }
+    // some suffixed near-dup rejected (long docs clear the threshold)
+    assert(ids.exists(id => id % Dedup.D11NearMod == 0 &&
+      id % Dedup.D11ExactMod != 0 && got(id + maxId + 1) == 0))
+    // some reversed (novel) doc admitted
+    assert(ids.exists(id => id % Dedup.D11Mod == 0 &&
+      id % Dedup.D11NearMod != 0 && id % Dedup.D11ExactMod != 0 &&
+      got(id + maxId + 1) == 1))
+    // write-once: a second staging call must not rewrite either artifact
+    val conf = s.sparkContext.hadoopConfiguration
+    def mtime(p: String): Long = {
+      val f = new org.apache.hadoop.fs.Path(p)
+      f.getFileSystem(conf).getFileStatus(f).getModificationTime
+    }
+    val idxSuccess = s"${Dedup.d11IndexPath(s, dir)}/bands.parquet/_SUCCESS"
+    val incSuccess = s"${Dedup.d11IncrementPath(s, dir)}/_SUCCESS"
+    val (t1, t2) = (mtime(idxSuccess), mtime(incSuccess))
+    Dedup.d11IndexPath(s, dir); Dedup.d11IncrementPath(s, dir)
+    assert(mtime(idxSuccess) == t1 && mtime(incSuccess) == t2,
+      "staging must be _SUCCESS-gated write-once")
+  }
 }

@@ -568,6 +568,47 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** q39: TAIL quantiles (p90/p95/p99) per group — the production
+    * percentile family q33's scaladoc deferred. Arbitrary fracs don't
+    * survive cross-engine INTERPOLATION (0.95·(n−1) can round across
+    * an integer boundary differently per engine), so the tail entry
+    * takes NEAREST-RANK semantics instead (percentile_disc: the value
+    * at rank ceil(q·n), 1-indexed) — rank = (q·n + 99) div 100 in
+    * pure integer arithmetic, hash-exact at ANY n in both engines
+    * (DuckDB's own quantile_disc matched this ceil-rank rule on every
+    * probed n, but its index math is floating-point internally, so
+    * the oracle spells the rank pick EXPLICITLY via row_number over
+    * raw rows — different plumbing, same integer definition).
+    *
+    * Plan shape is q33's: one map-side-combinable histogram shuffle,
+    * one keyed window pass to cumulative ranks, rank-interval reads —
+    * state bounded by distinct cents per task, NOT the builtin
+    * `percentile`'s per-task value maps (measured 6.9s vs 1.5s at
+    * sf0.1 on q33). RelationalSpec additionally audits Spark's
+    * `approx_percentile` sketch against these exact values (rank
+    * error ≤ n/accuracy) — the approximate path a 100 TB caller
+    * takes, quantified instead of trusted. */
+  def q39TailQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("l_returnflag", "cents").agg(count(lit(1)).as("cnt"))
+    val wOrd = Window.partitionBy("l_returnflag").orderBy("cents")
+    val wAll = Window.partitionBy("l_returnflag")
+    val ranked = hist
+      .withColumn("cum", sum("cnt").over(wOrd))
+      .withColumn("n", sum("cnt").over(wAll))
+    def valueAt(rank: org.apache.spark.sql.Column) =
+      max(when(col("cum") - col("cnt") < rank && rank <= col("cum"),
+        col("cents")))
+    ranked.groupBy("l_returnflag")
+      .agg(max("n").as("n"),
+        valueAt(expr("(90 * n + 99) div 100")).as("p90_cents"),
+        valueAt(expr("(95 * n + 99) div 100")).as("p95_cents"),
+        valueAt(expr("(99 * n + 99) div 100")).as("p99_cents"))
+      .orderBy("l_returnflag")
+  }
+
   /** CMS geometry: depth (independent hash rows) × width (buckets per
     * row). 4×256 = 1024 counters TOTAL — the point of the sketch. */
   val CmsDepth = 4
@@ -942,6 +983,25 @@ object Relational {
         |FROM t ORDER BY prev_type, next_type""".stripMargin,
     // same integer-cents value space, same exact-binary quartile fracs;
     // quantile_cont and percentile interpolate identically on that grid
+    // nearest-rank pick spelled via row_number over raw rows — same
+    // integer rank definition as the Spark histogram plan, different
+    // plumbing (and no float index math; see the operator doc)
+    "q39_tail_quantiles" ->
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY cents) AS rnk,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        |  max(CASE WHEN rnk = (90 * n + 99) // 100 THEN cents END)
+        |    AS p90_cents,
+        |  max(CASE WHEN rnk = (95 * n + 99) // 100 THEN cents END)
+        |    AS p95_cents,
+        |  max(CASE WHEN rnk = (99 * n + 99) // 100 THEN cents END)
+        |    AS p99_cents
+        |FROM t GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q33_quantiles" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |  min(cents) AS min_cents,
@@ -1156,6 +1216,7 @@ object Relational {
     "q31_kmv_overlap" -> ((s, dir) => q31KmvOverlap(s, dir)),
     "q32_funnel" -> q32Funnel,
     "q33_quantiles" -> q33Quantiles,
+    "q39_tail_quantiles" -> q39TailQuantiles,
     "q34_retention_cohorts" -> q34RetentionCohorts,
     "q35_cms_topk" -> q35CmsTopk,
     "q37_cooccur" -> q37Cooccur,

@@ -348,4 +348,48 @@ class RelationalSpec extends AnyFunSuite {
         s"row $p permille mass $mass out of floor-division range")
     }
   }
+
+  test("q39 nearest-rank tails: driver replay + approx_percentile bound") {
+    import org.apache.spark.sql.functions._
+    val cents = Tables.lineitem(s, dir)
+      .selectExpr("l_returnflag",
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents")
+    val data = cents.collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).sorted.toIndexedSeq).toMap
+    def targetRank(q: Int, n: Int): Int = ((q.toLong * n + 99) / 100).toInt
+    val rows = Relational.q39TailQuantiles(s, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val g = r.getString(0); val xs = data(g); val n = xs.length
+      assert(r.getLong(1) == n)
+      def at(q: Int) = xs(targetRank(q, n) - 1)
+      assert(r.getLong(2) == at(90), s"$g p90")
+      assert(r.getLong(3) == at(95), s"$g p95")
+      assert(r.getLong(4) == at(99), s"$g p99")
+      // tails genuinely discriminate from the median region
+      assert(at(99) >= at(95) && at(95) >= at(90))
+    }
+    // the sketch path a 100 TB caller takes: approx_percentile's GK
+    // sketch guarantees rank error <= n/accuracy — quantify it against
+    // the exact nearest-rank values instead of trusting it
+    val acc = 1000
+    val approx = cents.groupBy("l_returnflag")
+      .agg(expr(
+        s"approx_percentile(cents, array(0.90D, 0.95D, 0.99D), $acc)")
+        .as("ap"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    rows.foreach { r =>
+      val g = r.getString(0); val xs = data(g); val n = xs.length
+      val eps = math.max(1L, n.toLong / acc) + 1
+      Seq(90, 95, 99).zipWithIndex.foreach { case (q, i) =>
+        val v = approx(g)(i)
+        val lo = xs.count(_ < v) + 1 // v occupies sorted ranks [lo, hi]
+        val hi = xs.count(_ <= v)
+        val target = targetRank(q, n)
+        assert(lo - eps <= target && target <= hi + eps,
+          s"$g p$q: approx $v at ranks [$lo,$hi], target $target ±$eps")
+      }
+    }
+  }
 }

@@ -598,7 +598,70 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Partition count for [[c13ApplyDiff]]'s versioned documents table
+    * (hash partitions on doc_id — a real lake partitions by ingest
+    * date; the merge machinery is identical). */
+  val C13Parts = 16
+
+  private def c13Table(dir: String): String =
+    s"graft_docs_merge_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  /** c13: APPLY a snapshot diff — the MERGE half c12 only audits. c12
+    * tells the lake owner WHAT changed between snapshots; c13 applies
+    * the changeset (upsert added/changed with v2 content, delete
+    * removed) onto the live partitioned documents table through
+    * [[graft.sources.Sources.mergeIntoPartitioned]] — only the
+    * partitions containing touched keys are read or rewritten (dynamic
+    * partition overwrite, the Delta-shaped MERGE over plain parquet).
+    * Returns the applied table as (doc_id, content md5) — which must
+    * equal the STAGED v2 snapshot byte-for-byte, so the gate
+    * hash-verifies the merge's end state against the independent v2
+    * derivation; the merge is idempotent by construction (anti-join
+    * by key, then re-insert — spec re-applies and compares).
+    *
+    * The versioned table stages pay-once per (session, dir) from v1
+    * (the q23/q30 ensure-tables shape); every call then re-applies
+    * the changeset, so bench medians measure the MERGE itself. */
+  def c13ApplyDiff(s: SparkSession, dir: String): DataFrame = {
+    val t = c13Table(dir)
+    if (!s.catalog.tableExists(t)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(loc, /* recursive = */ true)
+      graft.sources.Sources.writePartitioned(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"))
+          .withColumn("pt", pmod(col("doc_id"), lit(C13Parts))),
+        t, "pt")
+    }
+    val diff = c12SnapshotDiff(s, dir)
+    val v2 = s.read.parquet(c12SnapshotPath(s, dir))
+    val upserts = diff.filter(col("status").isin("added", "changed"))
+      .join(v2, Seq("doc_id"))
+      .select(col("doc_id"), col("text"),
+        pmod(col("doc_id"), lit(C13Parts)).as("pt"))
+    val deletes = diff.filter(col("status") === "removed")
+      .select(col("doc_id"), pmod(col("doc_id"), lit(C13Parts)).as("pt"))
+    graft.sources.Sources.mergeIntoPartitioned(
+      s, t, "pt", "doc_id", upserts, deletes)
+    s.table(t).select(col("doc_id"), md5(col("text")).as("h"))
+      .orderBy("doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    // the applied table must equal the independently-derived v2
+    // snapshot — the merge's end state, not its mechanics
+    "c13_apply_diff" ->
+      s"""WITH mx AS (SELECT max(doc_id) AS mxid FROM documents),
+         |v2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % $C12ChangeMod = 0 THEN text || ' [rev2]'
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % $C12DropMod <> 0
+         |  UNION ALL
+         |  SELECT doc_id + mxid + 1 AS doc_id, text
+         |  FROM documents CROSS JOIN mx WHERE doc_id % $C12AddMod = 0)
+         |SELECT doc_id, md5(text) AS h FROM v2 ORDER BY doc_id""".stripMargin,
     // v2 is reproduced from documents by the same deterministic
     // derivation the staging wrote; md5 hex agrees across engines
     "c12_snapshot_diff" ->
@@ -883,5 +946,6 @@ object Curation {
     "c8_split_leakfree" -> c8SplitLeakfree,
     "c9_dsir_select" -> c9DsirSelect,
     "c12_snapshot_diff" -> c12SnapshotDiff,
+    "c13_apply_diff" -> c13ApplyDiff,
   )
 }

@@ -137,6 +137,44 @@ object Sources {
     }
   }
 
+  /** MERGE (upsert + delete) into a partitioned table — the
+    * Delta-shaped `MERGE INTO` a versioned lake applies when a
+    * changeset lands, expressed over plain hive-layout parquet:
+    * rewrite ONLY the partitions containing touched keys, via the
+    * same dynamic partition overwrite as [[overwritePartitions]].
+    *
+    * `upserts` carries the table's data columns plus `partCol`;
+    * `deleteKeys` carries (`keyCol`, `partCol`). The affected
+    * partition set is collected (bounded by the table's directory
+    * count — at 100 TB a changeset touches few date partitions) into
+    * a LITERAL partition filter, so the current-rows read statically
+    * prunes to the affected directories; untouched partitions are
+    * never read or rewritten. New partition content = current rows
+    * minus ALL touched keys, plus the upserts — which also makes the
+    * merge IDEMPOTENT: re-applying the same changeset anti-joins the
+    * same keys out and re-inserts the same values. The new rows are
+    * eagerly materialized (localCheckpoint) before the overwrite
+    * because Spark refuses to overwrite a table it is still reading
+    * from; on a multi-tenant cluster stage to a scratch path instead
+    * (the [[appendOnce]] pattern). */
+  def mergeIntoPartitioned(s: SparkSession, table: String, partCol: String,
+                           keyCol: String, upserts: DataFrame,
+                           deleteKeys: DataFrame): Unit = {
+    val partVals = upserts.select(partCol).unionAll(deleteKeys.select(partCol))
+      .distinct().collect().map(_.get(0))
+    if (partVals.isEmpty) return
+    val touchedKeys = upserts.select(keyCol)
+      .unionAll(deleteKeys.select(keyCol)).distinct()
+    val stored = s.table(table).columns
+    val kept = s.table(table)
+      .filter(col(partCol).isin(partVals.toIndexedSeq: _*))
+      .join(touchedKeys, Seq(keyCol), "left_anti")
+    val newRows = kept.select(stored.map(col).toIndexedSeq: _*)
+      .unionByName(upserts.select(stored.map(col).toIndexedSeq: _*))
+      .localCheckpoint(true)
+    overwritePartitions(newRows, table, partCol)
+  }
+
   /** Parallel-fetch ingest fan-out (luigi/taxi_data_import.py:40-76:
     * DownloadTaxiData spawns one Luigi task per month URL; the Dask
     * Distributed notebook does the same with `client.submit`): each

@@ -445,4 +445,19 @@ class CurationSpec extends AnyFunSuite {
     assert(fs.getFileStatus(p).getModificationTime == stamp,
       "second diff call re-staged the snapshot")
   }
+
+  test("c13 applies the diff to exactly the staged v2; re-apply no-ops") {
+    import org.apache.spark.sql.functions._
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val applied = collectPairs(Curation.c13ApplyDiff(s, dir))
+    val v2 = collectPairs(
+      s.read.parquet(Curation.c12SnapshotPath(s, dir))
+        .select(col("doc_id"), md5(col("text")).as("h")).orderBy("doc_id"))
+    assert(applied == v2, "merged table must equal the staged v2 snapshot")
+    // idempotent: applying the same changeset to the already-merged
+    // table anti-joins the same keys and re-inserts the same values
+    val again = collectPairs(Curation.c13ApplyDiff(s, dir))
+    assert(again == v2, "re-applying the changeset changed the table")
+  }
 }

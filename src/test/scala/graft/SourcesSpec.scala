@@ -141,4 +141,37 @@ class SourcesSpec extends AnyFunSuite {
     val again = Sources.fetchMany(s, Seq("a.csv" -> s"$src/a.csv"), landing)
     assert(again.filter(col("ok")).count() === 1)
   }
+
+  test("mergeIntoPartitioned rewrites ONLY the touched partitions") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val t = "graft_merge_spec"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), t)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(loc, true)
+    Sources.writePartitioned(
+      (0L until 100L).map(id => (id, s"v$id", id % 4)).toDF("k", "v", "pt"),
+      t, "pt")
+    def fileStamps(part: Long): Map[String, Long] = {
+      val d = new org.apache.hadoop.fs.Path(loc, s"pt=$part")
+      fs.listStatus(d).map(st =>
+        st.getPath.getName -> st.getModificationTime).toMap
+    }
+    val untouchedBefore = fileStamps(3)
+    // upsert one NEW key (pt 0) + one CHANGED key (pt 1); delete pt 2
+    Sources.mergeIntoPartitioned(s, t, "pt", "k",
+      upserts = Seq((200L, "brand-new", 0L), (1L, "changed", 1L))
+        .toDF("k", "v", "pt"),
+      deleteKeys = Seq((2L, 2L)).toDF("k", "pt"))
+    val got = s.table(t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(200L) == "brand-new" && got(1L) == "changed")
+    assert(!got.contains(2L), "deleted key survived the merge")
+    assert(got(3L) == "v3" && got.size == 100)
+    // the untouched partition's files were neither rewritten nor added
+    assert(fileStamps(3) == untouchedBefore,
+      "merge rewrote a partition no changeset key lives in")
+  }
 }

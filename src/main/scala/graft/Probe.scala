@@ -45,7 +45,61 @@ object Probe {
     if (sections("bpe")) probeBpe(spark) // not in the default set
     if (sections("q36b")) probeQ36B(spark) // not in the default set
     if (sections("d11")) probeD11(spark, sfDir) // not in the default set
+    if (sections("ev100")) probeEv100(spark, sfDir) // not in the default set
     spark.stop()
+  }
+
+  /** ---- event-family analytics at 100× events + q37's adversarial
+    * bot (round 12, closing the r11 verdict's "cap/window claims are
+    * argued from 10× rows" gap). 100× replication shifts event and
+    * user ids (per-user profile size constant, users ×100 — the
+    * realistic growth); the bot corpus adds ONE user clicking 5000
+    * distinct items 20× each — uncapped, that single profile emits
+    * C(5000,2) ≈ 12.5M co-occurrence pairs, more than the rest of the
+    * corpus combined; with the top-12 cap it emits 66. q37's wall at
+    * 100×+bot must sit at its 100× time. q34's per-user state is
+    * calendar-bounded and q38's matrix type²-bounded, so both should
+    * scale ≤ linearly in events on fixed cores. Not in the default
+    * set. */
+  private def probeEv100(spark: SparkSession, sfDir: String): Unit = {
+    println("== ev100: q34/q37/q38 at 100x events + q37 planted bot ==")
+    val ev = Tables.events(spark, sfDir)
+    val cols = ev.columns
+    def maxOf(c: String) = ev.agg(max(col(c))).head().getLong(0) + 1
+    val mEv = maxOf("event_id"); val mUser = maxOf("user_id")
+    val copies = spark.range(100).withColumnRenamed("id", "copy")
+    val x100 = ev.crossJoin(copies)
+      .withColumn("event_id", col("event_id") + col("copy") * mEv)
+      .withColumn("user_id", col("user_id") + col("copy") * mUser)
+      .select(cols.map(col).toIndexedSeq: _*)
+    val base = "target/probe/ev100"
+    x100.write.mode("overwrite").parquet(s"$base/events.parquet")
+    val bot = ev
+      .withColumn("event_id", col("event_id") + lit(101L) * mEv)
+      .withColumn("user_id", lit(mUser * 200))
+      .withColumn("event_type", lit("click"))
+      .withColumn("props", concat(lit("{\"k\": "),
+        (col("event_id") % 5000).cast("string"), lit("}")))
+      .select(cols.map(col).toIndexedSeq: _*)
+    val botDir = "target/probe/ev100bot"
+    x100.unionAll(bot).write.mode("overwrite")
+      .parquet(s"$botDir/events.parquet")
+
+    def time(name: String, f: => org.apache.spark.sql.DataFrame): Unit = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      println(f"[ev100] $name%-14s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+    }
+    import operators.Relational.{q34RetentionCohorts, q37Cooccur, q38Transitions}
+    time("warmup", q34RetentionCohorts(spark, sfDir))
+    time("q34_1x", q34RetentionCohorts(spark, sfDir))
+    time("q34_100x", q34RetentionCohorts(spark, base))
+    time("q38_1x", q38Transitions(spark, sfDir))
+    time("q38_100x", q38Transitions(spark, base))
+    time("q37_1x", q37Cooccur(spark, sfDir))
+    time("q37_100x", q37Cooccur(spark, base))
+    time("q37_100x_bot", q37Cooccur(spark, botDir))
   }
 
   /** ---- d11 admission cost vs corpus size (round 12): the operator's

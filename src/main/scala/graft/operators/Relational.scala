@@ -609,6 +609,101 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** q40 register count: m = 2^p registers (p = 6 → 64). Standard HLL
+    * error ≈ 1.04/sqrt(m) ≈ 13% at 64 — matched to [[KmvK]] so the two
+    * sketch families are compared at equal accuracy budgets. */
+  val HllP = 6
+  val HllM: Int = 1 << HllP
+  /** Hash bits left for the rho pattern after the register index. */
+  val HllWBits: Int = 32 - HllP
+  /** Raw-estimate numerator: round(alpha_64 · m² · 2^(wBits+1)) — the
+    * whole bias-corrected harmonic mean collapses to one integer
+    * division C div S once S is kept as the SCALED integer
+    * sum(2^(wBits+1−r)) (empty registers contribute 2^(wBits+1)). */
+  val HllC: Long =
+    math.round(0.709 * HllM * HllM * math.pow(2.0, HllWBits + 1))
+  /** Raw→linear-counting switch threshold: E ≤ 2.5·m (Flajolet et al.
+    * 2007 §4 small-range correction). */
+  val HllLinThresh: Int = 5 * HllM / 2
+  /** Linear-counting estimates round(m·ln(m/V)) for every possible
+    * empty-register count V ∈ [1, m], precomputed on the DRIVER with
+    * StrictMath and inlined as integer literals into BOTH engines'
+    * expressions — `ln` is the one transcendental that skews 1 ulp
+    * between libm and the JVM, so it must never run inside either
+    * engine on a gate-checked path. */
+  val HllLinTable: IndexedSeq[Long] = (1 to HllM).map(v =>
+    math.round(HllM * StrictMath.log(HllM.toDouble / v)))
+
+  /** Shared Spark/DuckDB CASE expression mapping v_empty → linear-
+    * counting estimate (the same literal text runs in both engines —
+    * the s4 shared-expression-string exactness idiom). */
+  private def hllLinCaseSql(v: String): String =
+    "CASE " + HllLinTable.zipWithIndex.map { case (e, i) =>
+      s"WHEN $v = ${i + 1} THEN CAST($e AS BIGINT)"
+    }.mkString(" ") + " ELSE CAST(0 AS BIGINT) END"
+
+  /** q40: approximate DISTINCT-COUNT via a from-scratch HYPERLOGLOG —
+    * the industry-standard sketch (Flajolet/Fusy/Gandouet/Meunier
+    * 2007; Heule et al. 2013 run it at Google scale) implemented with
+    * an EXPLICIT register layout so it gets the full cross-engine
+    * hash-exact oracle that q29's scaladoc correctly says BUILTIN
+    * HLLs (Spark's approx_count_distinct, DuckDB's) can never have —
+    * their register encodings are private and differ per engine. Here
+    * the sketch IS the query: the md5-derived 32-bit hash splits into
+    * a [[HllP]]-bit register index and a [[HllWBits]]-bit pattern
+    * whose leading-zero rank rho feeds register = max(rho); the
+    * estimate is integer-only (scaled harmonic sum, one integer
+    * division by [[HllC]], driver-inlined [[HllLinTable]] for the
+    * small-range branch), so both engines agree bit-for-bit. The
+    * test SFs exercise both branches (15 distinct/type at sf0.001 →
+    * linear counting; 1500/type at sf0.1 → raw). A final `~all` row
+    * MERGES the per-type sketches by register-wise max — the property
+    * sketches exist for (a union's sketch = max of the sketches,
+    * never re-touching the corpus) — and the oracle replays the merge.
+    *
+    * vs q29 KMV at the same accuracy: KMV must DISTINCT (key, hash)
+    * before ranking — a distinct-cardinality shuffle. HLL's max-fold
+    * absorbs duplicates in the map-side partial agg, so the ONLY
+    * shuffle is the (key, register) partial table — ≤ m rows per key
+    * per task regardless of corpus size. At 100 TB that is the
+    * difference between shuffling every distinct user once and
+    * shuffling 64 longs per key per task: HLL is the sketch a
+    * production pipeline actually deploys, and this plan has its
+    * true shape (scan → combinable max agg → m-row algebra). */
+  def q40HllDistinct(s: SparkSession, dir: String): DataFrame = {
+    val wb1 = HllWBits + 1 // rho range is [1, wBits+1]; empty = 0
+    val regs = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), " +
+          "16, 10) AS BIGINT)").as("h"))
+      .select(col("event_type"),
+        expr(s"h div ${1L << HllWBits}").as("idx"),
+        expr(s"h % ${1L << HllWBits}").as("w"))
+      .groupBy("event_type", "idx")
+      .agg(max(expr(
+        s"CASE WHEN w = 0 THEN $wb1 ELSE $wb1 - length(bin(w)) END"))
+        .as("r"))
+    // the merged (union) sketch: register-wise max across types
+    val merged = regs.groupBy("idx")
+      .agg(max("r").as("r"))
+      .select(lit("~all").as("event_type"), col("idx"), col("r"))
+    val est = regs.unionByName(merged)
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("int").as("filled"),
+        sum(expr(s"CAST(shiftleft(CAST(1 AS BIGINT), $wb1 - r) AS BIGINT)"))
+          .as("s_fill"))
+      .select(col("event_type"),
+        expr(s"CAST($HllM - filled AS INT)").as("v_empty"),
+        expr(s"CAST(s_fill + CAST($HllM - filled AS BIGINT) * " +
+          s"${1L << wb1} AS BIGINT)").as("s_scaled"))
+      .withColumn("e_raw", expr(s"CAST($HllC div s_scaled AS BIGINT)"))
+    est.select(col("event_type"), col("v_empty"), col("s_scaled"),
+      expr(s"CAST(CASE WHEN v_empty > 0 AND e_raw <= $HllLinThresh " +
+        s"THEN ${hllLinCaseSql("v_empty")} ELSE e_raw END AS BIGINT)")
+        .as("hll_est"))
+      .orderBy("event_type")
+  }
+
   /** CMS geometry: depth (independent hash rows) × width (buckets per
     * row). 4×256 = 1024 counters TOTAL — the point of the sketch. */
   val CmsDepth = 4
@@ -828,6 +923,43 @@ object Relational {
          |    AS BIGINT), n_t.n_hashes) AS kmv_est
          |FROM n_t LEFT JOIN k_t USING (event_type)
          |ORDER BY event_type""".stripMargin,
+    // same md5 hash split, same bin()-length rho, same register-wise
+    // max (incl. the merged '~all' sketch), same integer estimate and
+    // the SAME driver-inlined linear-counting CASE text as the plan
+    "q40_hll_distinct" ->
+      s"""WITH b AS (
+         |  SELECT event_type, ${sqlHash32("user_id")} AS h
+         |  FROM events),
+         |s AS (
+         |  SELECT event_type, h // ${1L << HllWBits} AS idx,
+         |    h % ${1L << HllWBits} AS w
+         |  FROM b),
+         |r AS (
+         |  SELECT event_type, idx,
+         |    max(CASE WHEN w = 0 THEN ${HllWBits + 1}
+         |        ELSE ${HllWBits + 1} - length(bin(w)) END) AS r
+         |  FROM s GROUP BY 1, 2),
+         |ru AS (
+         |  SELECT event_type, idx, r FROM r
+         |  UNION ALL
+         |  SELECT '~all' AS event_type, idx, max(r) AS r
+         |  FROM r GROUP BY 2),
+         |t AS (
+         |  SELECT event_type, CAST(count(*) AS INT) AS filled,
+         |    sum(CAST(1 AS BIGINT) << (${HllWBits + 1} - r)) AS s_fill
+         |  FROM ru GROUP BY 1),
+         |e AS (
+         |  SELECT event_type,
+         |    CAST($HllM - filled AS INT) AS v_empty,
+         |    CAST(s_fill + CAST($HllM - filled AS BIGINT) *
+         |      ${1L << (HllWBits + 1)} AS BIGINT) AS s_scaled
+         |  FROM t)
+         |SELECT event_type, v_empty, s_scaled,
+         |  CAST(CASE WHEN v_empty > 0
+         |      AND $HllC // s_scaled <= $HllLinThresh
+         |    THEN ${hllLinCaseSql("v_empty")}
+         |    ELSE $HllC // s_scaled END AS BIGINT) AS hll_est
+         |FROM e ORDER BY event_type""".stripMargin,
     // same md5-derived hashes and rank-k sketches, same union-sketch
     // membership flags, same integer estimate arithmetic as the plan
     "q31_kmv_overlap" ->
@@ -1213,6 +1345,7 @@ object Relational {
     "q27_window_rank" -> q27WindowRank,
     "q28_rollup_agg" -> q28RollupAgg,
     "q29_kmv_distinct" -> ((s, dir) => q29KmvDistinct(s, dir)),
+    "q40_hll_distinct" -> q40HllDistinct,
     "q31_kmv_overlap" -> ((s, dir) => q31KmvOverlap(s, dir)),
     "q32_funnel" -> q32Funnel,
     "q33_quantiles" -> q33Quantiles,

@@ -151,6 +151,86 @@ class RelationalSpec extends AnyFunSuite {
     check(8) // force the estimate branch on this corpus
   }
 
+  test("q40 HLL registers match a driver-side numberOfLeadingZeros build; " +
+      "the ~all row is the register-wise-max merge; planted disjoint " +
+      "corpus exercises both estimate branches") {
+    import graft.operators.Relational
+    val wb = Relational.HllWBits
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(uid: Long): Long = {
+      val hex = md.digest(uid.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    // independent rho spelling: bin-length == 64 - numberOfLeadingZeros
+    def replay(users: Iterable[Long]): (Int, Long, Long) = {
+      val regs = scala.collection.mutable.Map[Long, Int]()
+      users.foreach { u =>
+        val h = h32(u)
+        val idx = h >> wb
+        val w = h & ((1L << wb) - 1)
+        val r = if (w == 0) wb + 1
+          else (wb + 1) - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        regs(idx) = math.max(regs.getOrElse(idx, 0), r)
+      }
+      val filled = regs.size
+      val sScaled = regs.values.map(r => 1L << (wb + 1 - r)).sum +
+        (Relational.HllM - filled).toLong * (1L << (wb + 1))
+      val v = Relational.HllM - filled
+      val eRaw = Relational.HllC / sScaled
+      val est = if (v > 0 && eRaw <= Relational.HllLinThresh)
+        Relational.HllLinTable(v - 1) else eRaw
+      (v, sScaled, est)
+    }
+    def check(corpusDir: String): Seq[(String, Int, Long, Long)] = {
+      val byType = Tables.events(s, corpusDir)
+        .select("event_type", "user_id").collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      val want = (byType.map { case (t, us) =>
+        val (v, ss, e) = replay(us); (t, v, ss, e)
+      }.toSeq :+ {
+        val (v, ss, e) = replay(byType.values.flatten); ("~all", v, ss, e)
+      }).sortBy(_._1)
+      val got = Relational.q40HllDistinct(s, corpusDir).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got == want, s"register/estimate replay at $corpusDir")
+      got
+    }
+    val gate = check(dir)
+    // accuracy on the real corpus: within 4 sigma of HLL error (1.04/8)
+    val exact = Tables.events(s, dir).select("event_type", "user_id")
+      .distinct().collect().map(r => r.getString(0)).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    gate.filter(_._1 != "~all").foreach { case (t, _, _, est) =>
+      val n = exact(t)
+      assert(math.abs(est.toDouble - n) / n < 4 * 1.04 / 8, s"$t err")
+    }
+    // planted corpus: DISJOINT user sets per type (the gate corpus has
+    // every user in every type, so its merge is trivially idempotent)
+    // + one 2000-user type to force the raw branch next to linear ones
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-q40").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (0L until 10L).map(u => (ts, u, "a")) ++
+      (10L until 25L).map(u => (ts, u, "b")) ++
+      (0L until 30L).map(u => (ts, u, "c")) ++
+      (0L until 2000L).map(u => (ts, u, "d"))
+    rows.toDF("ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    val planted = check(out).map(r => r._1 -> r).toMap
+    // both branches fired: a/b/c are linear-counting range, d is raw
+    assert(planted("a")._2 > 0 && planted("d")._2 == 0, "branch coverage")
+    assert(planted("a")._4 != planted("d")._4, "types must differ")
+    // the merge is non-trivial: ~all fills at least as many registers
+    // as any input and its estimate tracks the 2000-user union
+    assert(planted("~all")._2 <= Seq("a", "b", "c", "d")
+      .map(planted(_)._2).min, "merged sketch fills most registers")
+    assert(math.abs(planted("~all")._4 - 2000.0) / 2000 < 4 * 1.04 / 8,
+      "merged estimate tracks the union cardinality")
+  }
+
   test("q32 funnel matches a driver-side replay and is monotone") {
     import org.apache.spark.sql.functions.{col, unix_micros}
     val evts = Tables.events(s, dir)

@@ -799,6 +799,60 @@ object Relational {
       .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort_day", "day_offset")
 
+  /** q41 inactivity gap: a new session starts when a user's events are
+    * further apart than this. 24h (not the web-analytics 30min) because
+    * the synthetic stream averages one event per ~10.7h per user —
+    * 30min would make 95% of sessions singletons and the operator's
+    * grouping semantics would go untested; at 24h the mean session is
+    * ~9 events. Production callers pass their own gap. */
+  val SessionGapHours = 24
+
+  /** q41: BATCH SESSIONIZATION — split each user's event stream into
+    * sessions at inactivity gaps (the analytics primitive behind DAU
+    * funnels, engagement length, and the st3 streaming sessionizer's
+    * backfill: a lake recomputes historical sessions in batch with
+    * EXACTLY this query, then the stream keeps them current). The
+    * classic two-window spelling: lag() marks session STARTS (first
+    * event, or gap > [[SessionGapHours]]), a running sum of the marks
+    * numbers sessions per user, one groupBy aggregates each session's
+    * bounds/size/type-diversity. All outputs are exact integers
+    * (event-time micros), so the gate is a full cross-engine hash
+    * match; ties inside a user sort on (tus, event_id) — total order,
+    * both engines.
+    *
+    * Scale shape: ONE keyed shuffle (user_id) whose window sort is
+    * reused by both window functions (same partition+order spec) and
+    * by the map-side partial of the follow-up (user, session) agg
+    * (hash-partitioning on user_id satisfies the (user, session)
+    * clustering — a subset key) — .explain shows a single HASH
+    * exchange; the only other is the final ORDER BY's presentation
+    * range exchange every gate query carries. State is one row per event in
+    * the sort spill plus O(1) lag state; the session agg collapses
+    * 9:1 before anything moves again. Per-user data lands on one task
+    * — the sessionize contract — so a bot user with 10⁸ events is the
+    * skew hazard; the production mitigation is q25's pattern (pre-split
+    * hot users on (user, day) — sessions never span the gap anyway
+    * when day boundaries exceed it). */
+  def q41SessionizeBatch(s: SparkSession, dir: String,
+      gapHours: Int = SessionGapHours): DataFrame = {
+    val gapUs = gapHours.toLong * 3600L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("is_new",
+        when(col("tus") - lag("tus", 1).over(w) <= gapUs, 0L).otherwise(1L))
+      .withColumn("session_seq", sum("is_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min("tus").as("start_us"),
+        max("tus").as("end_us"),
+        countDistinct("event_type").cast("int").as("n_types"))
+      .withColumn("dur_us", col("end_us") - col("start_us"))
+      .orderBy("user_id", "session_seq")
+  }
+
   /** Power-user cap for q37: each user contributes at most this many
     * distinct items to the pair fan-out. 12 sits below the median
     * profile size of the synthetic click stream (13/12/12 items at the
@@ -923,6 +977,30 @@ object Relational {
          |    AS BIGINT), n_t.n_hashes) AS kmv_est
          |FROM n_t LEFT JOIN k_t USING (event_type)
          |ORDER BY event_type""".stripMargin,
+    // same (tus, event_id) in-user total order, same NULL-lands-in-ELSE
+    // session-start rule, same running-sum numbering
+    "q41_sessionize_batch" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+         |  FROM events),
+         |m AS (
+         |  SELECT user_id, event_id, event_type, tus,
+         |    CASE WHEN tus - lag(tus) OVER w <= ${SessionGapHours}
+         |      * 3600000000 THEN 0 ELSE 1 END AS is_new
+         |  FROM e WINDOW w AS (PARTITION BY user_id
+         |    ORDER BY tus, event_id)),
+         |s AS (
+         |  SELECT user_id, event_type, tus,
+         |    sum(is_new) OVER (PARTITION BY user_id
+         |      ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING)
+         |      AS session_seq
+         |  FROM m)
+         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  min(tus) AS start_us, max(tus) AS end_us,
+         |  CAST(count(DISTINCT event_type) AS INT) AS n_types,
+         |  max(tus) - min(tus) AS dur_us
+         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // same md5 hash split, same bin()-length rho, same register-wise
     // max (incl. the merged '~all' sketch), same integer estimate and
     // the SAME driver-inlined linear-counting CASE text as the plan
@@ -1346,6 +1424,7 @@ object Relational {
     "q28_rollup_agg" -> q28RollupAgg,
     "q29_kmv_distinct" -> ((s, dir) => q29KmvDistinct(s, dir)),
     "q40_hll_distinct" -> q40HllDistinct,
+    "q41_sessionize_batch" -> ((s, dir) => q41SessionizeBatch(s, dir)),
     "q31_kmv_overlap" -> ((s, dir) => q31KmvOverlap(s, dir)),
     "q32_funnel" -> q32Funnel,
     "q33_quantiles" -> q33Quantiles,

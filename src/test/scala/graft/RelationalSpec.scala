@@ -231,6 +231,85 @@ class RelationalSpec extends AnyFunSuite {
       "merged estimate tracks the union cardinality")
   }
 
+  test("q41 sessionize matches a driver-side replay; exact-gap boundary " +
+      "stays in-session; simultaneous events tie-break on event_id; " +
+      "one hash exchange") {
+    import graft.operators.Relational
+    val gapUs = Relational.SessionGapHours.toLong * 3600L * 1000000L
+    def replay(evts: Seq[(Long, Long, String, Long)]) // (user, eid, type, tus)
+        : Seq[(Long, Long, Long, Long, Long, Int, Long)] =
+      evts.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e._4, e._2))
+        var seq = 0L
+        var prev = Long.MinValue
+        val tagged = sorted.map { e =>
+          if (prev == Long.MinValue || e._4 - prev > gapUs) seq += 1
+          prev = e._4
+          (seq, e)
+        }
+        tagged.groupBy(_._1).toSeq.map { case (sq, ses) =>
+          val ts = ses.map(_._2._4)
+          (u, sq, ses.length.toLong, ts.min, ts.max,
+            ses.map(_._2._3).distinct.length, ts.max - ts.min)
+        }
+      }.sortBy(r => (r._1, r._2))
+    val raw = Tables.events(s, dir)
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts)")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    val df = Relational.q41SessionizeBatch(s, dir)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5), r.getLong(6)))
+      .toSeq
+    assert(got == replay(raw), "gate-corpus session replay")
+    assert(got.exists(_._3 > 1), "multi-event sessions exist (gap choice)")
+    // plan: exactly one HASH exchange (window + session agg share it);
+    // anything else is the final ORDER BY's presentation range exchange
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val hashEx = flatten(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeLike => e }
+      .filter(_.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+    assert(hashEx.length == 1,
+      s"expected one hash exchange:\n${df.queryExecution.executedPlan}")
+    // planted boundary corpus: user 1 has an EXACT-gap pair (same
+    // session, rule is <=) then a gap+1us jump (new session); user 2
+    // has two simultaneous events ordered by event_id
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-q41").toString
+    def t(us: Long) = us
+    val planted = Seq(
+      (1L, 10L, "view", t(0L)),
+      (1L, 11L, "click", t(gapUs)),          // == gap: same session
+      (1L, 12L, "view", t(2 * gapUs + 1)),   // gap+1us: new session
+      (2L, 20L, "view", t(500L)),
+      (2L, 21L, "click", t(500L)),           // simultaneous, eid order
+      (2L, 22L, "purchase", t(500L + gapUs + 1)))
+    planted.toDF("user_id", "event_id", "event_type", "us")
+      .selectExpr("user_id", "event_id", "event_type",
+        "timestamp_micros(us) AS ts")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    val pGot = Relational.q41SessionizeBatch(s, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5), r.getLong(6))).toSeq
+    assert(pGot == replay(planted), "planted boundary replay")
+    assert(pGot.head == (1L, 1L, 2L, 0L, gapUs, 2, gapUs),
+      "exact-gap pair must share a session")
+    assert(pGot.map(r => (r._1, r._2, r._3)).toSet ==
+      Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 2L), (2L, 2L, 1L)))
+  }
+
   test("q32 funnel matches a driver-side replay and is monotone") {
     import org.apache.spark.sql.functions.{col, unix_micros}
     val evts = Tables.events(s, dir)

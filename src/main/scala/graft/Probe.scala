@@ -45,6 +45,7 @@ object Probe {
     if (sections("bpe")) probeBpe(spark) // not in the default set
     if (sections("q36b")) probeQ36B(spark) // not in the default set
     if (sections("d11")) probeD11(spark, sfDir) // not in the default set
+    if (sections("s8")) probeS8(spark, sfDir) // not in the default set
     if (sections("ev100")) probeEv100(spark, sfDir) // not in the default set
     spark.stop()
   }
@@ -147,6 +148,58 @@ object Probe {
       println(f"[d11] $tier%-4s indexBuild=${(t1 - t0) / 1e9}%6.2fs " +
         f"admit1=${(t2 - t1) / 1e9}%6.2fs admit2=${(t3 - t2) / 1e9}%6.2fs " +
         f"rows=$n1/$n2")
+    }
+  }
+
+  /** ---- s8 incremental-ANN admission vs corpus size (round 12): the
+    * claim is the d11 contract for vectors — index BUILD is the
+    * pay-once corpus pass (quantizer training + cell-partitioned
+    * assignment write, grows with corpus), but ADMITTING a fixed-size
+    * shard is corpus-independent (scan-local inlined-centroid argmax
+    * over shard rows + a small partitioned write; the corpus is never
+    * re-read). The pruned QUERY grows with probed-partition bytes —
+    * ∝ corpus at fixed nprobe/cells, reported for honesty, not
+    * claimed flat. Not in the default set. */
+  private def probeS8(spark: SparkSession, sfDir: String): Unit = {
+    println("== s8: fixed-shard admission + pruned query vs 1x/10x ==")
+    val e = Tables.embeddings(spark, sfDir)
+    val mId = e.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val x10 = "target/probe/s8x10"
+    // 10× DISTINCT corpus: ids shifted per copy, one deterministic
+    // per-copy perturbation so no replica is an exact duplicate
+    e.crossJoin(spark.range(10).withColumnRenamed("id", "copy"))
+      .withColumn("vec_id", col("vec_id") + col("copy") * mId)
+      .withColumn("embedding", expr("transform(embedding, (x, i) -> " +
+        "CAST(x + CAST(copy AS FLOAT) * CAST(0.003 AS FLOAT) * " +
+        "CAST(i % 7 AS FLOAT) AS FLOAT))"))
+      .select("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$x10/embeddings.parquet")
+    // the FIXED shard: 500 corpus vectors re-keyed far above both tiers
+    val shard = e.filter(col("vec_id") % 4 === 0).limit(500)
+      .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+        col("embedding"))
+      .localCheckpoint(true)
+    val conf = spark.sparkContext.hadoopConfiguration
+    for ((tier, dir) <- Seq(("1x", sfDir), ("10x", x10))) {
+      val fp = Tables.fingerprint(spark, dir, "embeddings")
+      for (stale <- Seq(s"target/ivfindex/$fp", s"target/ivfinc/$fp",
+          s"target/graft-centroids/$fp")) {
+        val p = new org.apache.hadoop.fs.Path(stale)
+        p.getFileSystem(conf).delete(p, true)
+      }
+      operators.Similarity.clearCentroidCache()
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      operators.Similarity.s8IndexPath(spark, dir) // train + base + inc
+      val t1 = System.nanoTime()
+      operators.Similarity.s8WriteAssigned(spark, dir, shard,
+        s"target/probe/s8admit_$tier")
+      val t2 = System.nanoTime()
+      val n = operators.Similarity.s8AnnIncremental(spark, dir).count()
+      val t3 = System.nanoTime()
+      println(f"[s8] $tier%-4s indexBuild=${(t1 - t0) / 1e9}%6.2fs " +
+        f"admitFixed=${(t2 - t1) / 1e9}%6.2fs " +
+        f"query=${(t3 - t2) / 1e9}%6.2fs rows=$n")
     }
   }
 

@@ -324,7 +324,7 @@ object Similarity {
     * blocking). `array_max` over it picks the max-cosine cell with
     * ties to the HIGHER cell id (struct ordering is lexicographic),
     * mirrored in the oracles by `ORDER BY ccos DESC, cid DESC`. */
-  private def centroidStructsArr(centroids: Array[(Int, Array[Float])]): String = {
+  private[graft] def centroidStructsArr(centroids: Array[(Int, Array[Float])]): String = {
     def litVec(v: Array[Float]) =
       s"array(${v.map(x => s"CAST($x AS FLOAT)").mkString(",")})"
     "array(" + centroids.map { case (id, v) =>
@@ -413,6 +413,177 @@ object Similarity {
       .select(col("vec_id"), col("cell"),
         when(col("hit").isNotNull, lit(0)).otherwise(lit(1)).as("is_kept"))
       .orderBy("vec_id")
+  }
+
+  // ------------------------------------------- s8 incremental IVF index
+
+  /** s8 increment derivation: every [[S8Mod]]th corpus vector spawns an
+    * increment vector re-keyed past the corpus max id, embedding
+    * UNCHANGED — the re-ingested-embedding shape, and a planted ground
+    * truth (each copy's nearest corpus neighbor is its source at
+    * cosine exactly 1.0). Deterministic, so the DuckDB oracle derives
+    * the same shard from `embeddings` in SQL. */
+  val S8Mod = 5
+
+  /** The staged increment shard (vec_id, embedding), ids past the
+    * corpus max — the d11IncrementPath pattern for embeddings. */
+  def s8IncrementPath(s: SparkSession, dir: String): String = {
+    val path = s"target/ivfinc/${graft.Tables.fingerprint(s, dir, "embeddings")}" +
+      "/increment.parquet"
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success)) {
+      val e = Tables.embeddings(s, dir)
+      val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+      e.filter(col("vec_id") % S8Mod === 0)
+        .select((col("vec_id") + maxId + 1).as("vec_id"), col("embedding"))
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** The persisted IVF INDEX — FAISS's inverted lists as a lake table:
+    * (vec_id, embedding) PARTITIONED BY the assigned cell, so a probe
+    * of nprobe cells is a PARTITION-PRUNED scan (the q30 machinery
+    * applied to ANN: at 100 TB each cell partition is further bucketed
+    * and only nprobe/cells of the index bytes are read per query
+    * batch). Two fingerprint-keyed, `_SUCCESS`-gated, write-once
+    * layers:
+    *  - `base/` — the corpus assignment, the pay-once-per-generation
+    *    corpus pass (scan-local inlined-centroid argmax, zero shuffle
+    *    before the partitioned write);
+    *  - `inc/` — the ADMITTED increment: the staged shard assigned by
+    *    the SAME frozen quantizer (no retraining — the production
+    *    contract: centroids are versioned artifacts, increments join
+    *    the existing geometry) and appended as its own partition tree,
+    *    cost ∝ increment, corpus untouched. */
+  def s8IndexPath(s: SparkSession, dir: String): String = {
+    graft.functions.GraftFunctions.register(s)
+    val path = s"target/ivfindex/${graft.Tables.fingerprint(s, dir, "embeddings")}"
+    val cents = centroidsFor(s, dir).zipWithIndex.map { case (v, i) => (i, v) }
+    val cellExpr = expr(s"array_max(${centroidStructsArr(cents)}).id")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/base", "_SUCCESS"))) {
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("cell", cellExpr)
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$path/base")
+    }
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/inc", "_SUCCESS"))) {
+      s8WriteAssigned(s, dir, s.read.parquet(s8IncrementPath(s, dir)),
+        s"$path/inc")
+    }
+    path
+  }
+
+  /** The admission core: assign an explicit (vec_id, embedding) shard
+    * with the corpus's FROZEN quantizer and write it cell-partitioned —
+    * factored out so the scale probe can admit a FIXED-size shard
+    * against growing corpora (the d11Admit pattern). */
+  private[graft] def s8WriteAssigned(s: SparkSession, dir: String,
+      inc: DataFrame, outPath: String): Unit = {
+    graft.functions.GraftFunctions.register(s)
+    val cents = centroidsFor(s, dir).zipWithIndex.map { case (v, i) => (i, v) }
+    inc.withColumn("cell", expr(s"array_max(${centroidStructsArr(cents)}).id"))
+      .write.partitionBy("cell").mode("overwrite").parquet(outPath)
+  }
+
+  /** s8: INCREMENTAL ANN — admit a NEW embedding shard into the
+    * persisted IVF index and answer the standard queries over
+    * corpus ∪ increment, with ZERO corpus-sized work at admission
+    * time (the d11 contract applied to vector search: a production
+    * lake never re-trains or re-assigns 100 TB of vectors to ingest a
+    * shard). The quantizer is FROZEN (centroidsFor's versioned
+    * artifact — cache-hit here), the increment is assigned scan-local
+    * by the same inlined-centroid argmax and appended under
+    * `inc/` ([[s8IndexPath]]); the query then reads ONLY the probed
+    * cell partitions of base ∪ inc — a static partition-pruned scan
+    * (PartitionFilters on `cell`, spec-asserted), the inverted-list
+    * read pattern IVF exists for. Queries stay the [[NumQueries]]
+    * corpus vectors; their probe lists come from the same probeExpr as
+    * s3 on a query-sized frame, and the probed-cell id set (≤
+    * queries × nprobe literals) feeds the pruning filter. Every
+    * increment copy surfaces its source at cosine exactly 1.0 —
+    * planted recall ground truth, and the oracle (generated with the
+    * trained centroids inlined, deriving the same shard in SQL)
+    * hash-checks the whole report.
+    *
+    * Scale shape: admission = shard scan + partitioned append
+    * (∝ increment); query = partition-pruned index scan (nprobe/cells
+    * of index bytes) joined to a BROADCAST query×probe frame, one
+    * window top-k — no shuffle of index rows except the final
+    * candidate rank. The only driver-side materialization is the
+    * probed-cell id list (queries × nprobe ints — request-sized). */
+  def s8AnnIncremental(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val idx = s8IndexPath(s, dir)
+    val cents = centroidsFor(s, dir).zipWithIndex.map { case (v, i) => (i, v) }
+    val probeExpr = expr(
+      s"transform(slice(reverse(array_sort(${centroidStructsArr(cents)}))," +
+        s" 1, $IvfProbes), x -> x.id)")
+    val q = Tables.embeddings(s, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(probeExpr).as("qc"))
+      .localCheckpoint(true) // query-sized; reused for cells + join
+    val probed = q.select("qc").distinct().collect().map(_.getInt(0))
+    val index = s.read.parquet(s"$idx/base")
+      .unionByName(s.read.parquet(s"$idx/inc"))
+      .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    index.join(broadcast(q),
+        col("cell") === col("qc") && col("query_id") =!= col("vec_id"))
+      .withColumn("cos", VectorOps.cosine("qe", "embedding"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select("query_id", "rnk", "neighbor_id", "cos")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** DuckDB mirror of [[s8AnnIncremental]]: the s3 oracle over the
+    * UNION of `embeddings` and the SQL-derived increment shard (same
+    * [[S8Mod]] rule, same re-keying past max id). Queries are the
+    * corpus vectors < [[NumQueries]] — increment ids sort past the
+    * corpus max, so the restriction is unambiguous. */
+  private[graft] def s8OracleSql(cent: Array[Array[Float]]): String = {
+    def litVec(v: Array[Float]) =
+      v.map(x => s"CAST($x AS FLOAT)").mkString("[", ",", "]")
+    val vals = cent.zipWithIndex
+      .map { case (v, i) => s"($i, ${litVec(v)})" }.mkString(",\n    ")
+    s"""WITH cent(cid, cv) AS (VALUES
+       |    $vals),
+       |mx AS (SELECT max(vec_id) AS m FROM embeddings),
+       |eu AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT e.vec_id + mx.m + 1 AS vec_id, e.embedding
+       |  FROM embeddings e, mx WHERE e.vec_id % $S8Mod = 0),
+       |scored_cells AS (
+       |  SELECT u.vec_id, u.embedding, c.cid,
+       |    ${VectorOps.sqlCosine("embedding", "cv")} AS ccos
+       |  FROM eu u CROSS JOIN cent c),
+       |ranked_cells AS (
+       |  SELECT vec_id, embedding, cid, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY ccos DESC, cid DESC) AS crnk
+       |  FROM scored_cells),
+       |cells AS (
+       |  SELECT vec_id AS neighbor_id, embedding AS ce, cid AS cell
+       |  FROM ranked_cells WHERE crnk = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, cid AS qc
+       |  FROM ranked_cells WHERE vec_id < $NumQueries AND crnk <= $IvfProbes),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${VectorOps.sqlCosine("qe", "ce")} AS cos
+       |  FROM qprobe JOIN cells ON cells.cell = qprobe.qc
+       |    AND cells.neighbor_id <> qprobe.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, cos
+       |FROM ranked WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
   }
 
   // ------------------------------------------------------------- s4 BM25
@@ -1233,7 +1404,8 @@ object Similarity {
       ("s3_ann_ivf" -> s3OracleSql(cent)) +
       ("d10_semdedup" -> d10OracleSql(cent)) +
       ("s6_ann_pq" -> s6OracleSql(pq)) +
-      ("s7_ann_ivfpq" -> s7OracleSql(cent, pq))
+      ("s7_ann_ivfpq" -> s7OracleSql(cent, pq)) +
+      ("s8_ann_incremental" -> s8OracleSql(cent))
   }
 
   /** s1/s2 are static SQL; s3's entry requires a trained quantizer.
@@ -1250,7 +1422,8 @@ object Similarity {
         ("s3_ann_ivf" -> s3OracleSql(c)) +
         ("d10_semdedup" -> d10OracleSql(c)) +
         ("s6_ann_pq" -> s6OracleSql(p)) +
-        ("s7_ann_ivfpq" -> s7OracleSql(c, p))
+        ("s7_ann_ivfpq" -> s7OracleSql(c, p)) +
+        ("s8_ann_incremental" -> s8OracleSql(c))
       case _ => throw new IllegalStateException(
         "s3/d10/s6/s7 oracle requested but no trained quantizer is " +
           "cached for any corpus — run the queries for the gate corpus " +
@@ -1336,5 +1509,6 @@ object Similarity {
     "s5_hybrid_rerank" -> s5HybridRerank,
     "s6_ann_pq" -> s6Pq, // oracle generated with inlined codebooks
     "s7_ann_ivfpq" -> s7IvfPq, // oracle generated with both models inlined
+    "s8_ann_incremental" -> s8AnnIncremental, // oracle: centroids inlined
   )
 }

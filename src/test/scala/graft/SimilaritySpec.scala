@@ -307,6 +307,69 @@ class SimilaritySpec extends AnyFunSuite {
       s"df/stats joins must broadcast:\n$plan")
   }
 
+  test("s8 admits the increment against the persisted index: planted " +
+      "copies surface at rank 1 / cos 1.0; index scan is partition-" +
+      "pruned to probed cells; index content equals fresh assignment") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.s8AnnIncremental(s, dir)
+    val rows = got.collect()
+    val maxId = Tables.embeddings(s, dir)
+      .agg(max(col("vec_id"))).head().getLong(0)
+    // planted ground truth: every query divisible by S8Mod has an
+    // exact increment copy (id = query + maxId + 1) at rank 1, cos 1.0
+    val copyQueries = (0 until Similarity.NumQueries)
+      .filter(_ % Similarity.S8Mod == 0)
+    assert(copyQueries.nonEmpty, "at least one query has a planted copy")
+    copyQueries.foreach { qid =>
+      val r1 = rows.find(r => r.getLong(0) == qid && r.getInt(1) == 1).get
+      assert(r1.getLong(2) == qid + maxId + 1, s"q$qid copy at rank 1")
+      assert(r1.getDouble(3) == 1.0, s"q$qid copy cosine exactly 1.0")
+    }
+    // increment ids beyond the copies only appear with cos < 1.0
+    assert(rows.forall(r => r.getDouble(3) <= 1.0))
+    // partition pruning: every index scan carries a PartitionFilter on
+    // cell and reads at most the probed partitions
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val scans = flatten(got.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+      .filter(_.relation.location.rootPaths.exists(
+        _.toString.contains("ivfindex")))
+    assert(scans.size == 2, s"base + inc scans, got ${scans.size}")
+    scans.foreach { f =>
+      assert(f.partitionFilters.nonEmpty, "cell partition filter present")
+      assert(f.relation.partitionSchema.fieldNames.contains("cell"))
+    }
+    // index content == fresh inline assignment over corpus ∪ increment
+    val cents = Similarity.centroidsFor(s, dir)
+      .zipWithIndex.map { case (v, i) => (i, v) }
+    val cellExpr = expr(
+      s"array_max(${Similarity.centroidStructsArr(cents)}).id")
+    val idx = Similarity.s8IndexPath(s, dir)
+    val stored = s.read.parquet(s"$idx/base")
+      .unionByName(s.read.parquet(s"$idx/inc"))
+      .select(col("vec_id"), col("cell").cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val fresh = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .unionByName(s.read.parquet(Similarity.s8IncrementPath(s, dir)))
+      .select(col("vec_id"), cellExpr.cast("int").as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(stored == fresh, "persisted index == fresh assignment")
+    assert(stored.keys.count(_ > maxId) ==
+      stored.keys.count(k => k <= maxId && k % Similarity.S8Mod == 0),
+      "one admitted row per staged increment vector")
+  }
+
   test("s6 PQ matches a driver-side replay and trains once per corpus") {
     s.conf.set("spark.graft.pq.dir",
       java.nio.file.Files.createTempDirectory("graft-pq").toString)

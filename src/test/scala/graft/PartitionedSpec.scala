@@ -34,6 +34,28 @@ class PartitionedSpec extends AnyFunSuite {
       s"no dynamicpruning expression in the fact scan's PartitionFilters:\n$plan")
   }
 
+  test("q42 executed plan carries the injected bloom filter; disabling " +
+      "it changes nothing in the result") {
+    val planDf = Partitioned.withBloomConfs(s) {
+      val d = Partitioned.q42Plan(s, dir)
+      d.collect()
+      d
+    }
+    val plan = planDf.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("bloomfilter"),
+      s"no bloom_filter_might_contain on the fact scan:\n$plan")
+    // semantics: bloom pruning is a pure no-op on results
+    val withBloom = Partitioned.q42BloomJoin(s, dir).collect().toSeq
+    val withoutKey = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    val saved = s.conf.get(withoutKey, "true")
+    s.conf.set(withoutKey, "false")
+    val without =
+      try Partitioned.q42Plan(s, dir).collect().toSeq
+      finally s.conf.set(withoutKey, saved)
+    assert(withBloom == without, "bloom filter must not change the join")
+    assert(withBloom.nonEmpty)
+  }
+
   test("static partition pruning reads exactly one directory for one month") {
     val (ft, _) = Partitioned.ensureTables(s, dir)
     val all = s.table(ft).select("o_ym").distinct().count()

@@ -853,6 +853,51 @@ object Relational {
       .orderBy("user_id", "session_seq")
   }
 
+  /** q43 trailing-window width in days (inclusive of the current day). */
+  val RollDays = 90
+
+  /** q43: ROLLING-WINDOW aggregates with a RANGE frame — the
+    * time-windowed analytic the row-frame family (q27's rank windows,
+    * q41's running sum) can't express: for every order, the count and
+    * exact-decimal sum of the SAME customer's orders in the trailing
+    * [[RollDays]] days, collapsed to the per-customer PEAK (burst
+    * detection — the max trailing-window activity and the first day
+    * it was reached). RANGE frames bound the window by VALUE distance
+    * on the order key (day offset), so same-day peer rows always share
+    * one frame — the result is deterministic with no intra-day
+    * tie-break needed, and both engines agree exactly: integer day
+    * offsets from the unix epoch, exact DECIMAL(18,2) window sums cast
+    * to double only at the output edge (the Exact.dsum contract),
+    * BIGINT counts.
+    *
+    * Scale shape: ONE hash exchange on o_custkey serves all four
+    * windows (the two RANGE frames and the two per-customer unbounded
+    * maxes reuse the same partitioning+sort) and the final peak-row
+    * groupBy (subset-key clustering, q41's pattern). Window state is
+    * the trailing frame only — Spark's RANGE implementation keeps the
+    * sliding bound, not the partition. */
+  def q43RollingWindow(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("day"),
+        col("o_totalprice"))
+    val roll = Window.partitionBy("o_custkey").orderBy("day")
+      .rangeBetween(-(RollDays - 1), 0)
+    val cust = Window.partitionBy("o_custkey")
+    base
+      .withColumn("wcnt", count(lit(1)).over(roll))
+      .withColumn("wsum",
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(roll))
+      .withColumn("pk_cnt", max("wcnt").over(cust))
+      .withColumn("pk_sum", max("wsum").over(cust))
+      .filter(col("wcnt") === col("pk_cnt"))
+      .groupBy("o_custkey")
+      .agg(max("pk_cnt").as("peak_cnt"),
+        max(col("pk_sum")).cast("double").as("peak_sum"),
+        min("day").cast("int").as("peak_day"))
+      .orderBy("o_custkey")
+  }
+
   /** Power-user cap for q37: each user contributes at most this many
     * distinct items to the pair fan-out. 12 sits below the median
     * profile size of the synthetic click stream (13/12/12 items at the
@@ -977,6 +1022,31 @@ object Relational {
          |    AS BIGINT), n_t.n_hashes) AS kmv_est
          |FROM n_t LEFT JOIN k_t USING (event_type)
          |ORDER BY event_type""".stripMargin,
+    // same unix-epoch day offsets, same inclusive RANGE frame, same
+    // decimal window sums cast to double at the edge, same
+    // peak-row/min-day collapse
+    "q43_rolling_window" ->
+      s"""WITH b AS (
+         |  SELECT o_custkey,
+         |    CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+         |    o_totalprice
+         |  FROM orders),
+         |w AS (
+         |  SELECT o_custkey, day,
+         |    CAST(count(*) OVER r AS BIGINT) AS wcnt,
+         |    sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER r AS wsum
+         |  FROM b
+         |  WINDOW r AS (PARTITION BY o_custkey ORDER BY day
+         |    RANGE BETWEEN ${RollDays - 1} PRECEDING AND CURRENT ROW)),
+         |p AS (
+         |  SELECT o_custkey, day, wcnt, wsum,
+         |    max(wcnt) OVER c AS pk_cnt, max(wsum) OVER c AS pk_sum
+         |  FROM w WINDOW c AS (PARTITION BY o_custkey))
+         |SELECT o_custkey, max(pk_cnt) AS peak_cnt,
+         |  CAST(max(pk_sum) AS DOUBLE) AS peak_sum,
+         |  CAST(min(day) AS INT) AS peak_day
+         |FROM p WHERE wcnt = pk_cnt
+         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // same (tus, event_id) in-user total order, same NULL-lands-in-ELSE
     // session-start rule, same running-sum numbering
     "q41_sessionize_batch" ->
@@ -1425,6 +1495,7 @@ object Relational {
     "q29_kmv_distinct" -> ((s, dir) => q29KmvDistinct(s, dir)),
     "q40_hll_distinct" -> q40HllDistinct,
     "q41_sessionize_batch" -> ((s, dir) => q41SessionizeBatch(s, dir)),
+    "q43_rolling_window" -> q43RollingWindow,
     "q31_kmv_overlap" -> ((s, dir) => q31KmvOverlap(s, dir)),
     "q32_funnel" -> q32Funnel,
     "q33_quantiles" -> q33Quantiles,

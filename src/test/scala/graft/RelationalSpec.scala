@@ -310,6 +310,57 @@ class RelationalSpec extends AnyFunSuite {
       Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 2L), (2L, 2L, 1L)))
   }
 
+  test("q43 rolling peak matches a driver-side replay; same-day peers " +
+      "share one RANGE frame; all windows ride one hash exchange") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.functions.{col, to_date, datediff, lit}
+    val base = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("day"),
+        col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val want = base.groupBy(_._1).map { case (ck, os) =>
+      // RANGE semantics: every row of a (cust, day) gets the frame of
+      // ALL rows within the trailing window, same-day peers included
+      val rows = os.map { case (_, d, p) =>
+        val in = os.filter(o => o._2 >= d - (Relational.RollDays - 1) &&
+          o._2 <= d)
+        val cents = in.map(o => BigDecimal(o._3).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)).sum
+        (d, in.length.toLong, cents)
+      }
+      val pkCnt = rows.map(_._2).max
+      val pkSum = rows.map(_._3).max
+      val pkDay = rows.filter(_._2 == pkCnt).map(_._1).min
+      (ck, pkCnt, pkSum.toDouble, pkDay)
+    }.toSeq.sortBy(_._1)
+    val df = Relational.q43RollingWindow(s, dir)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    assert(got == want, "driver replay of the rolling peak")
+    assert(got.exists(_._2 > 1), "peaks above 1 exist (window binds)")
+    // plan: one hash exchange feeds all four windows + the final agg
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val hashEx = flatten(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeLike => e }
+      .filter(_.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+    assert(hashEx.length == 1,
+      s"expected one hash exchange:\n${df.queryExecution.executedPlan}")
+  }
+
   test("q32 funnel matches a driver-side replay and is monotone") {
     import org.apache.spark.sql.functions.{col, unix_micros}
     val evts = Tables.events(s, dir)

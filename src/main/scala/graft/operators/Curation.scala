@@ -648,7 +648,72 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Every [[C15ForgetMod]]th user id is on the c15 forget list —
+    * deterministic, so the oracle filters the same set. */
+  val C15ForgetMod = 13
+
+  private def c15Table(dir: String): String =
+    s"graft_events_forget_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+
+  /** c15: FORGET keys — the right-to-be-forgotten delete (GDPR art.
+    * 17 / CCPA): purge EVERY event of the listed users from the live
+    * date-partitioned lake table, rewriting only partitions that
+    * actually contain them. The date layout is the standard one
+    * (q30's), and it is exactly what makes erasure expensive: a
+    * user's rows scatter across every date they were active, so the
+    * touched-partition set must be DISCOVERED — one filtered scan
+    * collects the user's (user_id, dt) footprint, and
+    * [[graft.sources.Sources.mergeIntoPartitioned]] (empty upsert
+    * side) anti-joins the keys out of only those directories via
+    * dynamic partition overwrite. Re-running is a structural no-op:
+    * the forgotten users are gone, the footprint scan returns zero
+    * partitions, and the merge returns before touching a file
+    * (CurationSpec pins file mtimes on a planted table where the
+    * forget list lives in one partition of three — the others are
+    * never rewritten even on the FIRST apply).
+    *
+    * The gate returns the post-erasure audit (per event type: rows,
+    * distinct users, exact value sum) and the oracle computes the
+    * same over `events` minus the forget list — the erasure's end
+    * state is hash-verified at all three SFs. At 100 TB the erasure
+    * cost is (footprint scan + rewrite of touched directories); a
+    * user-bucketed layout (q23) would bound the rewrite further —
+    * the trade every lake makes between scan locality and erasure
+    * locality. */
+  def c15ForgetKeys(s: SparkSession, dir: String): DataFrame = {
+    val t = c15Table(dir)
+    if (!s.catalog.tableExists(t)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(loc, /* recursive = */ true)
+      graft.sources.Sources.writePartitioned(
+        Tables.events(s, dir)
+          .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd")),
+        t, "dt")
+    }
+    // the forget footprint: which (user, partition) pairs exist
+    val deleteKeys = s.table(t)
+      .filter(col("user_id") % C15ForgetMod === 0)
+      .select("user_id", "dt").distinct()
+    graft.sources.Sources.mergeIntoPartitioned(
+      s, t, "dt", "user_id", s.table(t).limit(0), deleteKeys)
+    s.table(t).groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        Exact.dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val oracle: Map[String, String] = Map(
+    // the erased table's audit must equal the source minus the forget
+    // list — erasure end state, not mechanics
+    "c15_forget_keys" ->
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  ${Exact.sqlDsum("value")} AS sum_value
+         |FROM events WHERE user_id % $C15ForgetMod <> 0
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the applied table must equal the independently-derived v2
     // snapshot — the merge's end state, not its mechanics
     "c13_apply_diff" ->
@@ -947,5 +1012,6 @@ object Curation {
     "c9_dsir_select" -> c9DsirSelect,
     "c12_snapshot_diff" -> c12SnapshotDiff,
     "c13_apply_diff" -> c13ApplyDiff,
+    "c15_forget_keys" -> c15ForgetKeys,
   )
 }

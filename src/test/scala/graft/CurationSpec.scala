@@ -460,4 +460,53 @@ class CurationSpec extends AnyFunSuite {
     val again = collectPairs(Curation.c13ApplyDiff(s, dir))
     assert(again == v2, "re-applying the changeset changed the table")
   }
+
+  test("c15 erases exactly the forget list; untouched partitions are " +
+      "never rewritten; re-run touches no file") {
+    import org.apache.spark.sql.functions._
+    // gate corpus: audit equals source minus the forget list, and no
+    // forgotten user survives in the live table
+    val got = Curation.c15ForgetKeys(s, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = Tables.events(s, dir)
+      .filter(col("user_id") % Curation.C15ForgetMod =!= 0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("u"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, "post-erasure audit equals source minus list")
+    // planted 3-partition table: the forget key lives in ONE partition
+    // — the other two must keep their original files on first apply
+    val t = "graft_c15_planted"
+    if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE $t")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), t)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(loc, true)
+    import s.implicits._
+    val rows = Seq((1L, "a"), (2L, "a"), (13L, "b"), (3L, "b"), (4L, "c"))
+    graft.sources.Sources.writePartitioned(
+      rows.toDF("user_id", "dt"), t, "dt")
+    def files(pt: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(loc, s"dt=$pt"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(f => f.getPath.toString -> f.getModificationTime).toMap
+    val (fa0, fc0) = (files("a"), files("c"))
+    val del = s.table(t).filter(col("user_id") % 13 === 0)
+      .select("user_id", "dt").distinct()
+    graft.sources.Sources.mergeIntoPartitioned(
+      s, t, "dt", "user_id", s.table(t).limit(0), del)
+    assert(files("a") == fa0 && files("c") == fc0,
+      "partitions without forget keys must keep their original files")
+    assert(s.table(t).collect().map(r => r.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L), "only user 13 erased")
+    // second apply: footprint is empty → zero writes anywhere
+    val fb1 = files("b")
+    val del2 = s.table(t).filter(col("user_id") % 13 === 0)
+      .select("user_id", "dt").distinct()
+    graft.sources.Sources.mergeIntoPartitioned(
+      s, t, "dt", "user_id", s.table(t).limit(0), del2)
+    assert(files("a") == fa0 && files("b") == fb1 && files("c") == fc0,
+      "re-run must be a structural no-op")
+  }
 }

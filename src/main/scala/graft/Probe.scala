@@ -101,6 +101,16 @@ object Probe {
     time("q37_1x", q37Cooccur(spark, sfDir))
     time("q37_100x", q37Cooccur(spark, base))
     time("q37_100x_bot", q37Cooccur(spark, botDir))
+    // round-12 windowed family: q41's one-exchange sessionize and
+    // q40's register-bounded HLL should scale ≤ linearly (the 100×
+    // replica multiplies USERS — per-user session/window state is
+    // constant, sketch state fixed at m registers per key); q43 runs
+    // on orders, covered by the sort-family pins instead
+    import operators.Relational.{q40HllDistinct, q41SessionizeBatch}
+    time("q41_1x", q41SessionizeBatch(spark, sfDir))
+    time("q41_100x", q41SessionizeBatch(spark, base))
+    time("q40_1x", q40HllDistinct(spark, sfDir))
+    time("q40_100x", q40HllDistinct(spark, base))
   }
 
   /** ---- d11 admission cost vs corpus size (round 12): the operator's

@@ -637,7 +637,7 @@ object Relational {
   /** Shared Spark/DuckDB CASE expression mapping v_empty → linear-
     * counting estimate (the same literal text runs in both engines —
     * the s4 shared-expression-string exactness idiom). */
-  private def hllLinCaseSql(v: String): String =
+  private[graft] def hllLinCaseSql(v: String): String =
     "CASE " + HllLinTable.zipWithIndex.map { case (e, i) =>
       s"WHEN $v = ${i + 1} THEN CAST($e AS BIGINT)"
     }.mkString(" ") + " ELSE CAST(0 AS BIGINT) END"
@@ -995,7 +995,7 @@ object Relational {
   /** First 32 bits of md5 of a BIGINT column as a BIGINT, via the
     * hex-nibble fold idiom (DuckDB mirror of Spark's
     * `conv(substring(md5(...), 1, 8), 16, 10)`). */
-  private def sqlHash32(c: String): String = {
+  private[graft] def sqlHash32(c: String): String = {
     def nib(i: Int) =
       s"(strpos('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), $i, 1)) - 1)"
     s"CAST(${nib(1)} * 268435456 + ${nib(2)} * 16777216 + " +

@@ -352,6 +352,56 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st9: streaming HLL registers equal the batch sketch; late " +
+      "in-watermark data only RAISES registers; estimate read shared") {
+    val sess = s
+    import sess.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)](s)
+    val events = input.toDF().toDF("ts", "user_id", "event_type")
+    val q = Streams.hllWindowedRegisters(events.withWatermark("ts", "1 hour"))
+      .selectExpr("win.start AS ws", "event_type", "idx", "r")
+      .writeStream.format("memory").queryName("st9_out")
+      .outputMode("complete").start()
+    def t(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    try {
+      // batch 1: users 1..40 in window 0, user 1 in window 1
+      input.addData((1L to 40L).map(u => (t(1, 0), u, "view")): _*)
+      input.addData(Seq((t(7, 0), 1L, "view")): _*)
+      q.processAllAvailable()
+      val snap1 = s.table("st9_out").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)) ->
+          r.getInt(3)).toMap
+      // batch 2: LATE but in-watermark rows for window 0 (users 41..60
+      // at an earlier minute) — registers may only rise
+      input.addData((41L to 60L).map(u => (t(0, 30), u, "view")): _*)
+      q.processAllAvailable()
+      val snap2 = s.table("st9_out").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)) ->
+          r.getInt(3)).toMap
+      snap1.foreach { case (k, r1) =>
+        assert(snap2.getOrElse(k, 0) >= r1, s"register $k regressed")
+      }
+      // parity: streaming register snapshot == batch sketch on the
+      // same rows, and the shared estimate read agrees end-to-end
+      val all = (1L to 40L).map(u => (t(1, 0), u, "view")) ++
+        Seq((t(7, 0), 1L, "view")) ++
+        (41L to 60L).map(u => (t(0, 30), u, "view"))
+      val batchRegs = Streams
+        .hllWindowedRegisters(all.toDF("ts", "user_id", "event_type"))
+      val batchSnap = batchRegs
+        .selectExpr("win.start AS ws", "event_type", "idx", "r").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)) ->
+          r.getInt(3)).toMap
+      assert(snap2 == batchSnap, "streaming registers == batch sketch")
+      val est = Streams.hllWindowedEstimate(batchRegs)
+        .orderBy("bucket_start", "event_type").collect()
+        .map(r => (r.getLong(0), r.getLong(4)))
+      assert(est.length == 2 && est.head._2 > 40 && est.last._2 == 1,
+        s"window estimates track 60 vs 1 distinct: ${est.toSeq}")
+    } finally q.stop()
+  }
+
   test("st8: streaming funnel converges to the batch stage, even out of order") {
     val sess = s
     import sess.implicits._

@@ -549,6 +549,7 @@ object GraftFunctions {
       cs => LeadSignBucket(cs(0), cs(1)))
     reg("count_in", classOf[CountTokensIn], cs => CountTokensIn(cs(0), cs(1)))
     reg("pii_scrub", classOf[PiiScrub], cs => PiiScrub(cs(0)))
+    reg("hll_sketch", classOf[HllSketchAgg], cs => HllSketchAgg(cs(0)))
     reg("nfc_normalize", classOf[NfcNormalize], cs => NfcNormalize(cs(0)))
   }
 }

@@ -58,6 +58,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("count_in", classOf[CountTokensIn],
       cs => CountTokensIn(cs(0), cs(1)))
     inject("pii_scrub", classOf[PiiScrub], cs => PiiScrub(cs(0)))
+    inject("hll_sketch", classOf[HllSketchAgg], cs => HllSketchAgg(cs(0)))
     inject("nfc_normalize", classOf[NfcNormalize], cs => NfcNormalize(cs(0)))
   }
 }

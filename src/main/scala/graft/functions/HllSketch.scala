@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+
+import graft.operators.Relational
+
+/** `hll_sketch(h)` — HyperLogLog distinct-count as a NATIVE Catalyst
+  * AGGREGATE (TypedImperativeAggregate), the production form of q40's
+  * relational spelling: one `groupBy(key).agg(hll_sketch(h))` instead
+  * of the two-aggregation register/estimate pipeline, composable with
+  * any other aggregate in the same pass.
+  *
+  * The buffer IS the sketch: a fixed [[Relational.HllM]]-byte register
+  * array (rho ≤ 27 fits a byte). `update` folds one pre-hashed 32-bit
+  * value (the q29/q40 md5-derived BIGINT — hashing stays an explicit,
+  * cross-engine-reproducible expression); `merge` is bytewise max —
+  * the sketch-union algebra, exercised on every partial/final
+  * aggregation boundary; `serialize` ships the raw 64 bytes per group
+  * per task, the fixed-size shuffle row HLL exists for. `eval` runs
+  * q40's INTEGER-ONLY estimate (scaled harmonic sum, [[Relational.HllC]]
+  * division, driver-built [[Relational.HllLinTable]] for the
+  * small-range branch) and returns the (v_empty, s_scaled, hll_est)
+  * struct — bit-identical to the relational plan and to the DuckDB
+  * oracle, which FunctionsSpec and the q44 gate entry both pin.
+  *
+  * Null inputs are skipped (count-distinct convention: NULL is not a
+  * value). The estimate is arrival- and partition-order independent
+  * because max is commutative/associative — the property the q44 spec
+  * checks by aggregating the same corpus under different partition
+  * counts. */
+case class HllSketchAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  private val m = Relational.HllM
+  private val wb = Relational.HllWBits
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val idx = (h >>> wb).toInt
+      val w = h & ((1L << wb) - 1)
+      val rho =
+        if (w == 0) wb + 1
+        else (wb + 1) - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (idx >= 0 && idx < m && rho > buf(idx)) buf(idx) = rho.toByte
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    var sScaled = 0L
+    var vEmpty = 0
+    var i = 0
+    while (i < m) {
+      val r = buf(i)
+      if (r == 0) vEmpty += 1
+      sScaled += (1L << (wb + 1 - r))
+      i += 1
+    }
+    val eRaw = Relational.HllC / sScaled
+    val est =
+      if (vEmpty > 0 && eRaw <= Relational.HllLinThresh)
+        Relational.HllLinTable(vEmpty - 1)
+      else eRaw
+    InternalRow(vEmpty, sScaled, est)
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("v_empty", IntegerType, nullable = false),
+    StructField("s_scaled", LongType, nullable = false),
+    StructField("hll_est", LongType, nullable = false)))
+
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+
+  override def withNewMutableAggBufferOffset(o: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HllSketchAgg =
+    copy(child = newChildren.head)
+
+  override def prettyName: String = "hll_sketch"
+}

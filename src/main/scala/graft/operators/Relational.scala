@@ -642,6 +642,72 @@ object Relational {
       s"WHEN $v = ${i + 1} THEN CAST($e AS BIGINT)"
     }.mkString(" ") + " ELSE CAST(0 AS BIGINT) END"
 
+  /** Shared DuckDB mirror of the HLL register/estimate pipeline —
+    * q40's oracle with the '~all' merge row, q44's without. */
+  private[graft] def hllOracleSql(withMerge: Boolean): String = {
+    val ruCte = if (withMerge)
+      s"""ru AS (
+         |  SELECT event_type, idx, r FROM r
+         |  UNION ALL
+         |  SELECT '~all' AS event_type, idx, max(r) AS r
+         |  FROM r GROUP BY 2),""".stripMargin
+    else "ru AS (SELECT event_type, idx, r FROM r),"
+    s"""WITH b AS (
+       |  SELECT event_type, ${sqlHash32("user_id")} AS h
+       |  FROM events),
+       |s AS (
+       |  SELECT event_type, h // ${1L << HllWBits} AS idx,
+       |    h % ${1L << HllWBits} AS w
+       |  FROM b),
+       |r AS (
+       |  SELECT event_type, idx,
+       |    max(CASE WHEN w = 0 THEN ${HllWBits + 1}
+       |        ELSE ${HllWBits + 1} - length(bin(w)) END) AS r
+       |  FROM s GROUP BY 1, 2),
+       |$ruCte
+       |t AS (
+       |  SELECT event_type, CAST(count(*) AS INT) AS filled,
+       |    sum(CAST(1 AS BIGINT) << (${HllWBits + 1} - r)) AS s_fill
+       |  FROM ru GROUP BY 1),
+       |e AS (
+       |  SELECT event_type,
+       |    CAST($HllM - filled AS INT) AS v_empty,
+       |    CAST(s_fill + CAST($HllM - filled AS BIGINT) *
+       |      ${1L << (HllWBits + 1)} AS BIGINT) AS s_scaled
+       |  FROM t)
+       |SELECT event_type, v_empty, s_scaled,
+       |  CAST(CASE WHEN v_empty > 0
+       |      AND $HllC // s_scaled <= $HllLinThresh
+       |    THEN ${hllLinCaseSql("v_empty")}
+       |    ELSE $HllC // s_scaled END AS BIGINT) AS hll_est
+       |FROM e ORDER BY event_type""".stripMargin
+  }
+
+  /** q44: the HLL sketch as a NATIVE CATALYST AGGREGATE —
+    * `groupBy(key).agg(hll_sketch(h))`, one pass, one shuffle whose
+    * rows are fixed 64-byte register buffers per (key, task)
+    * (graft.functions.HllSketchAgg, a TypedImperativeAggregate: update
+    * folds the pre-hashed value into a byte-array buffer, merge is
+    * bytewise max — the sketch-union algebra on every partial/final
+    * boundary — and eval runs q40's integer-only estimate). q40 keeps
+    * the relational spelling (it also exhibits the cross-type merge);
+    * this is the form a production caller composes with other
+    * aggregates in the same GROUP BY. Hash input stays the explicit
+    * md5 expression, so the DuckDB oracle replays the identical
+    * pipeline and the gate hash-matches the struct fields. */
+  def q44HllAgg(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), " +
+          "16, 10) AS BIGINT)").as("h"))
+      .groupBy("event_type")
+      .agg(expr("hll_sketch(h)").as("sk"))
+      .select(col("event_type"), col("sk.v_empty"), col("sk.s_scaled"),
+        col("sk.hll_est"))
+      .orderBy("event_type")
+  }
+
   /** q40: approximate DISTINCT-COUNT via a from-scratch HYPERLOGLOG —
     * the industry-standard sketch (Flajolet/Fusy/Gandouet/Meunier
     * 2007; Heule et al. 2013 run it at Google scale) implemented with
@@ -1074,40 +1140,10 @@ object Relational {
     // same md5 hash split, same bin()-length rho, same register-wise
     // max (incl. the merged '~all' sketch), same integer estimate and
     // the SAME driver-inlined linear-counting CASE text as the plan
-    "q40_hll_distinct" ->
-      s"""WITH b AS (
-         |  SELECT event_type, ${sqlHash32("user_id")} AS h
-         |  FROM events),
-         |s AS (
-         |  SELECT event_type, h // ${1L << HllWBits} AS idx,
-         |    h % ${1L << HllWBits} AS w
-         |  FROM b),
-         |r AS (
-         |  SELECT event_type, idx,
-         |    max(CASE WHEN w = 0 THEN ${HllWBits + 1}
-         |        ELSE ${HllWBits + 1} - length(bin(w)) END) AS r
-         |  FROM s GROUP BY 1, 2),
-         |ru AS (
-         |  SELECT event_type, idx, r FROM r
-         |  UNION ALL
-         |  SELECT '~all' AS event_type, idx, max(r) AS r
-         |  FROM r GROUP BY 2),
-         |t AS (
-         |  SELECT event_type, CAST(count(*) AS INT) AS filled,
-         |    sum(CAST(1 AS BIGINT) << (${HllWBits + 1} - r)) AS s_fill
-         |  FROM ru GROUP BY 1),
-         |e AS (
-         |  SELECT event_type,
-         |    CAST($HllM - filled AS INT) AS v_empty,
-         |    CAST(s_fill + CAST($HllM - filled AS BIGINT) *
-         |      ${1L << (HllWBits + 1)} AS BIGINT) AS s_scaled
-         |  FROM t)
-         |SELECT event_type, v_empty, s_scaled,
-         |  CAST(CASE WHEN v_empty > 0
-         |      AND $HllC // s_scaled <= $HllLinThresh
-         |    THEN ${hllLinCaseSql("v_empty")}
-         |    ELSE $HllC // s_scaled END AS BIGINT) AS hll_est
-         |FROM e ORDER BY event_type""".stripMargin,
+    "q40_hll_distinct" -> hllOracleSql(withMerge = true),
+    // identical register/estimate math, no merge row — pins the native
+    // hll_sketch aggregate to the independent DuckDB recompute
+    "q44_hll_agg" -> hllOracleSql(withMerge = false),
     // same md5-derived hashes and rank-k sketches, same union-sketch
     // membership flags, same integer estimate arithmetic as the plan
     "q31_kmv_overlap" ->
@@ -1494,6 +1530,7 @@ object Relational {
     "q28_rollup_agg" -> q28RollupAgg,
     "q29_kmv_distinct" -> ((s, dir) => q29KmvDistinct(s, dir)),
     "q40_hll_distinct" -> q40HllDistinct,
+    "q44_hll_agg" -> q44HllAgg,
     "q41_sessionize_batch" -> ((s, dir) => q41SessionizeBatch(s, dir)),
     "q43_rolling_window" -> q43RollingWindow,
     "q31_kmv_overlap" -> ((s, dir) => q31KmvOverlap(s, dir)),

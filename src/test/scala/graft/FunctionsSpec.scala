@@ -284,4 +284,44 @@ class FunctionsSpec extends AnyFunSuite {
     // self-cosine is exactly 1 up to fp rounding
     assert(df.collect().forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-9))
   }
+
+  test("hll_sketch aggregate equals the relational q40 sketch, is " +
+      "partition-order independent, and skips nulls") {
+    val s = TestSpark.spark
+    val dir = TestSpark.SfDir
+    import graft.operators.Relational
+    GraftFunctions.register(s)
+    val viaAgg = Relational.q44HllAgg(s, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val viaPlan = Relational.q40HllDistinct(s, dir).collect()
+      .filter(_.getString(0) != "~all")
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(viaAgg == viaPlan, "native aggregate == relational spelling")
+    // merge correctness: different partitionings, identical sketch
+    import s.implicits._
+    val vals = (1L to 500L).map(u => ("k", u)) ++
+      (1L to 100L).map(u => ("j", u * 7))
+    def run(parts: Int) = vals.toDF("key", "uid")
+      .repartition(parts)
+      .selectExpr("key",
+        "CAST(conv(substring(md5(CAST(uid AS STRING)), 1, 8), 16, 10) " +
+          "AS BIGINT) AS h")
+      .groupBy("key").agg(expr("hll_sketch(h)").as("sk"))
+      .selectExpr("key", "sk.v_empty", "sk.s_scaled", "sk.hll_est")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))).toSeq.sortBy(_._1)
+    assert(run(1) == run(7) && run(7) == run(32),
+      "sketch must be partition-count independent (merge path)")
+    // null inputs are not distinct values
+    val withNulls = Seq((Some(1L), "k"), (None, "k"), (Some(2L), "k"))
+      .toDF("uid", "key")
+      .selectExpr("key", "CASE WHEN uid IS NULL THEN NULL ELSE " +
+        "CAST(conv(substring(md5(CAST(uid AS STRING)), 1, 8), 16, 10) " +
+        "AS BIGINT) END AS h")
+      .groupBy("key").agg(expr("hll_sketch(h)").as("sk"))
+      .selectExpr("sk.hll_est").head().getLong(0)
+    assert(withNulls == 2L, "null skipped, 2 distinct remain")
+  }
 }

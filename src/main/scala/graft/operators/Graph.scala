@@ -306,11 +306,122 @@ object Graph {
        |ORDER BY rank DESC, node LIMIT $PrTopK""".stripMargin
   }
 
+  /** q45 edge support: an item pair becomes a graph edge when at least
+    * this many distinct (capped) user profiles contain both. 2 filters
+    * the sf0.001 noise floor (820 → 91 edges) while staying non-trivial
+    * at every SF (55 / 24.5k / 161.6k triangles). */
+  val TriMinUsers = 2
+  /** Output size: top items by triangle participation. */
+  val TriTopK = 20
+
+  /** The q45 item graph: q37's capped co-occurrence pairs (the SAME
+    * power-user cap and deterministic profile rule — Relational.CoocCap)
+    * kept at support ≥ [[TriMinUsers]], as (ia < ib) ordered edges. */
+  private def itemEdges(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clicks = graft.Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .groupBy("user_id", "item")
+      .agg(count(lit(1)).as("clicks"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("clicks").desc, col("item"))
+    val capped = clicks
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Relational.CoocCap)
+      .select("user_id", "item")
+    capped.select(col("user_id"), col("item").as("ia"))
+      .join(capped.select(col("user_id"), col("item").as("ib")), "user_id")
+      .filter(col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("users"))
+      .filter(col("users") >= TriMinUsers)
+      .select("ia", "ib")
+  }
+
+  /** q45: TRIANGLE COUNTING on the item co-occurrence graph — the
+    * clustering-structure analytic next to q36's centrality (a
+    * triangle-dense neighborhood is a coherent product/topic cluster;
+    * triangle counts feed clustering coefficients and community
+    * detection). Compact-forward enumeration (Latapy 2008): edges are
+    * oriented by id (ia < ib), wedges built by joining edge lists on
+    * the middle node, then closed by a third edge lookup — each
+    * triangle {a<b<c} is found EXACTLY once as wedge (a-b, b-c) plus
+    * closing edge (a, c), no dedup pass needed. Output: the global
+    * triangle count stacked with per-item participation for the top
+    * [[TriTopK]] items — all exact integers, so the 3-way-self-join
+    * oracle hash-matches at every SF.
+    *
+    * Scale shape: the graph is CANDIDATE-BOUNDED before any join —
+    * q37's per-user cap bounds pair fan-out, the support floor prunes
+    * noise edges — and the wedge join is the only quadratic-risk step:
+    * its size is Σ_b deg⁻(b)·deg⁺(b), which production bounds by
+    * orienting edges from low to high DEGREE (arboricity bound) rather
+    * than id; on this corpus the id orientation is the deterministic
+    * stand-in (items are near-uniform). Both joins shuffle edge-sized
+    * frames, never user×item rows; the close-join output is exactly
+    * the triangle set. */
+  def q45Triangles(s: SparkSession, dir: String): DataFrame = {
+    val e = itemEdges(s, dir).localCheckpoint(true) // built once, joined 3×
+    val tri = e.as("x")
+      .join(e.as("y"), col("x.ib") === col("y.ia"))
+      .join(e.as("z"),
+        col("z.ia") === col("x.ia") && col("z.ib") === col("y.ib"))
+      .select(col("x.ia").as("a"), col("x.ib").as("b"), col("y.ib").as("c"))
+      .localCheckpoint(true) // reused by the total and the per-item stack
+    val total = tri.agg(count(lit(1)).as("cnt"))
+      .select(lit(-1).as("item"), col("cnt").as("n_triangles"))
+    val perItem = tri.select(col("a").as("item"))
+      .unionAll(tri.select(col("b").as("item")))
+      .unionAll(tri.select(col("c").as("item")))
+      .groupBy("item").agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("item"))
+      .limit(TriTopK)
+    total.unionAll(perItem)
+      .orderBy(col("item"))
+  }
+
+  private def sqlTrianglesOracle: String =
+    s"""WITH ci AS (
+       |  SELECT user_id,
+       |    CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '')
+       |      AS INTEGER) AS item,
+       |    count(*) AS clicks
+       |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+       |capped AS (
+       |  SELECT user_id, item FROM (
+       |    SELECT user_id, item, row_number() OVER (
+       |      PARTITION BY user_id ORDER BY clicks DESC, item) AS rn
+       |    FROM ci) WHERE rn <= ${Relational.CoocCap}),
+       |e AS (
+       |  SELECT a.item AS ia, b.item AS ib
+       |  FROM capped a JOIN capped b
+       |    ON a.user_id = b.user_id AND a.item < b.item
+       |  GROUP BY 1, 2 HAVING count(*) >= $TriMinUsers),
+       |tri AS (
+       |  SELECT x.ia AS a, x.ib AS b, y.ib AS c
+       |  FROM e x JOIN e y ON x.ib = y.ia
+       |    JOIN e z ON z.ia = x.ia AND z.ib = y.ib),
+       |per_item AS (
+       |  SELECT item, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+       |    SELECT a AS item FROM tri
+       |    UNION ALL SELECT b FROM tri
+       |    UNION ALL SELECT c FROM tri) u
+       |  GROUP BY item ORDER BY n_triangles DESC, item LIMIT $TriTopK)
+       |SELECT item, n_triangles FROM (
+       |  SELECT -1 AS item, CAST(count(*) AS BIGINT) AS n_triangles
+       |  FROM tri
+       |  UNION ALL
+       |  SELECT item, n_triangles FROM per_item) t
+       |ORDER BY item""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_pagerank" -> q36Pagerank,
+    "q45_triangles" -> q45Triangles,
   )
 
   val oracle: Map[String, String] = Map(
     "q36_pagerank" -> sqlPagerankOracle,
+    "q45_triangles" -> sqlTrianglesOracle,
   )
 }

@@ -146,4 +146,39 @@ class GraphSpec extends AnyFunSuite {
     assert(viaBroadcast == viaShuffle,
       s"branches diverged: $viaBroadcast vs $viaShuffle")
   }
+
+  test("q45 counts a planted K4 exactly once per triangle; a path " +
+      "closes none; participation sums to 3x the total") {
+    import org.apache.spark.sql.functions._
+    val sess = s
+    import sess.implicits._
+    // K4 on items 1..4 (4 triangles, each vertex in 3); path 10-11-12
+    // (0 triangles). Support comes from two users per clique/segment.
+    def clicks(uid: Long, items: Seq[Int]) =
+      items.map(i => (uid, s"""{"k": $i}"""))
+    val rows = (
+      clicks(1L, Seq(1, 2, 3, 4)) ++ clicks(2L, Seq(1, 2, 3, 4)) ++
+        clicks(3L, Seq(10, 11)) ++ clicks(4L, Seq(10, 11)) ++
+        clicks(5L, Seq(11, 12)) ++ clicks(6L, Seq(11, 12))
+      ).zipWithIndex.map { case ((u, p), i) =>
+        (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+          u, "click", p)
+      }
+    val out = java.nio.file.Files.createTempDirectory("graft-q45").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "props")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+    val got = Graph.q45Triangles(s, out).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got(-1) == 4L, s"K4 has exactly 4 triangles: $got")
+    Seq(1, 2, 3, 4).foreach(i =>
+      assert(got(i) == 3L, s"K4 vertex $i sits in 3 triangles"))
+    Seq(10, 11, 12).foreach(i =>
+      assert(!got.contains(i), s"path item $i closes no triangle"))
+    assert(got.filter(_._1 >= 0).values.sum == 3 * got(-1),
+      "participation must sum to 3x the triangle count")
+    // gate corpus: same identity (top-k covers all items at sf0.001)
+    val gate = Graph.q45Triangles(s, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(gate(-1) > 0, "gate corpus has triangles")
+  }
 }

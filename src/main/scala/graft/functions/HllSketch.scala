@@ -82,7 +82,9 @@ case class HllSketchAgg(
 
   override def serialize(buf: Array[Byte]): Array[Byte] = buf
 
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  // clone: the incoming array may alias row-buffer storage Spark
+  // reuses across rows; the aggregation buffer must own its bytes
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
 
   override def dataType: DataType = StructType(Seq(
     StructField("v_empty", IntegerType, nullable = false),

@@ -735,7 +735,16 @@ object Relational {
     * difference between shuffling every distinct user once and
     * shuffling 64 longs per key per task: HLL is the sketch a
     * production pipeline actually deploys, and this plan has its
-    * true shape (scan → combinable max agg → m-row algebra). */
+    * true shape (scan → combinable max agg → m-row algebra).
+    *
+    * Range ceiling: the 32-bit hash saturates near 2³²/30 ≈ 143M
+    * distinct per key (Flajolet's large-range correction regime —
+    * another `ln`, so it would need the same inlined-table treatment).
+    * A 100 TB deployment that expects billions of distinct per key
+    * widens the hash to 64 bits (md5 has the bits to spare; wBits
+    * grows, the arithmetic is unchanged) rather than correcting a
+    * saturated 32-bit sketch — documented here because the gate
+    * corpora sit orders of magnitude below the ceiling. */
   def q40HllDistinct(s: SparkSession, dir: String): DataFrame = {
     val wb1 = HllWBits + 1 // rho range is [1, wBits+1]; empty = 0
     val regs = Tables.events(s, dir)

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types._
@@ -40,18 +41,37 @@ case class HllSketchAgg(
   private val m = Relational.HllM
   private val wb = Relational.HllWBits
 
+  /** Integral input contract, ANALYSIS-checked: a string/array/float
+    * input fails with a named error at plan time, not a mid-job
+    * executor ClassCastException. */
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hll_sketch requires an integral 32-bit-hash input, got " +
+        other.simpleString)
+  }
+
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = v.asInstanceOf[Long]
+      val h = v.asInstanceOf[Number].longValue()
+      // loud contract check: the sketch is defined over a 32-bit hash
+      // space (see the q40 scaladoc's range-ceiling note). A negative
+      // or 64-bit input (e.g. xxhash64) would silently alias registers
+      // through the idx truncation — a wrong estimate with no error is
+      // the one failure mode a sketch must not have.
+      if (h < 0L || h >= (1L << 32))
+        throw new IllegalArgumentException(
+          s"hll_sketch: input $h outside [0, 2^32) — feed a 32-bit " +
+            "hash (e.g. conv(substring(md5(x), 1, 8), 16, 10))")
       val idx = (h >>> wb).toInt
       val w = h & ((1L << wb) - 1)
       val rho =
         if (w == 0) wb + 1
         else (wb + 1) - (64 - java.lang.Long.numberOfLeadingZeros(w))
-      if (idx >= 0 && idx < m && rho > buf(idx)) buf(idx) = rho.toByte
+      if (rho > buf(idx)) buf(idx) = rho.toByte
     }
     buf
   }

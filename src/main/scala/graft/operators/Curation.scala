@@ -603,8 +603,11 @@ object Curation {
     * date; the merge machinery is identical). */
   val C13Parts = 16
 
-  private def c13Table(dir: String): String =
-    s"graft_docs_merge_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+  private def c13Table(s: SparkSession, dir: String): String =
+    // fingerprint-keyed (not just dir-keyed): an in-place corpus
+    // regeneration changes the fingerprint, so a long-lived session can
+    // never merge onto (or audit) a staging of the PREVIOUS corpus
+    s"graft_docs_merge_${graft.Tables.fingerprint(s, dir, "documents")}"
 
   /** c13: APPLY a snapshot diff — the MERGE half c12 only audits. c12
     * tells the lake owner WHAT changed between snapshots; c13 applies
@@ -623,7 +626,7 @@ object Curation {
     * (the q23/q30 ensure-tables shape); every call then re-applies
     * the changeset, so bench medians measure the MERGE itself. */
   def c13ApplyDiff(s: SparkSession, dir: String): DataFrame = {
-    val t = c13Table(dir)
+    val t = c13Table(s, dir)
     if (!s.catalog.tableExists(t)) {
       val loc = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
@@ -652,8 +655,10 @@ object Curation {
     * deterministic, so the oracle filters the same set. */
   val C15ForgetMod = 13
 
-  private def c15Table(dir: String): String =
-    s"graft_events_forget_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+  private def c15Table(s: SparkSession, dir: String): String =
+    // fingerprint-keyed, like c13: erasure against a stale staging of a
+    // regenerated corpus would silently "forget" nothing
+    s"graft_events_forget_${graft.Tables.fingerprint(s, dir, "events")}"
 
   /** c15: FORGET keys — the right-to-be-forgotten delete (GDPR art.
     * 17 / CCPA): purge EVERY event of the listed users from the live
@@ -681,7 +686,7 @@ object Curation {
     * the trade every lake makes between scan locality and erasure
     * locality. */
   def c15ForgetKeys(s: SparkSession, dir: String): DataFrame = {
-    val t = c15Table(dir)
+    val t = c15Table(s, dir)
     if (!s.catalog.tableExists(t)) {
       val loc = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)

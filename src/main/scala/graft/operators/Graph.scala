@@ -318,19 +318,7 @@ object Graph {
     * power-user cap and deterministic profile rule — Relational.CoocCap)
     * kept at support ≥ [[TriMinUsers]], as (ia < ib) ordered edges. */
   private def itemEdges(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val clicks = graft.Tables.events(s, dir)
-      .filter(col("event_type") === "click")
-      .select(col("user_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("item"))
-      .groupBy("user_id", "item")
-      .agg(count(lit(1)).as("clicks"))
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("clicks").desc, col("item"))
-    val capped = clicks
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= Relational.CoocCap)
-      .select("user_id", "item")
+    val capped = Relational.cappedClickProfiles(s, dir)
     capped.select(col("user_id"), col("item").as("ia"))
       .join(capped.select(col("user_id"), col("item").as("ib")), "user_id")
       .filter(col("ia") < col("ib"))
@@ -382,17 +370,7 @@ object Graph {
   }
 
   private def sqlTrianglesOracle: String =
-    s"""WITH ci AS (
-       |  SELECT user_id,
-       |    CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '')
-       |      AS INTEGER) AS item,
-       |    count(*) AS clicks
-       |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
-       |capped AS (
-       |  SELECT user_id, item FROM (
-       |    SELECT user_id, item, row_number() OVER (
-       |      PARTITION BY user_id ORDER BY clicks DESC, item) AS rn
-       |    FROM ci) WHERE rn <= ${Relational.CoocCap}),
+    s"""WITH ${Relational.sqlCappedProfilesCtes},
        |e AS (
        |  SELECT a.item AS ia, b.item AS ib
        |  FROM capped a JOIN capped b

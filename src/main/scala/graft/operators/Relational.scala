@@ -642,45 +642,80 @@ object Relational {
       s"WHEN $v = ${i + 1} THEN CAST($e AS BIGINT)"
     }.mkString(" ") + " ELSE CAST(0 AS BIGINT) END"
 
-  /** Shared DuckDB mirror of the HLL register/estimate pipeline —
-    * q40's oracle with the '~all' merge row, q44's without. */
-  private[graft] def hllOracleSql(withMerge: Boolean): String = {
+  /** Shared DuckDB mirror of the HLL register/estimate pipeline,
+    * parameterized on the sketch KEY columns and the hashed-source
+    * CTE body — one spelling serves q40 (event_type key, with the
+    * '~all' merge row), q44 (same key, no merge) and st9 (time-bucket
+    * + event_type key), so a change to the sketch math lands in every
+    * oracle at once. `bSelect` must emit the key columns plus `h`. */
+  private[graft] def hllOracleSqlKeyed(keys: Seq[String], bSelect: String,
+      withMerge: Boolean): String = {
+    val ks = keys.mkString(", ")
+    val kNums = keys.indices.map(_ + 1).mkString(", ")
     val ruCte = if (withMerge)
       s"""ru AS (
-         |  SELECT event_type, idx, r FROM r
+         |  SELECT $ks, idx, r FROM r
          |  UNION ALL
-         |  SELECT '~all' AS event_type, idx, max(r) AS r
+         |  SELECT '~all' AS ${keys.head}, idx, max(r) AS r
          |  FROM r GROUP BY 2),""".stripMargin
-    else "ru AS (SELECT event_type, idx, r FROM r),"
+    else s"ru AS (SELECT $ks, idx, r FROM r),"
     s"""WITH b AS (
-       |  SELECT event_type, ${sqlHash32("user_id")} AS h
-       |  FROM events),
+       |  $bSelect),
        |s AS (
-       |  SELECT event_type, h // ${1L << HllWBits} AS idx,
+       |  SELECT $ks, h // ${1L << HllWBits} AS idx,
        |    h % ${1L << HllWBits} AS w
        |  FROM b),
        |r AS (
-       |  SELECT event_type, idx,
+       |  SELECT $ks, idx,
        |    max(CASE WHEN w = 0 THEN ${HllWBits + 1}
        |        ELSE ${HllWBits + 1} - length(bin(w)) END) AS r
-       |  FROM s GROUP BY 1, 2),
+       |  FROM s GROUP BY $kNums, ${keys.length + 1}),
        |$ruCte
        |t AS (
-       |  SELECT event_type, CAST(count(*) AS INT) AS filled,
+       |  SELECT $ks, CAST(count(*) AS INT) AS filled,
        |    sum(CAST(1 AS BIGINT) << (${HllWBits + 1} - r)) AS s_fill
-       |  FROM ru GROUP BY 1),
+       |  FROM ru GROUP BY $kNums),
        |e AS (
-       |  SELECT event_type,
+       |  SELECT $ks,
        |    CAST($HllM - filled AS INT) AS v_empty,
        |    CAST(s_fill + CAST($HllM - filled AS BIGINT) *
        |      ${1L << (HllWBits + 1)} AS BIGINT) AS s_scaled
        |  FROM t)
-       |SELECT event_type, v_empty, s_scaled,
+       |SELECT $ks, v_empty, s_scaled,
        |  CAST(CASE WHEN v_empty > 0
        |      AND $HllC // s_scaled <= $HllLinThresh
        |    THEN ${hllLinCaseSql("v_empty")}
        |    ELSE $HllC // s_scaled END AS BIGINT) AS hll_est
-       |FROM e ORDER BY event_type""".stripMargin
+       |FROM e ORDER BY $kNums""".stripMargin
+  }
+
+  /** q40/q44 form: event_type key over the md5-hashed events scan. */
+  private[graft] def hllOracleSql(withMerge: Boolean): String =
+    hllOracleSqlKeyed(Seq("event_type"),
+      s"SELECT event_type, ${sqlHash32("user_id")} AS h\n  FROM events",
+      withMerge)
+
+  /** Shared Spark-side estimate tail over a register frame grouped by
+    * `keys` with a register column `r` — q40's integer-only arithmetic
+    * factored once for the relational (q40), windowed-streaming (st9)
+    * and any future sketch-keyed caller. */
+  private[graft] def hllEstimateFromRegs(regs: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val wb1 = HllWBits + 1
+    regs
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).cast("int").as("filled"),
+        sum(expr(s"CAST(shiftleft(CAST(1 AS BIGINT), $wb1 - r) AS BIGINT)"))
+          .as("s_fill"))
+      .select(keys.map(col) ++ Seq(
+        expr(s"CAST($HllM - filled AS INT)").as("v_empty"),
+        expr(s"CAST(s_fill + CAST($HllM - filled AS BIGINT) * " +
+          s"${1L << wb1} AS BIGINT)").as("s_scaled")): _*)
+      .withColumn("e_raw", expr(s"CAST($HllC div s_scaled AS BIGINT)"))
+      .select(keys.map(col) ++ Seq(col("v_empty"), col("s_scaled"),
+        expr(s"CAST(CASE WHEN v_empty > 0 AND e_raw <= $HllLinThresh " +
+          s"THEN ${hllLinCaseSql("v_empty")} ELSE e_raw END AS BIGINT)")
+          .as("hll_est")): _*)
   }
 
   /** q44: the HLL sketch as a NATIVE CATALYST AGGREGATE —
@@ -762,20 +797,7 @@ object Relational {
     val merged = regs.groupBy("idx")
       .agg(max("r").as("r"))
       .select(lit("~all").as("event_type"), col("idx"), col("r"))
-    val est = regs.unionByName(merged)
-      .groupBy("event_type")
-      .agg(count(lit(1)).cast("int").as("filled"),
-        sum(expr(s"CAST(shiftleft(CAST(1 AS BIGINT), $wb1 - r) AS BIGINT)"))
-          .as("s_fill"))
-      .select(col("event_type"),
-        expr(s"CAST($HllM - filled AS INT)").as("v_empty"),
-        expr(s"CAST(s_fill + CAST($HllM - filled AS BIGINT) * " +
-          s"${1L << wb1} AS BIGINT)").as("s_scaled"))
-      .withColumn("e_raw", expr(s"CAST($HllC div s_scaled AS BIGINT)"))
-    est.select(col("event_type"), col("v_empty"), col("s_scaled"),
-      expr(s"CAST(CASE WHEN v_empty > 0 AND e_raw <= $HllLinThresh " +
-        s"THEN ${hllLinCaseSql("v_empty")} ELSE e_raw END AS BIGINT)")
-        .as("hll_est"))
+    hllEstimateFromRegs(regs.unionByName(merged), Seq("event_type"))
       .orderBy("event_type")
   }
 
@@ -1003,7 +1025,13 @@ object Relational {
     * exchange is planned once and REUSED), the pair count is a
     * map-side-combinable aggregation, and the final top-k is a
     * TakeOrderedAndProject. */
-  def q37Cooccur(s: SparkSession, dir: String): DataFrame = {
+  /** The capped per-user click profile (user_id, item) — THE shared
+    * substrate of the item-graph family: q37's co-occurrence pairs and
+    * q45's triangle edges both derive from exactly this frame, so the
+    * profile rule (click filter, JSON item extract, [[CoocCap]]
+    * deterministic keep) lives in one place. */
+  private[graft] def cappedClickProfiles(s: SparkSession,
+      dir: String): DataFrame = {
     val clicks = Tables.events(s, dir)
       .filter(col("event_type") === "click")
       .select(col("user_id"),
@@ -1012,10 +1040,29 @@ object Relational {
       .agg(count(lit(1)).as("clicks"))
     val w = Window.partitionBy("user_id")
       .orderBy(col("clicks").desc, col("item"))
-    val capped = clicks
+    clicks
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= CoocCap)
       .select("user_id", "item")
+  }
+
+  /** DuckDB CTE text of [[cappedClickProfiles]] (`ci`, `capped`) —
+    * shared by the q37 and q45 oracles. */
+  private[graft] def sqlCappedProfilesCtes: String =
+    s"""ci AS (
+       |  SELECT user_id,
+       |    CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '')
+       |      AS INTEGER) AS item,
+       |    count(*) AS clicks
+       |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+       |capped AS (
+       |  SELECT user_id, item FROM (
+       |    SELECT user_id, item, row_number() OVER (
+       |      PARTITION BY user_id ORDER BY clicks DESC, item) AS rn
+       |    FROM ci) WHERE rn <= $CoocCap)""".stripMargin
+
+  def q37Cooccur(s: SparkSession, dir: String): DataFrame = {
+    val capped = cappedClickProfiles(s, dir)
     capped.select(col("user_id"), col("item").as("item_a"))
       .join(capped.select(col("user_id"), col("item").as("item_b")),
         "user_id")
@@ -1275,17 +1322,7 @@ object Relational {
     // same capped profiles (clicks-desc/item row_number), same strict
     // lower-triangle pair rule, same (users desc, item, item) order
     "q37_cooccur" ->
-      s"""WITH ci AS (
-         |  SELECT user_id,
-         |    CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '')
-         |      AS INTEGER) AS item,
-         |    count(*) AS clicks
-         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
-         |capped AS (
-         |  SELECT user_id, item FROM (
-         |    SELECT user_id, item, row_number() OVER (
-         |      PARTITION BY user_id ORDER BY clicks DESC, item) AS rn
-         |    FROM ci) WHERE rn <= $CoocCap)
+      s"""WITH $sqlCappedProfilesCtes
          |SELECT a.item AS item_a, b.item AS item_b,
          |  CAST(count(*) AS BIGINT) AS users
          |FROM capped a JOIN capped b

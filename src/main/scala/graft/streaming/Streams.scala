@@ -482,43 +482,16 @@ object Streams {
          |  COALESCE(o.n_shared, 0) >= ${Dedup.D9MinShared} AS contaminated
          |FROM documents d LEFT JOIN s6ov o ON d.doc_id = o.doc_id
          |ORDER BY d.doc_id""".stripMargin,
-    // q40's register/estimate arithmetic keyed by time_bucket — same
-    // md5 hash split, same bin()-rho, same inlined linear-count CASE
-    "st9_stream_hll" -> {
-      import graft.operators.Relational
-      val wb = Relational.HllWBits
-      s"""WITH b AS (
-         |  SELECT CAST(epoch(time_bucket(INTERVAL '6 hours', ts)) AS BIGINT)
-         |      AS bucket_start,
-         |    event_type, ${Relational.sqlHash32("user_id")} AS h
-         |  FROM events),
-         |sp AS (
-         |  SELECT bucket_start, event_type, h // ${1L << wb} AS idx,
-         |    h % ${1L << wb} AS wpat
-         |  FROM b),
-         |r AS (
-         |  SELECT bucket_start, event_type, idx,
-         |    max(CASE WHEN wpat = 0 THEN ${wb + 1}
-         |        ELSE ${wb + 1} - length(bin(wpat)) END) AS r
-         |  FROM sp GROUP BY 1, 2, 3),
-         |t AS (
-         |  SELECT bucket_start, event_type,
-         |    CAST(count(*) AS INT) AS filled,
-         |    sum(CAST(1 AS BIGINT) << (${wb + 1} - r)) AS s_fill
-         |  FROM r GROUP BY 1, 2),
-         |e AS (
-         |  SELECT bucket_start, event_type,
-         |    CAST(${Relational.HllM} - filled AS INT) AS v_empty,
-         |    CAST(s_fill + CAST(${Relational.HllM} - filled AS BIGINT) *
-         |      ${1L << (wb + 1)} AS BIGINT) AS s_scaled
-         |  FROM t)
-         |SELECT bucket_start, event_type, v_empty, s_scaled,
-         |  CAST(CASE WHEN v_empty > 0
-         |      AND ${Relational.HllC} // s_scaled <= ${Relational.HllLinThresh}
-         |    THEN ${Relational.hllLinCaseSql("v_empty")}
-         |    ELSE ${Relational.HllC} // s_scaled END AS BIGINT) AS hll_est
-         |FROM e ORDER BY bucket_start, event_type""".stripMargin
-    },
+    // the SHARED register/estimate oracle builder keyed by time_bucket
+    // + event_type — one spelling with q40/q44, so sketch-math changes
+    // land in every oracle at once
+    "st9_stream_hll" -> graft.operators.Relational.hllOracleSqlKeyed(
+      Seq("bucket_start", "event_type"),
+      "SELECT CAST(epoch(time_bucket(INTERVAL '6 hours', ts)) AS BIGINT)\n" +
+        "      AS bucket_start,\n" +
+        s"    event_type, ${graft.operators.Relational.sqlHash32("user_id")} AS h\n" +
+        "  FROM events",
+      withMerge = false),
     // same (event time, id) rank per key as capBatch; epoch_us mirrors
     // unix_micros under the UTC session (st3/st5 normalize identically)
     "st7_stream_cap" ->
@@ -577,32 +550,14 @@ object Streams {
         s"ELSE ${wb + 1} - length(bin(wpat)) END")).as("r"))
   }
 
-  /** The stateless estimate read over a register table — q40's
-    * integer-only tail (scaled harmonic sum, inlined linear-counting
-    * CASE), keyed by window start. */
-  def hllWindowedEstimate(regs: DataFrame): DataFrame = {
-    import graft.operators.Relational
-    val wb1 = Relational.HllWBits + 1
-    val m = Relational.HllM
-    regs
-      .groupBy(col("win.start").cast("long").as("bucket_start"),
-        col("event_type"))
-      .agg(count(lit(1)).cast("int").as("filled"),
-        sum(expr(s"CAST(shiftleft(CAST(1 AS BIGINT), $wb1 - r) AS BIGINT)"))
-          .as("s_fill"))
-      .select(col("bucket_start"), col("event_type"),
-        expr(s"CAST($m - filled AS INT)").as("v_empty"),
-        expr(s"CAST(s_fill + CAST($m - filled AS BIGINT) * ${1L << wb1} " +
-          "AS BIGINT)").as("s_scaled"))
-      .withColumn("e_raw",
-        expr(s"CAST(${Relational.HllC} div s_scaled AS BIGINT)"))
-      .select(col("bucket_start"), col("event_type"), col("v_empty"),
-        col("s_scaled"),
-        expr("CAST(CASE WHEN v_empty > 0 AND e_raw <= " +
-          s"${Relational.HllLinThresh} " +
-          s"THEN ${Relational.hllLinCaseSql("v_empty")} " +
-          "ELSE e_raw END AS BIGINT)").as("hll_est"))
-  }
+  /** The stateless estimate read over a register table — the SHARED
+    * integer-only tail ([[graft.operators.Relational.hllEstimateFromRegs]]),
+    * keyed by window start. */
+  def hllWindowedEstimate(regs: DataFrame): DataFrame =
+    graft.operators.Relational.hllEstimateFromRegs(
+      regs.select(col("win.start").cast("long").as("bucket_start"),
+        col("event_type"), col("idx"), col("r")),
+      Seq("bucket_start", "event_type"))
 
   def st9Query(s: SparkSession, dir: String): DataFrame =
     hllWindowedEstimate(hllWindowedRegisters(Tables.events(s, dir)))

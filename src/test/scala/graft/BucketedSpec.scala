@@ -12,17 +12,8 @@ class BucketedSpec extends AnyFunSuite {
   private lazy val s = TestSpark.spark
   private val dir = TestSpark.SfDir
 
-  /** Flatten an executed plan, descending through AQE query-stage
-    * wrappers (whose subtrees are not `children`). */
-  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
-    val kids = p match {
-      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        Seq(q.plan)
-      case other => other.children
-    }
-    p +: kids.flatMap(flatten)
-  }
+  private def flatten(p: SparkPlan): Seq[SparkPlan] =
+    TestSpark.flattenPlan(p)
 
   test("q23 joins bucketed tables with zero exchanges below the join") {
     val df = Bucketed.q23BucketedJoin(s, dir)

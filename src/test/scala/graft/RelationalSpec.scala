@@ -266,18 +266,8 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.exists(_._3 > 1), "multi-event sessions exist (gap choice)")
     // plan: exactly one HASH exchange (window + session agg share it);
     // anything else is the final ORDER BY's presentation range exchange
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    def flatten(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case other => other.children
-      }
-      p +: kids.flatMap(flatten)
-    }
-    val hashEx = flatten(df.queryExecution.executedPlan)
+    val hashEx = TestSpark.flattenPlan(df.queryExecution.executedPlan)
       .collect { case e: ShuffleExchangeLike => e }
       .filter(_.outputPartitioning.isInstanceOf[
         org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
@@ -342,18 +332,8 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == want, "driver replay of the rolling peak")
     assert(got.exists(_._2 > 1), "peaks above 1 exist (window binds)")
     // plan: one hash exchange feeds all four windows + the final agg
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    def flatten(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case other => other.children
-      }
-      p +: kids.flatMap(flatten)
-    }
-    val hashEx = flatten(df.queryExecution.executedPlan)
+    val hashEx = TestSpark.flattenPlan(df.queryExecution.executedPlan)
       .collect { case e: ShuffleExchangeLike => e }
       .filter(_.outputPartitioning.isInstanceOf[
         org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])

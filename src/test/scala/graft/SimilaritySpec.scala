@@ -329,18 +329,8 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.forall(r => r.getDouble(3) <= 1.0))
     // partition pruning: every index scan carries a PartitionFilter on
     // cell and reads at most the probed partitions
-    import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def flatten(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case other => other.children
-      }
-      p +: kids.flatMap(flatten)
-    }
-    val scans = flatten(got.queryExecution.executedPlan)
+    val scans = TestSpark.flattenPlan(got.queryExecution.executedPlan)
       .collect { case f: FileSourceScanExec => f }
       .filter(_.relation.location.rootPaths.exists(
         _.toString.contains("ivfindex")))

@@ -22,4 +22,18 @@ object TestSpark {
   def bucketMod(id: Long, m: Int): Int =
     Integer.parseInt(org.apache.commons.codec.digest.DigestUtils
       .md5Hex(id.toString).substring(0, 4), 16) % m
+
+  /** Flatten an executed plan, descending through AQE query-stage
+    * wrappers (whose subtrees are not `children`) — the one shared
+    * spelling for every spec's plan assertions. */
+  def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(flattenPlan)
+  }
 }

@@ -38,18 +38,9 @@ class ZorderSpec extends AnyFunSuite {
     assert(pruned.agg(count(lit(1)), sum("o_orderkey")).head() ==
       full.agg(count(lit(1)), sum("o_orderkey")).head())
     // and it is partition-pruned at the scan, not post-filtered
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def flatten(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case other => other.children
-      }
-      p +: kids.flatMap(flatten)
-    }
+    import org.apache.spark.sql.execution.FileSourceScanExec
     pruned.collect()
-    val scan = flatten(pruned.queryExecution.executedPlan)
+    val scan = TestSpark.flattenPlan(pruned.queryExecution.executedPlan)
       .collectFirst { case f: FileSourceScanExec => f }.get
     assert(scan.partitionFilters.nonEmpty, "zbucket partition filter")
   }

@@ -542,6 +542,127 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** The d12 staged shard: every [[S8Mod]]th corpus vector re-keyed
+    * past max id — EXACT copy when the source id divides 2·[[S8Mod]]
+    * (the re-upload: must be dropped as a semantic dup at any sane τ),
+    * component-NEGATED otherwise (cos(−v, w) = −cos(v, w), so it
+    * collides with a lower member only where the corpus itself has a
+    * ≤ −τ pair — as rare as the ≥ τ tail; most survive as novel).
+    * Both admission verdicts are thereby planted deterministically. */
+  def d12IncrementPath(s: SparkSession, dir: String): String = {
+    val path = s"target/semdedupinc/" +
+      s"${graft.Tables.fingerprint(s, dir, "embeddings")}/increment.parquet"
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success)) {
+      val e = Tables.embeddings(s, dir)
+      val maxId = e.agg(max(col("vec_id"))).head().getLong(0)
+      e.filter(col("vec_id") % S8Mod === 0)
+        .select((col("vec_id") + maxId + 1).as("vec_id"),
+          when(col("vec_id") % (2 * S8Mod) === 0, col("embedding"))
+            .otherwise(expr("transform(embedding, x -> -x)"))
+            .as("embedding"))
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** d12: INCREMENTAL SemDeDup — the semantic tier of the admission
+    * family (d11 screens a new shard's exact/MinHash signatures against
+    * the persisted band index; s8 serves ANN queries from the persisted
+    * IVF index; d12 decides, for each NEW vector, whether the lake
+    * already contains its meaning). The d10 rule restricted to the
+    * increment: a new vector is dropped iff SOME lower-id union member
+    * (any corpus vector — they all sort lower — or an earlier increment
+    * vector) in its cell has cosine ≥ [[D10Tau]]. Because the shard is
+    * assigned by the FROZEN quantizer ([[s8IndexPath]]'s cells) and
+    * increment ids all exceed corpus ids, this is EXACTLY d10 run on
+    * corpus ∪ increment and filtered to increment rows — which is what
+    * the generated oracle computes, so "increment-mode ≡ full
+    * recompute" is hash-proven at each SF (the d11 contract, semantic
+    * tier). Output: (vec_id, cell, is_new_unique) per increment vector.
+    *
+    * Scale shape: corpus-sized work is ZERO at admission — the shard
+    * assigns scan-local (inlined centroids), the corpus side is the
+    * PERSISTED cell-partitioned index read pruned to the shard's cells
+    * (≤ cells directories; at 100 TB each cell is further bucketed),
+    * and both confirm joins are cell-blocked: shard × cell-occupancy,
+    * never all-pairs. The planted shard exercises both verdicts:
+    * exact copies drop (cos 1.0 with their source), negated vectors
+    * survive except against the corpus's ≤ −τ tail. */
+  def d12SemdedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val idx = s8IndexPath(s, dir)
+    val cents = centroidsFor(s, dir).zipWithIndex.map { case (v, i) => (i, v) }
+    val cellExpr = expr(s"array_max(${centroidStructsArr(cents)}).id")
+    val inc = s.read.parquet(d12IncrementPath(s, dir))
+      .withColumn("cell", cellExpr)
+      .localCheckpoint(true) // shard-sized; reused by 3 joins below
+    val incCells = inc.select("cell").distinct().collect().map(_.getInt(0))
+    val base = s.read.parquet(s"$idx/base")
+      .filter(col("cell").isin(incCells.map(Integer.valueOf): _*))
+    val vsCorpus = inc.as("i")
+      .join(base.as("b"), col("i.cell") === col("b.cell"))
+      .filter(VectorOps.cosine("i.embedding", "b.embedding") >= D10Tau)
+      .select(col("i.vec_id")).distinct()
+    val vsEarlier = inc.as("x")
+      .join(inc.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .filter(VectorOps.cosine("x.embedding", "y.embedding") >= D10Tau)
+      .select(col("y.vec_id")).distinct()
+    val dropped = vsCorpus.unionByName(vsEarlier).distinct()
+      .withColumn("hit", lit(1))
+    inc.select("vec_id", "cell")
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        when(col("hit").isNotNull, lit(0)).otherwise(lit(1))
+          .cast("int").as("is_new_unique"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB mirror of [[d12SemdedupIncremental]]: d10's rule over the
+    * union of `embeddings` and the SQL-derived d12 shard (same
+    * [[S8Mod]] re-keying, same copy/negate split), restricted to
+    * increment rows — the full-recompute equivalence, generated with
+    * the trained centroids inlined. */
+  private[graft] def d12OracleSql(cent: Array[Array[Float]]): String = {
+    def litVec(v: Array[Float]) =
+      v.map(x => s"CAST($x AS FLOAT)").mkString("[", ",", "]")
+    val vals = cent.zipWithIndex
+      .map { case (v, i) => s"($i, ${litVec(v)})" }.mkString(",\n    ")
+    s"""WITH cent(cid, cv) AS (VALUES
+       |    $vals),
+       |mx AS (SELECT max(vec_id) AS m FROM embeddings),
+       |eu AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT e.vec_id + mx.m + 1 AS vec_id,
+       |    CASE WHEN e.vec_id % ${2 * S8Mod} = 0 THEN e.embedding
+       |      ELSE list_transform(e.embedding, x -> -x) END AS embedding
+       |  FROM embeddings e, mx WHERE e.vec_id % $S8Mod = 0),
+       |scored_cells AS (
+       |  SELECT u.vec_id, u.embedding, c.cid,
+       |    ${VectorOps.sqlCosine("embedding", "cv")} AS ccos
+       |  FROM eu u CROSS JOIN cent c),
+       |cells AS (
+       |  SELECT vec_id, embedding, cid AS cell FROM (
+       |    SELECT vec_id, embedding, cid, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY ccos DESC, cid DESC) AS crnk
+       |    FROM scored_cells) WHERE crnk = 1),
+       |dropped AS (
+       |  SELECT DISTINCT y.vec_id
+       |  FROM cells x JOIN cells y
+       |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE ${VectorOps.sqlCosine("x.embedding", "y.embedding")}
+       |    >= $D10Tau),
+       |incr AS (SELECT c.* FROM cells c, mx WHERE c.vec_id > mx.m)
+       |SELECT i.vec_id, CAST(i.cell AS INTEGER) AS cell,
+       |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER)
+       |    AS is_new_unique
+       |FROM incr i LEFT JOIN dropped d ON d.vec_id = i.vec_id
+       |ORDER BY i.vec_id""".stripMargin
+  }
+
   /** DuckDB mirror of [[s8AnnIncremental]]: the s3 oracle over the
     * UNION of `embeddings` and the SQL-derived increment shard (same
     * [[S8Mod]] rule, same re-keying past max id). Queries are the
@@ -1405,7 +1526,8 @@ object Similarity {
       ("d10_semdedup" -> d10OracleSql(cent)) +
       ("s6_ann_pq" -> s6OracleSql(pq)) +
       ("s7_ann_ivfpq" -> s7OracleSql(cent, pq)) +
-      ("s8_ann_incremental" -> s8OracleSql(cent))
+      ("s8_ann_incremental" -> s8OracleSql(cent)) +
+      ("d12_semdedup_incremental" -> d12OracleSql(cent))
   }
 
   /** s1/s2 are static SQL; s3's entry requires a trained quantizer.
@@ -1423,7 +1545,8 @@ object Similarity {
         ("d10_semdedup" -> d10OracleSql(c)) +
         ("s6_ann_pq" -> s6OracleSql(p)) +
         ("s7_ann_ivfpq" -> s7OracleSql(c, p)) +
-        ("s8_ann_incremental" -> s8OracleSql(c))
+        ("s8_ann_incremental" -> s8OracleSql(c)) +
+        ("d12_semdedup_incremental" -> d12OracleSql(c))
       case _ => throw new IllegalStateException(
         "s3/d10/s6/s7 oracle requested but no trained quantizer is " +
           "cached for any corpus — run the queries for the gate corpus " +
@@ -1510,5 +1633,6 @@ object Similarity {
     "s6_ann_pq" -> s6Pq, // oracle generated with inlined codebooks
     "s7_ann_ivfpq" -> s7IvfPq, // oracle generated with both models inlined
     "s8_ann_incremental" -> s8AnnIncremental, // oracle: centroids inlined
+    "d12_semdedup_incremental" -> d12SemdedupIncremental, // generated oracle
   )
 }

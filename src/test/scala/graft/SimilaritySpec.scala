@@ -360,6 +360,51 @@ class SimilaritySpec extends AnyFunSuite {
       "one admitted row per staged increment vector")
   }
 
+  test("d12 incremental semantic admission matches a driver-side " +
+      "brute-force of the d10 rule on the union; exact copies always " +
+      "drop; novel vectors survive") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.d12SemdedupIncremental(s, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    val maxId = Tables.embeddings(s, dir)
+      .agg(max(col("vec_id"))).head().getLong(0)
+    // driver-side union replay: corpus embeddings + the staged shard,
+    // cells from the PERSISTED index (base) and the operator's output
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val idx = Similarity.s8IndexPath(s, dir)
+    val base = s.read.parquet(s"$idx/base").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+        r.getInt(2))) // (vec_id, embedding, cell)
+    val incEmb = s.read.parquet(Similarity.d12IncrementPath(s, dir))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val incCell = got.map(r => r._1 -> r._2).toMap
+    val union = base ++ incEmb.toSeq.map { case (id, e) =>
+      (id, e, incCell(id)) }
+    val want = incEmb.keys.toSeq.sorted.map { id =>
+      val e = incEmb(id); val c = incCell(id)
+      val dropped = union.exists { case (oid, oe, oc) =>
+        oid < id && oc == c && cos(oe, e) >= Similarity.D10Tau }
+      (id, c, if (dropped) 0 else 1)
+    }
+    assert(got == want, "union-rule brute force")
+    // planted verdicts: every exact copy (source id % 2*S8Mod == 0)
+    // finds its source at cos 1.0 and drops; some novel vectors survive
+    got.foreach { case (id, _, keep) =>
+      val src = id - maxId - 1
+      if (src % (2 * Similarity.S8Mod) == 0)
+        assert(keep == 0, s"exact copy $id must drop")
+    }
+    assert(got.exists(_._3 == 1), "novel admissions exist")
+    assert(got.count(_._3 == 1) < got.length, "drops exist")
+  }
+
   test("s6 PQ matches a driver-side replay and trains once per corpus") {
     s.conf.set("spark.graft.pq.dir",
       java.nio.file.Files.createTempDirectory("graft-pq").toString)

@@ -710,7 +710,55 @@ object Curation {
       .orderBy("event_type")
   }
 
+  private def c16Table(s: SparkSession, dir: String): String =
+    s"graft_events_frag_${graft.Tables.fingerprint(s, dir, "events")}"
+
+  /** c16: COMPACT small files — the standing lake-maintenance job
+    * (Delta OPTIMIZE / Iceberg rewrite_data_files over plain parquet):
+    * every streaming or incremental writer leaves file-per-trigger
+    * debris, and each small file costs a task and an open at every
+    * future scan. The gate stages a deliberately FRAGMENTED
+    * date-partitioned events table once per corpus generation (8
+    * writer tasks per directory — the shape an 8-executor micro-batch
+    * writer leaves), runs
+    * [[graft.sources.Sources.compactPartitions]] (rewrites only
+    * directories over the file budget, one writer task each; a
+    * second run finds nothing fragmented and returns before opening
+    * a footer), and returns the compacted table's content audit —
+    * which must equal the same aggregates over the raw events, so
+    * the gate hash-proves compaction changed NOTHING but layout.
+    * CurationSpec pins the mechanics: ≥8 files/dir before, exactly 1
+    * after, byte-identical untouched directories, and a free no-op
+    * re-run. */
+  def c16CompactShards(s: SparkSession, dir: String): DataFrame = {
+    val t = c16Table(s, dir)
+    if (!s.catalog.tableExists(t)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(loc, /* recursive = */ true)
+      Tables.events(s, dir)
+        .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+        .repartition(8) // deliberate fragmentation: 8 tasks × every dir
+        .write.mode("overwrite").partitionBy("dt")
+        .format("parquet").saveAsTable(t)
+    }
+    graft.sources.Sources.compactPartitions(s, t, "dt")
+    s.table(t).groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        Exact.dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val oracle: Map[String, String] = Map(
+    // compaction is pure layout: the compacted table's audit equals
+    // the raw events aggregates
+    "c16_compact_shards" ->
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  ${Exact.sqlDsum("value")} AS sum_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the erased table's audit must equal the source minus the forget
     // list — erasure end state, not mechanics
     "c15_forget_keys" ->
@@ -1018,5 +1066,6 @@ object Curation {
     "c12_snapshot_diff" -> c12SnapshotDiff,
     "c13_apply_diff" -> c13ApplyDiff,
     "c15_forget_keys" -> c15ForgetKeys,
+    "c16_compact_shards" -> c16CompactShards,
   )
 }

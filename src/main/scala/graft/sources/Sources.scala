@@ -110,6 +110,42 @@ object Sources {
       .format("parquet")
       .saveAsTable(table)
 
+  /** COMPACT a partitioned table's fragmented directories: any
+    * partition holding more than `maxFilesPerDir` parquet files is
+    * rewritten (one writer task per partition via the
+    * [[overwritePartitions]] repartition idiom); already-compact
+    * directories are never read or touched, and a table with no
+    * fragmentation returns 0 before opening a single footer — so the
+    * maintenance job is idempotent and a no-op re-run is free. The
+    * small-files problem this repairs is the lake's slow death at
+    * 100 TB (every streaming/incremental writer leaves behind
+    * file-per-trigger debris; each file costs a task + an open at
+    * every future scan). Returns the number of directories rewritten.
+    *
+    * The fragmented slice is eagerly materialized (localCheckpoint)
+    * BEFORE the dynamic overwrite — the [[mergeIntoPartitioned]]
+    * self-read lesson: a lazy plan would read the directories it is
+    * replacing. */
+  def compactPartitions(s: SparkSession, table: String, partCol: String,
+      maxFilesPerDir: Int = 1): Int = {
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fragmented = fs.listStatus(loc)
+      .filter(d => d.isDirectory &&
+        d.getPath.getName.startsWith(s"$partCol="))
+      .filter(d => fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerDir)
+      .map(_.getPath.getName.drop(partCol.length + 1))
+      .toIndexedSeq
+    if (fragmented.isEmpty) return 0
+    val slice = s.table(table)
+      .filter(col(partCol).isin(fragmented: _*))
+      .localCheckpoint(true)
+    overwritePartitions(slice, table, partCol)
+    fragmented.length
+  }
+
   /** Incremental load into a partitioned table: replace ONLY the
     * partitions present in `df`, leaving every other directory
     * untouched — the daily/monthly lake-ingest shape (the reference's

@@ -509,4 +509,44 @@ class CurationSpec extends AnyFunSuite {
     assert(files("a") == fa0 && files("b") == fb1 && files("c") == fc0,
       "re-run must be a structural no-op")
   }
+
+  test("c16 compaction collapses fragmented dirs to one file, preserves " +
+      "content exactly, skips compact dirs, and no-ops on re-run") {
+    import org.apache.spark.sql.functions._
+    // planted: partition 'a' fragmented (4 files), 'b' already compact
+    val t = "graft_c16_planted"
+    if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE $t")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), t)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(loc, true)
+    import s.implicits._
+    (1L to 40L).map(i => (i, "a")).toDF("id", "dt")
+      .repartition(4)
+      .write.partitionBy("dt").format("parquet").saveAsTable(t)
+    Seq((100L, "b")).toDF("id", "dt")
+      .repartition(1)
+      .write.mode("append").format("parquet").insertInto(t)
+    def files(pt: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(loc, s"dt=$pt"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(f => f.getPath.toString -> f.getModificationTime).toMap
+    assert(files("a").size == 4, "planted fragmentation")
+    assert(files("b").size == 1)
+    val before = s.table(t).collect().map(_.getLong(0)).sorted.toSeq
+    val fb0 = files("b")
+    val n = graft.sources.Sources.compactPartitions(s, t, "dt")
+    assert(n == 1, s"exactly the fragmented dir rewritten, got $n")
+    assert(files("a").size == 1, "fragmented dir collapsed to one file")
+    assert(files("b") == fb0, "compact dir untouched (same files, mtimes)")
+    assert(s.table(t).collect().map(_.getLong(0)).sorted.toSeq == before,
+      "compaction must preserve content exactly")
+    // re-run: nothing fragmented → zero rewrites, zero file changes
+    val fa1 = files("a")
+    assert(graft.sources.Sources.compactPartitions(s, t, "dt") == 0)
+    assert(files("a") == fa1 && files("b") == fb0, "no-op re-run")
+    // gate staging really fragments: > 1 file per dir before compaction
+    val gate = Curation.c16CompactShards(s, dir).collect()
+    assert(gate.nonEmpty)
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOf, Bpe, Bucketed, Curation, Dedup, Geo, Graph, Multimodal, Partitioned, Relational, Similarity, Skew, TextAnalysis, Zorder}
+import graft.operators.{AsOf, Bpe, Bucketed, Curation, Dedup, Geo, Graph, Multimodal, Partitioned, Linkage, Relational, Similarity, Skew, TextAnalysis, Zorder}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -26,7 +26,7 @@ object SparkEntry {
       TextAnalysis.queries ++ Multimodal.queries ++ Streams.queries ++
       AsOf.queries ++ Bucketed.queries ++ Geo.queries ++ Skew.queries ++
       Curation.queries ++ Partitioned.queries ++ Bpe.queries ++
-      Graph.queries ++ Zorder.queries
+      Graph.queries ++ Zorder.queries ++ Linkage.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. s3_ann_ivf's SQL is GENERATED at dump
@@ -50,5 +50,6 @@ object SparkEntry {
     Relational.oracle ++ Dedup.oracle ++
       TextAnalysis.oracle ++ Streams.oracle ++ AsOf.oracle ++
       Multimodal.oracle ++ Bucketed.oracle ++ Geo.oracle ++ Skew.oracle ++
-      Curation.oracle ++ Partitioned.oracle ++ Graph.oracle ++ Zorder.oracle
+      Curation.oracle ++ Partitioned.oracle ++ Graph.oracle ++ Zorder.oracle ++
+      Linkage.oracle
 }

@@ -751,7 +751,264 @@ object Curation {
       .orderBy("event_type")
   }
 
+  /** Every [[C17ChangeMod]]th customer's balance changed between the
+    * initial dimension load and the second batch (deterministic, so
+    * the oracle derives the identical changeset); every
+    * [[C17NewMod]]th customer arrives re-keyed as a brand-new member.
+    * Amounts move in integer CENTS — the history compare stays in
+    * exact integers end to end. */
+  val C17ChangeMod = 7
+  val C17NewMod = 11
+  /** Balance delta (cents) applied to changed members at [[C17Date1]]. */
+  val C17DeltaCents = 12345L
+  /** Effective dates of the two dimension batches, plus the open-row
+    * high-date sentinel every SCD2 implementation carries (a literal
+    * `9999-12-31` beats NULL valid_to: range predicates like
+    * `valid_from <= d AND d < valid_to` need no null branch). */
+  val C17Date0 = "2024-01-01"
+  val C17Date1 = "2024-06-01"
+  val C17HighDate = "9999-12-31"
+
+  private def c17Table(s: SparkSession, dir: String): String =
+    s"graft_cust_scd2_${graft.Tables.fingerprint(s, dir, "customer")}"
+
+  /** The customer dimension in SCD2 shape: integer cents (exact —
+    * `floor(bal*100 + 0.5)` is the same IEEE op sequence in both
+    * engines), effective-dating columns appended. */
+  private def c17Base(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey"),
+      col("c_mktsegment"),
+      floor(col("c_acctbal") * lit(100.0) + lit(0.5)).as("bal_cents"))
+
+  /** c17: SLOWLY-CHANGING-DIMENSION Type-2 maintenance (Kimball's
+    * SCD2) — the warehouse-side sibling of the c13 merge: when a new
+    * dimension batch lands, a changed member's current row is CLOSED
+    * (valid_to = batch date) and a new version opened, while new
+    * members insert as open rows — full history, point-in-time
+    * joinable with `valid_from <= d AND d < valid_to`.
+    *
+    * Scale shape: the history table is hash-partitioned on the
+    * business key ([[C13Parts]] dirs; a real deployment sizes this to
+    * the dimension); the batch diffs against CURRENT rows only (an
+    * attribute-hash compare join on the key — broadcast when the
+    * batch is small, shuffle otherwise), and
+    * [[graft.sources.Sources.mergeIntoPartitioned]] rewrites only
+    * partitions containing touched keys. Upserts carry BOTH versions
+    * of a changed key (closed old + open new) — the merge's
+    * anti-join-then-insert contract replaces every version of a
+    * touched key, which also makes re-applying the same batch
+    * idempotent (the changeset is ABSOLUTE, derived from the source
+    * dimension, never from the mutated history). Unchanged members —
+    * the overwhelming majority of a 100 TB dimension — are never
+    * read or rewritten.
+    *
+    * The gate stages the v1 history once (pay-once, the c13 shape),
+    * re-applies the batch each call (bench medians measure the SCD2
+    * merge), and returns the FULL history audit; the oracle derives
+    * the same history directly from `customer` — end state
+    * hash-verified at all three SFs, in exact integers and date
+    * strings. */
+  def c17Scd2(s: SparkSession, dir: String): DataFrame = {
+    val t = c17Table(s, dir)
+    if (!s.catalog.tableExists(t)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(loc, /* recursive = */ true)
+      graft.sources.Sources.writePartitioned(
+        c17Base(s, dir)
+          .withColumn("valid_from", lit(C17Date0))
+          .withColumn("valid_to", lit(C17HighDate))
+          .withColumn("pt", pmod(col("c_custkey"), lit(C13Parts))),
+        t, "pt")
+    }
+    val base = c17Base(s, dir)
+    val changed = base.filter(col("c_custkey") % C17ChangeMod === 0)
+    val mx = Tables.customer(s, dir)
+      .agg(max(col("c_custkey")).as("mxid"))
+    val upserts = changed // closed-out prior version
+      .withColumn("valid_from", lit(C17Date0))
+      .withColumn("valid_to", lit(C17Date1))
+      .unionByName(changed // new open version
+        .withColumn("bal_cents", col("bal_cents") + lit(C17DeltaCents))
+        .withColumn("valid_from", lit(C17Date1))
+        .withColumn("valid_to", lit(C17HighDate)))
+      .unionByName(base // late arrivals, re-keyed past the key space
+        .filter(col("c_custkey") % C17NewMod === 0)
+        .crossJoin(broadcast(mx))
+        .withColumn("c_custkey", col("c_custkey") + col("mxid") + lit(1))
+        .drop("mxid")
+        .withColumn("valid_from", lit(C17Date1))
+        .withColumn("valid_to", lit(C17HighDate)))
+      .withColumn("pt", pmod(col("c_custkey"), lit(C13Parts)))
+    graft.sources.Sources.mergeIntoPartitioned(
+      s, t, "pt", "c_custkey", upserts,
+      upserts.select("c_custkey", "pt").limit(0))
+    s.table(t).select(
+        col("c_custkey"), col("c_mktsegment"), col("bal_cents"),
+        col("valid_from"), col("valid_to"),
+        (col("valid_to") === C17HighDate).as("is_current"))
+      .orderBy("c_custkey", "valid_from")
+  }
+
+  /** The mktsegment domain [[c18Expectations]] validates against
+    * (shared with the oracle). */
+  val C18Segments: Seq[String] =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  /** One fused-scan constraint group: `checked` rows scanned once,
+    * each (name, violation-predicate) pair counted in the SAME
+    * aggregate, then exploded to one audit row per constraint —
+    * adding the 50th expectation to a table costs a column in this
+    * aggregate, never another pass over 100 TB. */
+  private def c18Group(tbl: String, df: DataFrame,
+      checks: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val aggd = df.agg(
+      count(lit(1)).as("checked"),
+      checks.map { case (n, pred) =>
+        coalesce(sum(when(pred, 1L)), lit(0L)).as(s"v_$n")
+      }: _*)
+    aggd.select(lit(tbl).as("tbl"), col("checked"),
+        explode(array(checks.map { case (n, _) =>
+          struct(lit(n).as("cname"), col(s"v_$n").as("violations"))
+        }: _*)).as("c"))
+      .select(col("tbl"), col("c.cname").as("constraint_name"),
+        col("checked"), col("c.violations").as("violations"))
+  }
+
+  /** c18: declarative DATA-QUALITY EXPECTATIONS over the warehouse —
+    * the Great Expectations / Delta Live Tables `EXPECT` audit: each
+    * constraint reports (checked, violations, pass) so a pipeline can
+    * gate promotion on `pass` and route violation counts to
+    * monitoring. Covers the four production constraint shapes:
+    * range/domain/null checks (fused per table — customer and
+    * lineitem each pay ONE scan for all their constraints via
+    * conditional aggregation), referential integrity (orders.custkey
+    * ⊆ customer — a broadcast-able left join counting unmatched
+    * rows, never a distinct-materialize), cross-table ordering
+    * invariants (lineitem ships on/after its order date — the fact
+    * join counts rows violating the business rule), and key
+    * uniqueness (events.event_id — count minus distinct-count, one
+    * aggregate). The synthetic data genuinely exercises BOTH
+    * verdicts: negative account balances and pre-order ship dates
+    * exist at every SF, while the other constraints hold — so the
+    * audit's pass column carries real information, hash-verified
+    * cross-engine. Output is constraint-count-sized; every branch is
+    * map-side-combinable or a key join. */
+  def c18Expectations(s: SparkSession, dir: String): DataFrame = {
+    val cust = c18Group("customer", Tables.customer(s, dir), Seq(
+      "acctbal_nonneg" -> (col("c_acctbal") < 0),
+      "mktsegment_known" -> !col("c_mktsegment").isin(C18Segments: _*),
+      "name_not_null" -> col("c_name").isNull))
+    val li = c18Group("lineitem", Tables.lineitem(s, dir), Seq(
+      "qty_in_range" -> (col("l_quantity") < 1 || col("l_quantity") > 50),
+      "price_positive" -> (col("l_extendedprice") <= 0),
+      "discount_in_range" ->
+        (col("l_discount") < 0 || col("l_discount") > 0.1)))
+    val ri = c18Group("orders",
+      Tables.orders(s, dir).join(
+        broadcast(Tables.customer(s, dir).select(
+          col("c_custkey"), lit(1L).as("cust_hit"))),
+        col("o_custkey") === col("c_custkey"), "left_outer"),
+      Seq("custkey_ri" -> col("cust_hit").isNull))
+    val shp = c18Group("lineitem_x_orders",
+      Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate").join(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey")),
+      Seq("ship_on_or_after_order" -> (col("l_shipdate") < col("o_orderdate"))))
+    val ev = Tables.events(s, dir).agg(
+        count(lit(1)).as("checked"),
+        (count(lit(1)) - countDistinct(col("event_id"))).as("violations"))
+      .select(lit("events").as("tbl"),
+        lit("event_id_unique").as("constraint_name"),
+        col("checked"), col("violations"))
+    cust.unionByName(li).unionByName(ri).unionByName(shp).unionByName(ev)
+      .withColumn("pass", col("violations") === 0L)
+      .orderBy("tbl", "constraint_name")
+  }
+
   val oracle: Map[String, String] = Map(
+    // every expectation recomputed as plain SQL over the raw tables
+    "c18_expectations" ->
+      s"""WITH cust AS (SELECT CAST(count(*) AS BIGINT) AS checked,
+         |    CAST(coalesce(sum(CASE WHEN c_acctbal < 0 THEN 1 END), 0)
+         |      AS BIGINT) AS v_bal,
+         |    CAST(coalesce(sum(CASE WHEN c_mktsegment NOT IN
+         |      (${C18Segments.map("'" + _ + "'").mkString(", ")})
+         |      THEN 1 END), 0) AS BIGINT) AS v_seg,
+         |    CAST(coalesce(sum(CASE WHEN c_name IS NULL THEN 1 END), 0)
+         |      AS BIGINT) AS v_name
+         |  FROM customer),
+         |li AS (SELECT CAST(count(*) AS BIGINT) AS checked,
+         |    CAST(coalesce(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+         |      THEN 1 END), 0) AS BIGINT) AS v_qty,
+         |    CAST(coalesce(sum(CASE WHEN l_extendedprice <= 0
+         |      THEN 1 END), 0) AS BIGINT) AS v_price,
+         |    CAST(coalesce(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+         |      THEN 1 END), 0) AS BIGINT) AS v_disc
+         |  FROM lineitem),
+         |ri AS (SELECT CAST(count(*) AS BIGINT) AS checked,
+         |    CAST(coalesce(sum(CASE WHEN c.c_custkey IS NULL THEN 1 END), 0)
+         |      AS BIGINT) AS violations
+         |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+         |shp AS (SELECT CAST(count(*) AS BIGINT) AS checked,
+         |    CAST(coalesce(sum(CASE WHEN l.l_shipdate < o.o_orderdate
+         |      THEN 1 END), 0) AS BIGINT) AS violations
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |ev AS (SELECT CAST(count(*) AS BIGINT) AS checked,
+         |    CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+         |      AS violations
+         |  FROM events)
+         |SELECT tbl, constraint_name, checked, violations,
+         |  violations = 0 AS pass
+         |FROM (
+         |  SELECT 'customer' AS tbl, 'acctbal_nonneg' AS constraint_name,
+         |    checked, v_bal AS violations FROM cust
+         |  UNION ALL SELECT 'customer', 'mktsegment_known', checked, v_seg
+         |    FROM cust
+         |  UNION ALL SELECT 'customer', 'name_not_null', checked, v_name
+         |    FROM cust
+         |  UNION ALL SELECT 'lineitem', 'qty_in_range', checked, v_qty
+         |    FROM li
+         |  UNION ALL SELECT 'lineitem', 'price_positive', checked, v_price
+         |    FROM li
+         |  UNION ALL SELECT 'lineitem', 'discount_in_range', checked, v_disc
+         |    FROM li
+         |  UNION ALL SELECT 'orders', 'custkey_ri', checked, violations
+         |    FROM ri
+         |  UNION ALL SELECT 'lineitem_x_orders', 'ship_on_or_after_order',
+         |    checked, violations FROM shp
+         |  UNION ALL SELECT 'events', 'event_id_unique', checked, violations
+         |    FROM ev
+         |) ORDER BY tbl, constraint_name""".stripMargin,
+    // the maintained history must equal the directly-derived SCD2
+    // history of the two batches — exact integers and date strings
+    "c17_scd2" ->
+      s"""WITH mx AS (SELECT max(c_custkey) AS mxid FROM customer),
+         |base AS (SELECT c_custkey, c_mktsegment,
+         |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+         |  FROM customer)
+         |SELECT c_custkey, c_mktsegment, bal_cents,
+         |  valid_from, valid_to,
+         |  valid_to = '$C17HighDate' AS is_current
+         |FROM (
+         |  SELECT c_custkey, c_mktsegment, bal_cents,
+         |    '$C17Date0' AS valid_from, '$C17HighDate' AS valid_to
+         |  FROM base WHERE c_custkey % $C17ChangeMod <> 0
+         |  UNION ALL
+         |  SELECT c_custkey, c_mktsegment, bal_cents,
+         |    '$C17Date0', '$C17Date1'
+         |  FROM base WHERE c_custkey % $C17ChangeMod = 0
+         |  UNION ALL
+         |  SELECT c_custkey, c_mktsegment, bal_cents + $C17DeltaCents,
+         |    '$C17Date1', '$C17HighDate'
+         |  FROM base WHERE c_custkey % $C17ChangeMod = 0
+         |  UNION ALL
+         |  SELECT c_custkey + mxid + 1, c_mktsegment, bal_cents,
+         |    '$C17Date1', '$C17HighDate'
+         |  FROM base, mx WHERE c_custkey % $C17NewMod = 0
+         |) ORDER BY c_custkey, valid_from""".stripMargin,
     // compaction is pure layout: the compacted table's audit equals
     // the raw events aggregates
     "c16_compact_shards" ->
@@ -1067,5 +1324,7 @@ object Curation {
     "c13_apply_diff" -> c13ApplyDiff,
     "c15_forget_keys" -> c15ForgetKeys,
     "c16_compact_shards" -> c16CompactShards,
+    "c17_scd2" -> c17Scd2,
+    "c18_expectations" -> c18Expectations,
   )
 }

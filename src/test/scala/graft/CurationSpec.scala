@@ -549,4 +549,81 @@ class CurationSpec extends AnyFunSuite {
     val gate = Curation.c16CompactShards(s, dir).collect()
     assert(gate.nonEmpty)
   }
+
+  test("c17 SCD2 history: changed keys carry closed+open versions, " +
+      "point-in-time reads resolve, re-apply is idempotent") {
+    import org.apache.spark.sql.functions._
+    val hist = Curation.c17Scd2(s, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getBoolean(5)))
+    val src = graft.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") * 100.0 + 0.5).as("cents"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    val mx = src.keys.max
+    val byKey = hist.groupBy(_._1)
+    src.foreach { case (k, (seg, cents)) =>
+      val versions = byKey(k).sortBy(_._4)
+      if (k % Curation.C17ChangeMod == 0) {
+        // closed original + open changed version
+        assert(versions.map(v => (v._3, v._4, v._5, v._6)).toSeq == Seq(
+          (cents, Curation.C17Date0, Curation.C17Date1, false),
+          (cents + Curation.C17DeltaCents, Curation.C17Date1,
+            Curation.C17HighDate, true)), s"changed key $k")
+      } else {
+        assert(versions.map(v => (v._3, v._4, v._5, v._6)).toSeq ==
+          Seq((cents, Curation.C17Date0, Curation.C17HighDate, true)),
+          s"unchanged key $k")
+      }
+      assert(versions.forall(_._2 == seg))
+      // late arrival re-keyed past the original key space
+      if (k % Curation.C17NewMod == 0) {
+        val nk = byKey(k + mx + 1)
+        assert(nk.map(v => (v._2, v._3, v._4, v._6)).toSeq ==
+          Seq((seg, cents, Curation.C17Date1, true)), s"new key from $k")
+      }
+    }
+    assert(byKey.size == src.size + src.keys.count(_ % Curation.C17NewMod == 0),
+      "history key set = originals + late arrivals")
+    // point-in-time: as-of a date between the batches every ORIGINAL key
+    // resolves to exactly one version holding the original balance
+    val asOf0 = hist.filter(v => v._4 <= "2024-03-01" && "2024-03-01" < v._5)
+    assert(asOf0.length == src.size)
+    assert(asOf0.forall(v => v._3 == src(v._1)._2))
+    // re-apply: the changeset is absolute, so the history is unchanged
+    val again = Curation.c17Scd2(s, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getBoolean(5)))
+    assert(again.toSeq == hist.toSeq, "re-applying the batch changed history")
+  }
+
+  test("c18 expectations: counts match independent recomputes and both " +
+      "verdicts are exercised") {
+    import org.apache.spark.sql.functions._
+    val audit = Curation.c18Expectations(s, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(audit.size == 9)
+    // independent recomputes of one failing and one passing constraint
+    val custN = graft.Tables.customer(s, dir).count()
+    val negBal = graft.Tables.customer(s, dir)
+      .filter(col("c_acctbal") < 0).count()
+    assert(audit(("customer", "acctbal_nonneg")) == ((custN, negBal, negBal == 0L)))
+    val liN = graft.Tables.lineitem(s, dir).count()
+    assert(audit(("lineitem", "qty_in_range")) == ((liN, 0L, true)))
+    val early = graft.Tables.lineitem(s, dir)
+      .join(graft.Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") < col("o_orderdate")).count()
+    assert(audit(("lineitem_x_orders", "ship_on_or_after_order")) ==
+      ((liN, early, early == 0L)))
+    // the data must exercise BOTH verdicts or `pass` carries no signal
+    assert(audit.values.exists(_._3), "no passing constraint")
+    assert(audit.values.exists(!_._3), "no failing constraint")
+    assert(negBal > 0 && early > 0,
+      "expected planted violations in the synthetic data")
+    // every pass flag is consistent with its violation count
+    assert(audit.values.forall(v => v._3 == (v._2 == 0L)))
+  }
 }

@@ -209,6 +209,18 @@ object Sources {
       .unionByName(upserts.select(stored.map(col).toIndexedSeq: _*))
       .localCheckpoint(true)
     overwritePartitions(newRows, table, partCol)
+    // dynamic overwrite only replaces partitions PRESENT in the written
+    // data — a touched partition whose every row was deleted lands zero
+    // rows, is never rewritten, and would silently keep its old file.
+    // Those emptied directories must be dropped explicitly (the
+    // delete-last-row-of-a-partition case: e.g. erasing the only user a
+    // date directory contains).
+    val remaining = newRows.select(partCol).distinct()
+      .collect().map(r => String.valueOf(r.get(0))).toSet
+    partVals.map(String.valueOf(_)).filterNot(remaining).foreach { v =>
+      s.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION " +
+        s"($partCol='${v.replace("'", "''")}')")
+    }
   }
 
   /** Parallel-fetch ingest fan-out (luigi/taxi_data_import.py:40-76:

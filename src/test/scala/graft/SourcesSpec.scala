@@ -174,4 +174,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(fileStamps(3) == untouchedBefore,
       "merge rewrote a partition no changeset key lives in")
   }
+
+  test("mergeIntoPartitioned drops a partition whose last row is deleted") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val t = "graft_merge_empty_spec"
+    s.sql(s"DROP TABLE IF EXISTS $t")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), t)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(loc, true)
+    // partition 7 holds exactly ONE row; partition 1 holds many
+    Sources.writePartitioned(
+      ((0L until 20L).map(id => (id, s"v$id", 1L)) :+ (99L, "lonely", 7L))
+        .toDF("k", "v", "pt"),
+      t, "pt")
+    // dynamic overwrite can't land an empty partition — deleting the
+    // last row of pt=7 must still empty it (the erase-a-whole-directory
+    // case), alongside a normal in-place delete in pt=1
+    Sources.mergeIntoPartitioned(s, t, "pt", "k",
+      upserts = Seq.empty[(Long, String, Long)].toDF("k", "v", "pt"),
+      deleteKeys = Seq((99L, 7L), (3L, 1L)).toDF("k", "pt"))
+    val got = s.table(t).collect().map(_.getLong(0)).toSet
+    assert(!got.contains(99L), "sole row of its partition survived the merge")
+    assert(!got.contains(3L) && got.size == 19)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(loc, "pt=7")),
+      "emptied partition directory left behind")
+    // idempotent: re-applying the same deletes is a clean no-op
+    Sources.mergeIntoPartitioned(s, t, "pt", "k",
+      upserts = Seq.empty[(Long, String, Long)].toDF("k", "v", "pt"),
+      deleteKeys = Seq((99L, 7L), (3L, 1L)).toDF("k", "pt"))
+    assert(s.table(t).count() == 19)
+  }
 }

@@ -412,7 +412,176 @@ object Streams {
       .orderBy("user_id", "view_id", "purchase_id")
   }
 
+  // ----------------------------------------- st10: streaming CDC apply
+
+  /** Hash-partition count of the st10 CDC-maintained table. */
+  val St10Parts = 16
+  /** Deterministic CDC generations over `documents` (absolute rules —
+    * shared with the oracle): gen 1 revises every 3rd doc, gen 2
+    * deletes every 4th, gen 3 revises every 6th (overriding gen 2's
+    * delete where both hit — the last-writer-wins case; every 12th doc
+    * is touched by all three generations). */
+  val St10UpdMod1 = 3
+  val St10DelMod = 4
+  val St10UpdMod2 = 6
+
+  case class CdcEvt(seq: Long, op: String, doc_id: Long, text: String)
+
+  private def st10Table(s: SparkSession, dir: String): String =
+    s"graft_docs_cdc_${Tables.fingerprint(s, dir, "documents")}"
+
+  private def st10EnsureBase(s: SparkSession, dir: String): String = {
+    val t = st10Table(s, dir)
+    if (!s.catalog.tableExists(t)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(loc, /* recursive = */ true)
+      graft.sources.Sources.writePartitioned(
+        Tables.documents(s, dir).select(col("doc_id"), col("text"))
+          .withColumn("pt", pmod(col("doc_id"), lit(St10Parts))),
+        t, "pt")
+    }
+    t
+  }
+
+  /** The three-generation CDC log as one frame (seq, op, doc_id,
+    * text) — the change feed a Debezium/Kafka topic would carry. */
+  def st10CdcLog(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    docs.filter(col("doc_id") % St10UpdMod1 === 0)
+      .select(lit(1L).as("seq"), lit("upsert").as("op"), col("doc_id"),
+        concat(col("text"), lit(" [r1]")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % St10DelMod === 0)
+        .select(lit(2L).as("seq"), lit("delete").as("op"), col("doc_id"),
+          lit(null).cast("string").as("text")))
+      .unionByName(docs.filter(col("doc_id") % St10UpdMod2 === 0)
+        .select(lit(3L).as("seq"), lit("upsert").as("op"), col("doc_id"),
+          concat(col("text"), lit(" [r3]")).as("text")))
+  }
+
+  /** Apply one CDC batch to the partitioned table: LAST-WRITER-WINS
+    * compaction first (a key changed five times in one batch lands
+    * ONE merge row — `max(struct(seq, …))` per key, one
+    * map-side-combinable aggregate; seqs are unique per key so the
+    * struct max is the latest op), then one
+    * [[graft.sources.Sources.mergeIntoPartitioned]] — upserts replace,
+    * deletes anti-join out, and only partitions containing touched
+    * keys are rewritten. Cross-batch ordering is the transport's
+    * contract (a PK-keyed Kafka topic delivers per-key in commit
+    * order — the standard Debezium deployment); within that contract
+    * the apply is deterministic whatever the micro-batch boundaries,
+    * which is exactly what [[st10ApplyStream]]'s spec proves. */
+  def st10ApplyBatch(s: SparkSession, table: String, log: DataFrame): Unit = {
+    val latest = log
+      .groupBy("doc_id")
+      .agg(max(struct(col("seq"), col("op"), col("text"))).as("m"))
+      .select(col("doc_id"), col("m.op").as("op"), col("m.text").as("text"),
+        pmod(col("doc_id"), lit(St10Parts)).as("pt"))
+    graft.sources.Sources.mergeIntoPartitioned(
+      s, table, "pt", "doc_id",
+      latest.filter(col("op") === "upsert").select("doc_id", "text", "pt"),
+      latest.filter(col("op") === "delete").select("doc_id", "pt"))
+  }
+
+  /** st10 (streaming spelling): the change feed applied continuously —
+    * each micro-batch LWW-compacts and merges via foreachBatch, the
+    * production streaming-CDC sink (Delta's `MERGE` in foreachBatch,
+    * over plain parquet). State size zero: compaction is within-batch,
+    * the table itself is the state. */
+  def st10ApplyStream(log: Dataset[CdcEvt], table: String,
+      checkpoint: String): Unit =
+    log.writeStream
+      .foreachBatch { (batch: Dataset[CdcEvt], _: Long) =>
+        st10ApplyBatch(batch.sparkSession, table, batch.toDF())
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
+  /** st10 gate (batch spelling): stage the base table pay-once, apply
+    * the WHOLE three-generation log in one batch (LWW compaction
+    * collapses each key to its final op — bit-identical to the
+    * generation-per-trigger streaming apply, StreamsSpec proves it),
+    * return the table's content audit. The changeset is absolute, so
+    * every bench call re-applies the same merge (medians measure the
+    * CDC apply) and re-running is idempotent. */
+  def st10Query(s: SparkSession, dir: String): DataFrame = {
+    val t = st10EnsureBase(s, dir)
+    st10ApplyBatch(s, t, st10CdcLog(s, dir))
+    s.table(t).select(col("doc_id"), md5(col("text")).as("h"))
+      .orderBy("doc_id")
+  }
+
+  /** c19: TIME-TRAVEL read — the lakehouse `AS OF` query (Delta
+    * `VERSION AS OF` / Iceberg snapshot read), reconstructed from a
+    * base snapshot plus the CDC changelog WITHOUT materializing any
+    * intermediate table: for every as-of point, the log is cut at
+    * `seq <= as_of`, LWW-compacted per key (the st10 aggregate), and
+    * folded over the base (anti-join touched keys, union the cut's
+    * upserts). All three as-of states are produced in ONE pass — the
+    * as-of axis joins as a 3-row broadcast (BroadcastNestedLoop on
+    * `seq <= as_of`, a 3× multiplier on the LOG, never on the
+    * corpus), so reconstructing N versions costs N× the changelog
+    * plus one corpus scan per version — at 100 TB the changelog is
+    * the small side by orders of magnitude, which is exactly why
+    * production lakes store base+delta instead of N snapshots.
+    * Output: (as_of, doc_id, content hash) — every row of every
+    * version, hash-verified cross-engine. */
+  def c19TimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val asofs = Seq(1L, 2L, 3L).toDF("as_of")
+    val base = Tables.documents(s, dir).select("doc_id", "text")
+    val cut = st10CdcLog(s, dir)
+      .join(broadcast(asofs), col("seq") <= col("as_of"))
+      .groupBy("as_of", "doc_id")
+      .agg(max(struct(col("seq"), col("op"), col("text"))).as("m"))
+      .select(col("as_of"), col("doc_id"), col("m.op").as("op"),
+        col("m.text").as("text"))
+    val untouched = base.crossJoin(broadcast(asofs))
+      .join(cut.select("as_of", "doc_id"), Seq("as_of", "doc_id"),
+        "left_anti")
+    val states = untouched.select(col("as_of"), col("doc_id"), col("text"))
+      .unionByName(cut.filter(col("op") === "upsert")
+        .select(col("as_of"), col("doc_id"), col("text")))
+    states.select(col("as_of"), col("doc_id"), md5(col("text")).as("h"))
+      .orderBy("as_of", "doc_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    // each version recomputed directly: at as_of=1 only gen 1's
+    // revisions; at 2 gen 2's deletes apply; at 3 gen 3 wins back
+    "c19_time_travel" ->
+      s"""SELECT CAST(1 AS BIGINT) AS as_of, doc_id, md5(CASE
+         |    WHEN doc_id % $St10UpdMod1 = 0 THEN text || ' [r1]'
+         |    ELSE text END) AS h
+         |FROM documents
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), doc_id, md5(CASE
+         |    WHEN doc_id % $St10UpdMod1 = 0 THEN text || ' [r1]'
+         |    ELSE text END)
+         |FROM documents WHERE doc_id % $St10DelMod <> 0
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), doc_id, md5(CASE
+         |    WHEN doc_id % $St10UpdMod2 = 0 THEN text || ' [r3]'
+         |    WHEN doc_id % $St10UpdMod1 = 0 THEN text || ' [r1]'
+         |    ELSE text END)
+         |FROM documents
+         |WHERE doc_id % $St10DelMod <> 0 OR doc_id % $St10UpdMod2 = 0
+         |ORDER BY as_of, doc_id""".stripMargin,
+    // the CDC-maintained table must equal the log's net effect: gen 3
+    // revision wins where it hit, else gen 2 delete, else gen 1
+    // revision, else the base row
+    "st10_stream_cdc" ->
+      s"""SELECT doc_id, md5(CASE
+         |    WHEN doc_id % $St10UpdMod2 = 0 THEN text || ' [r3]'
+         |    WHEN doc_id % $St10UpdMod1 = 0 THEN text || ' [r1]'
+         |    ELSE text END) AS h
+         |FROM documents
+         |WHERE doc_id % $St10DelMod <> 0 OR doc_id % $St10UpdMod2 = 0
+         |ORDER BY doc_id""".stripMargin,
     "st1_stream_wordcount" ->
       """SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
@@ -565,6 +734,8 @@ object Streams {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st9_stream_hll" -> st9Query,
+    "st10_stream_cdc" -> st10Query,
+    "c19_time_travel" -> c19TimeTravel,
     "st1_stream_wordcount" -> st1Query,
     "st2_windowed_agg" -> st2Query,
     "st3_sessionize" -> st3Query,

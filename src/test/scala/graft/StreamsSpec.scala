@@ -440,4 +440,94 @@ class StreamsSpec extends AnyFunSuite {
         "no user's running stage ever moved — out-of-order path untested")
     } finally q.stop()
   }
+
+  test("st10: streaming CDC apply — within-batch LWW, cross-trigger " +
+      "order, and trigger-boundary independence vs one-shot batch") {
+    val sess = s
+    import sess.implicits._
+    import org.apache.spark.sql.functions._
+    def plant(t: String): Unit = {
+      if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      graft.sources.Sources.writePartitioned(
+        (1L to 12L).map(i => (i, s"t$i", i % Streams.St10Parts))
+          .toDF("doc_id", "text", "pt"),
+        t, "pt")
+    }
+    def state(t: String): Map[Long, String] =
+      s.table(t).select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tStream = "graft_st10_planted_stream"
+    val tBatch = "graft_st10_planted_batch"
+    plant(tStream); plant(tBatch)
+    val genA = Seq(
+      Streams.CdcEvt(1L, "upsert", 1L, "t1 v2"),
+      Streams.CdcEvt(2L, "delete", 2L, null),
+      // within-batch LWW both directions: later delete beats earlier
+      // upsert (id 3); later upsert beats earlier delete (id 4)
+      Streams.CdcEvt(3L, "upsert", 3L, "t3 x"),
+      Streams.CdcEvt(4L, "delete", 3L, null),
+      Streams.CdcEvt(5L, "delete", 4L, null),
+      Streams.CdcEvt(6L, "upsert", 4L, "t4 y"))
+    val genB = Seq(
+      // resurrect a deleted key, delete a previously-updated one
+      Streams.CdcEvt(7L, "upsert", 2L, "t2 back"),
+      Streams.CdcEvt(8L, "delete", 1L, null))
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("st10ckpt").toString
+    val input = MemoryStream[Streams.CdcEvt](s)
+    input.addData(genA: _*)
+    Streams.st10ApplyStream(input.toDS(), tStream, ckpt)
+    val mid = state(tStream)
+    assert(mid.get(1L).contains("t1 v2") && !mid.contains(2L) &&
+      !mid.contains(3L) && mid.get(4L).contains("t4 y"),
+      s"after gen A: $mid")
+    input.addData(genB: _*)
+    Streams.st10ApplyStream(input.toDS(), tStream, ckpt)
+    val fin = state(tStream)
+    val expected = (5L to 12L).map(i => i -> s"t$i").toMap +
+      (2L -> "t2 back") + (4L -> "t4 y")
+    assert(fin == expected, s"final stream state: $fin")
+    // trigger boundaries don't matter for an in-order feed: the whole
+    // log applied as ONE batch lands the identical table
+    Streams.st10ApplyBatch(s, tBatch,
+      (genA ++ genB).toDS().toDF())
+    assert(state(tBatch) == expected, "one-shot batch diverged from stream")
+    // gate corpus: re-applying the absolute changeset is idempotent
+    val dir = TestSpark.SfDir
+    val once = Streams.st10Query(s, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val again = Streams.st10Query(s, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(once == again, "gate re-apply changed the table")
+  }
+
+  test("c19 time travel: the final as-of reconstruction equals the " +
+      "materialized CDC table; versions shrink and grow as logged") {
+    val dir = TestSpark.SfDir
+    val byVersion = Streams.c19TimeTravel(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1)
+    // as_of=3 derived state ≡ the st10-materialized table, row for row
+    val v3 = byVersion(3L).map(t => (t._2, t._3)).sortBy(_._1).toSeq
+    val applied = Streams.st10Query(s, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(v3 == applied,
+      "as-of-latest reconstruction diverged from the applied table")
+    // v1 holds every base doc; v2 lost exactly the gen-2 deletes; v3
+    // won back exactly the gen-3 re-upserts among the deleted
+    val nDocs = graft.Tables.documents(s, dir).count()
+    val ids1 = byVersion(1L).map(_._2).toSet
+    val ids2 = byVersion(2L).map(_._2).toSet
+    val ids3 = byVersion(3L).map(_._2).toSet
+    assert(ids1.size == nDocs)
+    assert(ids1.diff(ids2) == ids1.filter(_ % Streams.St10DelMod == 0),
+      "v2 must drop exactly the deleted keys")
+    assert(ids3.diff(ids2) ==
+      ids1.filter(i => i % Streams.St10DelMod == 0 &&
+        i % Streams.St10UpdMod2 == 0),
+      "v3 must restore exactly the re-upserted deleted keys")
+  }
 }

@@ -47,7 +47,70 @@ object Probe {
     if (sections("d11")) probeD11(spark, sfDir) // not in the default set
     if (sections("s8")) probeS8(spark, sfDir) // not in the default set
     if (sections("ev100")) probeEv100(spark, sfDir) // not in the default set
+    if (sections("cdc")) probeCdc(spark) // not in the default set
     spark.stop()
+  }
+
+  /** ---- merge/upsert cost ∝ touched partitions, not table size
+    * (round 12; the c13/c15/c17/st10 machinery's scale claim): a
+    * FIXED changeset (600 keys in 3 of 100 date partitions) applied
+    * to 1× and 10× tables via [[graft.sources.Sources
+    * .mergeIntoPartitioned]], against the NAIVE spelling (anti-join
+    * + full-table overwrite) as the contrast. The merge's wall rides
+    * the 3 touched directories' bytes; the naive rewrite pays the
+    * whole table — the gap must WIDEN with table size, which is the
+    * entire reason lakes do partition-scoped MERGE. Also re-proves
+    * the emptied-partition fix at scale: one touched partition's
+    * keys are deleted entirely and must vanish. Not in the default
+    * set. */
+  private def probeCdc(spark: SparkSession): Unit = {
+    println("== cdc: fixed changeset merge vs 1x/10x table; naive contrast ==")
+    import spark.implicits._
+    val nParts = 100
+    for ((tier, rows) <- Seq(("1x", 1000000L), ("10x", 10000000L))) {
+      val t = s"graft_probe_cdc_$tier"
+      if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(loc, true)
+      graft.sources.Sources.writePartitioned(
+        spark.range(rows).select(col("id").as("k"),
+          md5(col("id").cast("string")).as("v"),
+          pmod(col("id"), lit(nParts)).as("dt")), t, "dt")
+      // fixed changeset: 400 upserts in dt 0/1, 100 scattered deletes in
+      // dt 2, plus ALL of dt 3's keys deleted (the emptied-partition case)
+      val upserts = spark.range(200).select((col("id") * nParts).as("k"))
+        .union(spark.range(200).select((col("id") * nParts + 1).as("k")))
+        .select(col("k"), lit("updated").as("v"),
+          pmod(col("k"), lit(nParts)).as("dt"))
+        .localCheckpoint(true)
+      val deletes = spark.range(100)
+        .select((col("id") * nParts + 2).as("k"))
+        .union(spark.table(t).filter(col("dt") === 3).select(col("k")))
+        .select(col("k"), pmod(col("k"), lit(nParts)).as("dt"))
+        .localCheckpoint(true)
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      graft.sources.Sources.mergeIntoPartitioned(
+        spark, t, "dt", "k", upserts, deletes)
+      val t1 = System.nanoTime()
+      val emptied = !loc.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(loc, "dt=3"))
+      // naive contrast: anti-join the keys over the WHOLE table and
+      // rewrite everything (what a partition-unaware sink would do)
+      val touched = upserts.select("k").union(deletes.select("k")).distinct()
+      val t2 = System.nanoTime()
+      val naive = spark.table(t).join(touched, Seq("k"), "left_anti")
+        .unionByName(upserts.select(spark.table(t).columns.map(col): _*))
+        .localCheckpoint(true)
+      naive.write.mode("overwrite")
+        .parquet(s"target/probe/cdc_naive_$tier")
+      val t3 = System.nanoTime()
+      println(f"[cdc] $tier%-4s rows=$rows%9d merge=${(t1 - t0) / 1e9}%6.2fs " +
+        f"naiveRewrite=${(t3 - t2) / 1e9}%6.2fs emptiedDropped=$emptied")
+    }
   }
 
   /** ---- event-family analytics at 100× events + q37's adversarial

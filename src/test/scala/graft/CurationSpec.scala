@@ -625,5 +625,15 @@ class CurationSpec extends AnyFunSuite {
       "expected planted violations in the synthetic data")
     // every pass flag is consistent with its violation count
     assert(audit.values.forall(v => v._3 == (v._2 == 0L)))
+    // fusion: customer's three constraints share ONE scan (plus the RI
+    // build side = 2 total); per-constraint scans would show 4
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val custScans = TestSpark.flattenPlan(
+      Curation.c18Expectations(s, dir).queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+      .count(_.relation.location.rootPaths.exists(
+        _.toString.contains("customer.parquet")))
+    assert(custScans == 2,
+      s"constraint fusion lost: $custScans customer scans, expected 2")
   }
 }

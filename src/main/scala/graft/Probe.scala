@@ -53,16 +53,19 @@ object Probe {
 
   /** ---- merge/upsert cost ∝ touched partitions, not table size
     * (round 12; the c13/c15/c17/st10 machinery's scale claim): a
-    * FIXED changeset (600 keys in 3 of 100 date partitions) applied
-    * to 1× and 10× tables via [[graft.sources.Sources
-    * .mergeIntoPartitioned]], against the NAIVE spelling (anti-join
-    * + full-table overwrite) as the contrast. The merge's wall rides
-    * the 3 touched directories' bytes; the naive rewrite pays the
-    * whole table — the gap must WIDEN with table size, which is the
-    * entire reason lakes do partition-scoped MERGE. Also re-proves
-    * the emptied-partition fix at scale: one touched partition's
-    * keys are deleted entirely and must vanish. Not in the default
-    * set. */
+    * FIXED changeset (500 scattered keys in 3 of 100 date partitions,
+    * plus one whole-partition erase) applied to 1× and 10× tables via
+    * [[graft.sources.Sources.mergeIntoPartitioned]], against the
+    * NAIVE spelling (anti-join + full-table overwrite) as the
+    * contrast. The naive pass runs FIRST, off the pristine table (it
+    * writes to a probe dir, never mutating the table), so both
+    * spellings apply the identical changeset to identical input. The
+    * merge's wall rides the touched directories' bytes; the naive
+    * rewrite pays the whole table — the gap must WIDEN with table
+    * size, which is the entire reason lakes do partition-scoped
+    * MERGE. Also re-proves the emptied-partition fix at scale: one
+    * touched partition's keys are deleted entirely and must vanish.
+    * Not in the default set. */
   private def probeCdc(spark: SparkSession): Unit = {
     println("== cdc: fixed changeset merge vs 1x/10x table; naive contrast ==")
     import spark.implicits._
@@ -91,15 +94,10 @@ object Probe {
         .select(col("k"), pmod(col("k"), lit(nParts)).as("dt"))
         .localCheckpoint(true)
       spark.catalog.clearCache(); System.gc()
-      val t0 = System.nanoTime()
-      graft.sources.Sources.mergeIntoPartitioned(
-        spark, t, "dt", "k", upserts, deletes)
-      val t1 = System.nanoTime()
-      val emptied = !loc.getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-        .exists(new org.apache.hadoop.fs.Path(loc, "dt=3"))
-      // naive contrast: anti-join the keys over the WHOLE table and
-      // rewrite everything (what a partition-unaware sink would do)
+      // naive contrast FIRST, off the pristine table: anti-join the
+      // keys over the WHOLE table and rewrite everything to a probe
+      // dir (what a partition-unaware sink would do; the table itself
+      // is untouched, so the merge below sees identical input)
       val touched = upserts.select("k").union(deletes.select("k")).distinct()
       val t2 = System.nanoTime()
       val naive = spark.table(t).join(touched, Seq("k"), "left_anti")
@@ -108,6 +106,13 @@ object Probe {
       naive.write.mode("overwrite")
         .parquet(s"target/probe/cdc_naive_$tier")
       val t3 = System.nanoTime()
+      val t0 = System.nanoTime()
+      graft.sources.Sources.mergeIntoPartitioned(
+        spark, t, "dt", "k", upserts, deletes)
+      val t1 = System.nanoTime()
+      val emptied = !loc.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(loc, "dt=3"))
       println(f"[cdc] $tier%-4s rows=$rows%9d merge=${(t1 - t0) / 1e9}%6.2fs " +
         f"naiveRewrite=${(t3 - t2) / 1e9}%6.2fs emptiedDropped=$emptied")
     }

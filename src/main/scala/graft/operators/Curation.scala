@@ -626,17 +626,10 @@ object Curation {
     * (the q23/q30 ensure-tables shape); every call then re-applies
     * the changeset, so bench medians measure the MERGE itself. */
   def c13ApplyDiff(s: SparkSession, dir: String): DataFrame = {
-    val t = c13Table(s, dir)
-    if (!s.catalog.tableExists(t)) {
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
-      loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(loc, /* recursive = */ true)
-      graft.sources.Sources.writePartitioned(
-        Tables.documents(s, dir).select(col("doc_id"), col("text"))
-          .withColumn("pt", pmod(col("doc_id"), lit(C13Parts))),
-        t, "pt")
-    }
+    val t = graft.sources.Sources.ensureStagedPartitioned(
+      s, c13Table(s, dir), "pt",
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("pt", pmod(col("doc_id"), lit(C13Parts))))
     val diff = c12SnapshotDiff(s, dir)
     val v2 = s.read.parquet(c12SnapshotPath(s, dir))
     val upserts = diff.filter(col("status").isin("added", "changed"))
@@ -686,17 +679,10 @@ object Curation {
     * the trade every lake makes between scan locality and erasure
     * locality. */
   def c15ForgetKeys(s: SparkSession, dir: String): DataFrame = {
-    val t = c15Table(s, dir)
-    if (!s.catalog.tableExists(t)) {
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
-      loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(loc, /* recursive = */ true)
-      graft.sources.Sources.writePartitioned(
-        Tables.events(s, dir)
-          .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd")),
-        t, "dt")
-    }
+    val t = graft.sources.Sources.ensureStagedPartitioned(
+      s, c15Table(s, dir), "dt",
+      Tables.events(s, dir)
+        .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd")))
     // the forget footprint: which (user, partition) pairs exist
     val deleteKeys = s.table(t)
       .filter(col("user_id") % C15ForgetMod === 0)
@@ -810,19 +796,12 @@ object Curation {
     * hash-verified at all three SFs, in exact integers and date
     * strings. */
   def c17Scd2(s: SparkSession, dir: String): DataFrame = {
-    val t = c17Table(s, dir)
-    if (!s.catalog.tableExists(t)) {
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
-      loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(loc, /* recursive = */ true)
-      graft.sources.Sources.writePartitioned(
-        c17Base(s, dir)
-          .withColumn("valid_from", lit(C17Date0))
-          .withColumn("valid_to", lit(C17HighDate))
-          .withColumn("pt", pmod(col("c_custkey"), lit(C13Parts))),
-        t, "pt")
-    }
+    val t = graft.sources.Sources.ensureStagedPartitioned(
+      s, c17Table(s, dir), "pt",
+      c17Base(s, dir)
+        .withColumn("valid_from", lit(C17Date0))
+        .withColumn("valid_to", lit(C17HighDate))
+        .withColumn("pt", pmod(col("c_custkey"), lit(C13Parts))))
     val base = c17Base(s, dir)
     val changed = base.filter(col("c_custkey") % C17ChangeMod === 0)
     val mx = Tables.customer(s, dir)
@@ -906,10 +885,13 @@ object Curation {
       "price_positive" -> (col("l_extendedprice") <= 0),
       "discount_in_range" ->
         (col("l_discount") < 0 || col("l_discount") > 0.1)))
+    // no broadcast hint: Spark picks broadcast while the dimension fits
+    // and falls back to shuffle when it doesn't — a forced broadcast
+    // would hard-fail past the 8 GB limit at large SFs
     val ri = c18Group("orders",
       Tables.orders(s, dir).join(
-        broadcast(Tables.customer(s, dir).select(
-          col("c_custkey"), lit(1L).as("cust_hit"))),
+        Tables.customer(s, dir).select(
+          col("c_custkey"), lit(1L).as("cust_hit")),
         col("o_custkey") === col("c_custkey"), "left_outer"),
       Seq("custkey_ri" -> col("cust_hit").isNull))
     val shp = c18Group("lineitem_x_orders",

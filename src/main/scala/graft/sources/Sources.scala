@@ -110,6 +110,24 @@ object Sources {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Stage-once guard for fingerprint-keyed lake tables: if `table` is
+    * absent from the catalog, clear any orphaned warehouse directory a
+    * crashed prior staging left behind (saveAsTable refuses to land on
+    * leftover files) and write `df` via [[writePartitioned]]. The
+    * staging frame is by-name so an already-staged table never pays
+    * its derivation. Returns the table name for chaining. */
+  def ensureStagedPartitioned(s: SparkSession, table: String,
+      partCol: String, df: => DataFrame): String = {
+    if (!s.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(loc, /* recursive = */ true)
+      writePartitioned(df, table, partCol)
+    }
+    table
+  }
+
   /** COMPACT a partitioned table's fragmented directories: any
     * partition holding more than `maxFilesPerDir` parquet files is
     * rewritten (one writer task per partition via the
@@ -199,6 +217,11 @@ object Sources {
     val partVals = upserts.select(partCol).unionAll(deleteKeys.select(partCol))
       .distinct().collect().map(_.get(0))
     if (partVals.isEmpty) return
+    // a null partition value would silently vanish from the isin pruning
+    // filter below (null never matches isin) and mis-target the emptied-
+    // partition drop — fail loudly instead of merging incompletely
+    require(partVals.forall(_ != null),
+      "mergeIntoPartitioned: changeset carries a null partition value")
     val touchedKeys = upserts.select(keyCol)
       .unionAll(deleteKeys.select(keyCol)).distinct()
     val stored = s.table(table).columns
@@ -215,11 +238,17 @@ object Sources {
     // Those emptied directories must be dropped explicitly (the
     // delete-last-row-of-a-partition case: e.g. erasing the only user a
     // date directory contains).
+    // dropped through the catalog API, not ALTER TABLE SQL text — a
+    // string partition value containing quotes or backslashes would
+    // round-trip wrong through the lexer and silently no-op the drop
     val remaining = newRows.select(partCol).distinct()
       .collect().map(r => String.valueOf(r.get(0))).toSet
-    partVals.map(String.valueOf(_)).filterNot(remaining).foreach { v =>
-      s.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION " +
-        s"($partCol='${v.replace("'", "''")}')")
+    val emptied = partVals.map(String.valueOf(_)).filterNot(remaining)
+    if (emptied.nonEmpty) {
+      val ident = s.sessionState.sqlParser.parseTableIdentifier(table)
+      s.sessionState.catalog.dropPartitions(
+        ident, emptied.map(v => Map(partCol -> v)).toIndexedSeq,
+        ignoreIfNotExists = true, purge = false, retainData = false)
     }
   }
 

@@ -430,20 +430,11 @@ object Streams {
   private def st10Table(s: SparkSession, dir: String): String =
     s"graft_docs_cdc_${Tables.fingerprint(s, dir, "documents")}"
 
-  private def st10EnsureBase(s: SparkSession, dir: String): String = {
-    val t = st10Table(s, dir)
-    if (!s.catalog.tableExists(t)) {
-      val loc = new org.apache.hadoop.fs.Path(
-        s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
-      loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-        .delete(loc, /* recursive = */ true)
-      graft.sources.Sources.writePartitioned(
-        Tables.documents(s, dir).select(col("doc_id"), col("text"))
-          .withColumn("pt", pmod(col("doc_id"), lit(St10Parts))),
-        t, "pt")
-    }
-    t
-  }
+  private def st10EnsureBase(s: SparkSession, dir: String): String =
+    graft.sources.Sources.ensureStagedPartitioned(
+      s, st10Table(s, dir), "pt",
+      Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        .withColumn("pt", pmod(col("doc_id"), lit(St10Parts))))
 
   /** The three-generation CDC log as one frame (seq, op, doc_id,
     * text) — the change feed a Debezium/Kafka topic would carry. */
@@ -472,12 +463,20 @@ object Streams {
     * order — the standard Debezium deployment); within that contract
     * the apply is deterministic whatever the micro-batch boundaries,
     * which is exactly what [[st10ApplyStream]]'s spec proves. */
-  def st10ApplyBatch(s: SparkSession, table: String, log: DataFrame): Unit = {
-    val latest = log
-      .groupBy("doc_id")
+  /** LAST-WRITER-WINS compaction: one row per key group carrying the
+    * highest-seq op — seqs are unique per key, so `max(struct(seq,…))`
+    * IS the latest, in one map-side-combinable aggregate. Shared by
+    * the materialized apply (st10) and the as-of reconstruction (c19)
+    * so the tie-break contract can never diverge between them. */
+  private def lwwLatest(log: DataFrame, keys: String*): DataFrame =
+    log.groupBy(keys.map(col): _*)
       .agg(max(struct(col("seq"), col("op"), col("text"))).as("m"))
-      .select(col("doc_id"), col("m.op").as("op"), col("m.text").as("text"),
-        pmod(col("doc_id"), lit(St10Parts)).as("pt"))
+      .select(keys.map(col) ++
+        Seq(col("m.op").as("op"), col("m.text").as("text")): _*)
+
+  def st10ApplyBatch(s: SparkSession, table: String, log: DataFrame): Unit = {
+    val latest = lwwLatest(log, "doc_id")
+      .withColumn("pt", pmod(col("doc_id"), lit(St10Parts)))
     graft.sources.Sources.mergeIntoPartitioned(
       s, table, "pt", "doc_id",
       latest.filter(col("op") === "upsert").select("doc_id", "text", "pt"),
@@ -534,12 +533,9 @@ object Streams {
     import s.implicits._
     val asofs = Seq(1L, 2L, 3L).toDF("as_of")
     val base = Tables.documents(s, dir).select("doc_id", "text")
-    val cut = st10CdcLog(s, dir)
-      .join(broadcast(asofs), col("seq") <= col("as_of"))
-      .groupBy("as_of", "doc_id")
-      .agg(max(struct(col("seq"), col("op"), col("text"))).as("m"))
-      .select(col("as_of"), col("doc_id"), col("m.op").as("op"),
-        col("m.text").as("text"))
+    val cut = lwwLatest(
+      st10CdcLog(s, dir).join(broadcast(asofs), col("seq") <= col("as_of")),
+      "as_of", "doc_id")
     val untouched = base.crossJoin(broadcast(asofs))
       .join(cut.select("as_of", "doc_id"), Seq("as_of", "doc_id"),
         "left_anti")

@@ -48,7 +48,113 @@ object Probe {
     if (sections("s8")) probeS8(spark, sfDir) // not in the default set
     if (sections("ev100")) probeEv100(spark, sfDir) // not in the default set
     if (sections("cdc")) probeCdc(spark) // not in the default set
+    if (sections("c20")) probeC20(spark, sfDir) // not in the default set
+    if (sections("s10")) probeS10(spark, sfDir) // not in the default set
     spark.stop()
+  }
+
+  /** ---- c20's scale claim: MV maintenance cost ∝ |changeset| +
+    * touched MV partitions, NEVER the base corpus (round 12, fourth
+    * sitting). A FIXED 500-row before/after-image changeset (300
+    * changed / 100 removed / 100 added) is applied to the maintained
+    * MV of 100× and 1000× document corpora; the corpora live under
+    * target/probe (own fingerprints), so the synthetic changeset can
+    * never shadow a gate corpus's derived one. Printed per tier:
+    * `stage` (pay-once MV build — the only corpus-sized pass),
+    * `maintain` (the idempotent re-apply: delta agg + touched-
+    * partition read + merge — must stay ~flat 1×→10×), and
+    * `recompute` (the full aggregation a lake WITHOUT incremental
+    * maintenance pays per refresh — must grow with the corpus;
+    * maintain must stay ~flat 100×→1000×). Not in the default set. */
+  private def probeC20(spark: SparkSession, sfDir: String): Unit = {
+    println("== c20: fixed-changeset MV maintenance vs 1x/10x corpus ==")
+    val docs = Tables.documents(spark, sfDir)
+    val mId = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    // the gate corpora are small (5k docs at sf0.1); the tiers must be
+    // big enough that a full refresh costs REAL time, or the contrast
+    // (maintain flat, recompute growing) drowns in fixed overhead
+    val tiers = Seq(("100x", 100), ("1000x", 1000)).map { case (tag, k) =>
+      val dir = s"target/probe/c20$tag"
+      docs.crossJoin(spark.range(k).withColumnRenamed("id", "copy"))
+        .withColumn("doc_id", col("doc_id") + col("copy") * mId)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      (tag, dir)
+    }
+    for ((tier, dir) <- tiers) {
+      // the FIXED changeset, prestaged at this corpus's keyed path so
+      // c20 skips its gate-mode derivation (probe setup, untimed)
+      val base = Tables.documents(spark, dir)
+        .filter(col("doc_id") % 7 === 0).orderBy("doc_id").limit(500)
+        .select(col("doc_id"),
+          coalesce(length(col("text")), lit(0)).cast("long").as("old_chars"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy("doc_id")).as("rn"))
+      val changeset = base.select(col("doc_id"),
+          when(col("rn") <= 300, lit("changed"))
+            .when(col("rn") <= 400, lit("removed"))
+            .otherwise(lit("added")).as("status"),
+          when(col("rn") <= 400, col("old_chars")).as("old_chars"),
+          when(col("rn") <= 300, col("old_chars") + 5L)
+            .when(col("rn") > 400, lit(42L)).as("new_chars"))
+        .withColumn("doc_id", when(col("status") === "added",
+          col("doc_id") + lit(2000000000L)).otherwise(col("doc_id")))
+      val csPath = s"target/snapdata/" +
+        s"${Tables.fingerprint(spark, dir, "documents")}/changeset.parquet"
+      changeset.write.mode("overwrite").parquet(csPath)
+      val t0 = System.nanoTime()
+      val n1 = operators.Curation.c20IncrementalMv(spark, dir).count()
+      val t1 = System.nanoTime()
+      val n2 = operators.Curation.c20IncrementalMv(spark, dir).count()
+      val t2 = System.nanoTime()
+      // reduce over BOTH aggregates so column pruning can't skip the
+      // text-length work a real refresh pays
+      val full = Tables.documents(spark, dir)
+        .groupBy(pmod(col("doc_id"),
+          lit(operators.Curation.C20Groups.toLong)).as("g"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(length(col("text")), lit(0)).cast("long"))
+            .as("sum_chars"))
+        .agg(count(lit(1)), sum("n_docs"), sum("sum_chars")).head().getLong(0)
+      val t3 = System.nanoTime()
+      println(f"[c20] $tier%-4s stage+maintain=${(t1 - t0) / 1e9}%6.2fs " +
+        f"maintain=${(t2 - t1) / 1e9}%6.2fs " +
+        f"recompute=${(t3 - t2) / 1e9}%6.2fs mvRows=$n1/$n2 full=$full")
+    }
+  }
+
+  /** ---- s10's scale claim: the MMR greedy is CANDIDATE-BOUNDED —
+    * its cost rides the fixed (queries × S10Cand) pool, not the
+    * corpus (round 12, fourth sitting). Times s1 (the candidate
+    * scan alone) and s10 (scan + pairwise sims + k greedy rounds) on
+    * 1×/10×/100× embedding corpora: the s10−s1 overhead must stay
+    * ~flat while both scans grow with the corpus (the 1× tier doubles
+    * as JVM warmup). Not in the default set. */
+  private def probeS10(spark: SparkSession, sfDir: String): Unit = {
+    println("== s10: candidate-bounded greedy vs 1x/10x corpus ==")
+    val e = Tables.embeddings(spark, sfDir)
+    val mId = e.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val tiers = Seq(("10x", 10), ("100x", 100)).map { case (tag, k) =>
+      val dir = s"target/probe/s10$tag"
+      e.crossJoin(spark.range(k).withColumnRenamed("id", "copy"))
+        .withColumn("vec_id", col("vec_id") + col("copy") * mId)
+        .withColumn("embedding", expr("transform(embedding, (x, i) -> " +
+          "CAST(x + CAST(copy AS FLOAT) * CAST(0.003 AS FLOAT) * " +
+          "CAST(i % 7 AS FLOAT) AS FLOAT))"))
+        .select("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      (tag, dir)
+    }
+    for ((tier, dir) <- ("1x", sfDir) +: tiers) {
+      val t0 = System.nanoTime()
+      val ns1 = operators.Similarity.s1BruteForce(spark, dir).count()
+      val t1 = System.nanoTime()
+      val ns10 = operators.Similarity.s10MmrDiversify(spark, dir).count()
+      val t2 = System.nanoTime()
+      val scan = (t1 - t0) / 1e9; val mmr = (t2 - t1) / 1e9
+      println(f"[s10] $tier%-4s s1scan=$scan%6.2fs s10=$mmr%6.2fs " +
+        f"greedyOverhead=${mmr - scan}%6.2fs rows=$ns1/$ns10")
+    }
   }
 
   /** ---- merge/upsert cost ∝ touched partitions, not table size

@@ -910,7 +910,134 @@ object Curation {
       .orderBy("tbl", "constraint_name")
   }
 
+  /** Group-key modulus for [[c20IncrementalMv]]'s materialized view
+    * (g = doc_id % C20Groups). Prime and DISTINCT from the c12
+    * changeset mods (97/83/101), so changeset rows spread across MV
+    * groups instead of collapsing into group 0. */
+  val C20Groups = 89
+
+  /** MV partition-directory count (pg = g % C20Parts) — stands in for
+    * the date/tenant layout a production MV table partitions by. */
+  val C20Parts = 8
+
+  /** The view definition: per doc_id-group, document count and total
+    * content chars. Both aggregates are SELF-MAINTAINABLE (closed
+    * under +delta), which is what makes incremental maintenance exact;
+    * MIN/MAX or DISTINCT would need the re-scan c20 exists to avoid. */
+  private def c20Mv(docs: DataFrame): DataFrame =
+    docs.groupBy(pmod(col("doc_id"), lit(C20Groups.toLong)).as("g"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(length(col("text")), lit(0)).cast("long"))
+          .as("sum_chars"))
+      .withColumn("pg", pmod(col("g"), lit(C20Parts.toLong)))
+
+  // fingerprint-keyed like c13/c15: maintenance against a staging of a
+  // regenerated corpus must restage, never mix snapshots
+  private def c20V1Table(s: SparkSession, dir: String): String =
+    s"graft_mv_v1_${graft.Tables.fingerprint(s, dir, "documents")}"
+  private def c20LiveTable(s: SparkSession, dir: String): String =
+    s"graft_mv_live_${graft.Tables.fingerprint(s, dir, "documents")}"
+
+  /** CDC-shaped changeset with BEFORE/AFTER images — (doc_id, status,
+    * old_chars, new_chars), staged pay-once next to the v2 snapshot.
+    * In production this artifact ARRIVES (Debezium-style row images or
+    * a c12 diff job's output); deriving it here reuses the c12
+    * derivation so the gate's changeset is definitionally consistent
+    * with the snapshots. Carrying the images is the design point: the
+    * maintenance pass needs old and new contributions WITHOUT touching
+    * either corpus snapshot. */
+  private def c20ChangesetPath(s: SparkSession, dir: String): String = {
+    val path = s"target/snapdata/${Tables.fingerprint(s, dir, "documents")}" +
+      "/changeset.parquet"
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success)) {
+      val v1 = Tables.documents(s, dir).select(col("doc_id"),
+        coalesce(length(col("text")), lit(0)).cast("long").as("old_chars"))
+      val v2 = s.read.parquet(c12SnapshotPath(s, dir)).select(col("doc_id"),
+        coalesce(length(col("text")), lit(0)).cast("long").as("new_chars"))
+      c12SnapshotDiff(s, dir).filter(col("status") =!= "unchanged")
+        .join(v1, Seq("doc_id"), "left_outer")
+        .join(v2, Seq("doc_id"), "left_outer")
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** c20: INCREMENTAL MATERIALIZED-VIEW MAINTENANCE — keep a persisted
+    * aggregate table consistent with its base table as changesets land,
+    * without ever re-scanning the base. This closes the lake loop the
+    * c-family built up: c12 audits WHAT changed, c13 applies it to the
+    * BASE table, st10 streams it — c20 maintains the DOWNSTREAM
+    * aggregate (the dataset-card / dashboard summary every corpus
+    * owner keeps) by pure delta arithmetic.
+    *
+    * Algorithm (classic self-maintainable-view delta propagation): the
+    * staged changeset carries before/after images; per MV group,
+    * dn = Σ(+1 added, −1 removed), dchars = Σ(new − old). The
+    * IMMUTABLE v1 MV is read ONLY at the touched partitions (the
+    * partition filter comes from the delta's ≤[[C20Parts]] distinct pg
+    * values — a bounded collect), new absolute rows = old + delta, and
+    * [[graft.sources.Sources.mergeIntoPartitioned]] upserts them into
+    * the live MV (groups maintained to zero docs become deletes — the
+    * emptied-partition case the merge machinery handles). Upserts are
+    * ABSOLUTE values derived from the immutable v1, so re-applying the
+    * same changeset is idempotent by construction (CurationSpec
+    * re-runs and compares).
+    *
+    * Scale: maintenance cost ∝ |changeset| + |touched MV partitions|.
+    * The base table (100 TB) is never opened; the MV (group-cardinality
+    * rows) is read only where touched. The gate hash-verifies the
+    * maintained table against an independent FULL re-aggregation of the
+    * v2 snapshot — delta maintenance must be EXACTLY the recompute. */
+  def c20IncrementalMv(s: SparkSession, dir: String): DataFrame = {
+    val v1t = graft.sources.Sources.ensureStagedPartitioned(
+      s, c20V1Table(s, dir), "pg", c20Mv(Tables.documents(s, dir)))
+    val livet = graft.sources.Sources.ensureStagedPartitioned(
+      s, c20LiveTable(s, dir), "pg", c20Mv(Tables.documents(s, dir)))
+    val delta = s.read.parquet(c20ChangesetPath(s, dir))
+      .groupBy(pmod(col("doc_id"), lit(C20Groups.toLong)).as("g"))
+      .agg(
+        sum(when(col("status") === "added", 1L)
+          .when(col("status") === "removed", -1L).otherwise(0L)).as("dn"),
+        sum(coalesce(col("new_chars"), lit(0L)) -
+          coalesce(col("old_chars"), lit(0L))).as("dc"))
+      .withColumn("pg", pmod(col("g"), lit(C20Parts.toLong)))
+    // bounded collect: ≤ C20Parts partition values, the same literal-
+    // prune shape mergeIntoPartitioned uses for its own write side
+    val touchedPg = delta.select("pg").distinct().collect().map(_.get(0))
+    val merged = s.table(v1t)
+      .filter(col("pg").isin(touchedPg.toIndexedSeq: _*))
+      .drop("pg")
+      .join(delta, Seq("g"), "right_outer")
+      .select(col("g"),
+        (coalesce(col("n_docs"), lit(0L)) + col("dn")).as("n_docs"),
+        (coalesce(col("sum_chars"), lit(0L)) + col("dc")).as("sum_chars"),
+        col("pg"))
+    graft.sources.Sources.mergeIntoPartitioned(
+      s, livet, "pg", "g",
+      merged.filter(col("n_docs") > 0L),
+      merged.filter(col("n_docs") <= 0L).select("g", "pg"))
+    s.table(livet).select("g", "n_docs", "sum_chars").orderBy("g")
+  }
+
   val oracle: Map[String, String] = Map(
+    // the maintained MV must equal an independent full re-aggregation
+    // of the derived v2 snapshot — delta maintenance ≡ recompute
+    "c20_incremental_mv" ->
+      s"""WITH mx AS (SELECT max(doc_id) AS mxid FROM documents),
+         |v2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % $C12ChangeMod = 0 THEN text || ' [rev2]'
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % $C12DropMod <> 0
+         |  UNION ALL
+         |  SELECT doc_id + mxid + 1 AS doc_id, text
+         |  FROM documents CROSS JOIN mx WHERE doc_id % $C12AddMod = 0)
+         |SELECT doc_id % $C20Groups AS g,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS sum_chars
+         |FROM v2 GROUP BY 1 ORDER BY g""".stripMargin,
     // every expectation recomputed as plain SQL over the raw tables
     "c18_expectations" ->
       s"""WITH cust AS (SELECT CAST(count(*) AS BIGINT) AS checked,
@@ -1308,5 +1435,6 @@ object Curation {
     "c16_compact_shards" -> c16CompactShards,
     "c17_scd2" -> c17Scd2,
     "c18_expectations" -> c18Expectations,
+    "c20_incremental_mv" -> c20IncrementalMv,
   )
 }

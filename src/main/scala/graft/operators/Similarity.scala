@@ -361,6 +361,206 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** s9 candidate predicate: labels ≡ 0 (mod [[S9LabelMod]]) — the
+    * metadata filter (license class, language, tenant) a production
+    * vector search almost always carries alongside the vector. Keeps
+    * ~40% of the corpus on the synthetic label distribution. */
+  val S9LabelMod = 3
+
+  /** s9 probes DEEPER than s3 ([[IvfProbes]] = 10 → 13 of the 16
+    * cells): with ~60% of each cell's occupants filtered away, the
+    * nearest SURVIVING neighbor sits systematically farther down the
+    * cell ranking — the classic filtered-search recall cliff. Widening
+    * nprobe is the standard pre-filter mitigation (the alternative,
+    * post-filtering a fixed-size unfiltered shortlist, can return
+    * FEWER than k survivors). SimilaritySpec measures recall 1.0 vs
+    * the filtered brute force at the gate corpus. */
+  val S9Probes = 13
+
+  /** s9: FILTERED vector search — IVF top-k restricted to candidates
+    * passing a metadata predicate. The filter is applied SCAN-SIDE
+    * (fused into the scan's codegen stage, before any shuffle or
+    * distance arithmetic), so the cell join and cosine kernel only
+    * ever touch surviving rows — PRE-filtering, the FAISS/Milvus-style
+    * strategy for selective predicates. (The synthetic `label % 3`
+    * predicate is not parquet-pushable; a production equality/IN
+    * predicate on the same column additionally prunes row groups via
+    * PushedFilters — the plan shape downstream is identical.)
+    * Everything else is s3's audited shape:
+    * trained centroids inlined as literals (scan-local cell
+    * assignment, zero shuffle), broadcast query×probe fan-out, one
+    * candidate-bounded join, WindowGroupLimit top-k.
+    *
+    * Scale: cost ∝ filtered-corpus × nprobe/cells, same linearity as
+    * s3 with a smaller constant; at 100 TB the filter rides the same
+    * pushdown as every other scan predicate. The oracle replays the
+    * identical filtered plan with the trained centroids inlined
+    * ([[s9OracleSql]]); recall vs the filtered BRUTE FORCE is the
+    * spec's claim, measured 1.0 at the gate corpus. */
+  def s9FilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val centroids: Array[(Int, Array[Float])] =
+      centroidsFor(s, dir).zipWithIndex.map { case (v, i) => (i, v) }
+    val structsArr = centroidStructsArr(centroids)
+    val cellExpr = expr(s"array_max($structsArr).id")
+    val probeExpr = expr(
+      s"transform(slice(reverse(array_sort($structsArr)), 1, $S9Probes)," +
+        " x -> x.id)")
+    val q = Tables.embeddings(s, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(probeExpr).as("qc"))
+    val cand = Tables.embeddings(s, dir)
+      .filter(col("label") % S9LabelMod === 0)
+      .withColumn("cell", cellExpr)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        col("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(broadcast(q),
+        col("cell") === col("qc") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorOps.cosine("qe", "ce"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select("query_id", "rnk", "neighbor_id", "cos")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** s10 candidate-pool size per query (the relevance top-N MMR
+    * reranks) and the number of diversified picks returned. */
+  val S10Cand = 20
+  val S10K = 5
+
+  /** s10: MMR DIVERSITY RERANK — maximal marginal relevance
+    * (Carbonell & Goldstein, SIGIR'98): greedily pick the candidate
+    * maximizing λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s), λ = ½.
+    * Plain top-k (s1/s3) returns near-duplicates of one good hit; a
+    * retrieval-augmented or dedup-aware pipeline wants COVERAGE, and
+    * MMR is the standard greedy trade between relevance and novelty.
+    *
+    * Shape: candidate generation is the audited s1 scan (top-
+    * [[S10Cand]] per query by cosine; at scale swap in s7's shortlist
+    * — the rerank only sees (query, candidate) rows either way), then
+    * the pairwise-sim table and the greedy loop are CANDIDATE-BOUNDED:
+    * ≤ C² rows per query, never corpus-sized. The [[S10K]]-step greedy
+    * is inherently sequential in k but embarrassingly parallel across
+    * queries — each step is one join + one WindowGroupLimit pick over
+    * per-query rows, k is a small constant, and each round's selection
+    * is localCheckpointed so the composed plan stays flat (the d8/q36
+    * iterative-operator rule). Scores are the shared-fold cosines both
+    * engines compute bit-identically; λ = ½ keeps the combination
+    * exact in binary, so the greedy's every comparison — and therefore
+    * the whole selection sequence — is hash-verified by an oracle that
+    * unrolls the k steps as stacked CTEs (the c10 trainer-replay
+    * pattern). */
+  def s10MmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val wRel = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("neighbor_id"))
+    val cand = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .crossJoin(broadcast(queriesDf(s, dir)))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rel", VectorOps.cosine("qe", "ce"))
+      .withColumn("crnk", row_number().over(wRel))
+      .filter(col("crnk") <= S10Cand)
+      .select("query_id", "neighbor_id", "ce", "rel")
+      .localCheckpoint(true)
+    val pairs = cand
+      .select(col("query_id"), col("neighbor_id").as("a"), col("ce").as("ea"))
+      .join(cand.select(col("query_id"), col("neighbor_id").as("b"),
+        col("ce").as("eb")), Seq("query_id"))
+      .filter(col("a") =!= col("b"))
+      .withColumn("sim", VectorOps.cosine("ea", "eb"))
+      .select("query_id", "a", "b", "sim")
+      .localCheckpoint(true)
+    val half = lit(0.5)
+    var sel = cand.withColumn("rnk", row_number().over(wRel))
+      .filter(col("rnk") === 1)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("step"),
+        (half * col("rel")).as("mmr"))
+      .localCheckpoint(true)
+    for (step <- 2 to S10K) {
+      val maxsim = pairs
+        .join(sel.select(col("query_id"), col("neighbor_id").as("b")),
+          Seq("query_id", "b"))
+        .join(sel.select(col("query_id"), col("neighbor_id").as("a")),
+          Seq("query_id", "a"), "left_anti")
+        .groupBy("query_id", "a").agg(max("sim").as("maxsim"))
+      val wMmr = Window.partitionBy("query_id")
+        .orderBy(col("mmr").desc, col("neighbor_id"))
+      val next = cand.as("c")
+        .join(maxsim.as("m"), col("c.query_id") === col("m.query_id") &&
+          col("c.neighbor_id") === col("m.a"))
+        .select(col("c.query_id").as("query_id"),
+          col("c.neighbor_id").as("neighbor_id"), col("c.rel").as("rel"),
+          col("m.maxsim").as("maxsim"))
+        .withColumn("mmr", half * col("rel") - half * col("maxsim"))
+        .withColumn("rnk", row_number().over(wMmr))
+        .filter(col("rnk") === 1)
+        .select(col("query_id"), col("neighbor_id"),
+          lit(step).as("step"), col("mmr"))
+      sel = sel.unionByName(next).localCheckpoint(true)
+    }
+    sel.orderBy("query_id", "step")
+  }
+
+  /** DuckDB mirror of [[s10MmrDiversify]]: the greedy unrolled as
+    * [[S10K]] stacked CTE stages (the c10 pattern — each stage's
+    * selection feeds the next stage's max-sim term). Shared-fold
+    * cosines and the exact-in-binary λ = ½ combination keep every
+    * greedy comparison bit-identical across engines. */
+  private[graft] def s10OracleSql: String = {
+    val steps = (2 to S10K).map { i =>
+      s"""ms$i AS (
+         |  SELECT p.query_id, p.a AS neighbor_id, max(p.sim) AS maxsim
+         |  FROM pairs p JOIN sel${i - 1} s
+         |    ON s.query_id = p.query_id AND s.neighbor_id = p.b
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} z
+         |    WHERE z.query_id = p.query_id AND z.neighbor_id = p.a)
+         |  GROUP BY p.query_id, p.a),
+         |pick$i AS (
+         |  SELECT query_id, neighbor_id, step, mmr, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY mmr DESC, neighbor_id) AS rnk
+         |  FROM (
+         |    SELECT m.query_id, m.neighbor_id, $i AS step,
+         |      CAST(0.5 AS DOUBLE) * c2.rel
+         |        - CAST(0.5 AS DOUBLE) * m.maxsim AS mmr
+         |    FROM ms$i m JOIN c c2 ON c2.query_id = m.query_id
+         |      AND c2.neighbor_id = m.neighbor_id)),
+         |sel$i AS (
+         |  SELECT query_id, neighbor_id, step, mmr FROM sel${i - 1}
+         |  UNION ALL
+         |  SELECT query_id, neighbor_id, step, mmr FROM pick$i
+         |  WHERE rnk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |  WHERE vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id, e.embedding AS ce,
+       |    ${VectorOps.sqlCosine("qe", "embedding")} AS rel,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY ${VectorOps.sqlCosine("qe", "embedding")} DESC,
+       |        e.vec_id) AS crnk
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+       |c AS (SELECT query_id, neighbor_id, ce, rel FROM cand
+       |  WHERE crnk <= $S10Cand),
+       |pairs AS (
+       |  SELECT x.query_id, x.neighbor_id AS a, y.neighbor_id AS b,
+       |    ${VectorOps.sqlCosine("x.ce", "y.ce")} AS sim
+       |  FROM c x JOIN c y ON x.query_id = y.query_id
+       |    AND x.neighbor_id <> y.neighbor_id),
+       |sel1 AS (
+       |  SELECT query_id, neighbor_id, 1 AS step,
+       |    CAST(0.5 AS DOUBLE) * rel AS mmr
+       |  FROM (SELECT query_id, neighbor_id, rel, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rnk
+       |    FROM c) WHERE rnk = 1),
+       |$steps
+       |SELECT query_id, CAST(step AS INTEGER) AS step, neighbor_id, mmr
+       |FROM sel$S10K ORDER BY query_id, step""".stripMargin
+  }
+
   /** Semantic-duplicate threshold for [[d10SemDedup]]. The synthetic
     * embeddings are near-orthogonal (max pairwise cosine 0.48–0.60,
     * ZERO pairs above 0.8 at any SF — probed round 10), so the
@@ -1480,6 +1680,44 @@ object Similarity {
        |FROM ranked WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** DuckDB mirror of [[s9FilteredAnn]] — [[s3OracleSql]]'s replay
+    * with the label pre-filter in the candidate CTE and the deeper
+    * [[S9Probes]] probe set. The filter sits BEFORE the cell join in
+    * both engines, so the compared plan is the filtered plan, not a
+    * post-filtered rewrite of s3's. */
+  private[graft] def s9OracleSql(cent: Array[Array[Float]]): String = {
+    def litVec(v: Array[Float]) =
+      v.map(x => s"CAST($x AS FLOAT)").mkString("[", ",", "]")
+    val vals = cent.zipWithIndex
+      .map { case (v, i) => s"($i, ${litVec(v)})" }.mkString(",\n    ")
+    s"""WITH cent(cid, cv) AS (VALUES
+       |    $vals),
+       |scored_cells AS (
+       |  SELECT e.vec_id, e.embedding, e.label, c.cid,
+       |    ${VectorOps.sqlCosine("embedding", "cv")} AS ccos
+       |  FROM embeddings e CROSS JOIN cent c),
+       |ranked_cells AS (
+       |  SELECT vec_id, embedding, label, cid, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY ccos DESC, cid DESC) AS crnk
+       |  FROM scored_cells),
+       |cells AS (
+       |  SELECT vec_id AS neighbor_id, embedding AS ce, cid AS cell
+       |  FROM ranked_cells WHERE crnk = 1 AND label % $S9LabelMod = 0),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, cid AS qc
+       |  FROM ranked_cells WHERE vec_id < $NumQueries AND crnk <= $S9Probes),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${VectorOps.sqlCosine("qe", "ce")} AS cos
+       |  FROM qprobe JOIN cells ON cells.cell = qprobe.qc
+       |    AND cells.neighbor_id <> qprobe.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, cos
+       |FROM ranked WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** DuckDB mirror of [[d10SemDedup]] with the trained centroids
     * inlined — same argmax cell assignment as [[s3OracleSql]] (ties to
     * the higher cid, mirroring Spark's struct array_max), then the
@@ -1523,6 +1761,7 @@ object Similarity {
     val pq = pqFor(s, dir)
     staticOracle +
       ("s3_ann_ivf" -> s3OracleSql(cent)) +
+      ("s9_ann_filtered" -> s9OracleSql(cent)) +
       ("d10_semdedup" -> d10OracleSql(cent)) +
       ("s6_ann_pq" -> s6OracleSql(pq)) +
       ("s7_ann_ivfpq" -> s7OracleSql(cent, pq)) +
@@ -1542,6 +1781,7 @@ object Similarity {
     (cached, pqCached) match {
       case (Some(c), Some(p)) => staticOracle +
         ("s3_ann_ivf" -> s3OracleSql(c)) +
+        ("s9_ann_filtered" -> s9OracleSql(c)) +
         ("d10_semdedup" -> d10OracleSql(c)) +
         ("s6_ann_pq" -> s6OracleSql(p)) +
         ("s7_ann_ivfpq" -> s7OracleSql(c, p)) +
@@ -1555,6 +1795,9 @@ object Similarity {
   }
 
   private val staticOracle: Map[String, String] = Map(
+    // greedy MMR unrolled as S10K stacked CTE stages (c10 pattern);
+    // shared-fold cosines + exact-in-binary λ=1/2 keep it hash-exact
+    "s10_mmr_diversify" -> s10OracleSql,
     // same shared bm25TermScoreSql expression tree, same 6-decimal
     // idf/partial rounding, same DECIMAL(18,6) order-free sum
     "s4_bm25_topk" ->
@@ -1627,6 +1870,8 @@ object Similarity {
     "s1_ann_bruteforce" -> s1BruteForce,
     "s2_ann_lsh" -> s2Lsh,
     "s3_ann_ivf" -> s3Ivf, // oracle generated with inlined centroids
+    "s9_ann_filtered" -> s9FilteredAnn, // oracle: filtered s3 replay
+    "s10_mmr_diversify" -> s10MmrDiversify, // oracle: k-step CTE unroll
     "d10_semdedup" -> d10SemDedup, // oracle generated with inlined centroids
     "s4_bm25_topk" -> s4Bm25,
     "s5_hybrid_rerank" -> s5HybridRerank,

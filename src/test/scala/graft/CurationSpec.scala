@@ -461,6 +461,67 @@ class CurationSpec extends AnyFunSuite {
     assert(again == v2, "re-applying the changeset changed the table")
   }
 
+  test("c20 maintained MV equals a full v2 recompute; re-run idempotent") {
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = rows(Curation.c20IncrementalMv(s, dir))
+    val want = rows(
+      s.read.parquet(Curation.c12SnapshotPath(s, dir))
+        .groupBy(pmod(col("doc_id"), lit(Curation.C20Groups.toLong)).as("g"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(length(col("text")), lit(0)).cast("long"))
+            .as("sum_chars"))
+        .orderBy("g"))
+    assert(got == want, "delta maintenance must equal the full recompute")
+    assert(rows(Curation.c20IncrementalMv(s, dir)) == want,
+      "re-applying the same changeset must be idempotent")
+  }
+
+  test("c20 delete branch: an emptied group leaves the MV; untouched " +
+      "MV partitions keep their files across maintenance runs") {
+    import org.apache.spark.sql.functions._
+    // planted corpus: doc 97 is the ONLY member of its MV group and is
+    // removed by the changeset (97 % C12DropMod == 0) → group must be
+    // DELETED from the maintained MV, not kept at zero. 83 is changed,
+    // 101 spawns an added row — all three statuses present.
+    val tmp = java.nio.file.Files.createTempDirectory("c20plant").toString
+    import s.implicits._
+    Seq((1L, "aa"), (2L, "bbb"), (83L, "cccc"), (97L, "ddddd"),
+      (101L, "eeeeee"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = rows(Curation.c20IncrementalMv(s, tmp))
+    val want = rows(
+      s.read.parquet(Curation.c12SnapshotPath(s, tmp))
+        .groupBy(pmod(col("doc_id"), lit(Curation.C20Groups.toLong)).as("g"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(length(col("text")), lit(0)).cast("long"))
+            .as("sum_chars"))
+        .orderBy("g"))
+    assert(got == want, "planted maintenance must equal the recompute")
+    val g97 = 97L % Curation.C20Groups
+    assert(!got.exists(_._1 == g97),
+      s"group $g97 was emptied by the changeset and must be deleted")
+    // the MV partition holding only untouched group 2 must keep its
+    // files across a re-run (maintenance rewrites touched dirs only)
+    val live = "graft_mv_live_" + Tables.fingerprint(s, tmp, "documents")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), live)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val quietPg = 2L % Curation.C20Parts
+    def files() =
+      fs.listStatus(new org.apache.hadoop.fs.Path(loc, s"pg=$quietPg"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(f => f.getPath.toString -> f.getModificationTime).toMap
+    val before = files()
+    assert(rows(Curation.c20IncrementalMv(s, tmp)) == want, "idempotent")
+    assert(files() == before,
+      "untouched MV partition must not be rewritten by a re-run")
+  }
+
   test("c15 erases exactly the forget list; untouched partitions are " +
       "never rewritten; re-run touches no file") {
     import org.apache.spark.sql.functions._

@@ -107,6 +107,119 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.93)
   }
 
+  test("s9 filtered ANN: every neighbor passes the predicate; recall " +
+      "vs the filtered brute force is 1.0 at the gate corpus") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.s9FilteredAnn(s, dir).collect()
+    assert(got.nonEmpty)
+    // the predicate binds: no returned neighbor carries a filtered label
+    val okLabels = Tables.embeddings(s, dir)
+      .filter(col("label") % Similarity.S9LabelMod === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall(r => okLabels(r.getLong(2))),
+      "a neighbor with a filtered-out label leaked into the result")
+    // filtered brute force = s1's plan with the same predicate
+    val truth = Tables.embeddings(s, dir)
+      .filter(col("label") % Similarity.S9LabelMod === 0)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"))
+      .crossJoin(broadcast(Tables.embeddings(s, dir)
+        .filter(col("vec_id") < Similarity.NumQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", graft.operators.VectorOps.cosine("qe", "ce"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= Similarity.TopK)
+      .select("query_id", "rnk", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val found = got.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(found == truth,
+      "filtered IVF at S9Probes must equal the filtered brute force here")
+  }
+
+  test("s10 MMR: driver-side greedy replay is bit-identical (scores " +
+      "and selection order), step 1 is the pure-relevance argmax") {
+    val got = Similarity.s10MmrDiversify(s, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("step"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("mmr")))
+    val emb = Tables.embeddings(s, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val queries = emb.keys.filter(_ < Similarity.NumQueries).toSeq.sorted
+    val want = queries.flatMap { q =>
+      val qe = emb(q)
+      val cand = emb.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, v, pqCos(qe, v)) }
+        .sortBy { case (id, _, rel) => (-rel, id) }
+        .take(Similarity.S10Cand)
+      var selected = Vector.empty[(Long, Int, Double)] // (id, step, mmr)
+      for (step <- 1 to Similarity.S10K) {
+        val pool = cand.filterNot(c => selected.exists(_._1 == c._1))
+        val scored = pool.map { case (id, v, rel) =>
+          val mmr =
+            if (step == 1) 0.5 * rel
+            else {
+              val maxsim = selected.map(sel =>
+                pqCos(v, emb(sel._1))).max
+              0.5 * rel - 0.5 * maxsim
+            }
+          (id, mmr)
+        }
+        val (pid, pmmr) = scored.minBy { case (id, m) => (-m, id) }
+        selected :+= ((pid, step, pmmr))
+      }
+      selected.map { case (id, step, mmr) => (q, step, id, mmr) }
+    }
+    assert(got.toSeq == want,
+      "the Spark greedy must replay the reference greedy bit-exactly")
+    // step 1 is the relevance argmax: same as s1's rank-1 neighbor
+    val s1Top = Similarity.s1BruteForce(s, dir).filter("rnk = 1")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    got.filter(_._2 == 1).foreach { case (q, _, id, _) =>
+      assert(s1Top(q) == id, s"step 1 of query $q must be the rel argmax")
+    }
+  }
+
+  test("s10 MMR diversifies: a planted near-duplicate of the best hit " +
+      "is excluded in favor of lower-relevance novel candidates") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("s10plant").toString
+    def vec(parts: (Int, Float)*): Array[Float] = {
+      val v = new Array[Float](64)
+      parts.foreach { case (i, x) => v(i) = x }
+      v
+    }
+    // v1/v2 near-duplicates (cos ≈ 0.9997) both highly relevant to the
+    // query v0; v3 moderately relevant, novel; v4..v7 weakly relevant,
+    // mutually near-orthogonal
+    val rows = Seq(
+      0L -> vec(0 -> 1f),
+      1L -> vec(0 -> 0.95f, 1 -> 0.312f),
+      2L -> vec(0 -> 0.95f, 1 -> 0.311f, 2 -> 0.025f),
+      3L -> vec(0 -> 0.7f, 3 -> 0.714f),
+      4L -> vec(0 -> 0.5f, 4 -> 0.866f),
+      5L -> vec(0 -> 0.5f, 5 -> 0.866f),
+      6L -> vec(0 -> 0.5f, 6 -> 0.866f),
+      7L -> vec(0 -> 0.5f, 7 -> 0.866f))
+    import s.implicits._
+    rows.toDF("vec_id", "embedding")
+      .withColumn("label", lit(0))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val picks = Similarity.s10MmrDiversify(s, tmp)
+      .filter(col("query_id") === 0L).orderBy("step")
+      .collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(picks.head == 1L, "step 1 takes the most relevant hit")
+    assert(!picks.contains(2L),
+      "the near-duplicate of the step-1 pick must never be selected")
+    assert(picks(1) == 3L,
+      "step 2 prefers the novel mid-relevance candidate over the dup")
+    // plain relevance top-5 WOULD have kept the duplicate
+    val topRel = rows.tail.map { case (id, v) => (id, pqCos(rows.head._2, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(Similarity.S10K).map(_._1)
+    assert(topRel.contains(2L), "sanity: rel top-k keeps the duplicate")
+  }
+
   test("s3 trains k-means once per corpus: second call reuses cached centroids") {
     // fresh artifact dir so a previous JVM's persisted centroids can't
     // satisfy the first call

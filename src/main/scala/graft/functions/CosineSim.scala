@@ -551,5 +551,6 @@ object GraftFunctions {
     reg("pii_scrub", classOf[PiiScrub], cs => PiiScrub(cs(0)))
     reg("hll_sketch", classOf[HllSketchAgg], cs => HllSketchAgg(cs(0)))
     reg("nfc_normalize", classOf[NfcNormalize], cs => NfcNormalize(cs(0)))
+    reg("url_canon", classOf[UrlCanon], cs => UrlCanon(cs(0)))
   }
 }

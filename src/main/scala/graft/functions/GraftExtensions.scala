@@ -60,5 +60,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("pii_scrub", classOf[PiiScrub], cs => PiiScrub(cs(0)))
     inject("hll_sketch", classOf[HllSketchAgg], cs => HllSketchAgg(cs(0)))
     inject("nfc_normalize", classOf[NfcNormalize], cs => NfcNormalize(cs(0)))
+    inject("url_canon", classOf[UrlCanon], cs => UrlCanon(cs(0)))
   }
 }

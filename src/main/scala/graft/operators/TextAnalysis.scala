@@ -963,6 +963,126 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Shared messy-URL construction for t14/d13, as ONE dialect-neutral
+    * SQL fragment per variant (runs verbatim under Spark `expr` and
+    * DuckDB): the gate corpus carries no URL column, so both engines
+    * derive the same deterministic messy URLs from `documents` and the
+    * canonicalizer is the unit under test. Variant 0 is the messy
+    * spelling (case-shifted scheme/host, explicit default port,
+    * tracking params in shuffled order, fragment, trailing slash);
+    * variant 1 is the near-clean spelling of the SAME resource. Planted
+    * axes: parity picks http/https (both default-port spellings
+    * exercised), every 5th doc carries a NON-default `:8080` that must
+    * survive, every 11th doc drops the doc_id path entirely — those
+    * URLs collide ACROSS docs sharing (scheme, source, port), giving
+    * d13 genuine cross-document duplicate groups, not just v0≡v1
+    * pairs. */
+  private def t14UrlSql(variant: Int): String =
+    if (variant == 0)
+      "CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'HTTP' END || " +
+        "'://WWW.' || source || '.Example.COM' || " +
+        "CASE WHEN doc_id % 5 = 0 THEN ':8080' " +
+        "WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END || " +
+        "CASE WHEN doc_id % 11 = 0 THEN '/' " +
+        "ELSE '/Docs/' || lang || '/' || CAST(doc_id AS STRING) || '/' END " +
+        "|| '?utm_source=feed&ref=rss&b=2&a=1#sec'"
+    else
+      "CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END || " +
+        "'://www.' || source || '.example.com' || " +
+        "CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END || " +
+        "CASE WHEN doc_id % 11 = 0 THEN '' " +
+        "ELSE '/Docs/' || lang || '/' || CAST(doc_id AS STRING) END " +
+        "|| '?b=2&a=1'"
+
+  /** The COMPOSED canonicalization spelling — regexp part extraction +
+    * HOF param filtering/sorting — parameterized only by function
+    * NAMES across dialects (split/filter/sort/join/startswith), so the
+    * Spark `expr` form and the DuckDB oracle form are the same
+    * expression tree by construction. This spelling DEFINES the
+    * semantics; the codegen'd `url_canon` kernel
+    * ([[graft.functions.UrlCanonKernels]]) is the hot path, and
+    * TextAnalysisSpec pins kernel ≡ this spelling bit-exactly on the
+    * gate URLs plus an adversarial planted set. Rules: lowercase
+    * scheme+host, strip default port, strip trailing slashes (empty
+    * path → '/'), drop empty/tracking params (utm_/ref=/fbclid=/
+    * gclid=), sort survivors in UTF-8 byte order, drop the fragment;
+    * a non-`scheme://` input passes through unchanged. */
+  private[graft] def t14CanonSql(url: String, spark: Boolean): String = {
+    val split = if (spark) "split" else "string_split"
+    val fil = if (spark) "filter" else "list_filter"
+    val srt = if (spark) "array_sort" else "list_sort"
+    val join = if (spark) "array_join" else "array_to_string"
+    val sw = if (spark) "startswith" else "starts_with"
+    val schemeRaw = s"regexp_extract($url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)"
+    val rest = s"regexp_replace($url, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
+    val hostport = s"regexp_extract($rest, '^([^/?#]*)', 1)"
+    val tail = s"substr($rest, length($hostport) + 1)"
+    val host = s"lower(regexp_extract($hostport, '^([^:]*)', 1))"
+    val port = s"regexp_extract($hostport, ':([0-9]+)$$', 1)"
+    val path = s"regexp_extract($tail, '^([^?#]*)', 1)"
+    val query = s"regexp_extract($tail, '^[^?#]*[?]([^#]*)', 1)"
+    val scheme = s"lower($schemeRaw)"
+    val portPart = s"CASE WHEN $port = '' OR ($scheme = 'https' AND " +
+      s"$port = '443') OR ($scheme = 'http' AND $port = '80') " +
+      s"THEN '' ELSE ':' || $port END"
+    val stripped = s"regexp_replace($path, '/+$$', '')"
+    val cpath = s"CASE WHEN $stripped = '' THEN '/' ELSE $stripped END"
+    val pred = s"x -> x <> '' AND NOT $sw(x, 'utm_') AND NOT $sw(x, 'ref=')" +
+      s" AND NOT $sw(x, 'fbclid=') AND NOT $sw(x, 'gclid=')"
+    val params = s"$join($srt($fil($split($query, '&'), $pred)), '&')"
+    s"CASE WHEN $schemeRaw = '' THEN $url ELSE $scheme || '://' || $host " +
+      s"|| $portPart || $cpath || " +
+      s"(CASE WHEN $params = '' THEN '' ELSE '?' || $params END) END"
+  }
+
+  /** The (doc_id, variant, url) frame both t14 and d13 canonicalize. */
+  private def t14Urls(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("variant", explode(array(lit(0), lit(1))))
+      .withColumn("url", when(col("variant") === 0, expr(t14UrlSql(0)))
+        .otherwise(expr(t14UrlSql(1))))
+      .select("doc_id", "variant", "url")
+
+  /** t14: URL CANONICALIZATION — the normalization every crawl
+    * pipeline applies before URL-level dedup (C4/RefinedWeb lineage):
+    * the same page arrives under case-shifted hosts, default ports,
+    * shuffled tracking params and fragments, and must collapse to one
+    * key BEFORE any content is fetched or compared. The hot path is
+    * the codegen'd [[graft.functions.UrlCanon]] kernel (one scan-local
+    * projection, zero shuffles beyond the presentation sort — at
+    * 100 TB this runs at read bandwidth inside whole-stage codegen);
+    * the DuckDB oracle runs the composed [[t14CanonSql]] spelling, so
+    * the gate hash-proves kernel ≡ SQL semantics per row. */
+  def t14UrlCanonicalize(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t14Urls(s, dir)
+      .withColumn("canon", expr("url_canon(url)"))
+      .orderBy("doc_id", "variant")
+  }
+
+  /** d13: URL-LEVEL DEDUP on the canonical key — group by
+    * `url_canon(url)`, count spellings and distinct docs, keep the
+    * lowest (doc_id, variant) as the canonical representative. The
+    * argmin is INTEGER-ENCODED (k = doc_id·2 + variant, keeper =
+    * min(k) decomposed) — exact in both engines with no struct-min
+    * or row_number machinery. Scale shape: scan-local kernel + ONE
+    * hash shuffle on the canonical key — the cheapest dedup tier a
+    * lake runs (before any content hashing), linear at 100 TB. */
+  def d13UrlDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    t14Urls(s, dir)
+      .withColumn("canon", expr("url_canon(url)"))
+      .withColumn("k", col("doc_id") * 2 + col("variant"))
+      .groupBy("canon")
+      .agg(count(lit(1)).as("n_dupes"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("k")).as("kk"))
+      .select(col("canon"), col("n_dupes"), col("n_docs"),
+        expr("kk div 2").as("keeper_doc"),
+        (col("kk") % 2).as("keeper_variant"))
+      .orderBy("canon")
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Stop-word IN-list shared by the t2 and c1 oracles. */
@@ -992,7 +1112,37 @@ object TextAnalysis {
     plant.split("\n", -1).map(p => s"'${p}'")
       .mkString(" || chr(10) || ").stripPrefix("'' || ")
 
+  /** DuckDB `urls` CTE shared by the t14/d13 oracles — the SAME
+    * dialect-neutral construction fragments the Spark side runs. */
+  private def t14UrlsCte: String =
+    s"""urls AS (
+       |  SELECT doc_id, 0 AS variant, ${t14UrlSql(0)} AS url FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS variant, ${t14UrlSql(1)} AS url FROM documents)"""
+      .stripMargin
+
   val oracle: Map[String, String] = Map(
+    // identical construction fragments; the composed t14CanonSql
+    // spelling in the DuckDB dialect vs the url_canon kernel on the
+    // Spark side — the gate hash-proves kernel ≡ SQL semantics
+    "t14_url_canonicalize" ->
+      s"""WITH $t14UrlsCte
+         |SELECT doc_id, variant, url,
+         |  ${t14CanonSql("url", spark = false)} AS canon
+         |FROM urls ORDER BY doc_id, variant""".stripMargin,
+    // integer-encoded argmin keeper (k = doc_id*2 + variant)
+    "d13_url_dedup" ->
+      s"""WITH $t14UrlsCte,
+         |c AS (
+         |  SELECT doc_id, variant,
+         |    ${t14CanonSql("url", spark = false)} AS canon,
+         |    doc_id * 2 + variant AS k
+         |  FROM urls)
+         |SELECT canon, CAST(count(*) AS BIGINT) AS n_dupes,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(min(k) // 2 AS BIGINT) AS keeper_doc,
+         |  CAST(min(k) % 2 AS BIGINT) AS keeper_variant
+         |FROM c GROUP BY canon ORDER BY canon""".stripMargin,
     // same planting CASEs, same line/word splits (chr(10) mirrors the
     // Scala literal's newlines), same integer rationals on every rule —
     // no float crosses the gate
@@ -1332,5 +1482,7 @@ object TextAnalysis {
     "t11_scrub_boilerplate" -> t11ScrubBoilerplate,
     "t12_gopher_rules" -> t12GopherRules,
     "t13_normalize" -> t13Normalize,
+    "t14_url_canonicalize" -> t14UrlCanonicalize,
+    "d13_url_dedup" -> d13UrlDedup,
   )
 }

@@ -553,4 +553,79 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
     assert(rows.exists(_.getInt(3) == 0) && rows.exists(_.getInt(3) == 1))
   }
+
+  test("t14 url_canon kernel equals the composed regexp/HOF spelling " +
+      "on gate URLs and an adversarial planted set") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(s)
+    // gate corpus URLs
+    val gate = TextAnalysis.t14UrlCanonicalize(s, dir)
+      .withColumn("composed", expr(TextAnalysis.t14CanonSql("url", spark = true)))
+    assert(gate.filter(col("canon") =!= col("composed")).count() == 0,
+      "kernel diverged from the composed spelling on a gate URL")
+    // adversarial plants: every branch of the grammar
+    val plants = Seq(
+      "no-scheme.com/path",                         // identity: no scheme
+      "",                                           // identity: empty
+      "://x",                                       // identity: empty scheme
+      "1http://x/",                                 // identity: bad first char
+      "HTTPS://EXAMPLE.COM",                        // bare host -> '/'
+      "http://h:8080",                              // non-default port kept
+      "http://h:80/a/",                             // default port stripped
+      "https://h:443/x//",                          // multi trailing slash
+      "https://h/?utm_source=1&utm_medium=2",       // tracking-only query
+      "https://h/p?z=1&a=2&a=1#frag",               // sort + dup params
+      "https://h:/p",                               // dangling colon
+      "https://h/p?=v&&x",                          // degenerate params
+      "ftp://H:21/P",                               // other scheme: port kept
+      "http://h#f?notquery",                        // '#' before '?'
+      "https://h/p?refresh=1&ref=drop",             // prefix vs param name
+      "https://h/p?utm_=x",                         // bare 'utm_' prefix
+      "hT+p.s://Host/A b")                          // odd-but-legal scheme
+    import s.implicits._
+    val pdf = plants.toDF("url")
+      .withColumn("kernel", expr("url_canon(url)"))
+      .withColumn("composed", expr(TextAnalysis.t14CanonSql("url", spark = true)))
+      .collect()
+    pdf.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"kernel '${r.getString(1)}' != composed '${r.getString(2)}' " +
+          s"for input '${r.getString(0)}'")
+    }
+    val byUrl = pdf.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byUrl("no-scheme.com/path") == "no-scheme.com/path")
+    assert(byUrl("HTTPS://EXAMPLE.COM") == "https://example.com/")
+    assert(byUrl("http://h:8080") == "http://h:8080/")
+    assert(byUrl("http://h:80/a/") == "http://h/a")
+    assert(byUrl("https://h/?utm_source=1&utm_medium=2") == "https://h/")
+    assert(byUrl("https://h/p?z=1&a=2&a=1#frag") == "https://h/p?a=1&a=2&z=1")
+    assert(byUrl("https://h/p?refresh=1&ref=drop") == "https://h/p?refresh=1")
+    assert(byUrl("ftp://H:21/P") == "ftp://h:21/P")
+  }
+
+  test("d13 collapses every doc's two spellings to one key; keeper is " +
+      "the integer-argmin pair; planted cross-doc groups exist") {
+    import org.apache.spark.sql.functions._
+    // every doc's v0/v1 canonicalize identically
+    val perDoc = TextAnalysis.t14UrlCanonicalize(s, dir)
+      .groupBy("doc_id").agg(countDistinct("canon").as("nc")).collect()
+    assert(perDoc.forall(_.getLong(1) == 1L),
+      "a doc's messy and clean spellings did not collapse")
+    val groups = graft.operators.TextAnalysis.d13UrlDedup(s, dir).collect()
+    assert(groups.forall(_.getAs[Long]("n_dupes") >= 2L))
+    // the %11 family loses the doc_id path segment -> genuine
+    // cross-document duplicate URLs
+    assert(groups.exists(_.getAs[Long]("n_docs") >= 2L),
+      "expected planted cross-doc URL collisions")
+    // keeper decomposition is consistent: keeper_doc carries the group
+    // minimum doc among members (spot-check via t14 membership)
+    val membership = TextAnalysis.t14UrlCanonicalize(s, dir)
+      .groupBy("canon").agg(min(col("doc_id") * 2 + col("variant")).as("mk"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    groups.foreach { g =>
+      val mk = membership(g.getAs[String]("canon"))
+      assert(g.getAs[Long]("keeper_doc") == mk / 2 &&
+        g.getAs[Long]("keeper_variant") == mk % 2)
+    }
+  }
 }

@@ -50,6 +50,7 @@ object Probe {
     if (sections("cdc")) probeCdc(spark) // not in the default set
     if (sections("c20")) probeC20(spark, sfDir) // not in the default set
     if (sections("s10")) probeS10(spark, sfDir) // not in the default set
+    if (sections("d14")) probeD14(spark, sfDir) // not in the default set
     spark.stop()
   }
 
@@ -120,6 +121,38 @@ object Probe {
       println(f"[c20] $tier%-4s stage+maintain=${(t1 - t0) / 1e9}%6.2fs " +
         f"maintain=${(t2 - t1) / 1e9}%6.2fs " +
         f"recompute=${(t3 - t2) / 1e9}%6.2fs mvRows=$n1/$n2 full=$full")
+    }
+  }
+
+  /** ---- d14's scale claim: containment dedup cost rides the
+    * df-capped blocking buckets, ~linear in the corpus (round 12,
+    * fourth sitting). The 10× tier tags every TOKEN with its copy id,
+    * so each copy is a DISJOINT shingle universe — exact replication
+    * would multiply every df by 10, blow the [[operators.Dedup.D14MaxDf]]
+    * cap and erase the blocking keys (measuring an artifact, not the
+    * operator); a real 10× crawl brings new content, which disjoint
+    * universes simulate while preserving the per-copy df profile and
+    * the planted quote pairs. Not in the default set. */
+  private def probeD14(spark: SparkSession, sfDir: String): Unit = {
+    println("== d14: containment dedup vs 1x/10x corpus ==")
+    val docs = Tables.documents(spark, sfDir)
+    val mId = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val x10 = "target/probe/d14x10"
+    docs
+      .withColumn("norm", operators.TextOps.normText(col("text")))
+      .withColumn("toks", expr(operators.TextOps.toksExpr))
+      .crossJoin(spark.range(10).withColumnRenamed("id", "copy"))
+      .select((col("doc_id") + col("copy") * mId).as("doc_id"),
+        expr("array_join(transform(toks, t -> concat('c', copy, t)), ' ')")
+          .as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$x10/documents.parquet")
+    for ((tier, dir) <- Seq(("1x", sfDir), ("10x", x10))) {
+      val t0 = System.nanoTime()
+      val n = operators.Dedup.d14Containment(spark, dir).count()
+      val t1 = System.nanoTime()
+      println(f"[d14] $tier%-4s wall=${(t1 - t0) / 1e9}%6.2fs pairs=$n")
     }
   }
 

@@ -1277,7 +1277,153 @@ object Dedup {
        |FROM inc i ORDER BY doc_id""".stripMargin
   }
 
+  /** d14 knobs. Blocking is ASYMMETRIC: each doc PROBES with its
+    * [[D14RareK]] rarest distinct shingles (document frequency ≤
+    * [[D14MaxDf]], ties by shingle text) against an INDEX of ALL
+    * df-capped shingle occurrences — a rare shared phrase is the
+    * signature of quotation. Symmetric rarest-K×rarest-K blocking is
+    * NOT enough: the container's own rarest shingles live OUTSIDE the
+    * quoted span and push the shared ones out of its key set (the
+    * first spelling missed planted quotes exactly this way; the spec
+    * now pins the asymmetric contract against the brute force). The
+    * df cap bounds every index bucket (≤ MaxDf docs), so candidates
+    * are ≤ RareK·MaxDf per doc whatever the corpus. The recall trade
+    * is explicit: a contained doc whose RareK rarest capped shingles
+    * are ALL unshared is missed — DedupSpec measures recall 1.0 vs
+    * the unblocked brute force on the gate corpus (median shingle df
+    * there is 1; planted quotes carry exactly 4 self-only boundary
+    * shingles, well under RareK). */
+  val D14MaxDf = 16
+  val D14RareK = 8
+  /** Containment threshold, permille. */
+  val D14Tau = 600L
+  val D14PlantMod = 9
+  val D14PlantMinToks = 40
+  val D14SliceFrom = 3
+  val D14SliceLen = 30
+
+  /** d14: CONTAINMENT dedup — find (quote ⊆ host) document pairs that
+    * Jaccard-based screens (d2/d4) structurally MISS: a 30-token quote
+    * inside a 5000-token host has Jaccard ≈ 0.006 but containment
+    * |sh(q)∩sh(h)| / |sh(q)| ≈ 1 (Broder's containment coefficient).
+    * Training corpora are full of such pairs (syndicated excerpts,
+    * quoted posts, boilerplate-wrapped reprints), and keeping both
+    * host and quote double-counts the quoted span.
+    *
+    * The corpus carries no natural quotes, so both engines derive the
+    * same planted ones: every [[D14PlantMod]]-th doc with ≥
+    * [[D14PlantMinToks]] tokens spawns a quote doc (id shifted past
+    * max) whose tokens are a [[D14SliceLen]]-token slice of the host
+    * wrapped in a 2+2-token decoration — containment high but < 1.
+    *
+    * Shape: one shingle scan (the d2/d4 kernel), a df aggregation, a
+    * per-doc rarest-[[D14RareK]] WindowGroupLimit, a candidate join on
+    * rare shingles (bucket size ≤ [[D14MaxDf]] by construction), and a
+    * candidate-bounded intersection count — never all-pairs. The
+    * contained side is the SMALLER shingle set (ties → lower id), and
+    * the score is integer permille ((inter·1000) div nsh_small), so
+    * every comparison is exact in both engines. */
+  def d14Containment(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docsT = Tables.documents(s, dir)
+      .withColumn("norm", TextOps.normText(col("text")))
+      .withColumn("toks", expr(TextOps.toksExpr))
+      .select(col("doc_id"), col("toks"))
+    val mx = docsT.agg(max(col("doc_id")).as("mxid"))
+    val quotes = docsT.crossJoin(broadcast(mx))
+      .filter(col("doc_id") % D14PlantMod === 0 &&
+        size(col("toks")) >= D14PlantMinToks)
+      .select((col("doc_id") + col("mxid") + 1).as("doc_id"),
+        concat(array(lit("begin"), lit("quote")),
+          slice(col("toks"), D14SliceFrom, D14SliceLen),
+          array(lit("end"), lit("quote"))).as("toks"))
+    val d = docsT.unionByName(quotes)
+      .withColumn("shset", expr("array_distinct(word_shingles(toks))"))
+      .select(col("doc_id"), col("shset"), size(col("shset")).as("nsh"))
+      .localCheckpoint(true) // shared by ex/sizes below: one shingle pass
+    val ex = d.select(col("doc_id"), col("nsh"), explode(col("shset")).as("sh"))
+    val df = ex.groupBy("sh").agg(count(lit(1)).as("dfc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("dfc"), col("sh"))
+    val indexed = ex.join(df, "sh").filter(col("dfc") <= D14MaxDf)
+      .select(col("doc_id"), col("sh"), col("dfc"))
+      .localCheckpoint(true) // one df-join pass feeds both index and probe
+    val index = indexed.select("doc_id", "sh")
+    val probe = indexed
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= D14RareK)
+      .select("doc_id", "sh")
+    val cand = probe.as("x").join(index.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b")).distinct()
+    val sizes = d.select(col("doc_id"), col("nsh"))
+    val inter = cand
+      .join(ex.select(col("doc_id").as("a"), col("sh")), "a")
+      .join(ex.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("nsh").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("nsh").as("nb")), "b")
+      .select(
+        when(col("na") <= col("nb"), col("a")).otherwise(col("b"))
+          .as("contained_id"),
+        when(col("na") <= col("nb"), col("b")).otherwise(col("a"))
+          .as("container_id"),
+        col("inter"),
+        least(col("na"), col("nb")).cast("long").as("nsh_small"),
+        expr("(inter * 1000) div least(na, nb)").as("cont_permille"))
+      .filter(col("cont_permille") >= D14Tau)
+      .orderBy("contained_id", "container_id")
+  }
+
   val oracle: Map[String, String] = Map(
+    "d14_containment" ->
+      s"""WITH norm_t AS (
+         |  SELECT doc_id, ${TextOps.sqlNormText} AS norm FROM documents),
+         |tok_t AS (SELECT doc_id, ${TextOps.sqlToks} AS toks FROM norm_t),
+         |mx AS (SELECT max(doc_id) AS mxid FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, toks FROM tok_t
+         |  UNION ALL
+         |  SELECT doc_id + mxid + 1 AS doc_id,
+         |    ['begin','quote']
+         |      || toks[$D14SliceFrom:${D14SliceFrom + D14SliceLen - 1}]
+         |      || ['end','quote'] AS toks
+         |  FROM tok_t CROSS JOIN mx
+         |  WHERE doc_id % $D14PlantMod = 0
+         |    AND len(toks) >= $D14PlantMinToks),
+         |d AS (SELECT doc_id,
+         |    list_distinct(${TextOps.sqlShingles}) AS shset FROM corpus),
+         |sizes AS (SELECT doc_id, len(shset) AS nsh FROM d),
+         |ex AS (SELECT doc_id, unnest(shset) AS sh FROM d),
+         |dfq AS (SELECT sh, count(*) AS dfc FROM ex GROUP BY sh),
+         |idx AS (SELECT e.doc_id, e.sh, f.dfc
+         |  FROM ex e JOIN dfq f USING (sh) WHERE f.dfc <= $D14MaxDf),
+         |probe AS (SELECT doc_id, sh FROM (
+         |  SELECT doc_id, sh, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY dfc, sh) AS rn
+         |  FROM idx) WHERE rn <= $D14RareK),
+         |cand AS (SELECT DISTINCT least(x.doc_id, y.doc_id) AS a,
+         |    greatest(x.doc_id, y.doc_id) AS b
+         |  FROM probe x JOIN idx y
+         |    ON x.sh = y.sh AND x.doc_id <> y.doc_id),
+         |i AS (SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS inter
+         |  FROM cand c
+         |  JOIN ex xa ON xa.doc_id = c.a
+         |  JOIN ex xb ON xb.doc_id = c.b AND xb.sh = xa.sh
+         |  GROUP BY c.a, c.b)
+         |SELECT
+         |  CASE WHEN na.nsh <= nb.nsh THEN i.a ELSE i.b END AS contained_id,
+         |  CASE WHEN na.nsh <= nb.nsh THEN i.b ELSE i.a END AS container_id,
+         |  inter,
+         |  CAST(least(na.nsh, nb.nsh) AS BIGINT) AS nsh_small,
+         |  CAST(inter * 1000 // least(na.nsh, nb.nsh) AS BIGINT)
+         |    AS cont_permille
+         |FROM i
+         |JOIN sizes na ON na.doc_id = i.a
+         |JOIN sizes nb ON nb.doc_id = i.b
+         |WHERE inter * 1000 // least(na.nsh, nb.nsh) >= $D14Tau
+         |ORDER BY contained_id, container_id""".stripMargin,
     "d11_dedup_incremental" -> sqlD11Oracle,
     "d1_dedup_exact" ->
       s"""SELECT md5(${TextOps.sqlNormText}) AS h,
@@ -1447,6 +1593,7 @@ object Dedup {
     "d9_decontaminate_xt" -> d9DecontaminateXt,
     "d9_report" -> d9Report,
     "d11_dedup_incremental" -> d11DedupIncremental,
+    "d14_containment" -> d14Containment,
     // d3Candidates under the full gate: the banded candidate generation
     // must reproduce DuckDB's BRUTE-FORCE all-pairs hamming join exactly
     // — recall 1.0 is oracle-checked, not just spec-asserted (the

@@ -1065,9 +1065,12 @@ object TextAnalysis {
     * lowest (doc_id, variant) as the canonical representative. The
     * argmin is INTEGER-ENCODED (k = doc_id·2 + variant, keeper =
     * min(k) decomposed) — exact in both engines with no struct-min
-    * or row_number machinery. Scale shape: scan-local kernel + ONE
-    * hash shuffle on the canonical key — the cheapest dedup tier a
-    * lake runs (before any content hashing), linear at 100 TB. */
+    * or row_number machinery. Scale shape: scan-local kernel, then
+    * TWO keyed exchanges (count(DISTINCT doc_id) plans the standard
+    * two-phase — partial dedup on (canon, doc_id), re-key on canon;
+    * all phases keep map-side partials) + the presentation sort —
+    * the cheapest dedup tier a lake runs (before any content
+    * hashing), linear at 100 TB. */
   def d13UrlDedup(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     t14Urls(s, dir)

@@ -305,4 +305,60 @@ class DedupSpec extends AnyFunSuite {
     assert(mtime(idxSuccess) == t1 && mtime(incSuccess) == t2,
       "staging must be _SUCCESS-gated write-once")
   }
+
+  test("d14 finds every planted quote pair with the quote contained; " +
+      "rare-shingle banding equals the unblocked brute force here") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(s)
+    val got = Dedup.d14Containment(s, dir).collect()
+      .map(r => (r.getAs[Long]("contained_id"), r.getAs[Long]("container_id"),
+        r.getAs[Long]("cont_permille")))
+    // planted ground truth: every %9 doc with enough tokens spawned a
+    // quote at id host+mx+1 that must surface contained in its host
+    val docsT = Tables.documents(s, dir)
+      .withColumn("norm", graft.operators.TextOps.normText(col("text")))
+      .withColumn("toks", expr(graft.operators.TextOps.toksExpr))
+      .select(col("doc_id"), col("toks"))
+    val mx = docsT.agg(max("doc_id")).head().getLong(0)
+    val hosts = docsT
+      .filter(col("doc_id") % Dedup.D14PlantMod === 0 &&
+        size(col("toks")) >= Dedup.D14PlantMinToks)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(hosts.nonEmpty, "corpus must plant at least one quote")
+    val byPair = got.map(t => (t._1, t._2) -> t._3).toMap
+    hosts.foreach { h =>
+      val q = h + mx + 1
+      assert(byPair.get((q, h)).exists(_ >= Dedup.D14Tau),
+        s"planted quote $q of host $h missing or below threshold")
+    }
+    // unblocked brute force: same shingle sets, all pairs sharing ANY
+    // shingle, no df cap, no rarest-k — must coincide at the gate
+    // corpus (recall 1.0: median shingle df is 1 here)
+    val quotes = docsT.crossJoin(broadcast(docsT.agg(max("doc_id").as("mxid"))))
+      .filter(col("doc_id") % Dedup.D14PlantMod === 0 &&
+        size(col("toks")) >= Dedup.D14PlantMinToks)
+      .select((col("doc_id") + col("mxid") + 1).as("doc_id"),
+        concat(array(lit("begin"), lit("quote")),
+          slice(col("toks"), Dedup.D14SliceFrom, Dedup.D14SliceLen),
+          array(lit("end"), lit("quote"))).as("toks"))
+    val d = docsT.unionByName(quotes)
+      .withColumn("shset", expr("array_distinct(word_shingles(toks))"))
+      .select(col("doc_id"), col("shset"), size(col("shset")).as("nsh"))
+    val ex = d.select(col("doc_id"), col("nsh"), explode(col("shset")).as("sh"))
+    val brute = ex.as("x").join(ex.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.nsh").as("na"), col("y.nsh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(
+        when(col("na") <= col("nb"), col("a")).otherwise(col("b"))
+          .as("contained_id"),
+        when(col("na") <= col("nb"), col("b")).otherwise(col("a"))
+          .as("container_id"),
+        expr("(inter * 1000) div least(na, nb)").as("cont_permille"))
+      .filter(col("cont_permille") >= Dedup.D14Tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.toSet == brute,
+      "rare-shingle banding must equal the brute force on this corpus")
+  }
 }

@@ -1357,6 +1357,12 @@ object Dedup {
       .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("b")).distinct()
     val sizes = d.select(col("doc_id"), col("nsh"))
+    // confirm: the candidate list is small by the blocking contract, so
+    // AQE broadcasts it into the exploded shingle scan — the corpus is
+    // never shuffled here. A semi-join member prune was probed and
+    // REJECTED: it adds corpus-sized passes to pre-filter rows the
+    // broadcast join already skips for free (probe runs sat at the top
+    // of the 17-28s noise band, never below the simple shape).
     val inter = cand
       .join(ex.select(col("doc_id").as("a"), col("sh")), "a")
       .join(ex.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))

@@ -1277,6 +1277,157 @@ object Dedup {
        |FROM inc i ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------- st11 streaming admission
+
+  /** st11 core: the CONFIRMED-DUPLICATE FEED of an incoming shard
+    * against the PERSISTED d11 signature index — the streaming face of
+    * d11 (d11 is the batch admission audit; this is the always-on
+    * ingest gate). Per incoming doc, two row-local screens against
+    * fingerprint-keyed lake artifacts: exact (content md5 vs the
+    * index's contents table) and near (minhash band keys vs the
+    * index's bands table, confirmed by the d2/d4 jaccard on distinct
+    * shingle sets at [[KeepMinJaccard]]). The OUTPUT IS A FEED of
+    * (doc_id, dup_of, kind, jaccard) pairs, append-only by
+    * construction — no per-doc aggregation, no watermark, no state —
+    * so the streaming spelling stays stateless end-to-end; the ingest
+    * writer consumes it as an anti-join at merge time (the d11
+    * verdict is `doc_id NOT IN feed`). Within-shard duplicates are
+    * OUT of scope by design: admission compares against the LAKE;
+    * shard-internal dedup is d11's batch compaction job.
+    *
+    * Scale: the shard's band keys ride a broadcast into the index
+    * scan (no index shuffle — d11's audited shape), and the corpus
+    * confirm re-reads ONLY candidate reps (broadcast semi of a
+    * candidate-bounded rep list). Cost ∝ shard + candidates. */
+  private[graft] def st11AdmitFeed(s: SparkSession, dir: String,
+      inc: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val idx = d11IndexPath(s, dir)
+    val contents = s.read.parquet(s"$idx/contents.parquet")
+    val idxBands = s.read.parquet(s"$idx/bands.parquet")
+    val e = inc
+      .withColumn("norm", TextOps.normText(col("text")))
+      .withColumn("ih", md5(col("norm")))
+      .withColumn("toks", expr(TextOps.toksExpr))
+      .withColumn("ishset", expr("array_distinct(word_shingles(toks))"))
+      .localCheckpoint(true) // shard-sized; feeds both screens once
+    val exact = e.join(contents, col("ih") === col("ch"))
+      .select(col("doc_id"), col("rep").as("dup_of"),
+        lit("exact").as("kind"), lit(1.0).as("jaccard"))
+    val bandKeys = e.filter(size(col("toks")) >= MinToks)
+      .select(col("doc_id"), col("ih"), col("norm").as("inorm"),
+        col("ishset"),
+        posexplode(expr(
+          s"minhash_band_keys(word_shingles(toks), $NumHashes, $Bands)")))
+      .select(col("doc_id"), col("ih"), col("inorm"), col("ishset"),
+        col("pos").as("band_id"), col("col").as("band_key"))
+    val cand = idxBands.join(broadcast(bandKeys), Seq("band_id", "band_key"))
+      .filter(col("ch") =!= col("ih")) // identical content → exact path
+      .select(col("doc_id"), col("rep"), col("inorm"), col("ishset"))
+      .dropDuplicates("doc_id", "rep")
+    val corpusSide = Tables.documents(s, dir)
+      .join(broadcast(cand.select(col("rep").as("doc_id")).distinct()),
+        Seq("doc_id"))
+      .withColumn("cnorm", TextOps.normText(col("text")))
+      .withColumn("norm", col("cnorm"))
+      .withColumn("toks", expr(TextOps.toksExpr))
+      .select(col("doc_id").as("rep"), col("cnorm"),
+        expr("array_distinct(word_shingles(toks))").as("cshset"))
+    val inter = size(array_intersect(col("ishset"), col("cshset")))
+      .cast("long")
+    val uni = (size(col("ishset")) + size(col("cshset"))).cast("long") - inter
+    val jacc = when(uni === 0,
+      when(col("inorm") === col("cnorm"), lit(1.0)).otherwise(lit(0.0)))
+      .otherwise(inter / uni)
+    val near = cand.join(corpusSide, "rep")
+      .withColumn("jaccard", jacc)
+      .filter(col("jaccard") >= KeepMinJaccard)
+      .select(col("doc_id"), col("rep").as("dup_of"),
+        lit("near").as("kind"), col("jaccard"))
+    exact.unionByName(near)
+  }
+
+  /** Parametric band-key CTE builder (the [[sqlD2PairsCtes]] sig/band
+    * fragments retargeted at an arbitrary relation): `src` must expose
+    * `keySel`'s columns plus `toks` and `shingles`; emits
+    * `sig_<out>` and `<out>`(keySel..., band_id, band_key). */
+  private def sqlBandsCte(src: String, keySel: String, out: String): String = {
+    val sigCols = (0 until NumHashes)
+      .map(j => s"  ${sqlMinhash(j)} AS h$j").mkString(",\n")
+    val bandSelects = (0 until Bands).map { b =>
+      val concat = (0 until RowsPerBand)
+        .map(r => s"h${b * RowsPerBand + r}").mkString(" || ")
+      s"  SELECT $keySel, $b AS band_id, md5($concat) AS band_key" +
+        s" FROM sig_$out"
+    }.mkString("\n  UNION ALL\n")
+    s"""sig_$out AS (SELECT $keySel,
+       |$sigCols
+       |FROM $src WHERE len(toks) >= $MinToks),
+       |$out AS (
+       |$bandSelects)""".stripMargin
+  }
+
+  /** st11's DuckDB mirror: the index rebuilt at CONTENT level (ch →
+    * min-doc rep, exactly [[d11IndexPath]]'s layout), the d11-derived
+    * increment screened against it, the same exact/near split and
+    * the same zero-union jaccard rule. */
+  private[graft] lazy val sqlSt11FeedOracle: String = {
+    val cgBands = sqlBandsCte("cgs", "ch, rep", "cbands")
+    val incBands = sqlBandsCte("ins", "doc_id, ih", "ibands")
+    s"""WITH mx AS (SELECT max(doc_id) AS mxid FROM documents),
+       |inc AS (
+       |  SELECT doc_id + mxid + 1 AS doc_id,
+       |    CASE WHEN doc_id % $D11ExactMod = 0 THEN text
+       |         WHEN doc_id % $D11NearMod = 0 THEN text || ' [inc]'
+       |         ELSE reverse(text) END AS text
+       |  FROM documents CROSS JOIN mx WHERE doc_id % $D11Mod = 0),
+       |cn AS (SELECT doc_id, ${TextOps.sqlNormText} AS norm
+       |  FROM documents),
+       |cg AS (SELECT md5(norm) AS ch, min(doc_id) AS rep,
+       |    min(norm) AS norm FROM cn GROUP BY md5(norm)),
+       |cgt AS (SELECT ch, rep, norm, ${TextOps.sqlToks} AS toks FROM cg),
+       |cgs AS (SELECT ch, rep, norm, toks,
+       |    ${TextOps.sqlShingles} AS shingles FROM cgt),
+       |in0 AS (SELECT doc_id, ${TextOps.sqlNormText} AS norm FROM inc),
+       |int_ AS (SELECT doc_id, norm, md5(norm) AS ih,
+       |    ${TextOps.sqlToks} AS toks FROM in0),
+       |ins AS (SELECT doc_id, norm, ih, toks,
+       |    ${TextOps.sqlShingles} AS shingles FROM int_),
+       |ex AS (
+       |  SELECT i.doc_id, g.rep AS dup_of, 'exact' AS kind,
+       |    CAST(1.0 AS DOUBLE) AS jaccard
+       |  FROM int_ i JOIN cg g ON g.ch = i.ih),
+       |$cgBands,
+       |$incBands,
+       |cand AS (
+       |  SELECT DISTINCT i.doc_id, i.ih, b.ch, b.rep
+       |  FROM ibands i JOIN cbands b
+       |    ON b.band_id = i.band_id AND b.band_key = i.band_key
+       |    AND b.ch <> i.ih),
+       |isets AS (SELECT doc_id, norm, list_distinct(shingles) AS shset
+       |  FROM ins),
+       |csets AS (SELECT ch, norm, list_distinct(shingles) AS shset
+       |  FROM cgs),
+       |near0 AS (
+       |  SELECT c.doc_id, c.rep AS dup_of, a.norm AS inorm,
+       |    b.norm AS cnorm,
+       |    CAST(len(list_intersect(a.shset, b.shset)) AS BIGINT) AS inter,
+       |    CAST(len(a.shset) + len(b.shset) AS BIGINT) AS sz
+       |  FROM cand c JOIN isets a ON a.doc_id = c.doc_id
+       |              JOIN csets b ON b.ch = c.ch),
+       |near AS (
+       |  SELECT doc_id, dup_of, 'near' AS kind,
+       |    CASE WHEN sz - inter = 0
+       |      THEN CASE WHEN inorm = cnorm THEN 1.0 ELSE 0.0 END
+       |      ELSE inter / (sz - inter) END AS jaccard
+       |  FROM near0)
+       |SELECT doc_id, dup_of, kind, jaccard FROM (
+       |  SELECT * FROM ex
+       |  UNION ALL
+       |  SELECT * FROM near WHERE jaccard >= $KeepMinJaccard)
+       |ORDER BY doc_id, dup_of""".stripMargin
+  }
+
   /** d14 knobs. Blocking is ASYMMETRIC: each doc PROBES with its
     * [[D14RareK]] rarest distinct shingles (document frequency ≤
     * [[D14MaxDf]], ties by shingle text) against an INDEX of ALL

@@ -393,6 +393,35 @@ object Streams {
       .start()
       .awaitTermination()
 
+  /** st11 gate (batch spelling): the confirmed-duplicate feed of the
+    * d11 staged increment against the persisted signature index —
+    * [[graft.operators.Dedup.st11AdmitFeed]] with the presentation
+    * sort. The streaming spelling is [[st11AdmitStream]]; StreamsSpec
+    * proves micro-batched admission ≡ this batch feed row for row. */
+  def st11Query(s: SparkSession, dir: String): DataFrame =
+    Dedup.st11AdmitFeed(s, dir,
+      s.read.parquet(Dedup.d11IncrementPath(s, dir)))
+      .orderBy("doc_id", "dup_of")
+
+  /** st11 (streaming spelling): the always-on ingest admission gate —
+    * each micro-batch of arriving docs is screened against the
+    * PERSISTED index via [[graft.operators.Dedup.st11AdmitFeed]] (two
+    * stream-static probes, zero streaming state — the feed is
+    * append-only by construction) and appended to the sink. The lake
+    * writer consumes the feed as an anti-join at merge time. */
+  def st11AdmitStream(s: SparkSession, dir: String,
+      docs: DataFrame, sinkPath: String, checkpoint: String): Unit =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Dedup.st11AdmitFeed(batch.sparkSession, dir, batch.toDF())
+          .write.mode("append").parquet(sinkPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+
   /** Batch entries for the oracle gate (same transforms, batch input). */
   def st1Query(s: SparkSession, dir: String): DataFrame =
     wordCounts(Tables.documents(s, dir).select(col("text").as("value")))
@@ -547,6 +576,9 @@ object Streams {
   }
 
   val oracle: Map[String, String] = Map(
+    // the index rebuilt at content level + the derived increment
+    // screened against it, in SQL (Dedup.sqlSt11FeedOracle)
+    "st11_stream_admission" -> Dedup.sqlSt11FeedOracle,
     // each version recomputed directly: at as_of=1 only gen 1's
     // revisions; at 2 gen 2's deletes apply; at 3 gen 3 wins back
     "c19_time_travel" ->
@@ -731,6 +763,7 @@ object Streams {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st9_stream_hll" -> st9Query,
     "st10_stream_cdc" -> st10Query,
+    "st11_stream_admission" -> st11Query,
     "c19_time_travel" -> c19TimeTravel,
     "st1_stream_wordcount" -> st1Query,
     "st2_windowed_agg" -> st2Query,

@@ -530,4 +530,38 @@ class StreamsSpec extends AnyFunSuite {
         i % Streams.St10UpdMod2 == 0),
       "v3 must restore exactly the re-upserted deleted keys")
   }
+
+  test("st11: micro-batched admission feed equals the one-shot batch " +
+      "feed whatever the trigger boundaries; both verdict kinds occur") {
+    val sess = s
+    import sess.implicits._
+    val dir = TestSpark.SfDir
+    val inc = sess.read
+      .parquet(graft.operators.Dedup.d11IncrementPath(s, dir))
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(inc.length >= 4, "staged increment too small to split")
+    // split the shard into three arbitrary micro-batches
+    val (b1, rest) = inc.splitAt(inc.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    val sink = java.nio.file.Files.createTempDirectory("st11sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("st11ckpt").toString
+    val input = MemoryStream[(Long, String)](s)
+    for (b <- Seq(b1, b2, b3)) {
+      input.addData(b: _*)
+      Streams.st11AdmitStream(s, dir,
+        input.toDF().toDF("doc_id", "text"), sink, ckpt)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of"),
+        r.getAs[String]("kind"), r.getAs[Double]("jaccard"))).toSet
+    val streamed = rows(sess.read.parquet(sink))
+    val batch = rows(Streams.st11Query(s, dir))
+    assert(streamed == batch,
+      "micro-batch boundaries must not change the admission feed")
+    assert(batch.exists(_._3 == "exact") && batch.exists(_._3 == "near"),
+      "the staged increment must exercise both verdict kinds")
+    // feed jaccards only ever confirm at or above the keep threshold
+    assert(batch.forall(_._4 >= graft.operators.Dedup.KeepMinJaccard))
+  }
 }

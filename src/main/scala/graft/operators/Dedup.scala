@@ -1296,9 +1296,40 @@ object Dedup {
     * shard-internal dedup is d11's batch compaction job.
     *
     * Scale: the shard's band keys ride a broadcast into the index
-    * scan (no index shuffle — d11's audited shape), and the corpus
-    * confirm re-reads ONLY candidate reps (broadcast semi of a
-    * candidate-bounded rep list). Cost ∝ shard + candidates. */
+    * scan (no index shuffle — d11's audited shape), and the confirm
+    * joins the PERSISTED shingle-set artifact ([[st11ShsetsPath]])
+    * pruned by a broadcast of the candidate-bounded rep list — the
+    * admission path touches lake artifacts only, never the corpus
+    * table. Cost ∝ shard + candidates. */
+  /** The confirm-side artifact: (rep, cnorm, cshset) for every index
+    * content, persisted ONCE per corpus generation next to the d11
+    * index (fingerprint-keyed, `_SUCCESS`-gated). With it, st11's
+    * per-batch confirm joins LAKE ARTIFACTS only — a production
+    * admission gate that re-scanned 100 TB of corpus parquet every
+    * micro-batch to re-derive candidate shingle sets would be paying
+    * the pay-once staging cost continuously. Storage is the classic
+    * dedup-index trade: ~corpus-token-sized, the price of O(shard)
+    * admission. */
+  private[graft] def st11ShsetsPath(s: SparkSession, dir: String): String = {
+    graft.functions.GraftFunctions.register(s)
+    val path = s"target/dedupindex/${Tables.fingerprint(s, dir, "documents")}" +
+      "/shsets.parquet"
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success)) {
+      Tables.documents(s, dir)
+        .withColumn("norm", TextOps.normText(col("text")))
+        .groupBy(md5(col("norm")).as("ch"))
+        .agg(min("doc_id").as("rep"), first("norm").as("cnorm"))
+        .withColumn("norm", col("cnorm"))
+        .withColumn("toks", expr(TextOps.toksExpr))
+        .select(col("rep"), col("cnorm"),
+          expr("array_distinct(word_shingles(toks))").as("cshset"))
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
   private[graft] def st11AdmitFeed(s: SparkSession, dir: String,
       inc: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -1325,14 +1356,8 @@ object Dedup {
       .filter(col("ch") =!= col("ih")) // identical content → exact path
       .select(col("doc_id"), col("rep"), col("inorm"), col("ishset"))
       .dropDuplicates("doc_id", "rep")
-    val corpusSide = Tables.documents(s, dir)
-      .join(broadcast(cand.select(col("rep").as("doc_id")).distinct()),
-        Seq("doc_id"))
-      .withColumn("cnorm", TextOps.normText(col("text")))
-      .withColumn("norm", col("cnorm"))
-      .withColumn("toks", expr(TextOps.toksExpr))
-      .select(col("doc_id").as("rep"), col("cnorm"),
-        expr("array_distinct(word_shingles(toks))").as("cshset"))
+    val corpusSide = s.read.parquet(st11ShsetsPath(s, dir))
+      .join(broadcast(cand.select(col("rep")).distinct()), Seq("rep"))
     val inter = size(array_intersect(col("ishset"), col("cshset")))
       .cast("long")
     val uni = (size(col("ishset")) + size(col("cshset"))).cast("long") - inter

@@ -563,5 +563,15 @@ class StreamsSpec extends AnyFunSuite {
       "the staged increment must exercise both verdict kinds")
     // feed jaccards only ever confirm at or above the keep threshold
     assert(batch.forall(_._4 >= graft.operators.Dedup.KeepMinJaccard))
+    // the confirm-side shingle-set artifact is pay-once: a further
+    // admission must not rewrite it (admission touches lake artifacts
+    // only, never re-derives from the corpus)
+    val shsets = new org.apache.hadoop.fs.Path(
+      graft.operators.Dedup.st11ShsetsPath(s, dir), "_SUCCESS")
+    val fs = shsets.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val t0 = fs.getFileStatus(shsets).getModificationTime
+    Streams.st11Query(s, dir).collect()
+    assert(fs.getFileStatus(shsets).getModificationTime == t0,
+      "shsets artifact must be written once per corpus generation")
   }
 }

@@ -68,8 +68,20 @@ object Linkage {
     * (hash-partitioned; keys per name = length + 1, so the exploded
     * frames are ~19× the name lists — linear, metadata-sized next to
     * any fact table), then a candidate-bounded levenshtein verify and
-    * one WindowGroupLimit rank per dirty id. No similarity scan ever
-    * touches the full clean×dirty cross product. */
+    * one WindowGroupLimit rank per dirty name. No similarity scan
+    * ever touches the full clean×dirty cross product. Both sides are
+    * first COLLAPSED TO DISTINCT NAMES (the d2/d11 content-groups
+    * lesson): entity data is full of exact-duplicate names, and
+    * keying per ROW makes every deletion bucket grow with the
+    * duplication factor — candidate pairs then grow with its SQUARE
+    * (the 10× ScaleBench corpus, which replicates keys but not
+    * names, drove the row-granularity spelling to 43× wall; the
+    * collapsed spelling's matching work rides the DISTINCT-name
+    * count). The (dist, min c_custkey) winner per distinct dirty
+    * name expands to members afterwards — bit-identical to the
+    * row-granularity rule, since for equal names distance is equal
+    * and the min key over rows IS the min over name-groups' min
+    * keys. */
   def q46FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
     val clean = Tables.customer(s, dir).select(
       col("c_custkey"), col("c_name"))
@@ -82,22 +94,27 @@ object Linkage {
             "concat(substr(c_name, 1, 9 + CAST(c_custkey % 9 AS INT)), " +
               "substr(c_name, 11 + CAST(c_custkey % 9 AS INT), 1000000))"))
           .as("d_name"))
-    val cleanKeys = clean
+    val cleanNames = clean.groupBy("c_name")
+      .agg(min("c_custkey").as("c_custkey"))
+    val dirtyNames = dirty.groupBy("d_name")
+      .agg(sort_array(collect_list(col("d_id"))).as("members"))
+    val cleanKeys = cleanNames
       .select(col("c_custkey"), col("c_name"),
         explode(expr(delKeysExpr("c_name"))).as("k"))
-    val dirtyKeys = dirty
-      .select(col("d_id"), col("d_name"),
-        explode(expr(delKeysExpr("d_name"))).as("k"))
-    val w = Window.partitionBy("d_id")
+    val dirtyKeys = dirtyNames
+      .select(col("d_name"), explode(expr(delKeysExpr("d_name"))).as("k"))
+    val w = Window.partitionBy("d_name")
       .orderBy(col("dist"), col("c_custkey"))
-    dirtyKeys.join(cleanKeys, "k")
-      .select("d_id", "d_name", "c_custkey", "c_name")
+    val best = dirtyKeys.join(cleanKeys, "k")
+      .select("d_name", "c_custkey", "c_name")
       .distinct()
       .withColumn("dist", levenshtein(col("d_name"), col("c_name")))
       .filter(col("dist") <= FuzzyMaxDist)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
-      .select(col("d_id"), col("c_custkey").as("matched_key"),
+    best.join(dirtyNames, "d_name")
+      .select(explode(col("members")).as("d_id"),
+        col("c_custkey").as("matched_key"),
         col("c_name").as("matched_name"), col("dist").cast("int").as("dist"))
       .orderBy("d_id")
   }

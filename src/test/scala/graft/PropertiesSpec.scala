@@ -204,4 +204,36 @@ class PropertiesSpec extends AnyFunSuite {
       assert(row.getAs[Long]("n_sessions") === expectedSessions.toLong)
     }
   }
+
+  test("property: url_canon kernel equals the composed spelling on " +
+      "random URL-shaped and garbage strings") {
+    val s = TestSpark.spark
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val urlChar: Gen[Char] = Gen.frequency(
+      (8, Gen.alphaNumChar), (1, Gen.oneOf('/', '?', '&', '#', ':', '=')),
+      (1, Gen.oneOf('.', '-', '_', '%', '~', ' ')))
+    val piece: Gen[String] = Gen.listOf(urlChar).map(_.mkString)
+    val scheme: Gen[String] =
+      Gen.oneOf("http", "https", "HTTP", "HtTpS", "ftp", "s3+x.y", "")
+    val urlish: Gen[String] = for {
+      sc <- scheme; sep <- Gen.oneOf("://", ":/", "", "//")
+      rest <- piece
+    } yield sc + sep + rest
+    val garbage: Gen[String] = Gen.listOf(Gen.choose(' ', 'ÿ'))
+      .map(_.mkString)
+    val inputs = (samples(urlish, 400) ++ samples(garbage, 100, seed = 9L))
+      .distinct
+    val rows = inputs.toDF("url")
+      .withColumn("kernel", expr("url_canon(url)"))
+      .withColumn("composed", expr(
+        graft.operators.TextAnalysis.t14CanonSql("url", spark = true)))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"kernel '${r.getString(1)}' != composed '${r.getString(2)}' " +
+          s"for input '${r.getString(0)}'")
+    }
+    assert(rows.length == inputs.length)
+  }
 }

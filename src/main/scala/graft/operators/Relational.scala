@@ -609,6 +609,63 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** q48 outlier cut: 3 · 1.4826 (the normal-consistency constant
+    * that makes MAD estimate σ) in 1e4 fixed-point — the flag test
+    * `dev · 10000 > mad · 44478` is pure integer arithmetic, so the
+    * robust z-score never touches a float in either engine. */
+  val Q48Cut = 44478L
+
+  /** q48: per-group ROBUST outlier audit — median + MAD instead of
+    * mean + stddev (one fat-fingered price corrupts both classical
+    * moments; the median/MAD pair has breakdown point ½, the standard
+    * data-quality screen). All arithmetic exact: the nearest-rank
+    * median and the MAD ride q39's integer rank rule
+    * (rank = (50·n+99) div 100 over the value histogram), deviations
+    * are |cents − med|, and the 3σ-equivalent cut is the
+    * [[Q48Cut]] fixed-point comparison. Plan: one histogram shuffle
+    * for the median, one deviation-histogram shuffle (raw scan joined
+    * to the group-cardinality broadcast median), then the MAD rank
+    * and the outlier count both read the SAME checkpointed deviation
+    * histogram — two corpus scans, two keyed shuffles, everything
+    * else group-cardinality. Output per group: n, median, MAD,
+    * outlier count, max deviation. */
+  def q48RobustOutliers(s: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
+    val wOrd = Window.partitionBy("l_returnflag").orderBy("cents")
+    val wAll = Window.partitionBy("l_returnflag")
+    def medianOf(hist: DataFrame, v: String): DataFrame = {
+      val ranked = hist
+        .withColumn("cum", sum("cnt").over(
+          Window.partitionBy("l_returnflag").orderBy(v)))
+        .withColumn("n", sum("cnt").over(wAll))
+      ranked.groupBy("l_returnflag")
+        .agg(max(when(col("cum") - col("cnt") < expr("(50 * n + 99) div 100")
+          && expr("(50 * n + 99) div 100") <= col("cum"), col(v)))
+          .as("m"))
+    }
+    val med = medianOf(
+      raw.groupBy("l_returnflag", "cents").agg(count(lit(1)).as("cnt")),
+      "cents").withColumnRenamed("m", "med_cents")
+    val devHist = raw.join(broadcast(med), Seq("l_returnflag"))
+      .withColumn("dev", abs(col("cents") - col("med_cents")))
+      .groupBy("l_returnflag", "dev").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // feeds the MAD rank AND the outlier count
+    val mad = medianOf(devHist, "dev").withColumnRenamed("m", "mad_cents")
+    devHist
+      .join(broadcast(mad), Seq("l_returnflag"))
+      .join(broadcast(med), Seq("l_returnflag"))
+      .groupBy("l_returnflag")
+      .agg(sum("cnt").as("n"),
+        max("med_cents").as("med_cents"),
+        max("mad_cents").as("mad_cents"),
+        sum(when(col("dev") * 10000L > col("mad_cents") * Q48Cut,
+          col("cnt")).otherwise(0L)).as("n_outliers"),
+        max("dev").as("max_dev"))
+      .orderBy("l_returnflag")
+  }
+
   /** q40 register count: m = 2^p registers (p = 6 → 64). Standard HLL
     * error ≈ 1.04/sqrt(m) ≈ 13% at 64 — matched to [[KmvK]] so the two
     * sketch families are compared at equal accuracy budgets. */
@@ -1348,6 +1405,45 @@ object Relational {
     // nearest-rank pick spelled via row_number over raw rows — same
     // integer rank definition as the Spark histogram plan, different
     // plumbing (and no float index math; see the operator doc)
+    // the same q39 integer rank rule for median and MAD; the outlier
+    // cut is the fixed-point integer comparison — no float anywhere
+    "q48_robust_outliers" ->
+      s"""WITH t AS (
+         |  SELECT l_returnflag,
+         |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+         |  FROM lineitem),
+         |tr AS (
+         |  SELECT l_returnflag, cents, row_number() OVER (
+         |      PARTITION BY l_returnflag ORDER BY cents) AS rnk,
+         |    count(*) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM t),
+         |med AS (
+         |  SELECT l_returnflag,
+         |    max(CASE WHEN rnk = (50 * n + 99) // 100 THEN cents END)
+         |      AS med_cents
+         |  FROM tr GROUP BY l_returnflag),
+         |d AS (
+         |  SELECT t.l_returnflag, abs(t.cents - m.med_cents) AS dev
+         |  FROM t JOIN med m USING (l_returnflag)),
+         |dr AS (
+         |  SELECT l_returnflag, dev, row_number() OVER (
+         |      PARTITION BY l_returnflag ORDER BY dev) AS rnk,
+         |    count(*) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM d),
+         |mad AS (
+         |  SELECT l_returnflag,
+         |    max(CASE WHEN rnk = (50 * n + 99) // 100 THEN dev END)
+         |      AS mad_cents
+         |  FROM dr GROUP BY l_returnflag)
+         |SELECT d.l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         |  max(m.med_cents) AS med_cents,
+         |  max(x.mad_cents) AS mad_cents,
+         |  CAST(sum(CASE WHEN d.dev * 10000 > x.mad_cents * $Q48Cut
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         |  max(d.dev) AS max_dev
+         |FROM d JOIN mad x USING (l_returnflag)
+         |       JOIN med m USING (l_returnflag)
+         |GROUP BY d.l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q39_tail_quantiles" ->
       """WITH t AS (
         |  SELECT l_returnflag,
@@ -1583,6 +1679,7 @@ object Relational {
     "q32_funnel" -> q32Funnel,
     "q33_quantiles" -> q33Quantiles,
     "q39_tail_quantiles" -> q39TailQuantiles,
+    "q48_robust_outliers" -> q48RobustOutliers,
     "q34_retention_cohorts" -> q34RetentionCohorts,
     "q35_cms_topk" -> q35CmsTopk,
     "q37_cooccur" -> q37Cooccur,

@@ -582,4 +582,35 @@ class RelationalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q48 robust outliers match a driver-side median/MAD replay; " +
+      "the integer cut equals the float definition on this corpus") {
+    import org.apache.spark.sql.functions._
+    val got = graft.operators.Relational.q48RobustOutliers(s, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("med_cents"),
+          r.getAs[Long]("mad_cents"), r.getAs[Long]("n_outliers"),
+          r.getAs[Long]("max_dev"))).toMap
+    val rows = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def medNR(xs: Seq[Long]): Long = {
+      val srt = xs.sorted
+      srt(((50L * srt.size + 99) / 100 - 1).toInt) // 1-indexed rank
+    }
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val cents = grp.map(_._2).toSeq
+      val med = medNR(cents)
+      val devs = cents.map(c => math.abs(c - med))
+      val mad = medNR(devs)
+      val nOut = devs.count(d => d * 10000L > mad * Relational.Q48Cut)
+      assert(got(g) == ((cents.size.toLong, med, mad, nOut.toLong,
+        devs.max)), s"group $g mismatch vs driver replay")
+      // the fixed-point cut agrees with the float 3*1.4826 rule here
+      val nOutF = devs.count(d => d.toDouble > 3.0 * 1.4826 * mad)
+      assert(nOut == nOutF,
+        s"group $g: integer cut diverged from the float definition")
+    }
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AsOf, Bpe, Bucketed, Curation, Dedup, Geo, Graph, Multimodal, Partitioned, Linkage, Relational, Similarity, Skew, TextAnalysis, Zorder}
+import graft.operators.{AsOf, Bpe, Bucketed, Classifier, Curation, Dedup, Geo, Graph, Multimodal, Partitioned, Linkage, Relational, Similarity, Skew, TextAnalysis, Zorder}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -26,7 +26,8 @@ object SparkEntry {
       TextAnalysis.queries ++ Multimodal.queries ++ Streams.queries ++
       AsOf.queries ++ Bucketed.queries ++ Geo.queries ++ Skew.queries ++
       Curation.queries ++ Partitioned.queries ++ Bpe.queries ++
-      Graph.queries ++ Zorder.queries ++ Linkage.queries
+      Graph.queries ++ Zorder.queries ++ Linkage.queries ++
+      Classifier.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. s3_ann_ivf's SQL is GENERATED at dump
@@ -51,5 +52,5 @@ object SparkEntry {
       TextAnalysis.oracle ++ Streams.oracle ++ AsOf.oracle ++
       Multimodal.oracle ++ Bucketed.oracle ++ Geo.oracle ++ Skew.oracle ++
       Curation.oracle ++ Partitioned.oracle ++ Graph.oracle ++ Zorder.oracle ++
-      Linkage.oracle
+      Linkage.oracle ++ Classifier.oracle
 }

@@ -795,7 +795,14 @@ object Curation {
     * the same history directly from `customer` — end state
     * hash-verified at all three SFs, in exact integers and date
     * strings. */
-  def c17Scd2(s: SparkSession, dir: String): DataFrame = {
+  def c17Scd2(s: SparkSession, dir: String): DataFrame =
+    c17History(s, dir).orderBy("c_custkey", "valid_from")
+
+  /** The maintained SCD2 history (staging + batch merge applied),
+    * WITHOUT c17's presentation sort — the join input [[c21PitLookup]]
+    * reads (a point-in-time join must not pay a global order-by on
+    * its build side). */
+  private[graft] def c17History(s: SparkSession, dir: String): DataFrame = {
     val t = graft.sources.Sources.ensureStagedPartitioned(
       s, c17Table(s, dir), "pt",
       c17Base(s, dir)
@@ -828,7 +835,56 @@ object Curation {
         col("c_custkey"), col("c_mktsegment"), col("bal_cents"),
         col("valid_from"), col("valid_to"),
         (col("valid_to") === C17HighDate).as("is_current"))
-      .orderBy("c_custkey", "valid_from")
+  }
+
+  /** c21: POINT-IN-TIME dimension lookup against the maintained SCD2
+    * history — the join every feature store and Kimball warehouse
+    * runs ("which version of the customer was current when this
+    * order happened?"), and the leakage trap it exists to prevent:
+    * joining facts to the CURRENT dimension row backfills future
+    * attribute values into past training examples (c8 guards split
+    * leakage; c21 guards temporal leakage).
+    *
+    * The fact side needs an event date straddling the history's
+    * version boundary; orders' own dates predate the SCD2 epoch, so
+    * both engines DERIVE the same deterministic lookup date
+    * `date_add('{C17Date0}', o_orderkey % 365)` (the t14
+    * derived-input discipline) — spanning 2024-01-01..2024-12-30
+    * across the 2024-06-01 change date, so BOTH versions of every
+    * changed member take hits. Dates ride as ISO-8601 STRINGS and the
+    * validity predicate `valid_from <= d AND d < valid_to` is
+    * lexicographic — identical semantics in both engines, no
+    * timestamp parsing in the join.
+    *
+    * Scale shape: an EQUI-join on the business key with the validity
+    * interval as a residual filter — never a range-only join (a
+    * range-only condition degenerates to BroadcastNestedLoop; on the
+    * key it's a plain hash/sort-merge shuffle, and each key carries
+    * ≤ version-count rows, here ≤ 2, so the residual scans O(1) rows
+    * per probe). No broadcast hint: a 100 TB dimension history
+    * shuffles; AQE may still elect broadcast at gate scale. The
+    * output is the version-assignment AUDIT (per segment × version:
+    * order count, balance-cents sum, custkey sum — each order-free
+    * integer sums sensitive to any misassigned row), not the
+    * order-grain payload, so the gate artifact stays
+    * segment×version-sized at any SF. Oracle derives the identical
+    * history (c17's CTE) + the same derived dates and aggregates.
+    * Exactly-one-version-per-order is spec-asserted (CurationSpec),
+    * as is the both-versions-hit property. */
+  def c21PitLookup(s: SparkSession, dir: String): DataFrame = {
+    val hist = c17History(s, dir)
+    val facts = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      date_add(to_date(lit(C17Date0)),
+        (col("o_orderkey") % 365).cast("int")).cast("string").as("d"))
+    facts.join(hist,
+        facts("o_custkey") === hist("c_custkey") &&
+          hist("valid_from") <= col("d") && col("d") < hist("valid_to"))
+      .groupBy(col("c_mktsegment"), col("valid_from"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("bal_cents")).as("sum_bal_cents"),
+        sum(col("o_custkey")).as("sum_custkey"))
+      .orderBy("c_mktsegment", "valid_from")
   }
 
   /** The mktsegment domain [[c18Expectations]] validates against
@@ -1091,6 +1147,39 @@ object Curation {
          |  UNION ALL SELECT 'events', 'event_id_unique', checked, violations
          |    FROM ev
          |) ORDER BY tbl, constraint_name""".stripMargin,
+    // point-in-time correctness: the maintained history joined at the
+    // derived event dates must equal the directly-derived history
+    // joined the same way — misassigning ANY order to the wrong
+    // version shifts the integer sums
+    "c21_pit_lookup" ->
+      s"""WITH hist AS (
+         |  SELECT c_custkey, c_mktsegment,
+         |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents,
+         |    '$C17Date0' AS valid_from, '$C17HighDate' AS valid_to
+         |  FROM customer WHERE c_custkey % $C17ChangeMod <> 0
+         |  UNION ALL
+         |  SELECT c_custkey, c_mktsegment,
+         |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT),
+         |    '$C17Date0', '$C17Date1'
+         |  FROM customer WHERE c_custkey % $C17ChangeMod = 0
+         |  UNION ALL
+         |  SELECT c_custkey, c_mktsegment,
+         |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) + $C17DeltaCents,
+         |    '$C17Date1', '$C17HighDate'
+         |  FROM customer WHERE c_custkey % $C17ChangeMod = 0),
+         |facts AS (
+         |  SELECT o_orderkey, o_custkey,
+         |    CAST(DATE '$C17Date0'
+         |      + CAST(o_orderkey % 365 AS INTEGER) AS VARCHAR) AS d
+         |  FROM orders)
+         |SELECT c_mktsegment, valid_from,
+         |  CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents,
+         |  CAST(sum(o_custkey) AS BIGINT) AS sum_custkey
+         |FROM facts JOIN hist ON o_custkey = c_custkey
+         |  AND valid_from <= d AND d < valid_to
+         |GROUP BY c_mktsegment, valid_from
+         |ORDER BY c_mktsegment, valid_from""".stripMargin,
     // the maintained history must equal the directly-derived SCD2
     // history of the two batches — exact integers and date strings
     "c17_scd2" ->
@@ -1434,6 +1523,7 @@ object Curation {
     "c15_forget_keys" -> c15ForgetKeys,
     "c16_compact_shards" -> c16CompactShards,
     "c17_scd2" -> c17Scd2,
+    "c21_pit_lookup" -> c21PitLookup,
     "c18_expectations" -> c18Expectations,
     "c20_incremental_mv" -> c20IncrementalMv,
   )

@@ -697,4 +697,49 @@ class CurationSpec extends AnyFunSuite {
     assert(custScans == 2,
       s"constraint fusion lost: $custScans customer scans, expected 2")
   }
+
+  test("c21 point-in-time lookup matches a driver replay, resolves every " +
+      "order exactly once, hits both versions, and plans as an equi-join") {
+    import org.apache.spark.sql.functions._
+    val out = Curation.c21PitLookup(s, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // driver replay: derive the history + lookup dates independently
+    val cust = graft.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") * 100.0 + 0.5).cast("long").as("cents"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    val orders = graft.Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val epoch = java.time.LocalDate.parse(Curation.C17Date0)
+    val resolved = orders.map { case (ok, ck) =>
+      val d = epoch.plusDays(ok % 365).toString
+      val (seg, cents) = cust(ck)
+      val changed = ck % Curation.C17ChangeMod == 0
+      // the version valid at d: changed keys flip at C17Date1
+      val (from, bal) =
+        if (changed && d >= Curation.C17Date1)
+          (Curation.C17Date1, cents + Curation.C17DeltaCents)
+        else (Curation.C17Date0, cents)
+      (seg, from, bal, ck)
+    }
+    assert(resolved.length == orders.length,
+      "every order resolves to exactly one version")
+    val expected = resolved.groupBy(t => (t._1, t._2)).map { case (k, g) =>
+      k -> ((g.length.toLong, g.map(_._3).sum, g.map(_._4).sum))
+    }
+    assert(out == expected)
+    // the corpus exercises BOTH versions of changed members
+    assert(out.keys.exists(_._2 == Curation.C17Date0) &&
+      out.keys.exists(_._2 == Curation.C17Date1),
+      "both validity periods must take hits")
+    // scale guard: the validity interval must be a residual on an
+    // EQUI-join (a range-only join degenerates to nested-loop)
+    val plan = Curation.c21PitLookup(s, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "point-in-time join must key on the business key")
+  }
 }

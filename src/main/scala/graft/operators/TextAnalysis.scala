@@ -1086,6 +1086,71 @@ object TextAnalysis {
       .orderBy("canon")
   }
 
+  // ----------------------------------------------------------------- t16
+
+  /** Keywords kept per document. */
+  val T16TopK = 3
+
+  /** The integer-micro-unit IDF, spelled ONCE and parsed by both
+    * engines (the s4 discipline): `ln(n_docs/df)` is the only
+    * transcendental, rounded to 6 decimals AT BIRTH, then scaled to
+    * micro-units via `floor(x*1e6 + 0.5)` (the c17 cents pattern —
+    * `CAST(double AS BIGINT)` truncates in Spark but ROUNDS in
+    * DuckDB, so the half-up floor is the one spelling both engines
+    * agree on). Every literal is CAST to DOUBLE: a bare literal
+    * parses DECIMAL in Spark but DOUBLE in DuckDB. */
+  private def t16IdfMicroSql: String =
+    "CAST(floor(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)" +
+      " * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+
+  /** t16: per-document KEYWORD extraction by corpus TF-IDF — the
+    * labeling pass a curation stack runs to route documents (topic
+    * work lists, per-domain mixtures, dataset-card "about" fields).
+    * The LEXICAL dual of s4: BM25 scores a FIXED query against every
+    * doc (so it filters to the query's postings and never builds the
+    * vocabulary), while keyword extraction has NO query — the corpus
+    * vocabulary IS the working set, so the tf⋈df join is a KEYED
+    * shuffle on the word, deliberately not a broadcast (a 100 TB
+    * crawl's vocabulary is billions of terms; s4's broadcast-df
+    * shortcut is exactly what does NOT survive here).
+    *
+    * Score: `tf · idf_micro` with [[t16IdfMicroSql]]'s integer
+    * micro-unit IDF — everything after the one rounded `ln` is
+    * order-free Long arithmetic, bit-identical across engines and
+    * partitionings. Stopwords excluded (df-head words carry no
+    * signal; the q20 list). Top-[[T16TopK]] per doc by
+    * (score DESC, word ASC) — a deterministic total order — via
+    * row_number, which plans as WindowGroupLimit: the rank cut
+    * happens map-side before the window shuffle moves data.
+    *
+    * Scale shape: tf = one keyed shuffle on (doc_id, word) with
+    * map-side partials; df = one keyed shuffle on word over the
+    * ALREADY-COLLAPSED tf frame (bounded by per-doc distinct terms,
+    * not token instances); the scalar n_docs rides a 1-row
+    * broadcast; the per-doc window shuffles on doc_id once. Four
+    * keyed exchanges, all linear in the collapsed frames — no
+    * corpus-sized sort, no vocabulary broadcast. */
+  def t16Keywords(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tf = docs
+      .select(col("doc_id"),
+        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
+      .filter(!col("word").isin(Relational.stopwords: _*))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_micro").desc, col("word"))
+    tf.join(dfT, "word")
+      .crossJoin(broadcast(nd))
+      .withColumn("score_micro", col("tf") * expr(t16IdfMicroSql))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= T16TopK)
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        col("score_micro"), col("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Stop-word IN-list shared by the t2 and c1 oracles. */
@@ -1346,6 +1411,33 @@ object TextAnalysis {
          |  CAST(length(substr(norm, CAST(chunk_off AS INTEGER) + 1,
          |    $T9ChunkChars)) AS INTEGER) AS chunk_len
          |FROM off_t ORDER BY doc_id, chunk_idx""".stripMargin,
+    // the same one-line IDF spelling Spark parses, so the only
+    // transcendental rounds identically; all else is BIGINT math
+    "t16_keywords" ->
+      s"""WITH tfq AS (
+         |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id,
+         |      unnest(list_filter(string_split(text, ' '),
+         |        x -> x <> '')) AS word
+         |    FROM documents)
+         |  WHERE word NOT IN ($sqlStopList)
+         |  GROUP BY doc_id, word),
+         |dfq AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS df
+         |  FROM tfq GROUP BY word),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |sc AS (
+         |  SELECT doc_id, word, tf, df,
+         |    tf * ${t16IdfMicroSql} AS score_micro
+         |  FROM tfq JOIN dfq USING (word), nd),
+         |rkd AS (
+         |  SELECT *, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY score_micro DESC, word) AS rk
+         |  FROM sc)
+         |SELECT doc_id, word, tf, df, score_micro,
+         |  CAST(rk AS INTEGER) AS rk
+         |FROM rkd WHERE rk <= $T16TopK
+         |ORDER BY doc_id, rk""".stripMargin,
     "t1_lang_id" -> {
       s"""$sqlToksCte
          |SELECT doc_id,
@@ -1486,6 +1578,7 @@ object TextAnalysis {
     "t12_gopher_rules" -> t12GopherRules,
     "t13_normalize" -> t13Normalize,
     "t14_url_canonicalize" -> t14UrlCanonicalize,
+    "t16_keywords" -> t16Keywords,
     "d13_url_dedup" -> d13UrlDedup,
   )
 }

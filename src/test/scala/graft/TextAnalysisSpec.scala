@@ -628,4 +628,39 @@ class TextAnalysisSpec extends AnyFunSuite {
         g.getAs[Long]("keeper_variant") == mk % 2)
     }
   }
+
+  test("t16 keywords match a driver TF-IDF replay; stopwords excluded; " +
+      "the rank cut plans as WindowGroupLimit") {
+    import org.apache.spark.sql.functions._
+    val q = TextAnalysis.t16Keywords(s, dir)
+    val out = q.collect().map(r => (r.getLong(0), r.getInt(5)) ->
+      ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // driver replay over the raw corpus
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val stop = graft.operators.Relational.stopwords.toSet
+    val tf = docs.flatMap { case (id, t) =>
+      t.split(" ").filter(w => w.nonEmpty && !stop(w)).map(w => (id, w))
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val df = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = docs.length.toLong
+    def idfMicro(d: Long): Long = {
+      val r = BigDecimal(math.log(n.toDouble / d.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.floor(r * 1000000.0 + 0.5).toLong
+    }
+    val expected = tf.toSeq
+      .map { case ((id, w), f) => (id, w, f, df(w), f * idfMicro(df(w))) }
+      .groupBy(_._1).flatMap { case (id, rows) =>
+        rows.sortBy(t => (-t._5, t._2)).take(TextAnalysis.T16TopK)
+          .zipWithIndex.map { case ((_, w, f, d, sc), i) =>
+            (id, i + 1) -> ((w, f, d, sc)) }
+      }
+    assert(out == expected)
+    assert(out.values.forall(v => !stop(v._1)), "no stopword keyword")
+    // scale shape: the per-doc rank cut must prune map-side
+    assert(q.queryExecution.executedPlan.toString
+      .contains("WindowGroupLimit"))
+  }
 }

@@ -887,6 +887,68 @@ object Curation {
       .orderBy("c_mktsegment", "valid_from")
   }
 
+  /** c22 keep fraction: top 1/[[C22KeepDen]] of each source. */
+  val C22KeepDen = 4
+
+  /** The t2 score in integer MICRO-UNITS — `floor(score·1e6 + 0.5)`
+    * (the c17 cents pattern: `CAST(double AS BIGINT)` truncates in
+    * Spark but rounds in DuckDB; the half-up floor is the one agreed
+    * spelling). The score doubles themselves are bit-identical across
+    * engines (the c1 gate proves the shared spelling), so the scaled
+    * integers are too. */
+  private def c22ScoreUnitsSql(score: String): String =
+    s"CAST(floor(($score) * CAST(1000000.0 AS DOUBLE) " +
+      s"+ CAST(0.5 AS DOUBLE)) AS BIGINT)"
+
+  /** c22: per-source RELATIVE quality cut — "keep each source's top
+    * quarter by quality score", the FineWeb/RefinedWeb per-dump
+    * practice and the third quality-gating mode beside c1's ABSOLUTE
+    * floor (score ≥ 0.3 — drifts with the score distribution: a
+    * strict floor empties a low-scoring-but-valuable domain) and
+    * c3's COUNT cap (top-N — ignores quality mass entirely). A
+    * relative cut adapts to each source's own distribution, which is
+    * what survives distribution shift across crawls/domains.
+    *
+    * Threshold: the k-th largest score per source, k = ceil(n/4) in
+    * exact integer arithmetic (`(n + 3) div 4`), nearest-rank — q33's
+    * histogram discipline, NEVER a per-source sort of raw docs: the
+    * rank is found on the (source, score_u) HISTOGRAM, whose window
+    * input is bounded by DISTINCT score values per source, not docs.
+    * thr_u = max score_u with cum_ge ≥ k (cum_ge = docs at-or-above
+    * the bin, a from-the-top running sum); keep score_u ≥ thr_u —
+    * ties at the threshold all kept (nearest-rank semantics: ≥ k
+    * docs survive, deterministic without an intra-tie ordering).
+    *
+    * Scale shape: one corpus scan → score projection (scan-local
+    * kernels), one keyed shuffle to the histogram (map-side
+    * partials), the cumulative window over the COLLAPSED histogram,
+    * and a per-source threshold frame joined back — source-count
+    * sized, no broadcast hint needed (AQE elects one at gate scale;
+    * a million-source crawl's frame still fits, but the plan does
+    * not depend on it). Everything after the (hash-proven) score
+    * doubles is exact Long arithmetic. */
+  def c22QuantileFilter(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = Tables.documents(s, dir).select("doc_id", "source")
+      .join(TextAnalysis.t2QualityScore(s, dir).select("doc_id", "score"),
+        "doc_id")
+      .withColumn("score_u", expr(c22ScoreUnitsSql("score")))
+      .select("doc_id", "source", "score_u")
+    val hist = q.groupBy("source", "score_u").agg(count(lit(1)).as("c"))
+    val tot = q.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val w = Window.partitionBy("source").orderBy(col("score_u").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = hist.withColumn("cum_ge", sum("c").over(w))
+      .join(tot, "source")
+      .filter(col("cum_ge") >=
+        expr(s"(n_src + ${C22KeepDen - 1}) div $C22KeepDen"))
+      .groupBy("source").agg(max("score_u").as("thr_u"))
+    q.join(thr, "source")
+      .filter(col("score_u") >= col("thr_u"))
+      .select("doc_id", "source", "score_u", "thr_u")
+      .orderBy("doc_id")
+  }
+
   /** The mktsegment domain [[c18Expectations]] validates against
     * (shared with the oracle). */
   val C18Segments: Seq[String] =
@@ -1487,6 +1549,38 @@ object Curation {
          |  CAST(count(*) FILTER (score < $QualityMin) AS BIGINT)
          |    AS n_low_quality
          |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    // the same score spelling as c1/t2, scaled to micro-units by the
+    // shared half-up floor; ranks found on the histogram, as in Spark
+    "c22_quantile_filter" ->
+      s"""WITH norm_t AS (
+         |  SELECT doc_id, source, ${TextOps.sqlNormText} AS norm
+         |  FROM documents),
+         |tok_t AS (SELECT *, ${TextOps.sqlToks} AS toks FROM norm_t),
+         |m AS (SELECT doc_id, source,
+         |    CAST(len(toks) AS INTEGER) AS n_tok,
+         |    CAST(len(list_filter(toks,
+         |      t -> t IN (${TextAnalysis.sqlStopList}))) AS BIGINT) AS n_stop
+         |  FROM tok_t),
+         |q AS (SELECT doc_id, source,
+         |    ${c22ScoreUnitsSql(TextAnalysis.sqlScore("n_stop", "n_tok"))}
+         |      AS score_u
+         |  FROM m),
+         |hist AS (SELECT source, score_u, CAST(count(*) AS BIGINT) AS c
+         |  FROM q GROUP BY source, score_u),
+         |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+         |  FROM q GROUP BY source),
+         |thr AS (
+         |  SELECT source, max(score_u) AS thr_u
+         |  FROM (SELECT source, score_u,
+         |      sum(c) OVER (PARTITION BY source ORDER BY score_u DESC
+         |        ROWS UNBOUNDED PRECEDING) AS cum_ge
+         |    FROM hist) JOIN tot USING (source)
+         |  WHERE cum_ge >= (n_src + ${C22KeepDen - 1}) // $C22KeepDen
+         |  GROUP BY source)
+         |SELECT doc_id, source, score_u, thr_u
+         |FROM q JOIN thr USING (source)
+         |WHERE score_u >= thr_u
+         |ORDER BY doc_id""".stripMargin,
     "c1_curation_pipeline" ->
       s"""${Dedup.sqlConfirmedCtes},
          |m AS (SELECT doc_id, lang,
@@ -1524,6 +1618,7 @@ object Curation {
     "c16_compact_shards" -> c16CompactShards,
     "c17_scd2" -> c17Scd2,
     "c21_pit_lookup" -> c21PitLookup,
+    "c22_quantile_filter" -> c22QuantileFilter,
     "c18_expectations" -> c18Expectations,
     "c20_incremental_mv" -> c20IncrementalMv,
   )

@@ -742,4 +742,37 @@ class CurationSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       "point-in-time join must key on the business key")
   }
+
+  test("c22 per-source quantile cut matches a driver nearest-rank " +
+      "replay; every source keeps >= ceil(n/4); ties kept whole") {
+    import org.apache.spark.sql.functions._
+    val out = Curation.c22QuantileFilter(s, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // independent reference: integer micro-unit scores from the gated
+    // t2 frame, per-source sort, k-th largest as threshold
+    val scored = graft.Tables.documents(s, dir).select("doc_id", "source")
+      .join(TextAnalysis.t2QualityScore(s, dir).select("doc_id", "score"),
+        "doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        math.floor(r.getDouble(2) * 1000000.0 + 0.5).toLong))
+    val expected = scored.groupBy(_._2).flatMap { case (src, rows) =>
+      val k = (rows.length + Curation.C22KeepDen - 1) / Curation.C22KeepDen
+      val thr = rows.map(_._3).sorted(Ordering[Long].reverse).apply(k - 1)
+      rows.filter(_._3 >= thr).map(t => (t._1, src, t._3, thr)).toSeq
+    }.toSet
+    assert(out.toSet == expected)
+    // nearest-rank floor: each source keeps at least k docs
+    val bySrc = out.groupBy(_._2)
+    scored.groupBy(_._2).foreach { case (src, rows) =>
+      val k = (rows.length + Curation.C22KeepDen - 1) / Curation.C22KeepDen
+      assert(bySrc(src).length >= k, s"$src keeps < ceil(n/4)")
+    }
+    // the tie semantics must actually bite somewhere, or the >= filter
+    // is untested: at least one source keeps MORE than k
+    assert(scored.groupBy(_._2).exists { case (src, rows) =>
+      bySrc(src).length >
+        (rows.length + Curation.C22KeepDen - 1) / Curation.C22KeepDen
+    }, "no source exercises threshold ties")
+  }
 }

@@ -360,6 +360,60 @@ object Streams {
   def st8Query(s: SparkSession, dir: String): DataFrame =
     funnelBatch(Tables.events(s, dir)).orderBy("user_id")
 
+  // ------------------------------------------------------------- st12
+
+  /** One event of the st12 enrichment feed: `d` is the ISO lookup
+    * date, derived deterministically from the id (the c21 discipline —
+    * the corpus's real timestamps predate the SCD2 epoch). */
+  case class PitEvt(event_id: Long, user_id: Long, d: String)
+
+  /** st12 (streaming spelling): STREAM-STATIC point-in-time
+    * enrichment — the online face of c21's batch lookup, and the ONE
+    * Structured Streaming join mode the family didn't yet exercise
+    * (st5 is stream-stream interval; st6 is a broadcast-artifact
+    * probe): each arriving event joins the STATIC SCD2 history on the
+    * business key, with the validity interval as a residual — the
+    * online feature-store read, leakage-free because the version is
+    * picked by the event's own date, never "current".
+    *
+    * STATELESS BY CONSTRUCTION: a stream-static inner join keeps no
+    * state store (the static side is re-read per micro-batch; no
+    * watermark, no buffering — the spec asserts `stateOperators` is
+    * empty), so micro-batch boundaries are provably irrelevant: each
+    * event's output row depends on that event alone. Append-mode,
+    * O(1) per event, unbounded-stream safe.
+    *
+    * Scale shape: the static side is the partitioned SCD2 lake table;
+    * Spark plans the per-batch join as a broadcast when the history
+    * fits and a shuffle otherwise — same contract as c21. */
+  def pitEnrichStream(events: Dataset[PitEvt], hist: DataFrame): DataFrame =
+    events.toDF().join(hist,
+        col("user_id") === col("c_custkey") &&
+          col("valid_from") <= col("d") && col("d") < col("valid_to"))
+      .select(col("event_id"), col("user_id"), col("d"),
+        col("c_mktsegment"), col("bal_cents"), col("valid_from"))
+
+  /** st12 gate entry (batch formulation — identical DataFrame logic
+    * over the batch events table; the spec proves the MemoryStream
+    * spelling emits the same rows): events enriched with the customer
+    * version current at their derived date, folded to the
+    * segment×version audit (the c21 shape: count + two order-free
+    * integer sums, each sensitive to any misassigned event). */
+  def st12Query(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"),
+      date_add(to_date(lit(graft.operators.Curation.C17Date0)),
+        (col("event_id") % 365).cast("int")).cast("string").as("d"))
+    import ev.sparkSession.implicits._
+    pitEnrichStream(ev.as[PitEvt],
+        graft.operators.Curation.c17History(s, dir))
+      .groupBy(col("c_mktsegment"), col("valid_from"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("bal_cents")).as("sum_bal_cents"),
+        sum(col("event_id")).as("sum_event_id"))
+      .orderBy("c_mktsegment", "valid_from")
+  }
+
   /** Durable stream→parquet sink: exactly-once via checkpointed file
     * sink; `Trigger.AvailableNow` drains whatever the source currently
     * has and stops, so scheduled micro-batch ingestion (the
@@ -718,6 +772,40 @@ object Streams {
         |      AS t_purchase
         |  FROM events GROUP BY user_id) f
         |ORDER BY user_id""".stripMargin,
+    // c21's derived history, probed by events at their derived dates —
+    // misassigning any event to the wrong version shifts the sums
+    "st12_stream_pit" -> {
+      import graft.operators.Curation.{C17Date0, C17Date1, C17HighDate,
+        C17ChangeMod, C17DeltaCents}
+      s"""WITH hist AS (
+         |  SELECT c_custkey, c_mktsegment,
+         |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents,
+         |    '$C17Date0' AS valid_from, '$C17HighDate' AS valid_to
+         |  FROM customer WHERE c_custkey % $C17ChangeMod <> 0
+         |  UNION ALL
+         |  SELECT c_custkey, c_mktsegment,
+         |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT),
+         |    '$C17Date0', '$C17Date1'
+         |  FROM customer WHERE c_custkey % $C17ChangeMod = 0
+         |  UNION ALL
+         |  SELECT c_custkey, c_mktsegment,
+         |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) + $C17DeltaCents,
+         |    '$C17Date1', '$C17HighDate'
+         |  FROM customer WHERE c_custkey % $C17ChangeMod = 0),
+         |ev AS (
+         |  SELECT event_id, user_id,
+         |    CAST(DATE '$C17Date0'
+         |      + CAST(event_id % 365 AS INTEGER) AS VARCHAR) AS d
+         |  FROM events)
+         |SELECT c_mktsegment, valid_from,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents,
+         |  CAST(sum(event_id) AS BIGINT) AS sum_event_id
+         |FROM ev JOIN hist ON user_id = c_custkey
+         |  AND valid_from <= d AND d < valid_to
+         |GROUP BY c_mktsegment, valid_from
+         |ORDER BY c_mktsegment, valid_from""".stripMargin
+    },
   )
 
   /** st9 (shared transform): HLL REGISTERS per (6h window, event type)
@@ -772,5 +860,6 @@ object Streams {
     "st6_stream_decontaminate" -> st6Query,
     "st7_stream_cap" -> st7Query,
     "st8_stream_funnel" -> st8Query,
+    "st12_stream_pit" -> st12Query,
   )
 }

@@ -574,4 +574,47 @@ class StreamsSpec extends AnyFunSuite {
     assert(fs.getFileStatus(shsets).getModificationTime == t0,
       "shsets artifact must be written once per corpus generation")
   }
+
+  test("st12: stream-static point-in-time enrichment is stateless, " +
+      "matches the batch join across micro-batch splits, and hits " +
+      "both dimension versions") {
+    val sess = s
+    import sess.implicits._
+    import org.apache.spark.sql.functions._
+    val hist = graft.operators.Curation.c17History(s, dir)
+    val epoch = java.time.LocalDate.parse(graft.operators.Curation.C17Date0)
+    val evts = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id")).limit(200).collect()
+      .map(r => Streams.PitEvt(r.getLong(0), r.getLong(1),
+        epoch.plusDays(r.getLong(0) % 365).toString))
+    val input = MemoryStream[Streams.PitEvt](s)
+    val q = Streams.pitEnrichStream(input.toDS(), hist)
+      .writeStream.format("memory").queryName("st12_out")
+      .outputMode("append").start()
+    try {
+      // split across three micro-batches: a stateless join's output
+      // must not depend on where the boundaries fall
+      val (a, rest) = evts.splitAt(70)
+      val (b, c) = rest.splitAt(70)
+      input.addData(a: _*); q.processAllAvailable()
+      input.addData(b: _*); q.processAllAvailable()
+      input.addData(c: _*); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getString(3), r.getLong(4), r.getString(5))
+      val got = s.table("st12_out").collect().map(key).toSet
+      val expected = Streams.pitEnrichStream(evts.toSeq.toDS(), hist)
+        .collect().map(key).toSet
+      assert(got == expected)
+      assert(got.size == evts.length,
+        "every event resolves to exactly one version")
+      // both validity periods genuinely hit
+      val froms = got.map(_._6)
+      assert(froms.contains(graft.operators.Curation.C17Date0) &&
+        froms.contains(graft.operators.Curation.C17Date1))
+      // stream-static joins keep NO state store
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "stream-static join must be stateless")
+    } finally q.stop()
+  }
 }

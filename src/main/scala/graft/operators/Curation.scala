@@ -929,9 +929,12 @@ object Curation {
     * doubles is exact Long arithmetic. */
   def c22QuantileFilter(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = Tables.documents(s, dir).select("doc_id", "source")
-      .join(TextAnalysis.t2QualityScore(s, dir).select("doc_id", "score"),
-        "doc_id")
+    graft.functions.GraftFunctions.register(s)
+    // score IN the corpus scan (t2's shared chain) — joining the t2
+    // frame back on doc_id would be a corpus self-join, two exchanges
+    // a scan-local projection never needs
+    val q = TextAnalysis.t2ScoreCols(
+        Tables.documents(s, dir).select("doc_id", "source", "text"))
       .withColumn("score_u", expr(c22ScoreUnitsSql("score")))
       .select("doc_id", "source", "score_u")
     val hist = q.groupBy("source", "score_u").agg(count(lit(1)).as("c"))

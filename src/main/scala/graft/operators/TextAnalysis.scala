@@ -62,8 +62,19 @@ object TextAnalysis {
     * model-based scoring. */
   def t2QualityScore(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    t2ScoreCols(Tables.documents(s, dir))
+      .select("doc_id", "n_tok", "avg_tok_len", "stop_ratio", "score")
+      .orderBy("doc_id")
+  }
+
+  /** The t2 scoring column chain appended to any frame carrying
+    * `text` — shared with c22, which scores IN ITS OWN corpus scan
+    * instead of joining the t2 frame back on doc_id (a corpus
+    * self-join, two exchanges a scan-local projection never needs).
+    * Caller must have registered GraftFunctions. */
+  private[operators] def t2ScoreCols(df: DataFrame): DataFrame = {
     val stopCsv = Relational.stopwords.mkString(",")
-    Tables.documents(s, dir)
+    df
       .withColumn("norm", TextOps.normText(col("text")))
       .withColumn("toks", expr(TextOps.toksExpr))
       .withColumn("n_tok", size(col("toks")))
@@ -78,8 +89,6 @@ object TextAnalysis {
       .withColumn("len_score",
         least(col("n_tok").cast("double") / 100.0, lit(1.0)))
       .withColumn("score", col("stop_ratio") * 0.5 + col("len_score") * 0.5)
-      .select("doc_id", "n_tok", "avg_tok_len", "stop_ratio", "score")
-      .orderBy("doc_id")
   }
 
   /** t3: token counting — whitespace tokens, regex word tokens, and a

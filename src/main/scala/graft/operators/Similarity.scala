@@ -863,6 +863,127 @@ object Similarity {
        |ORDER BY i.vec_id""".stripMargin
   }
 
+  // --------------------------------------------------- s11 index forget
+
+  /** Forget rule: index rows with vec_id % [[S11ForgetMod]] == 0 must
+    * be erased (both layers — base corpus AND admitted increment).
+    * 1/7 density guarantees baseline top-k lists contain forgotten
+    * ids, so the erasure property genuinely bites (spec-asserted). */
+  val S11ForgetMod = 7
+
+  private def s11Table(s: SparkSession, dir: String): String =
+    s"graft_ivf_fgt_${graft.Tables.fingerprint(s, dir, "embeddings")}"
+
+  /** s11: RIGHT-TO-BE-FORGOTTEN in the vector index — c15's erasure
+    * contract applied to the s8 lake-resident IVF index: a deletion
+    * request must physically remove the vectors (tombstones leak the
+    * embedding through any raw-file read; GDPR erasure means the
+    * bytes are gone), at a write cost ∝ TOUCHED CELL PARTITIONS, not
+    * the index (mergeIntoPartitioned rewrites only partitions
+    * containing forgotten rows — the same machinery, keyed by the
+    * IVF cell instead of a date). Queries over the erased index must
+    * never surface a forgotten id, with ranks re-closing over the
+    * survivors — which is exactly what the probed-cell read gives
+    * for free once the bytes are gone (no query-time filter to
+    * forget to apply: the FAISS-tombstone failure mode is
+    * structurally absent).
+    *
+    * The footprint (vec_id, cell) of forgotten rows comes from a
+    * column-pruned index read here (the c15 shape); a production
+    * deployment keeps an id→cell manifest (or recomputes cells
+    * scan-local from the frozen quantizer when requests carry
+    * vectors) to make footprint derivation request-sized. Forgotten
+    * ids may still arrive as QUERIES — erasure removes a vector from
+    * the index, not the requester's right to search (spec: forgotten
+    * query ids still answered, never self-matched).
+    *
+    * Gate: stage the combined base∪inc index as a cell-partitioned
+    * catalog table (pay-once), apply the forget merge (re-runs
+    * recompute an EMPTY footprint from the erased table — idempotent
+    * no-op, the c15 contract), then answer the standard s8 queries
+    * from the erased table's probed cells. Oracle: the s8 SQL with
+    * the forget rule excluded from the INDEX side only (queries
+    * unrestricted) — hash-green at 3 SFs with the trained centroids
+    * inlined. */
+  def s11AnnForget(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val idx = s8IndexPath(s, dir)
+    val t = graft.sources.Sources.ensureStagedPartitioned(
+      s, s11Table(s, dir), "cell",
+      s.read.parquet(s"$idx/base")
+        .unionByName(s.read.parquet(s"$idx/inc")))
+    val deleteKeys = s.table(t)
+      .filter(col("vec_id") % S11ForgetMod === 0)
+      .select("vec_id", "cell").distinct()
+    graft.sources.Sources.mergeIntoPartitioned(
+      s, t, "cell", "vec_id", s.table(t).limit(0), deleteKeys)
+    val cents = centroidsFor(s, dir).zipWithIndex.map { case (v, i) => (i, v) }
+    val probeExpr = expr(
+      s"transform(slice(reverse(array_sort(${centroidStructsArr(cents)}))," +
+        s" 1, $IvfProbes), x -> x.id)")
+    val q = Tables.embeddings(s, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(probeExpr).as("qc"))
+      .localCheckpoint(true) // query-sized; reused for cells + join
+    val probed = q.select("qc").distinct().collect().map(_.getInt(0))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    s.table(t)
+      .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+      .join(broadcast(q),
+        col("cell") === col("qc") && col("query_id") =!= col("vec_id"))
+      .withColumn("cos", VectorOps.cosine("qe", "embedding"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select("query_id", "rnk", "neighbor_id", "cos")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** DuckDB mirror of [[s11AnnForget]]: [[s8OracleSql]]'s derivation
+    * with the forget rule excluded from the INDEX side only — the
+    * query side stays unrestricted (erasure removes the vector, not
+    * the requester). */
+  private[graft] def s11OracleSql(cent: Array[Array[Float]]): String = {
+    def litVec(v: Array[Float]) =
+      v.map(x => s"CAST($x AS FLOAT)").mkString("[", ",", "]")
+    val vals = cent.zipWithIndex
+      .map { case (v, i) => s"($i, ${litVec(v)})" }.mkString(",\n    ")
+    s"""WITH cent(cid, cv) AS (VALUES
+       |    $vals),
+       |mx AS (SELECT max(vec_id) AS m FROM embeddings),
+       |eu AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT e.vec_id + mx.m + 1 AS vec_id, e.embedding
+       |  FROM embeddings e, mx WHERE e.vec_id % $S8Mod = 0),
+       |scored_cells AS (
+       |  SELECT u.vec_id, u.embedding, c.cid,
+       |    ${VectorOps.sqlCosine("embedding", "cv")} AS ccos
+       |  FROM eu u CROSS JOIN cent c),
+       |ranked_cells AS (
+       |  SELECT vec_id, embedding, cid, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY ccos DESC, cid DESC) AS crnk
+       |  FROM scored_cells),
+       |cells AS (
+       |  SELECT vec_id AS neighbor_id, embedding AS ce, cid AS cell
+       |  FROM ranked_cells
+       |  WHERE crnk = 1 AND vec_id % $S11ForgetMod <> 0),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, cid AS qc
+       |  FROM ranked_cells WHERE vec_id < $NumQueries AND crnk <= $IvfProbes),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${VectorOps.sqlCosine("qe", "ce")} AS cos
+       |  FROM qprobe JOIN cells ON cells.cell = qprobe.qc
+       |    AND cells.neighbor_id <> qprobe.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, cos
+       |FROM ranked WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** DuckDB mirror of [[s8AnnIncremental]]: the s3 oracle over the
     * UNION of `embeddings` and the SQL-derived increment shard (same
     * [[S8Mod]] rule, same re-keying past max id). Queries are the
@@ -1766,6 +1887,7 @@ object Similarity {
       ("s6_ann_pq" -> s6OracleSql(pq)) +
       ("s7_ann_ivfpq" -> s7OracleSql(cent, pq)) +
       ("s8_ann_incremental" -> s8OracleSql(cent)) +
+      ("s11_ann_forget" -> s11OracleSql(cent)) +
       ("d12_semdedup_incremental" -> d12OracleSql(cent))
   }
 
@@ -1786,6 +1908,7 @@ object Similarity {
         ("s6_ann_pq" -> s6OracleSql(p)) +
         ("s7_ann_ivfpq" -> s7OracleSql(c, p)) +
         ("s8_ann_incremental" -> s8OracleSql(c)) +
+        ("s11_ann_forget" -> s11OracleSql(c)) +
         ("d12_semdedup_incremental" -> d12OracleSql(c))
       case _ => throw new IllegalStateException(
         "s3/d10/s6/s7 oracle requested but no trained quantizer is " +
@@ -1878,6 +2001,7 @@ object Similarity {
     "s6_ann_pq" -> s6Pq, // oracle generated with inlined codebooks
     "s7_ann_ivfpq" -> s7IvfPq, // oracle generated with both models inlined
     "s8_ann_incremental" -> s8AnnIncremental, // oracle: centroids inlined
+    "s11_ann_forget" -> s11AnnForget, // oracle: centroids inlined
     "d12_semdedup_incremental" -> d12SemdedupIncremental, // generated oracle
   )
 }

@@ -631,4 +631,39 @@ class SimilaritySpec extends AnyFunSuite {
     val plan = Similarity.s6Pq(s, dir).queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin"), s"PQ join must broadcast:\n$plan")
   }
+
+  test("s11 erases forgotten vectors from the index: no forgotten " +
+      "neighbor, the rule bites vs s8, counts reconcile, re-run idempotent") {
+    import org.apache.spark.sql.functions._
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val base = rows(Similarity.s8AnnIncremental(s, dir))
+    val erased = rows(Similarity.s11AnnForget(s, dir))
+    def forgotten(id: Long) = id % Similarity.S11ForgetMod == 0
+    // the forget rule must actually bite: the un-erased index serves
+    // forgotten ids as neighbors somewhere in its top-k
+    assert(base.exists(t => forgotten(t._3)),
+      "baseline s8 top-k contains no forgotten id — the property is vacuous")
+    assert(erased.forall(t => !forgotten(t._3)),
+      "a forgotten id surfaced from the erased index")
+    // erasure removes the vector, not the requester: forgotten QUERY
+    // ids are still answered
+    assert(erased.exists(t => forgotten(t._1)),
+      "no forgotten query id answered — query side over-erased")
+    // ranks re-close: every query still gets a full top-k
+    assert(erased.groupBy(_._1).forall(_._2.length == Similarity.TopK))
+    // counts reconcile: erased table = base∪inc minus the rule
+    val idx = Similarity.s8IndexPath(s, dir)
+    val combined = s.read.parquet(s"$idx/base")
+      .unionByName(s.read.parquet(s"$idx/inc"))
+    val total = combined.count()
+    val fgt = combined.filter(col("vec_id") % Similarity.S11ForgetMod === 0)
+      .count()
+    val tbl = s.table(s"graft_ivf_fgt_" +
+      graft.Tables.fingerprint(s, dir, "embeddings"))
+    assert(tbl.count() == total - fgt && fgt > 0)
+    // re-run: the footprint recomputed from the erased table is empty,
+    // so the merge no-ops and the answer is unchanged
+    assert(rows(Similarity.s11AnnForget(s, dir)).toSeq == erased.toSeq)
+  }
 }

@@ -393,13 +393,113 @@ object Graph {
        |  SELECT item, n_triangles FROM per_item) t
        |ORDER BY item""".stripMargin
 
+  /** BFS horizon: hop distances beyond this are not materialized (a
+    * production reachability query always bounds its radius). 4 gives
+    * non-trivial level structure at every SF — the dense bipartite
+    * trade graph saturates at 2 hops at sf0.001 (every supplier
+    * serves the sources), grows a 4th level at sf0.01 and the full
+    * 0..4 ladder at sf0.1 (201 nodes first reached at the horizon). */
+  val BfsMaxHops = 4
+  /** BFS sources: customers with custkey < this (multi-source — the
+    * "blast radius of these accounts" shape). */
+  val BfsSources = 3
+
+  /** q49: multi-source BFS HOP DISTANCE over the trade graph — the
+    * REACHABILITY analytic beside q36's centrality and d8's
+    * components: "everything within k hops of these accounts" is the
+    * fraud blast-radius / recall-expansion query every link graph
+    * serves. The iterative shape is the FRONTIER pattern (monotone
+    * set growth + anti-join against the settled set), deliberately
+    * distinct from q36's value iteration (re-aggregate everything
+    * every round): work per round ∝ the FRONTIER's edges, not the
+    * graph, and a settled node never moves again — so BFS cost is
+    * output-bounded, the property that makes bounded-radius queries
+    * cheap at 100 TB.
+    *
+    * Nodes ride as fixed-width longs (q36's 2k/2k+1 encoding; labels
+    * minted only for the final output). Per round: one keyed join
+    * edges⋈frontier, a distinct on the (frontier-edge-bounded) next
+    * set, and a LEFT ANTI against settled — settled and frontier are
+    * eagerly localCheckpoint'ed (the connectedComponents lineage
+    * rule; the per-round audit is Explain's stage-segment machinery,
+    * not the lineage-blind plan dump). Frontier frames are
+    * node-sized; the anti-join's build side is the settled set —
+    * node-cardinality, the same budget q36's adaptive rank join
+    * manages. Oracle: the same levels UNROLLED as stacked CTEs
+    * (NOT IN the settled union — the c10/q36 discipline). Distances
+    * are small ints; hop membership is set equality, so the gate is
+    * hash-exact without any arithmetic discipline beyond determinism.
+    * Spec: driver-side BFS replay, level disjointness, minimality
+    * (every dist-h node has a dist-(h-1) neighbor), and the frontier
+    * plan's anti-join shape. */
+  def q49BfsHops(s: SparkSession, dir: String): DataFrame = {
+    val trade = graft.Tables.orders(s, dir)
+      .join(graft.Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey").cast("long") * 2).as("a"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("b"))
+      .distinct()
+    val edges = trade
+      .select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(trade.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var settled = graft.Tables.customer(s, dir)
+      .filter(col("c_custkey") < BfsSources)
+      .select((col("c_custkey").cast("long") * 2).as("node"))
+      .withColumn("dist", lit(0))
+      .localCheckpoint(true)
+    var frontier = settled.select("node")
+    for (h <- 1 to BfsMaxHops) {
+      val next = edges.join(frontier, col("src") === col("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(settled, Seq("node"), "left_anti")
+        .withColumn("dist", lit(h))
+        .localCheckpoint(true)
+      settled = settled.unionByName(next).localCheckpoint(true)
+      frontier = next.select("node")
+    }
+    settled
+      .select(when(col("node") % 2 === 0,
+          concat(lit("c"), expr("node div 2")))
+        .otherwise(concat(lit("s"), expr("(node - 1) div 2")))
+        .as("node"), col("dist"))
+      .orderBy("dist", "node")
+  }
+
+  /** The q49 oracle: identical levels unrolled as stacked CTEs. */
+  private[operators] def sqlBfsOracle: String = {
+    val levels = (1 to BfsMaxHops).map { h =>
+      s"""n$h AS (
+         |  SELECT DISTINCT e.dst AS node FROM edges e
+         |  JOIN d${h - 1} p ON e.src = p.node AND p.dist = ${h - 1}
+         |  WHERE e.dst NOT IN (SELECT node FROM d${h - 1})),
+         |d$h AS (
+         |  SELECT node, dist FROM d${h - 1}
+         |  UNION ALL SELECT node, $h AS dist FROM n$h)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH trade AS (
+       |  SELECT DISTINCT 'c' || o_custkey AS a, 's' || l_suppkey AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (
+       |  SELECT a AS src, b AS dst FROM trade
+       |  UNION ALL SELECT b AS src, a AS dst FROM trade),
+       |d0 AS (
+       |  SELECT 'c' || c_custkey AS node, 0 AS dist FROM customer
+       |  WHERE c_custkey < $BfsSources),
+       |$levels
+       |SELECT node, CAST(dist AS INTEGER) AS dist FROM d$BfsMaxHops
+       |ORDER BY dist, node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_pagerank" -> q36Pagerank,
     "q45_triangles" -> q45Triangles,
+    "q49_bfs_hops" -> q49BfsHops,
   )
 
   val oracle: Map[String, String] = Map(
     "q36_pagerank" -> sqlPagerankOracle,
     "q45_triangles" -> sqlTrianglesOracle,
+    "q49_bfs_hops" -> sqlBfsOracle,
   )
 }

@@ -181,4 +181,41 @@ class GraphSpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(gate(-1) > 0, "gate corpus has triangles")
   }
+
+  test("q49 BFS matches a driver replay: levels disjoint, minimal, and " +
+      "complete to the horizon") {
+    import org.apache.spark.sql.functions._
+    val out = Graph.q49BfsHops(s, dir).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    // driver BFS over the same edge construction
+    val trade = graft.Tables.orders(s, dir)
+      .join(graft.Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("a"),
+        concat(lit("s"), col("l_suppkey")).as("b"))
+      .distinct().collect().map(r => (r.getString(0), r.getString(1)))
+    val adj = (trade ++ trade.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    var dist = graft.Tables.customer(s, dir)
+      .filter(col("c_custkey") < Graph.BfsSources)
+      .select(concat(lit("c"), col("c_custkey"))).collect()
+      .map(r => r.getString(0) -> 0).toMap
+    var frontier = dist.keySet
+    for (h <- 1 to Graph.BfsMaxHops) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        .diff(dist.keySet)
+      dist = dist ++ next.map(_ -> h)
+      frontier = next
+    }
+    assert(out == dist)
+    // minimality: every dist-h node has a neighbor at dist h-1
+    out.filter(_._2 > 0).foreach { case (n, h) =>
+      assert(adj(n).exists(m => out.get(m).contains(h - 1)),
+        s"$n at $h lacks an h-1 neighbor")
+    }
+    // completeness at the horizon: nothing reachable in ≤ MaxHops is
+    // missing (the replay IS the reachable set), and nothing beyond it
+    // leaked in
+    assert(out.values.forall(_ <= Graph.BfsMaxHops))
+  }
 }

@@ -736,6 +736,32 @@ object Streams {
     // the SHARED register/estimate oracle builder keyed by time_bucket
     // + event_type — one spelling with q40/q44, so sketch-math changes
     // land in every oracle at once
+    // the same clamp/floor bucketing and integer nearest-rank rule
+    "st13_stream_quantiles" ->
+      s"""WITH h AS (
+         |  SELECT CAST(epoch(time_bucket(INTERVAL '6 hours', ts)) AS BIGINT)
+         |      AS bucket_start,
+         |    event_type,
+         |    least(${St13Buckets - 1}, greatest(0,
+         |      CAST(floor(value) AS INTEGER))) AS vb,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2, 3),
+         |cq AS (
+         |  SELECT bucket_start, event_type, vb, c,
+         |    sum(c) OVER (PARTITION BY bucket_start, event_type
+         |      ORDER BY vb ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(c) OVER (PARTITION BY bucket_start, event_type) AS n
+         |  FROM h)
+         |SELECT bucket_start, event_type,
+         |  CAST(max(n) AS BIGINT) AS n_events,
+         |  CAST(min(CASE WHEN cum * 100 >= n * 50 THEN vb END)
+         |    AS INTEGER) AS p50_b,
+         |  CAST(min(CASE WHEN cum * 100 >= n * 90 THEN vb END)
+         |    AS INTEGER) AS p90_b,
+         |  CAST(min(CASE WHEN cum * 100 >= n * 99 THEN vb END)
+         |    AS INTEGER) AS p99_b
+         |FROM cq GROUP BY bucket_start, event_type
+         |ORDER BY bucket_start, event_type""".stripMargin,
     "st9_stream_hll" -> graft.operators.Relational.hllOracleSqlKeyed(
       Seq("bucket_start", "event_type"),
       "SELECT CAST(epoch(time_bucket(INTERVAL '6 hours', ts)) AS BIGINT)\n" +
@@ -848,8 +874,72 @@ object Streams {
     hllWindowedEstimate(hllWindowedRegisters(Tables.events(s, dir)))
       .orderBy("bucket_start", "event_type")
 
+  // ------------------------------------------------------------- st13
+
+  /** st13 histogram width: unit-value buckets, clamped to
+    * [0, St13Buckets) — state is bounded at windows × types ×
+    * [[St13Buckets]] counters no matter how many events arrive.
+    * `final` with a literal = a compile-time constant, so the oracle
+    * map (initialized EARLIER in this object body) interpolates 512,
+    * not the un-initialized 0 a plain val yields mid-construction. */
+  final val St13Buckets = 512
+
+  /** st13 (streaming state): per-(6h window, event type) VALUE
+    * HISTOGRAM — the st9 write/read split applied to quantiles: the
+    * bucket-count table IS the bounded streaming state (one windowed
+    * additive aggregation; late in-watermark data only increments
+    * counters, micro-batch boundaries are provably irrelevant), and
+    * the QUANTILE is a stateless serving-layer read over the
+    * histogram snapshot — exactly how production latency monitoring
+    * works (Prometheus histogram_quantile over bucket counters;
+    * Spark forbids the second streaming agg anyway, and nobody wants
+    * it). Bucketing is `clamp(floor(value), 0, B-1)` — floor of a
+    * double is the same IEEE op in both engines. */
+  def valueHistogram(events: DataFrame): DataFrame =
+    events
+      .select(window(col("ts"), "6 hours").as("win"), col("event_type"),
+        least(lit(St13Buckets - 1),
+          greatest(lit(0), floor(col("value")).cast("int"))).as("vb"))
+      .groupBy(col("win"), col("event_type"), col("vb"))
+      .agg(count(lit(1)).as("c"))
+
+  /** The stateless quantile read: integer NEAREST-RANK over the
+    * bucketed values (q33's histogram discipline — the rank is found
+    * on the collapsed histogram, never a raw-event sort). For q%,
+    * p_q = min bucket with cum·100 ≥ q·n — for integer cum this IS
+    * cum ≥ ceil(q·n/100), the nearest-rank rule, in pure integer
+    * arithmetic. The answer is the bucket lower bound: a
+    * bucket-width-bounded estimate (ε = 1.0 value units here), the
+    * histogram-quantile contract. */
+  def quantilesFromHistogram(hist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = Seq(col("bucket_start"), col("event_type"))
+    val cumW = Window.partitionBy(key: _*).orderBy(col("vb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(key: _*)
+    hist
+      .withColumn("cum", sum("c").over(cumW))
+      .withColumn("n", sum("c").over(totW))
+      .groupBy(key: _*)
+      .agg(max("n").as("n_events"),
+        min(when(col("cum") * 100 >= col("n") * 50, col("vb"))).as("p50_b"),
+        min(when(col("cum") * 100 >= col("n") * 90, col("vb"))).as("p90_b"),
+        min(when(col("cum") * 100 >= col("n") * 99, col("vb"))).as("p99_b"))
+  }
+
+  /** st13 gate entry (batch formulation of the same DataFrame logic;
+    * StreamsSpec proves the MemoryStream histogram is identical
+    * across arbitrary trigger splits). */
+  def st13Query(s: SparkSession, dir: String): DataFrame =
+    quantilesFromHistogram(
+      valueHistogram(Tables.events(s, dir))
+        .select(col("win.start").cast("long").as("bucket_start"),
+          col("event_type"), col("vb"), col("c")))
+      .orderBy("bucket_start", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st9_stream_hll" -> st9Query,
+    "st13_stream_quantiles" -> st13Query,
     "st10_stream_cdc" -> st10Query,
     "st11_stream_admission" -> st11Query,
     "c19_time_travel" -> c19TimeTravel,

@@ -617,4 +617,56 @@ class StreamsSpec extends AnyFunSuite {
         "stream-static join must be stateless")
     } finally q.stop()
   }
+
+  test("st13: streaming value histogram matches batch across trigger " +
+      "splits; quantile read matches a driver nearest-rank replay") {
+    val sess = s
+    import sess.implicits._
+    import org.apache.spark.sql.functions._
+    val evts = Tables.events(s, dir)
+      .select(col("ts"), col("event_type"), col("value")).limit(300)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)](s)
+    val hist = Streams.valueHistogram(
+      input.toDF().toDF("ts", "event_type", "value")
+        .withWatermark("ts", "1 hour"))
+    val q = hist.writeStream.format("memory").queryName("st13_out")
+      .outputMode("complete").start()
+    try {
+      val (a, rest) = evts.splitAt(97)
+      val (b, c) = rest.splitAt(130)
+      input.addData(a: _*); q.processAllAvailable()
+      input.addData(b: _*); q.processAllAvailable()
+      input.addData(c: _*); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        ((r.getStruct(0).getTimestamp(0).getTime, r.getString(1),
+          r.getInt(2)), r.getLong(3))
+      val got = s.table("st13_out").collect().map(key).toMap
+      val expected = Streams.valueHistogram(
+          evts.toSeq.toDF("ts", "event_type", "value")).collect()
+        .map(key).toMap
+      assert(got == expected, "histogram differs across trigger splits")
+      // quantile read ≡ driver nearest-rank over the bucketed values
+      val out = Streams.st13Query(s, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          ((r.getLong(2), r.getInt(3), r.getInt(4), r.getInt(5)))).toMap
+      val raw = Tables.events(s, dir)
+        .select(window(col("ts"), "6 hours")("start").cast("long"),
+          col("event_type"), col("value")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      val replay = raw.groupBy(t => (t._1, t._2)).map { case (k, rows) =>
+        val vbs = rows.map(t => math.min(Streams.St13Buckets - 1,
+          math.max(0, math.floor(t._3).toInt))).sorted
+        val n = vbs.length
+        def nr(q: Int) = vbs((n * q + 99) / 100 - 1)
+        k -> ((n.toLong, nr(50), nr(90), nr(99)))
+      }
+      assert(out == replay)
+      // the clamp never fires on this corpus by accident — prove the
+      // bucket domain is genuinely exercised across its range
+      assert(expected.keys.map(_._3).toSet.size > 50,
+        "degenerate histogram: too few distinct buckets")
+    } finally q.stop()
+  }
 }

@@ -952,6 +952,54 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** c23 shuffle seed (changing it re-deals the whole order) and the
+    * training micro-batch size the dense positions fold into. */
+  val C23Seed = "s42"
+  val C23BatchSize = 32
+
+  /** c23: REPRODUCIBLE training order — the seeded global shuffle
+    * every trainer runs over its corpus (identical across re-runs,
+    * resumable mid-epoch, auditable: "which examples were in batch
+    * 17 of run X" must have one answer). Order key =
+    * md5(seed ‖ doc_id) — deterministic in both engines, and a new
+    * seed re-deals the entire order.
+    *
+    * The interesting part at scale is DENSE POSITION ASSIGNMENT
+    * without a single-partition window: `row_number() OVER (ORDER BY
+    * key)` serializes the corpus through one task (the q33 sin). The
+    * classic distributed enumeration instead: (1) bucket by the
+    * key's first hex byte — buckets are lexicographic RANGES of the
+    * key, so bucket-asc + in-bucket-key-asc IS global key order;
+    * (2) row_number within each bucket (256 parallel windows);
+    * (3) exclusive prefix-sum of bucket counts (a 256-row frame —
+    * the only serial step is bucket-count-sized) broadcast back;
+    * pos = offset + in-bucket rank. Batches are then exact integer
+    * folds `(pos-1) div batchSize` — every batch full except the
+    * last, positions a permutation of 1..n (spec-asserted).
+    * The oracle spells the same order as ONE global row_number —
+    * hash-equality proves the two-phase enumeration ≡ the global
+    * sort. */
+  def c23TrainOrder(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(concat(lit(C23Seed), col("doc_id").cast("string"))).as("okey"))
+      .withColumn("bkt", substring(col("okey"), 1, 2))
+    val perBucket = keyed.withColumn("r",
+      row_number().over(Window.partitionBy("bkt")
+        .orderBy(col("okey"), col("doc_id"))))
+    val offsets = keyed.groupBy("bkt").agg(count(lit(1)).as("bc"))
+      .withColumn("off",
+        coalesce(sum("bc").over(Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bkt", "off")
+    perBucket.join(broadcast(offsets), "bkt")
+      .withColumn("pos", col("off") + col("r"))
+      .withColumn("batch_id", expr(s"(pos - 1) div $C23BatchSize"))
+      .select("doc_id", "okey", "pos", "batch_id")
+      .orderBy("pos")
+  }
+
   /** The mktsegment domain [[c18Expectations]] validates against
     * (shared with the oracle). */
   val C18Segments: Seq[String] =
@@ -1552,6 +1600,20 @@ object Curation {
          |  CAST(count(*) FILTER (score < $QualityMin) AS BIGINT)
          |    AS n_low_quality
          |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    // ONE global row_number over the same md5 order — hash-equality
+    // proves Spark's two-phase bucket enumeration ≡ the global sort
+    "c23_train_order" ->
+      s"""WITH k AS (
+         |  SELECT doc_id,
+         |    md5('$C23Seed' || CAST(doc_id AS VARCHAR)) AS okey
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, okey,
+         |    row_number() OVER (ORDER BY okey, doc_id) AS pos
+         |  FROM k)
+         |SELECT doc_id, okey, CAST(pos AS BIGINT) AS pos,
+         |  CAST((pos - 1) // $C23BatchSize AS BIGINT) AS batch_id
+         |FROM r ORDER BY pos""".stripMargin,
     // the same score spelling as c1/t2, scaled to micro-units by the
     // shared half-up floor; ranks found on the histogram, as in Spark
     "c22_quantile_filter" ->
@@ -1622,6 +1684,7 @@ object Curation {
     "c17_scd2" -> c17Scd2,
     "c21_pit_lookup" -> c21PitLookup,
     "c22_quantile_filter" -> c22QuantileFilter,
+    "c23_train_order" -> c23TrainOrder,
     "c18_expectations" -> c18Expectations,
     "c20_incremental_mv" -> c20IncrementalMv,
   )

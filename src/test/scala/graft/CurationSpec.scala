@@ -775,4 +775,34 @@ class CurationSpec extends AnyFunSuite {
         (rows.length + Curation.C22KeepDen - 1) / Curation.C22KeepDen
     }, "no source exercises threshold ties")
   }
+
+  test("c23 training order is a deterministic permutation in exact " +
+      "batches; the corpus-sized window partitions by bucket") {
+    import org.apache.spark.sql.functions._
+    val q = Curation.c23TrainOrder(s, dir)
+    val out = q.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val n = graft.Tables.documents(s, dir).count()
+    // dense 1..n permutation over exactly the corpus
+    assert(out.length == n)
+    assert(out.map(_._3).sorted.toSeq == (1L to n).toSeq)
+    assert(out.map(_._1).distinct.length == n)
+    // exact batches: every batch full except possibly the last
+    val sizes = out.groupBy(_._4).toSeq.sortBy(_._1).map(_._2.length)
+    assert(sizes.init.forall(_ == Curation.C23BatchSize) &&
+      sizes.last <= Curation.C23BatchSize)
+    // position follows the md5 order, not the id order: the shuffle
+    // genuinely de-correlates from ingestion order
+    val byIdRank = out.sortBy(_._1).map(_._3)
+    assert(byIdRank.zip(byIdRank.tail).count { case (a, b) => b == a + 1 }
+      < n / 10, "order barely differs from ingestion order")
+    // deterministic re-deal
+    assert(Curation.c23TrainOrder(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      out.map(t => (t._1, t._3)).toSeq)
+    // scale shape: the corpus-sized enumeration window must hash by
+    // the key bucket (256 parallel windows), never a single partition
+    assert(q.queryExecution.executedPlan.toString
+      .contains("hashpartitioning(bkt"))
+  }
 }

@@ -1160,6 +1160,141 @@ object TextAnalysis {
       .orderBy("doc_id", "rk")
   }
 
+  // ----------------------------------------------------------------- t17
+
+  /** t17 hashed word-vocabulary size: word-bigram counts live on a
+    * [[T17Buckets]]² bucket grid (the hashing trick at the BIGRAM
+    * level — the model stays broadcast-bounded at ≤ B² observed
+    * pairs whatever the vocabulary; 1024² caps it at ~1M counters). */
+  final val T17Buckets = 1024
+  /** t17 planting: docs with doc_id % this == 0 get 40 doc-unique
+    * gibberish tokens appended — 40 once-in-the-corpus transitions,
+    * the high-perplexity tail the filter exists to catch. */
+  final val T17PlantMod = 11
+  final val T17PlantK = 40
+  /** Width (micro-nats) of the NLL-histogram range buckets the
+    * cumulative counts are computed within — [[t17CcnetPpl]]'s
+    * two-phase prefix sum (the c23 pattern). 2^14 spans the observed
+    * per-doc NLL band (~[5e6, 14e6]) with a few hundred buckets. */
+  final val T17HistB = 16384L
+
+  /** The per-bigram log-probability in integer MICRO-NATS, spelled
+    * once for both engines (the s4/t15 ln discipline): add-1-smoothed
+    * `ln((c+1)/(cu+B))`, rounded to 6 decimals at birth, scaled by
+    * the half-up floor. Expects columns c (bigram-bucket count) and
+    * cu (preceding-bucket count). */
+  private def t17LpMicroSql: String =
+    s"CAST(floor(round(ln((c + CAST(1.0 AS DOUBLE)) / " +
+      s"(cu + CAST($T17Buckets.0 AS DOUBLE))), 6) * " +
+      s"CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+
+  /** A word's model bucket: first 3 md5 nibbles mod [[T17Buckets]]. */
+  private def t17Bucket(w: org.apache.spark.sql.Column) =
+    conv(substring(md5(w), 1, 3), 16, 10).cast("int") % T17Buckets
+
+  private def sqlT17Bucket(w: String): String = {
+    def nib(i: Int) =
+      s"(strpos('0123456789abcdef', substr(md5($w), $i, 1)) - 1)"
+    s"CAST((${nib(1)} * 256 + ${nib(2)} * 16 + ${nib(3)}) % $T17Buckets " +
+      "AS INTEGER)"
+  }
+
+  /** The t17 planting column: [[T17PlantK]] doc-unique tokens appended
+    * via concat_ws (shared spelling with the oracle). */
+  private def t17Planted: org.apache.spark.sql.Column = {
+    val pieces = (1 to T17PlantK).map(k =>
+      concat(lit("zq"), col("doc_id"), lit(s"x$k")))
+    when(col("doc_id") % T17PlantMod === 0,
+      concat_ws(" ", (col("text") +: pieces): _*))
+      .otherwise(col("text"))
+  }
+
+  /** t17: hashed word-bigram LM PERPLEXITY terciles — the actual
+    * CCNet shape (Wenzek et al. 2020): score every doc with a
+    * language-model negative log-likelihood and split the corpus into
+    * HEAD / MIDDLE / TAIL perplexity terciles (CCNet trains KenLM
+    * offline; here the corpus's own hashed-bigram counts are the
+    * model, the t8 self-training pattern one level up — t8 flags by
+    * RARE-bigram fraction, t17 scores a real LM log-probability with
+    * add-1 smoothing and buckets RELATIVELY). Terciles instead of a
+    * fixed NLL floor because absolute perplexity drifts with the
+    * corpus (measured: the organic NLL band at sf0.001 and the
+    * PLANTED band at sf0.1 overlap — no fixed threshold separates at
+    * every SF; CCNet's percentile buckets are the production answer
+    * to exactly that drift).
+    *
+    * All arithmetic after the one rounded `ln` ([[t17LpMicroSql]]) is
+    * order-free integer: per-doc NLL = (−Σ lp_micro) div n_bigrams,
+    * tercile thresholds by the c22 nearest-rank rule on the NLL
+    * histogram (smallest value with cum·100 ≥ 33·n / 67·n), bucket
+    * by integer compare. Scale shape: bigrams are built SCAN-LOCAL
+    * (an index-zip over the token array — no positional self-join);
+    * the model is ≤ B² observed-pair counts (one keyed shuffle,
+    * map-side partials; unigram counts derived FROM the pair counts,
+    * not a second corpus pass) joined back as a broadcast; the only
+    * corpus-keyed shuffle is the per-doc re-aggregation (the t8
+    * scaladoc documents the kernel upgrade path that removes it —
+    * here the model is 1M entries, so the join spelling is the
+    * honest baseline); thresholds ride a doc-level histogram.
+    *
+    * The NLL histogram is DOC-cardinality in the worst case (per-doc
+    * integer averages rarely collide), so the cumulative counts do
+    * NOT run in one unpartitioned window (the q33 sin): c23's
+    * two-phase enumeration instead — per-doc NLLs are nonnegative
+    * (lp ≤ 0 by construction), so `nll div` [[T17HistB]] buckets are
+    * lexicographic RANGES of the value; in-bucket cumulative sums run
+    * as a few hundred parallel windows, an exclusive prefix sum of
+    * bucket totals (the only serial frame, bucket-count-sized)
+    * broadcasts back, cum = offset + in-bucket cum. The oracle keeps
+    * the ONE-window global spelling, so hash-equality proves the
+    * two-phase cum ≡ the global scan. */
+  def t17CcnetPpl(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Tables.documents(s, dir)
+      .withColumn("ptext", t17Planted)
+      .withColumn("toks", expr("filter(split(ptext, ' '), x -> x <> '')"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), " +
+          "i -> struct(element_at(toks, i) AS pw, " +
+          "element_at(toks, i + 1) AS cw))")).as("p"))
+      .select(col("doc_id"),
+        t17Bucket(col("p.pw")).as("pb"), t17Bucket(col("p.cw")).as("cb"))
+    val bc = pairs.groupBy("pb", "cb").agg(count(lit(1)).as("c"))
+    val uc = bc.groupBy("pb").agg(sum("c").as("cu"))
+    val nll = pairs
+      .join(broadcast(bc), Seq("pb", "cb"))
+      .join(broadcast(uc), Seq("pb"))
+      .withColumn("lp", expr(t17LpMicroSql))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("(-sum(lp)) div count(1)").as("nll_micro"))
+    val hist = nll.groupBy("nll_micro").agg(count(lit(1)).as("hc"))
+      .withColumn("hb", expr(s"nll_micro div ${T17HistB}L"))
+    val inW = Window.partitionBy("hb").orderBy("nll_micro")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = hist.groupBy("hb").agg(sum("hc").as("bc"))
+      .withColumn("off",
+        coalesce(sum("bc").over(Window.orderBy("hb")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("hb", "off")
+    val thr = hist
+      .withColumn("incum", sum("hc").over(inW))
+      .join(broadcast(offs), "hb")
+      .withColumn("cum", col("incum") + col("off"))
+      .crossJoin(broadcast(nll.agg(count(lit(1)).as("nd"))))
+      .agg(min(when(col("cum") * 100 >= col("nd") * 33,
+          col("nll_micro"))).as("t33"),
+        min(when(col("cum") * 100 >= col("nd") * 67,
+          col("nll_micro"))).as("t67"))
+    nll.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_bigrams"), col("nll_micro"),
+        when(col("nll_micro") <= col("t33"), lit("head"))
+          .when(col("nll_micro") <= col("t67"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Stop-word IN-list shared by the t2 and c1 oracles. */
@@ -1420,6 +1555,57 @@ object TextAnalysis {
          |  CAST(length(substr(norm, CAST(chunk_off AS INTEGER) + 1,
          |    $T9ChunkChars)) AS INTEGER) AS chunk_len
          |FROM off_t ORDER BY doc_id, chunk_idx""".stripMargin,
+    // trained hashed-bigram LM replayed in SQL (the c10/t15
+    // discipline), same one-line lp spelling, same nearest-rank
+    // terciles — training AND relative bucketing are hash-verified
+    "t17_ccnet_ppl" -> {
+      val plantArgs = (1 to T17PlantK)
+        .map(k => s"'zq' || doc_id || 'x$k'").mkString(", ")
+      s"""WITH pdocs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % $T17PlantMod = 0
+         |      THEN concat_ws(' ', text, $plantArgs)
+         |      ELSE text END AS ptext
+         |  FROM documents),
+         |tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(ptext, ' '), x -> x <> '') AS ts
+         |  FROM pdocs),
+         |sq AS (
+         |  SELECT doc_id, generate_subscripts(ts, 1) AS i, unnest(ts) AS w
+         |  FROM tk),
+         |bk AS (
+         |  SELECT doc_id, i, ${sqlT17Bucket("w")} AS b FROM sq),
+         |big AS (
+         |  SELECT a.doc_id, a.b AS pb, c2.b AS cb
+         |  FROM bk a JOIN bk c2 ON a.doc_id = c2.doc_id AND c2.i = a.i + 1),
+         |bc AS (
+         |  SELECT pb, cb, CAST(count(*) AS BIGINT) AS c
+         |  FROM big GROUP BY pb, cb),
+         |ucq AS (SELECT pb, CAST(sum(c) AS BIGINT) AS cu FROM bc GROUP BY pb),
+         |lpq AS (
+         |  SELECT doc_id, ${t17LpMicroSql} AS lp
+         |  FROM big JOIN bc USING (pb, cb) JOIN ucq USING (pb)),
+         |d AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    (-sum(lp)) // count(*) AS nll_micro
+         |  FROM lpq GROUP BY doc_id),
+         |hist AS (SELECT nll_micro, count(*) AS hc FROM d GROUP BY nll_micro),
+         |cq AS (
+         |  SELECT nll_micro, sum(hc) OVER (ORDER BY nll_micro
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+         |ndq AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM d),
+         |thr AS (
+         |  SELECT min(CASE WHEN cum * 100 >= nd * 33 THEN nll_micro END)
+         |      AS t33,
+         |    min(CASE WHEN cum * 100 >= nd * 67 THEN nll_micro END) AS t67
+         |  FROM cq, ndq)
+         |SELECT doc_id, n_bigrams, CAST(nll_micro AS BIGINT) AS nll_micro,
+         |  CASE WHEN nll_micro <= t33 THEN 'head'
+         |    WHEN nll_micro <= t67 THEN 'middle'
+         |    ELSE 'tail' END AS ppl_bucket
+         |FROM d, thr ORDER BY doc_id""".stripMargin
+    },
     // the same one-line IDF spelling Spark parses, so the only
     // transcendental rounds identically; all else is BIGINT math
     "t16_keywords" ->
@@ -1588,6 +1774,7 @@ object TextAnalysis {
     "t13_normalize" -> t13Normalize,
     "t14_url_canonicalize" -> t14UrlCanonicalize,
     "t16_keywords" -> t16Keywords,
+    "t17_ccnet_ppl" -> t17CcnetPpl,
     "d13_url_dedup" -> d13UrlDedup,
   )
 }

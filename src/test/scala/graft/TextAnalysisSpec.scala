@@ -663,4 +663,70 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(q.queryExecution.executedPlan.toString
       .contains("WindowGroupLimit"))
   }
+
+  test("t17 ccnet terciles match a driver bigram-LM replay; planted " +
+      "docs land in the tail; tercile masses honor nearest-rank") {
+    import org.apache.spark.sql.functions._
+    val out = TextAnalysis.t17CcnetPpl(s, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // driver replay: same planting, hashing, smoothing, rank rule
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(w: String): Int = {
+      val h = md.digest(w.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(h.substring(0, 3), 16) % TextAnalysis.T17Buckets
+    }
+    val docs = graft.Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val planted = docs.map { case (id, t) =>
+      val pt = if (id % TextAnalysis.T17PlantMod == 0)
+        (t +: (1 to TextAnalysis.T17PlantK).map(k => s"zq${id}x$k"))
+          .mkString(" ")
+      else t
+      id -> pt.split(" ").filter(_.nonEmpty).map(bucket)
+    }.filter(_._2.length >= 2)
+    val pairRows = planted.flatMap { case (id, bs) =>
+      bs.sliding(2).map(p => (id, p(0), p(1))) }
+    val bc = pairRows.groupBy(p => (p._2, p._3))
+      .view.mapValues(_.length.toLong).toMap
+    val uc = bc.toSeq.groupBy(_._1._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    def lpMicro(pb: Int, cb: Int): Long = {
+      val raw = math.log((bc((pb, cb)) + 1.0) /
+        (uc(pb) + TextAnalysis.T17Buckets.toDouble))
+      val r = BigDecimal(raw)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.floor(r * 1000000.0 + 0.5).toLong
+    }
+    val nll = pairRows.groupBy(_._1).map { case (id, ps) =>
+      id -> ((ps.length.toLong,
+        -ps.map(p => lpMicro(p._2, p._3)).sum / ps.length)) }
+    val nd = nll.size.toLong
+    val sorted = nll.values.map(_._2).toSeq.sorted
+    def thr(pct: Long): Long = {
+      var cum = 0L
+      sorted.distinct.find { v =>
+        cum = sorted.count(_ <= v); cum * 100 >= nd * pct }.get
+    }
+    val (t33, t67) = (thr(33), thr(67))
+    val expected = nll.map { case (id, (n, v)) =>
+      id -> ((n, v,
+        if (v <= t33) "head" else if (v <= t67) "middle" else "tail")) }
+    assert(out == expected)
+    // the plant discriminates: every planted doc is tail (40
+    // once-in-the-corpus transitions dominate its average)
+    val plantedIds = docs.map(_._1)
+      .filter(_ % TextAnalysis.T17PlantMod == 0).toSet
+    assert(plantedIds.nonEmpty &&
+      plantedIds.forall(id => out(id)._3 == "tail"))
+    // nearest-rank masses: head holds >= 33% and head+middle >= 67%,
+    // neither overshoots by more than the largest tie group
+    val nHead = out.values.count(_._3 == "head").toLong
+    val nMid = out.values.count(_._3 == "middle").toLong
+    assert(nHead * 100 >= nd * 33 && (nHead + nMid) * 100 >= nd * 67)
+    assert((nHead - 1) * 100 < nd * 33 ||
+      out.values.count(_._2 == t33) > 1)
+  }
 }

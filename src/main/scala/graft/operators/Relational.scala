@@ -1159,6 +1159,105 @@ object Relational {
       .orderBy("prev_type", "next_type")
   }
 
+  /** q50: the SKYLINE (Pareto-frontier) operator — Börzsönyi et al.
+    * 2001: the customers no other customer beats on BOTH axes
+    * (maximize order count, minimize average ticket `spend div n` —
+    * the frequency-vs-ticket-size efficiency frontier; the axes are
+    * deliberately anti-correlated: a max/max pair degenerates to one
+    * global-max row on this corpus, measured). b dominates a iff
+    * b.n ≥ a.n ∧ b.avg ≤ a.avg with at least one strict.
+    *
+    * Scale shape: in 2D the dominance test collapses to PREFIX
+    * EXTREMA — a row survives iff it holds its x-group's min y AND
+    * beats the running min y over all strictly-greater x. So the
+    * plan is ONE keyed aggregation (per-customer), a per-x frame
+    * (bounded by DISTINCT x values — here max orders per customer,
+    * ~24; an unbounded x would take c23's two-phase enumeration),
+    * one tiny window over that frame, and a broadcast join back —
+    * never the naive quadratic self-join (that is the ORACLE's job:
+    * the NOT EXISTS spelling is the literal dominance definition,
+    * the d7 brute-force discipline). Higher dimensions need
+    * grid/partition pruning; 2D is the common audit shape. All
+    * integer: cents, floor division. */
+  def q50Skyline(s: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").as("cents"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("spend_c"))
+      .withColumn("avg_c", expr("spend_c div n_orders"))
+      .select("o_custkey", "n_orders", "avg_c")
+    val perX = agg.groupBy("n_orders").agg(min("avg_c").as("mn"))
+    val wX = Window.orderBy(col("n_orders").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perX.withColumn("m1", min("mn").over(wX))
+    agg.join(broadcast(frontier), "n_orders")
+      .filter((col("m1").isNull || col("m1") > col("avg_c")) &&
+        col("avg_c") === col("mn"))
+      .select("o_custkey", "n_orders", "avg_c")
+      .orderBy("o_custkey")
+  }
+
+  /** Support floor and output size for q51's rule mining. */
+  val AssocMinSupport = 3L
+  val AssocTopK = 30
+
+  /** q51: ASSOCIATION RULES over the click stream — confidence and
+    * lift for directional rules a→b mined from q37's capped
+    * co-occurrence pairs (the Agrawal-Srikant market-basket shape:
+    * q37 answers "which items co-occur", q51 grades the implication —
+    * `confidence = P(b|a)`, `lift = P(ab)/(P(a)P(b))`, the scores a
+    * recommender actually ranks by; lift < 1 marks negatively
+    * associated pairs a raw co-count can't distinguish).
+    *
+    * Everything is integer fixed-point (the q36/q38 permille rule):
+    * conf_pm = 1000·n_ab div n_a, lift_pm = 1000·n_ab·N div
+    * (n_a·n_b) — order-free, no quotient double crosses the gate.
+    * Scale shape: rides q37's machinery unchanged — the capped
+    * profile self-join bounds the pair fan-out at C(C−1)/2 per user,
+    * item supports are ONE map-side-combinable count off the same
+    * capped frame, N (users with a nonempty capped profile) is a
+    * 1-row broadcast, and supports attach to the pair frame by two
+    * item-keyed joins (item-cardinality, AQE elects broadcast at
+    * gate scale without a hint). Support floor ≥ [[AssocMinSupport]]
+    * prunes the noise tail BEFORE the support joins; top-k is
+    * TakeOrdered on (conf DESC, lift DESC, a, b). */
+  def q51AssocRules(s: SparkSession, dir: String): DataFrame = {
+    val capped = cappedClickProfiles(s, dir)
+    val supp = capped.groupBy("item").agg(count(lit(1)).as("n_i"))
+    val nUsers = capped.select(countDistinct("user_id").as("n_users"))
+    val pairs = capped.select(col("user_id"), col("item").as("item_a"))
+      .join(capped.select(col("user_id"), col("item").as("item_b")),
+        "user_id")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= AssocMinSupport)
+    val rules = pairs
+      .select(col("item_a").as("antecedent"),
+        col("item_b").as("consequent"), col("n_ab"))
+      .union(pairs.select(col("item_b"), col("item_a"), col("n_ab")))
+      .join(supp.withColumnRenamed("item", "antecedent")
+        .withColumnRenamed("n_i", "n_a"), "antecedent")
+      .join(supp.withColumnRenamed("item", "consequent")
+        .withColumnRenamed("n_i", "n_b"), "consequent")
+      .crossJoin(broadcast(nUsers))
+      .withColumn("conf_pm", expr("1000 * n_ab div n_a"))
+      // lift's numerator is corpus-quadratic (n_ab·N) — widened to
+      // DECIMAL(38,0) so it fails/widens instead of wrapping Long at
+      // crawl scale (the c9 rule); DuckDB mirrors via HUGEINT and
+      // both collapse back to BIGINT after the integral division
+      .withColumn("lift_pm", expr(
+        "(CAST(1000 AS DECIMAL(38,0)) * n_ab * n_users) " +
+          "div (CAST(n_a AS DECIMAL(38,0)) * n_b)"))
+      .select("antecedent", "consequent", "n_ab", "n_a", "n_b",
+        "conf_pm", "lift_pm")
+    rules
+      .orderBy(col("conf_pm").desc, col("lift_pm").desc,
+        col("antecedent"), col("consequent"))
+      .limit(AssocTopK)
+  }
+
   /** `lo + (hi−lo)·frac` on the exact grid — every term an exact
     * double (cents < 2^27, frac a multiple of 0.25), so this equals
     * the builtin `percentile` and DuckDB's `quantile_cont`
@@ -1184,6 +1283,46 @@ object Relational {
 
   /** DuckDB oracle SQL, value-identical to the Spark plans above. */
   val oracle: Map[String, String] = Map(
+    // the literal dominance definition — quadratic NOT EXISTS over the
+    // aggregated frame (the d7 brute-force discipline); the Spark plan
+    // must reach the same frontier via prefix extrema
+    "q50_skyline" ->
+      """WITH agg AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) // count(*) AS avg_c
+        |  FROM orders GROUP BY 1)
+        |SELECT a.o_custkey, a.n_orders, a.avg_c
+        |FROM agg a
+        |WHERE NOT EXISTS (SELECT 1 FROM agg b
+        |  WHERE b.n_orders >= a.n_orders AND b.avg_c <= a.avg_c
+        |    AND (b.n_orders > a.n_orders OR b.avg_c < a.avg_c))
+        |ORDER BY a.o_custkey""".stripMargin,
+    // q37's capped-profile CTEs + supports + directional permille
+    // scores; HUGEINT mediates lift's quadratic numerator
+    "q51_assoc_rules" ->
+      s"""WITH $sqlCappedProfilesCtes,
+         |supp AS (SELECT item, count(*) AS n_i FROM capped GROUP BY 1),
+         |nu AS (SELECT count(DISTINCT user_id) AS n_users FROM capped),
+         |pr AS (
+         |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+         |  FROM capped a JOIN capped b
+         |    ON a.user_id = b.user_id AND a.item < b.item
+         |  GROUP BY 1, 2 HAVING count(*) >= $AssocMinSupport),
+         |dr AS (
+         |  SELECT item_a AS antecedent, item_b AS consequent, n_ab FROM pr
+         |  UNION ALL
+         |  SELECT item_b, item_a, n_ab FROM pr)
+         |SELECT antecedent, consequent, CAST(n_ab AS BIGINT) AS n_ab,
+         |  CAST(sa.n_i AS BIGINT) AS n_a, CAST(sb.n_i AS BIGINT) AS n_b,
+         |  CAST(1000 * n_ab // sa.n_i AS BIGINT) AS conf_pm,
+         |  CAST((CAST(1000 AS HUGEINT) * n_ab * nu.n_users) //
+         |    (CAST(sa.n_i AS HUGEINT) * sb.n_i) AS BIGINT) AS lift_pm
+         |FROM dr
+         |JOIN supp sa ON dr.antecedent = sa.item
+         |JOIN supp sb ON dr.consequent = sb.item, nu
+         |ORDER BY conf_pm DESC, lift_pm DESC, antecedent, consequent
+         |LIMIT $AssocTopK""".stripMargin,
     // same md5-derived 32-bit hash, same rank-k, same integer estimate
     "q29_kmv_distinct" ->
       s"""WITH h AS (
@@ -1684,5 +1823,7 @@ object Relational {
     "q35_cms_topk" -> q35CmsTopk,
     "q37_cooccur" -> q37Cooccur,
     "q38_transitions" -> q38Transitions,
+    "q50_skyline" -> q50Skyline,
+    "q51_assoc_rules" -> q51AssocRules,
   )
 }

@@ -1000,6 +1000,55 @@ object Curation {
       .orderBy("pos")
   }
 
+  /** c25 shuffle seed — deliberately distinct from [[C23Seed]]: the
+    * two orders must be visibly unrelated (spec-asserted). */
+  val C25Seed = "cur7"
+
+  /** c25: CURRICULUM training order (Bengio et al. 2009) — the
+    * easy→hard presentation order an LLM pretraining run uses when it
+    * stages data by difficulty: t17's perplexity terciles ARE the
+    * difficulty bands (head = cleanest, tail = noisiest — CCNet
+    * itself was built to feed exactly this kind of staging), documents
+    * are ordered band-major, and WITHIN a band the order is a seeded
+    * deterministic shuffle (md5(seed ‖ doc_id) — c23's re-dealable
+    * key: correlated within-band order would bias every batch toward
+    * low doc_ids). Dense global positions and full-batch folds come
+    * from c23's TWO-PHASE enumeration, extended to a composite sort
+    * key: partition by (band, first-hex-byte-of-key) — bucket-asc
+    * IS (band, key) order since the key starts with its byte — rank
+    * in ~768 parallel windows, broadcast the exclusive prefix of
+    * bucket counts back, pos = offset + in-bucket rank. No
+    * single-partition window anywhere; the one serial frame is
+    * bucket-count-sized. The oracle spells the SAME order as ONE
+    * global row_number over (band, key, doc_id) — hash-equality
+    * proves the composite two-phase ≡ the global sort, INCLUDING the
+    * t17 model training that defines the bands (the c10
+    * trainer-replay discipline, via the shared t17 CTEs). */
+  def c25Curriculum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextAnalysis.t17CcnetPpl(s, dir)
+      .select(col("doc_id"), col("ppl_bucket"))
+      .withColumn("br",
+        when(col("ppl_bucket") === "head", 0)
+          .when(col("ppl_bucket") === "middle", 1).otherwise(2))
+      .withColumn("okey",
+        md5(concat(lit(C25Seed), col("doc_id").cast("string"))))
+      .withColumn("hb", substring(col("okey"), 1, 2))
+    val perB = scored.withColumn("r",
+      row_number().over(Window.partitionBy("br", "hb")
+        .orderBy(col("okey"), col("doc_id"))))
+    val offs = scored.groupBy("br", "hb").agg(count(lit(1)).as("bc"))
+      .withColumn("off",
+        coalesce(sum("bc").over(Window.orderBy("br", "hb")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("br", "hb", "off")
+    perB.join(broadcast(offs), Seq("br", "hb"))
+      .withColumn("pos", col("off") + col("r"))
+      .withColumn("batch_id", expr(s"(pos - 1) div $C23BatchSize"))
+      .select("doc_id", "ppl_bucket", "pos", "batch_id")
+      .orderBy("pos")
+  }
+
   /** The mktsegment domain [[c18Expectations]] validates against
     * (shared with the oracle). */
   val C18Segments: Seq[String] =
@@ -1614,6 +1663,24 @@ object Curation {
          |SELECT doc_id, okey, CAST(pos AS BIGINT) AS pos,
          |  CAST((pos - 1) // $C23BatchSize AS BIGINT) AS batch_id
          |FROM r ORDER BY pos""".stripMargin,
+    // the t17 trainer + terciles replayed via the shared CTEs, then
+    // the curriculum order as ONE global row_number — proving the
+    // composite two-phase enumeration ≡ the global sort
+    "c25_curriculum" ->
+      s"""WITH ${TextAnalysis.sqlT17Ctes},
+         |ck AS (
+         |  SELECT doc_id, ppl_bucket,
+         |    CASE ppl_bucket WHEN 'head' THEN 0
+         |      WHEN 'middle' THEN 1 ELSE 2 END AS br,
+         |    md5('$C25Seed' || CAST(doc_id AS VARCHAR)) AS okey
+         |  FROM t17q),
+         |r AS (
+         |  SELECT doc_id, ppl_bucket,
+         |    row_number() OVER (ORDER BY br, okey, doc_id) AS pos
+         |  FROM ck)
+         |SELECT doc_id, ppl_bucket, CAST(pos AS BIGINT) AS pos,
+         |  CAST((pos - 1) // $C23BatchSize AS BIGINT) AS batch_id
+         |FROM r ORDER BY pos""".stripMargin,
     // the same score spelling as c1/t2, scaled to micro-units by the
     // shared half-up floor; ranks found on the histogram, as in Spark
     "c22_quantile_filter" ->
@@ -1685,6 +1752,7 @@ object Curation {
     "c21_pit_lookup" -> c21PitLookup,
     "c22_quantile_filter" -> c22QuantileFilter,
     "c23_train_order" -> c23TrainOrder,
+    "c25_curriculum" -> c25Curriculum,
     "c18_expectations" -> c18Expectations,
     "c20_incremental_mv" -> c20IncrementalMv,
   )

@@ -1199,6 +1199,60 @@ object TextAnalysis {
       "AS INTEGER)"
   }
 
+  /** The whole t17 derivation as DuckDB CTE text ending at
+    * `t17q(doc_id, n_bigrams, nll_micro, ppl_bucket)` — shared by the
+    * t17 oracle and c25's curriculum oracle (which orders BY the
+    * tercile this computes), the sqlCappedProfilesCtes pattern. */
+  private[operators] def sqlT17Ctes: String = {
+    val plantArgs = (1 to T17PlantK)
+      .map(k => s"'zq' || doc_id || 'x$k'").mkString(", ")
+    s"""pdocs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % $T17PlantMod = 0
+       |      THEN concat_ws(' ', text, $plantArgs)
+       |      ELSE text END AS ptext
+       |  FROM documents),
+       |tk AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(ptext, ' '), x -> x <> '') AS ts
+       |  FROM pdocs),
+       |sq AS (
+       |  SELECT doc_id, generate_subscripts(ts, 1) AS i, unnest(ts) AS w
+       |  FROM tk),
+       |bk AS (
+       |  SELECT doc_id, i, ${sqlT17Bucket("w")} AS b FROM sq),
+       |big AS (
+       |  SELECT a.doc_id, a.b AS pb, c2.b AS cb
+       |  FROM bk a JOIN bk c2 ON a.doc_id = c2.doc_id AND c2.i = a.i + 1),
+       |bc AS (
+       |  SELECT pb, cb, CAST(count(*) AS BIGINT) AS c
+       |  FROM big GROUP BY pb, cb),
+       |ucq AS (SELECT pb, CAST(sum(c) AS BIGINT) AS cu FROM bc GROUP BY pb),
+       |lpq AS (
+       |  SELECT doc_id, ${t17LpMicroSql} AS lp
+       |  FROM big JOIN bc USING (pb, cb) JOIN ucq USING (pb)),
+       |d AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    (-sum(lp)) // count(*) AS nll_micro
+       |  FROM lpq GROUP BY doc_id),
+       |hist AS (SELECT nll_micro, count(*) AS hc FROM d GROUP BY nll_micro),
+       |cq AS (
+       |  SELECT nll_micro, sum(hc) OVER (ORDER BY nll_micro
+       |    ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+       |ndq AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM d),
+       |thr AS (
+       |  SELECT min(CASE WHEN cum * 100 >= nd * 33 THEN nll_micro END)
+       |      AS t33,
+       |    min(CASE WHEN cum * 100 >= nd * 67 THEN nll_micro END) AS t67
+       |  FROM cq, ndq),
+       |t17q AS (
+       |  SELECT doc_id, n_bigrams, CAST(nll_micro AS BIGINT) AS nll_micro,
+       |    CASE WHEN nll_micro <= t33 THEN 'head'
+       |      WHEN nll_micro <= t67 THEN 'middle'
+       |      ELSE 'tail' END AS ppl_bucket
+       |  FROM d, thr)""".stripMargin
+  }
+
   /** The t17 planting column: [[T17PlantK]] doc-unique tokens appended
     * via concat_ws (shared spelling with the oracle). */
   private def t17Planted: org.apache.spark.sql.Column = {
@@ -1558,54 +1612,10 @@ object TextAnalysis {
     // trained hashed-bigram LM replayed in SQL (the c10/t15
     // discipline), same one-line lp spelling, same nearest-rank
     // terciles — training AND relative bucketing are hash-verified
-    "t17_ccnet_ppl" -> {
-      val plantArgs = (1 to T17PlantK)
-        .map(k => s"'zq' || doc_id || 'x$k'").mkString(", ")
-      s"""WITH pdocs AS (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id % $T17PlantMod = 0
-         |      THEN concat_ws(' ', text, $plantArgs)
-         |      ELSE text END AS ptext
-         |  FROM documents),
-         |tk AS (
-         |  SELECT doc_id,
-         |    list_filter(string_split(ptext, ' '), x -> x <> '') AS ts
-         |  FROM pdocs),
-         |sq AS (
-         |  SELECT doc_id, generate_subscripts(ts, 1) AS i, unnest(ts) AS w
-         |  FROM tk),
-         |bk AS (
-         |  SELECT doc_id, i, ${sqlT17Bucket("w")} AS b FROM sq),
-         |big AS (
-         |  SELECT a.doc_id, a.b AS pb, c2.b AS cb
-         |  FROM bk a JOIN bk c2 ON a.doc_id = c2.doc_id AND c2.i = a.i + 1),
-         |bc AS (
-         |  SELECT pb, cb, CAST(count(*) AS BIGINT) AS c
-         |  FROM big GROUP BY pb, cb),
-         |ucq AS (SELECT pb, CAST(sum(c) AS BIGINT) AS cu FROM bc GROUP BY pb),
-         |lpq AS (
-         |  SELECT doc_id, ${t17LpMicroSql} AS lp
-         |  FROM big JOIN bc USING (pb, cb) JOIN ucq USING (pb)),
-         |d AS (
-         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |    (-sum(lp)) // count(*) AS nll_micro
-         |  FROM lpq GROUP BY doc_id),
-         |hist AS (SELECT nll_micro, count(*) AS hc FROM d GROUP BY nll_micro),
-         |cq AS (
-         |  SELECT nll_micro, sum(hc) OVER (ORDER BY nll_micro
-         |    ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
-         |ndq AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM d),
-         |thr AS (
-         |  SELECT min(CASE WHEN cum * 100 >= nd * 33 THEN nll_micro END)
-         |      AS t33,
-         |    min(CASE WHEN cum * 100 >= nd * 67 THEN nll_micro END) AS t67
-         |  FROM cq, ndq)
-         |SELECT doc_id, n_bigrams, CAST(nll_micro AS BIGINT) AS nll_micro,
-         |  CASE WHEN nll_micro <= t33 THEN 'head'
-         |    WHEN nll_micro <= t67 THEN 'middle'
-         |    ELSE 'tail' END AS ppl_bucket
-         |FROM d, thr ORDER BY doc_id""".stripMargin
-    },
+    "t17_ccnet_ppl" ->
+      s"""WITH $sqlT17Ctes
+         |SELECT doc_id, n_bigrams, nll_micro, ppl_bucket
+         |FROM t17q ORDER BY doc_id""".stripMargin,
     // the same one-line IDF spelling Spark parses, so the only
     // transcendental rounds identically; all else is BIGINT math
     "t16_keywords" ->

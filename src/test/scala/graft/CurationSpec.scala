@@ -805,4 +805,46 @@ class CurationSpec extends AnyFunSuite {
     assert(q.queryExecution.executedPlan.toString
       .contains("hashpartitioning(bkt"))
   }
+
+  test("c25 curriculum is a band-major permutation: terciles never " +
+      "interleave, batches exact, order seeded and band-shuffled") {
+    val q = Curation.c25Curriculum(s, dir)
+    val out = q.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val scored = graft.operators.TextAnalysis.t17CcnetPpl(s, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val n = scored.size.toLong
+    // dense 1..n permutation over exactly the scored corpus
+    assert(out.length == n)
+    assert(out.map(_._3).sorted.toSeq == (1L to n).toSeq)
+    assert(out.map(_._1).toSet == scored.keySet)
+    out.foreach(t => assert(t._2 == scored(t._1), s"band mismatch ${t._1}"))
+    // band-major: every head position < every middle < every tail
+    def posOf(b: String) = out.filter(_._2 == b).map(_._3)
+    val (h, m, t) = (posOf("head"), posOf("middle"), posOf("tail"))
+    assert(h.nonEmpty && m.nonEmpty && t.nonEmpty)
+    assert(h.max < m.min && m.max < t.min, "terciles interleave")
+    // exact batches
+    val sizes = out.groupBy(_._4).toSeq.sortBy(_._1).map(_._2.length)
+    assert(sizes.init.forall(_ == Curation.C23BatchSize) &&
+      sizes.last <= Curation.C23BatchSize)
+    // within-band order is genuinely shuffled, not id-ascending
+    val headByPos = out.filter(_._2 == "head").sortBy(_._3).map(_._1)
+    assert(headByPos.zip(headByPos.tail).count { case (a, b) => b > a }
+      < headByPos.length - 1, "head band is id-sorted — no shuffle")
+    // a different seed would re-deal: c25's order within a band is
+    // unrelated to c23's (different seed, same key construction)
+    val c23pos = Curation.c23TrainOrder(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val headC23 = headByPos.map(c23pos)
+    assert(headC23.zip(headC23.tail).count { case (a, b) => b > a }
+      < headC23.length - 1, "c25 within-band order equals c23's deal")
+    // deterministic
+    assert(Curation.c25Curriculum(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      out.map(x => (x._1, x._3)).toSeq)
+    // scale shape: the enumeration window partitions by (band, bucket)
+    assert(q.queryExecution.executedPlan.toString
+      .contains("hashpartitioning(br"))
+  }
 }

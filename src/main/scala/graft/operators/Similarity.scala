@@ -425,6 +425,62 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** s12 probe depth and graph degree: every vector probes its 4
+    * nearest cells and keeps its 3 nearest in-probe neighbors. */
+  val S12Probes = 4
+  val S12K = 3
+
+  /** s12: kNN-GRAPH construction — for EVERY corpus vector, its
+    * [[S12K]] nearest neighbors (cosine) among vectors assigned to
+    * its [[S12Probes]] nearest IVF cells. The all-vectors twin of s3:
+    * a fixed-query ANN serves searches; the kNN GRAPH is the
+    * substrate of graph-based index builds (HNSW/NN-Descent seeding),
+    * graph clustering over embeddings, and kNN-LM style retrieval —
+    * a production corpus tool needs the self-join form, and the
+    * naive spelling is the O(N²) trap.
+    *
+    * Scale shape: the query side is CORPUS-sized, so — unlike
+    * s3/s9, which broadcast a fixed query list — the cell join is a
+    * KEYED SHUFFLE on the cell id, both sides partitioned alike;
+    * candidate volume is Σ_cells assigned(cell) × probers(cell) ≈
+    * probes × N × occupancy. Occupancy stays O(1) at scale by
+    * growing the cell count with the corpus (the d10/s3 rule —
+    * FAISS's sqrt(N) cells), making the graph build linear-ish;
+    * with the gate's fixed 16 cells the quadratic-in-occupancy term
+    * is visible and DOCUMENTED (the §5 probe measures it). Cell
+    * assignment and probe ranking are the inlined-centroid
+    * scan-local argmax (zero training cost — the cached s3
+    * quantizer); top-k per vector is a WindowGroupLimit rank. The
+    * oracle replays assignment/probe/cosine/rank with the trained
+    * centroids inlined ([[s12OracleSql]]); vectors whose probed
+    * cells hold < k others legitimately emit fewer edges. */
+  def s12KnnGraph(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val centroids: Array[(Int, Array[Float])] =
+      centroidsFor(s, dir).zipWithIndex.map { case (v, i) => (i, v) }
+    val structsArr = centroidStructsArr(centroids)
+    val cellExpr = expr(s"array_max($structsArr).id")
+    val probeExpr = expr(
+      s"transform(slice(reverse(array_sort($structsArr)), 1, $S12Probes)," +
+        " x -> x.id)")
+    val q = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(probeExpr).as("cell"))
+    val cand = Tables.embeddings(s, dir)
+      .withColumn("cell", cellExpr)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        col("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(q, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorOps.cosine("qe", "ce"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= S12K)
+      .select("query_id", "rnk", "neighbor_id", "cos")
+      .orderBy("query_id", "rnk")
+  }
+
   /** s10 candidate-pool size per query (the relevance top-N MMR
     * reranks) and the number of diversified picks returned. */
   val S10Cand = 20
@@ -1801,6 +1857,42 @@ object Similarity {
        |FROM ranked WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** DuckDB mirror of [[s12KnnGraph]] — [[s3OracleSql]]'s replay with
+    * the WHOLE corpus as the query side, [[S12Probes]] probes and
+    * [[S12K]] edges per vector. */
+  private[graft] def s12OracleSql(cent: Array[Array[Float]]): String = {
+    def litVec(v: Array[Float]) =
+      v.map(x => s"CAST($x AS FLOAT)").mkString("[", ",", "]")
+    val vals = cent.zipWithIndex
+      .map { case (v, i) => s"($i, ${litVec(v)})" }.mkString(",\n    ")
+    s"""WITH cent(cid, cv) AS (VALUES
+       |    $vals),
+       |scored_cells AS (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |    ${VectorOps.sqlCosine("embedding", "cv")} AS ccos
+       |  FROM embeddings e CROSS JOIN cent c),
+       |ranked_cells AS (
+       |  SELECT vec_id, embedding, cid, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY ccos DESC, cid DESC) AS crnk
+       |  FROM scored_cells),
+       |cells AS (
+       |  SELECT vec_id AS neighbor_id, embedding AS ce, cid AS cell
+       |  FROM ranked_cells WHERE crnk = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, cid AS qc
+       |  FROM ranked_cells WHERE crnk <= $S12Probes),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${VectorOps.sqlCosine("qe", "ce")} AS cos
+       |  FROM qprobe JOIN cells ON cells.cell = qprobe.qc
+       |    AND cells.neighbor_id <> qprobe.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, cos
+       |FROM ranked WHERE rnk <= $S12K ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** DuckDB mirror of [[s9FilteredAnn]] — [[s3OracleSql]]'s replay
     * with the label pre-filter in the candidate CTE and the deeper
     * [[S9Probes]] probe set. The filter sits BEFORE the cell join in
@@ -1882,6 +1974,7 @@ object Similarity {
     val pq = pqFor(s, dir)
     staticOracle +
       ("s3_ann_ivf" -> s3OracleSql(cent)) +
+      ("s12_knn_graph" -> s12OracleSql(cent)) +
       ("s9_ann_filtered" -> s9OracleSql(cent)) +
       ("d10_semdedup" -> d10OracleSql(cent)) +
       ("s6_ann_pq" -> s6OracleSql(pq)) +
@@ -1903,6 +1996,7 @@ object Similarity {
     (cached, pqCached) match {
       case (Some(c), Some(p)) => staticOracle +
         ("s3_ann_ivf" -> s3OracleSql(c)) +
+        ("s12_knn_graph" -> s12OracleSql(c)) +
         ("s9_ann_filtered" -> s9OracleSql(c)) +
         ("d10_semdedup" -> d10OracleSql(c)) +
         ("s6_ann_pq" -> s6OracleSql(p)) +
@@ -1994,6 +2088,8 @@ object Similarity {
     "s2_ann_lsh" -> s2Lsh,
     "s3_ann_ivf" -> s3Ivf, // oracle generated with inlined centroids
     "s9_ann_filtered" -> s9FilteredAnn, // oracle: filtered s3 replay
+    "s12_knn_graph" -> s12KnnGraph, // oracle: generated, corpus-as-queries
+
     "s10_mmr_diversify" -> s10MmrDiversify, // oracle: k-step CTE unroll
     "d10_semdedup" -> d10SemDedup, // oracle generated with inlined centroids
     "s4_bm25_topk" -> s4Bm25,

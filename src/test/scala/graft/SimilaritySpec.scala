@@ -107,6 +107,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.93)
   }
 
+  test("s12 knn graph covers every vector, ranks per query, and " +
+      "recalls a measured share of the brute-force graph") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.s12KnnGraph(s, dir).collect()
+    val n = Tables.embeddings(s, dir).count()
+    // every corpus vector is a query node (16-cell corpus: each
+    // probed 4-cell set holds >= k other vectors at every SF)
+    assert(got.map(_.getLong(0)).distinct.length == n,
+      "some vector emitted no edges")
+    got.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= Similarity.S12K)
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length))
+    }
+    // no self-edges; cosine within bounds
+    assert(got.forall(r => r.getLong(0) != r.getLong(2)))
+    assert(got.forall(r => math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+    // recall vs the exact knn graph (brute force over all pairs)
+    val emb = Tables.embeddings(s, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = emb.flatMap { case (qid, qv) =>
+      emb.filter(_._1 != qid)
+        .map { case (nid, nv) => (nid, cos(qv, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(Similarity.S12K)
+        .map { case (nid, _) => (qid, nid) }
+    }.toSet
+    val found = got.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (found & truth).size.toDouble / truth.size
+    info(f"knn-graph recall@${Similarity.S12K} = $recall%.2f")
+    assert(recall >= 0.5, f"recall $recall%.2f below floor")
+    // scale shape: the per-query rank cut prunes map-side
+    assert(Similarity.s12KnnGraph(s, dir).queryExecution.executedPlan
+      .toString.contains("WindowGroupLimit"))
+  }
+
   test("s9 filtered ANN: every neighbor passes the predicate; recall " +
       "vs the filtered brute force is 1.0 at the gate corpus") {
     import org.apache.spark.sql.functions._

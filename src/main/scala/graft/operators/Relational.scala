@@ -1258,6 +1258,51 @@ object Relational {
       .limit(AssocTopK)
   }
 
+  /** q52 decay horizon: a click aged d days (0-based, relative to the
+    * corpus's newest event day) weighs 2^(horizon−1−d); at or past the
+    * horizon it weighs zero. 14 days ≈ a two-week half-life-per-day
+    * trending window. */
+  val DecayHorizon = 14
+  val DecayTopK = 20
+
+  /** q52: DECAY-WEIGHTED TRENDING items — the freshness-weighted
+    * popularity score every feed/trending surface ranks by (HN/Reddit
+    * lineage): a click today outweighs yesterday's by 2×, so a burst
+    * beats a long-accumulated tail that a raw q9-style count would
+    * rank first. Weights are EXACT POWERS OF TWO (`1 << (K−1−age)`,
+    * zero at/past the horizon) — the one decay family whose weights
+    * are exact integers, so the score is an order-free BIGINT sum
+    * (the float `exp(−λ·age)` spelling would hash-flake across
+    * partial-agg merge orders; halving per day IS an exponential
+    * decay with λ = ln 2). Sums fit easily: 2^13 · corpus clicks.
+    *
+    * Scale shape: the reference day is a 1-row broadcast (one max
+    * over the scan — production uses the wall clock and skips the
+    * pass); weights are scan-local; the score is ONE map-side-
+    * combinable groupBy over items; top-k is TakeOrdered. Nothing
+    * here is corpus-skew-sensitive — a bot inflates its item's score
+    * linearly, not the plan. */
+  def q52DecayTrend(s: SparkSession, dir: String): DataFrame = {
+    val clicks = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(get_json_object(col("props"), "$.k").cast("int").as("item"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .filter(col("item").isNotNull)
+    val refDay = clicks.agg(max("day").as("ref_day"))
+    clicks.crossJoin(broadcast(refDay))
+      .withColumn("age", col("ref_day") - col("day"))
+      .withColumn("w", when(col("age") < DecayHorizon, expr(
+        s"shiftleft(CAST(1 AS BIGINT), " +
+          s"CAST(${DecayHorizon - 1} - age AS INT))"))
+        .otherwise(lit(0L)))
+      .groupBy("item")
+      .agg(sum(when(col("age") < DecayHorizon, 1L).otherwise(0L))
+          .as("n_window"),
+        sum("w").as("decay_units"))
+      .orderBy(col("decay_units").desc, col("item"))
+      .limit(DecayTopK)
+  }
+
   /** `lo + (hi−lo)·frac` on the exact grid — every term an exact
     * double (cents < 2^27, frac a multiple of 0.25), so this equals
     * the builtin `percentile` and DuckDB's `quantile_cont`
@@ -1298,6 +1343,29 @@ object Relational {
         |  WHERE b.n_orders >= a.n_orders AND b.avg_c <= a.avg_c
         |    AND (b.n_orders > a.n_orders OR b.avg_c < a.avg_c))
         |ORDER BY a.o_custkey""".stripMargin,
+    // same power-of-two weights via DuckDB's bit shift; BIGINT sums
+    "q52_decay_trend" ->
+      s"""WITH ck AS (
+         |  SELECT
+         |    CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '')
+         |      AS INTEGER) AS item,
+         |    epoch_us(ts) // 86400000000 AS day
+         |  FROM events WHERE event_type = 'click'),
+         |cf AS (SELECT item, day FROM ck WHERE item IS NOT NULL),
+         |ref AS (SELECT max(day) AS ref_day FROM cf),
+         |wtd AS (
+         |  SELECT item,
+         |    CASE WHEN ref_day - day < $DecayHorizon THEN 1 ELSE 0 END
+         |      AS in_w,
+         |    CASE WHEN ref_day - day < $DecayHorizon
+         |      THEN (CAST(1 AS BIGINT) <<
+         |        CAST(${DecayHorizon - 1} - (ref_day - day) AS INTEGER))
+         |      ELSE CAST(0 AS BIGINT) END AS w
+         |  FROM cf, ref)
+         |SELECT item, CAST(sum(in_w) AS BIGINT) AS n_window,
+         |  CAST(sum(w) AS BIGINT) AS decay_units
+         |FROM wtd GROUP BY item
+         |ORDER BY decay_units DESC, item LIMIT $DecayTopK""".stripMargin,
     // q37's capped-profile CTEs + supports + directional permille
     // scores; HUGEINT mediates lift's quadratic numerator
     "q51_assoc_rules" ->
@@ -1825,5 +1893,6 @@ object Relational {
     "q38_transitions" -> q38Transitions,
     "q50_skyline" -> q50Skyline,
     "q51_assoc_rules" -> q51AssocRules,
+    "q52_decay_trend" -> q52DecayTrend,
   )
 }

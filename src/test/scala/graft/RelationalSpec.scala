@@ -692,4 +692,37 @@ class RelationalSpec extends AnyFunSuite {
     assert(neg, "sf0.01: lift never dropped below 1000")
     assert(rules01.count() == graft.operators.Relational.AssocTopK)
   }
+
+  test("q52 decayed trending matches a driver replay; the horizon " +
+      "genuinely truncates; weights are exact powers of two") {
+    import org.apache.spark.sql.functions._
+    val K = graft.operators.Relational.DecayHorizon
+    val got = graft.operators.Relational.q52DecayTrend(s, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val clicks = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .select(get_json_object(col("props"), "$.k").cast("int").as("item"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .filter(col("item").isNotNull)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val ref = clicks.map(_._2).max
+    val expected = clicks.groupBy(_._1).map { case (item, cs) =>
+      val ages = cs.map(ref - _._2)
+      (item, ages.count(_ < K).toLong,
+        ages.filter(_ < K).map(a => 1L << (K - 1 - a).toInt).sum)
+    }.toSeq.sortBy(t => (-t._3, t._1))
+      .take(graft.operators.Relational.DecayTopK)
+    assert(got.toSeq == expected)
+    // the horizon bites: clicks exist beyond it, and some trending
+    // item's windowed count is strictly below its all-time count
+    assert(clicks.exists(c => ref - c._2 >= K), "corpus fits horizon")
+    val allTime = clicks.groupBy(_._1).view.mapValues(_.length.toLong)
+    assert(got.exists(t => t._2 < allTime(t._1)),
+      "no trending item had any click truncated")
+    // freshness re-ranks: decay order differs from the raw-count order
+    val rawTop = allTime.toSeq.sortBy(t => (-t._2, t._1))
+      .take(graft.operators.Relational.DecayTopK).map(_._1)
+    assert(got.map(_._1).toSeq != rawTop,
+      "decay ranking identical to raw counts — no freshness signal")
+  }
 }

@@ -543,6 +543,20 @@ object Curation {
   val C12ChangeMod = 83
   val C12AddMod = 101
 
+  /** The c12 staged-v2 derivation as DuckDB CTE text (`mx`, `v2`) —
+    * shared by the c12/c13/c20 oracles and t18's drift oracle, so the
+    * SQL replay of the staged snapshot has exactly one spelling. */
+  private[operators] def sqlV2Ctes: String =
+    s"""mx AS (SELECT max(doc_id) AS mxid FROM documents),
+       |v2 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % $C12ChangeMod = 0 THEN text || ' [rev2]'
+       |         ELSE text END AS text
+       |  FROM documents WHERE doc_id % $C12DropMod <> 0
+       |  UNION ALL
+       |  SELECT doc_id + mxid + 1 AS doc_id, text
+       |  FROM documents CROSS JOIN mx WHERE doc_id % $C12AddMod = 0)""".stripMargin
+
   /** The staged v2 snapshot — written once per corpus generation under
     * a fingerprint-keyed path (the d9BenchmarksPath pattern: _SUCCESS
     * short-circuits repeats, re-ingest invalidates). */
@@ -1400,15 +1414,7 @@ object Curation {
     // v2 is reproduced from documents by the same deterministic
     // derivation the staging wrote; md5 hex agrees across engines
     "c12_snapshot_diff" ->
-      s"""WITH mx AS (SELECT max(doc_id) AS mxid FROM documents),
-         |v2 AS (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id % $C12ChangeMod = 0 THEN text || ' [rev2]'
-         |         ELSE text END AS text
-         |  FROM documents WHERE doc_id % $C12DropMod <> 0
-         |  UNION ALL
-         |  SELECT doc_id + mxid + 1 AS doc_id, text
-         |  FROM documents CROSS JOIN mx WHERE doc_id % $C12AddMod = 0)
+      s"""WITH $sqlV2Ctes
          |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
          |  CASE WHEN a.doc_id IS NULL THEN 'added'
          |       WHEN b.doc_id IS NULL THEN 'removed'

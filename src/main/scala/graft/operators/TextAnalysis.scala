@@ -1349,6 +1349,68 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ----------------------------------------------------------------- t18
+
+  /** Top |contribution| movers t18 reports beside the `~total` row. */
+  final val T18TopK = 15
+
+  /** The per-token KL contribution in integer NANO-NATS, spelled once
+    * for both engines: with p = (c1+1)/(n1+v), q = (c2+1)/(n2+v)
+    * (add-1 smoothing over the union vocabulary), contrib =
+    * p·ln(p/q), the `ln` rounded to 6 decimals at birth (the s4/t16
+    * discipline — the gate's one transcendental), every other factor
+    * an IEEE-deterministic division/product, scaled by the half-up
+    * floor. Expects columns c1, c2, n1, n2, v. */
+  private def t18ContribSql: String =
+    "CAST(floor(" +
+      "(CAST(c1 + 1 AS DOUBLE) / CAST(n1 + v AS DOUBLE)) * " +
+      "round(ln((CAST(c1 + 1 AS DOUBLE) / CAST(n1 + v AS DOUBLE)) / " +
+      "(CAST(c2 + 1 AS DOUBLE) / CAST(n2 + v AS DOUBLE))), 6) * " +
+      "CAST(1000000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+
+  /** t18: TOKEN-DISTRIBUTION DRIFT between corpus snapshots — the
+    * data-drift monitor a lake runs between crawls (scraper
+    * regressions, domain shifts, boilerplate injections move the
+    * token distribution long before any per-doc quality rule fires):
+    * smoothed KL(v1 ‖ v2) over the union vocabulary, reported as the
+    * `~total` nano-nat sum plus the top-[[T18TopK]] per-token movers
+    * by |contribution| — the artifact a drift alert links to ("which
+    * tokens moved"). v2 is c12's genuinely-staged second snapshot
+    * (its ` [rev2]` marker token is new in v2, so the planted drift
+    * has a known top mover, spec-asserted).
+    *
+    * After the one rounded `ln` everything is an order-free BIGINT
+    * sum. Scale shape: two vocab-keyed combinable counts (the q13
+    * shuffle), one vocab-sized full-outer join, a 1-row totals
+    * broadcast, contributions scan-local, TakeOrdered movers + a
+    * 1-row total — vocabulary-bounded throughout, never corpus-row
+    * state. */
+  def t18KlDrift(s: SparkSession, dir: String): DataFrame = {
+    def counts(df: DataFrame, as: String) = df
+      .select(explode(expr("filter(split(text, ' '), x -> x <> '')"))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as(as))
+    val c1 = counts(Tables.documents(s, dir).select("text"), "c1")
+    val c2 = counts(
+      s.read.parquet(Curation.c12SnapshotPath(s, dir)).select("text"), "c2")
+    val j = c1.join(c2, Seq("word"), "full_outer")
+      .select(col("word"), coalesce(col("c1"), lit(0L)).as("c1"),
+        coalesce(col("c2"), lit(0L)).as("c2"))
+    val tot = j.agg(sum("c1").as("n1"), sum("c2").as("n2"),
+      count(lit(1)).as("v"))
+    val k = j.crossJoin(broadcast(tot))
+      .withColumn("contrib_nano", expr(t18ContribSql))
+      .select("word", "c1", "c2", "contrib_nano")
+    val movers = k
+      .orderBy(abs(col("contrib_nano")).desc, col("word"))
+      .limit(T18TopK)
+    val total = k.agg(sum("c1").as("c1"), sum("c2").as("c2"),
+        sum("contrib_nano").as("contrib_nano"))
+      .select(lit("~total").as("word"), col("c1"), col("c2"),
+        col("contrib_nano"))
+    movers.unionAll(total).orderBy("word")
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Stop-word IN-list shared by the t2 and c1 oracles. */
@@ -1609,6 +1671,40 @@ object TextAnalysis {
          |  CAST(length(substr(norm, CAST(chunk_off AS INTEGER) + 1,
          |    $T9ChunkChars)) AS INTEGER) AS chunk_len
          |FROM off_t ORDER BY doc_id, chunk_idx""".stripMargin,
+    // v2 replayed via the shared c12 CTEs; one shared contribution
+    // spelling, ln rounded at birth, BIGINT sums
+    "t18_kl_drift" ->
+      s"""WITH ${Curation.sqlV2Ctes},
+         |w1 AS (
+         |  SELECT unnest(list_filter(string_split(text, ' '),
+         |    x -> x <> '')) AS word FROM documents),
+         |w2 AS (
+         |  SELECT unnest(list_filter(string_split(text, ' '),
+         |    x -> x <> '')) AS word FROM v2),
+         |c1q AS (SELECT word, CAST(count(*) AS BIGINT) AS c1
+         |  FROM w1 GROUP BY 1),
+         |c2q AS (SELECT word, CAST(count(*) AS BIGINT) AS c2
+         |  FROM w2 GROUP BY 1),
+         |j AS (
+         |  SELECT coalesce(c1q.word, c2q.word) AS word,
+         |    coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+         |  FROM c1q FULL OUTER JOIN c2q ON c1q.word = c2q.word),
+         |tot AS (
+         |  SELECT CAST(sum(c1) AS BIGINT) AS n1,
+         |    CAST(sum(c2) AS BIGINT) AS n2,
+         |    CAST(count(*) AS BIGINT) AS v FROM j),
+         |k AS (
+         |  SELECT word, c1, c2, ${t18ContribSql} AS contrib_nano
+         |  FROM j, tot),
+         |mv AS (
+         |  SELECT word, c1, c2, contrib_nano FROM k
+         |  ORDER BY abs(contrib_nano) DESC, word LIMIT $T18TopK),
+         |tt AS (
+         |  SELECT '~total' AS word, CAST(sum(c1) AS BIGINT) AS c1,
+         |    CAST(sum(c2) AS BIGINT) AS c2,
+         |    CAST(sum(contrib_nano) AS BIGINT) AS contrib_nano FROM k)
+         |SELECT * FROM (SELECT * FROM mv UNION ALL SELECT * FROM tt)
+         |ORDER BY word""".stripMargin,
     // trained hashed-bigram LM replayed in SQL (the c10/t15
     // discipline), same one-line lp spelling, same nearest-rank
     // terciles — training AND relative bucketing are hash-verified
@@ -1785,6 +1881,7 @@ object TextAnalysis {
     "t14_url_canonicalize" -> t14UrlCanonicalize,
     "t16_keywords" -> t16Keywords,
     "t17_ccnet_ppl" -> t17CcnetPpl,
+    "t18_kl_drift" -> t18KlDrift,
     "d13_url_dedup" -> d13UrlDedup,
   )
 }

@@ -729,4 +729,46 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert((nHead - 1) * 100 < nd * 33 ||
       out.values.count(_._2 == t33) > 1)
   }
+
+  test("t18 drift matches a driver KL replay; the staged revision " +
+      "marker is the top mover; the total row sums the full vocab") {
+    import org.apache.spark.sql.functions._
+    val out = TextAnalysis.t18KlDrift(s, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def toks(df: org.apache.spark.sql.DataFrame): Seq[String] = df
+      .select("text").collect().flatMap(r =>
+        Option(r.getString(0)).toSeq.flatMap(
+          _.split(" ").filter(_.nonEmpty))).toSeq
+    val w1 = toks(graft.Tables.documents(s, dir))
+    val w2 = toks(s.read.parquet(
+      graft.operators.Curation.c12SnapshotPath(s, dir)))
+    val m1 = w1.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val m2 = w2.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val vocab = (m1.keySet ++ m2.keySet).toSeq
+    val (n1, n2, v) = (w1.length.toLong, w2.length.toLong,
+      vocab.length.toLong)
+    def contrib(word: String): Long = {
+      val p = (m1.getOrElse(word, 0L) + 1).toDouble / (n1 + v)
+      val q = (m2.getOrElse(word, 0L) + 1).toDouble / (n2 + v)
+      val lnr = BigDecimal(math.log(p / q))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.floor(p * lnr * 1e9 + 0.5).toLong
+    }
+    val all = vocab.map(w =>
+      (w, m1.getOrElse(w, 0L), m2.getOrElse(w, 0L), contrib(w)))
+    val movers = all.sortBy(t => (-math.abs(t._4), t._1))
+      .take(TextAnalysis.T18TopK)
+    val total = ("~total", all.map(_._2).sum, all.map(_._3).sum,
+      all.map(_._4).sum)
+    assert(out.toSeq == (movers :+ total).sortBy(_._1))
+    // the planted revision marker registers: v2-only (v1 count 0),
+    // negative contribution (p at the smoothing floor, q above it).
+    // It does NOT top the movers — a rare token's p·ln(p/q) is tiny
+    // next to a common token's small ratio shift, which is exactly
+    // why a drift monitor reports contributions, not raw novelty.
+    val marker = all.find(_._1 == "[rev2]").get
+    assert(marker._2 == 0L && marker._3 > 0L && marker._4 < 0L)
+    // drift is genuinely nonzero and the total row carries it
+    assert(out.find(_._1 == "~total").get._4 != 0L)
+  }
 }

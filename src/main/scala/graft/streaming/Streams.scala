@@ -630,6 +630,11 @@ object Streams {
   }
 
   val oracle: Map[String, String] = Map(
+    // the maintained-counter read must equal q52's direct scan —
+    // SAME oracle text: the decayed score is a function of the
+    // (day, item) counts alone, which is what the state maintains
+    "st14_stream_trend" ->
+      graft.operators.Relational.oracle("q52_decay_trend"),
     // the index rebuilt at content level + the derived increment
     // screened against it, in SQL (Dedup.sqlSt11FeedOracle)
     "st11_stream_admission" -> Dedup.sqlSt11FeedOracle,
@@ -937,9 +942,60 @@ object Streams {
           col("event_type"), col("vb"), col("c")))
       .orderBy("bucket_start", "event_type")
 
+  // ------------------------------------------------------------- st14
+
+  /** st14 (streaming state): per-(day window, item) CLICK COUNTERS —
+    * the maintained substrate of a trending surface: ONE windowed
+    * additive aggregation (late in-watermark clicks only increment
+    * counters, so micro-batch boundaries are provably irrelevant —
+    * spec-split), state bounded at items × in-watermark days and
+    * evicted by the watermark. */
+  def clickDayCounts(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") === "click")
+      .select(window(col("ts"), "1 day").as("win"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("win"), col("item"))
+      .agg(count(lit(1)).as("c"))
+
+  /** The STATELESS trending read over the counter snapshot — q52's
+    * exact power-of-two decay folded over day-bucketed counts instead
+    * of raw clicks: identical result because the weight is a function
+    * of the DAY alone (the st9/st13 write/read split — the stream
+    * maintains ~items×horizon counters, the read costs counter-table
+    * rows, and the gate hashes it against q52's direct-scan oracle).
+    * Expects (day, item, c). */
+  def trendFromCounts(counts: DataFrame): DataFrame = {
+    val k = graft.operators.Relational.DecayHorizon
+    val ref = counts.agg(max("day").as("ref_day"))
+    counts.crossJoin(broadcast(ref))
+      .withColumn("age", col("ref_day") - col("day"))
+      .withColumn("w", when(col("age") < k, expr(
+        s"shiftleft(CAST(1 AS BIGINT), CAST(${k - 1} - age AS INT))"))
+        .otherwise(lit(0L)))
+      .groupBy("item")
+      .agg(sum(when(col("age") < k, col("c")).otherwise(0L))
+          .as("n_window"),
+        sum(col("c") * col("w")).as("decay_units"))
+      .orderBy(col("decay_units").desc, col("item"))
+      .limit(graft.operators.Relational.DecayTopK)
+  }
+
+  /** st14 gate entry (batch formulation of the same DataFrame logic —
+    * tumbling 1-day windows align to epoch days under the UTC
+    * session, so `win.start div 86400` IS q52's `unix_micros(ts) div
+    * 86400e6` day index; StreamsSpec proves counter parity across
+    * trigger splits). */
+  def st14Query(s: SparkSession, dir: String): DataFrame =
+    trendFromCounts(clickDayCounts(Tables.events(s, dir))
+      .select(expr("CAST(win.start AS LONG) div 86400").as("day"),
+        col("item"), col("c")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st9_stream_hll" -> st9Query,
     "st13_stream_quantiles" -> st13Query,
+    "st14_stream_trend" -> st14Query,
     "st10_stream_cdc" -> st10Query,
     "st11_stream_admission" -> st11Query,
     "c19_time_travel" -> c19TimeTravel,

@@ -669,4 +669,49 @@ class StreamsSpec extends AnyFunSuite {
         "degenerate histogram: too few distinct buckets")
     } finally q.stop()
   }
+
+  test("st14: streaming day-item counters match batch across trigger " +
+      "splits; the decayed read over them equals q52's direct scan") {
+    val sess = s
+    import sess.implicits._
+    import org.apache.spark.sql.functions._
+    val evts = Tables.events(s, dir)
+      .select(col("ts"), col("event_type"), col("props")).limit(400)
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getString(2)))
+    val input = MemoryStream[(java.sql.Timestamp, String, String)](s)
+    val counts = Streams.clickDayCounts(
+      input.toDF().toDF("ts", "event_type", "props")
+        .withWatermark("ts", "1 hour"))
+    val q = counts.writeStream.format("memory").queryName("st14_out")
+      .outputMode("complete").start()
+    try {
+      val (a, rest) = evts.splitAt(113)
+      val (b, c) = rest.splitAt(170)
+      input.addData(a: _*); q.processAllAvailable()
+      input.addData(b: _*); q.processAllAvailable()
+      input.addData(c: _*); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        ((r.getStruct(0).getTimestamp(0).getTime, r.getInt(1)),
+          r.getLong(2))
+      val got = s.table("st14_out").collect().map(key).toMap
+      val expected = Streams.clickDayCounts(
+          evts.toSeq.toDF("ts", "event_type", "props")).collect()
+        .map(key).toMap
+      assert(got == expected, "counters differ across trigger splits")
+      // the maintained-state read equals the direct corpus scan
+      val viaCounters = Streams.st14Query(s, dir).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      val direct = graft.operators.Relational.q52DecayTrend(s, dir)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      assert(viaCounters == direct,
+        "counter-table read diverged from q52's direct scan")
+      // state is genuinely bounded: counters, not clicks
+      val nClicks = Tables.events(s, dir)
+        .filter(col("event_type") === "click").count()
+      assert(expected.size < nClicks,
+        "no compression — counter table as large as the click stream")
+    } finally q.stop()
+  }
 }

@@ -220,15 +220,18 @@ case class IvfRankCells(left: Expression, right: Expression)
 }
 
 object IvfRankCellsKernel {
-  /** Centroid count/dim must match graft.operators.Similarity
-    * (asserted there at literal build time). */
+  /** Fixed-family geometry (s3/s7's 16×64 quantizer — asserted at
+    * literal build time there). The kernel itself derives the CELL
+    * COUNT from the flat centroid array's length, so the same codegen
+    * call also serves s12's corpus-scaled quantizer (any K, dim [[D]]). */
   val K = 16; val D = 64
 
   def rank(emb: ArrayData, cents: ArrayData): ArrayData = {
+    val k = cents.numElements() / D
     val n = math.min(emb.numElements(), D)
-    val cos = new Array[Double](K)
+    val cos = new Array[Double](k)
     var c = 0
-    while (c < K) {
+    while (c < k) {
       val base = c * D
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
@@ -241,14 +244,19 @@ object IvfRankCellsKernel {
       cos(c) = dot / (math.sqrt(na) * math.sqrt(nb))
       c += 1
     }
-    // selection sort by (cos DESC, id DESC) — the struct-array_max order
-    val out = new Array[Int](K)
-    val used = new Array[Boolean](K)
+    // partial selection sort by (cos DESC, id DESC) — the
+    // struct-array_max order. Only the first min(k, 16) ranks are
+    // emitted: no caller probes deeper (s3/s9 slice <= 13, s12 <= 4),
+    // and the partial sort keeps the per-row cost O(16·k) however
+    // large the corpus-scaled cell count grows.
+    val emit = math.min(k, 16)
+    val out = new Array[Int](emit)
+    val used = new Array[Boolean](k)
     var r = 0
-    while (r < K) {
+    while (r < emit) {
       var best = -1
       var i = 0
-      while (i < K) {
+      while (i < k) {
         if (!used(i) && (best < 0 || cos(i) > cos(best) ||
             (cos(i) == cos(best) && i > best))) best = i
         i += 1

@@ -123,7 +123,8 @@ object Similarity {
     * ≤ [[KmeansSample]] vectors and the resulting 16×64 floats persist
     * into the plan as literals. Init is deterministic farthest-point
     * (maxmin cosine) from the id-sorted sample. */
-  private[graft] def kmeansCentroids(s: SparkSession, dir: String): Array[Array[Float]] = {
+  private[graft] def kmeansCentroids(s: SparkSession, dir: String,
+      cells: Int = IvfCells): Array[Array[Float]] = {
     val e = Tables.embeddings(s, dir)
     val n = e.count()
     val step = math.max(1L, n / KmeansSample)
@@ -132,7 +133,7 @@ object Similarity {
       .orderBy("vec_id")
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
-    require(sample.length >= IvfCells, s"sample smaller than $IvfCells")
+    require(sample.length >= cells, s"sample smaller than $cells")
     val dim = sample.head.length
 
     def cos(a: Array[Float], b: Array[Float]): Double = {
@@ -149,7 +150,7 @@ object Similarity {
     // nearest-similarity is maintained incrementally, O(sample · cells)
     val chosen = scala.collection.mutable.ArrayBuffer(sample.head)
     val nearest = sample.map(v => cos(v, sample.head))
-    while (chosen.length < IvfCells) {
+    while (chosen.length < cells) {
       var bestIdx = 0; var bestScore = Double.MaxValue
       var i = 0
       while (i < sample.length) {
@@ -168,11 +169,11 @@ object Similarity {
 
     var iter = 0
     while (iter < KmeansIters) {
-      val sums = Array.fill(IvfCells)(new Array[Double](dim))
-      val counts = new Array[Int](IvfCells)
+      val sums = Array.fill(cells)(new Array[Double](dim))
+      val counts = new Array[Int](cells)
       sample.foreach { v =>
         var best = 0; var bestCos = -2.0; var c = 0
-        while (c < IvfCells) {
+        while (c < cells) {
           val cs = cos(v, centroids(c))
           if (cs > bestCos) { bestCos = cs; best = c }
           c += 1
@@ -181,7 +182,7 @@ object Similarity {
         var i = 0
         while (i < dim) { sums(best)(i) += v(i); i += 1 }
       }
-      centroids = Array.tabulate(IvfCells) { c =>
+      centroids = Array.tabulate(cells) { c =>
         if (counts(c) == 0) centroids(c) // empty cell keeps its centroid
         else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
       }
@@ -262,13 +263,12 @@ object Similarity {
   private def centroidSig(cent: Array[Array[Float]]): String =
     floatSig(cent.iterator.flatten)
 
-  private[graft] def centroidsFor(s: SparkSession, dir: String): Array[Array[Float]] = {
-    // cache key = corpus FINGERPRINT, not dir: a re-ingested corpus at
-    // the same path changes the fingerprint (file lengths/mtimes) and
-    // misses both layers, so a long-lived JVM can never serve
-    // centroids trained on a previous corpus generation
-    val key = corpusFingerprint(s, dir)
-    val c = centroidCache.computeIfAbsent(key, k => {
+  /** Cache/artifact lookup for a quantizer with `cells` centroids
+    * under `key` — the shared two-layer (JVM map + checksummed
+    * parquet) store behind [[centroidsFor]] and [[s12CentroidsFor]]. */
+  private def centroidsKeyed(s: SparkSession, key: String,
+      cells: Int, dir: String): Array[Array[Float]] =
+    centroidCache.computeIfAbsent(key, k => {
       import s.implicits._
       val path = artifactPath(s, k)
       val loaded: Option[Array[Array[Float]]] =
@@ -279,13 +279,13 @@ object Similarity {
           // trust the artifact only if complete AND its embedded
           // checksum matches what the loaded floats re-derive to
           val expected = centroidSig(cent)
-          if (rows.length == IvfCells && rows.forall(_._3 == expected))
+          if (rows.length == cells && rows.forall(_._3 == expected))
             Some(cent)
           else None
         } catch { case _: Exception => None }
       loaded.getOrElse {
         kmeansTrainCount.incrementAndGet()
-        val trained = kmeansCentroids(s, dir)
+        val trained = kmeansCentroids(s, dir, cells)
         val sig = centroidSig(trained)
         try trained.zipWithIndex.map { case (v, i) => (i, v, sig) }.toSeq
           .toDS().toDF("cid", "embedding", "sig")
@@ -294,7 +294,45 @@ object Similarity {
         trained
       }
     })
+
+  private[graft] def centroidsFor(s: SparkSession, dir: String): Array[Array[Float]] = {
+    // cache key = corpus FINGERPRINT, not dir: a re-ingested corpus at
+    // the same path changes the fingerprint (file lengths/mtimes) and
+    // misses both layers, so a long-lived JVM can never serve
+    // centroids trained on a previous corpus generation
+    val key = corpusFingerprint(s, dir)
+    val c = centroidsKeyed(s, key, IvfCells, dir)
     lastCorpusKey = Some(key)
+    c
+  }
+
+  /** s12's target cell occupancy: cells = max(16, ceil(n/128)), the
+    * FAISS-style fixed-occupancy rule that keeps the knn-graph's
+    * candidate volume LINEAR in the corpus (probes × n × occupancy
+    * with occupancy pinned) — measured: the fixed-16-cell spelling
+    * ran the 10× probe at 128–157× (occupancy grew 10×, pair volume
+    * 100×); the scaled quantizer brings it back to ~linear. */
+  val S12Occupancy = 128
+
+  private[graft] def s12CellsFor(n: Long): Int =
+    math.max(IvfCells, ((n + S12Occupancy - 1) / S12Occupancy).toInt)
+
+  /** Most recent s12 quantizer cache key (the Bpe lastKey pattern) —
+    * the static [[oracle]] resolves s12's generated SQL from this. */
+  @volatile private[graft] var lastS12Key: Option[String] = None
+
+  /** The corpus-scaled s12 quantizer — SHARES s3's key (and so its
+    * cache entry and trained artifact) whenever the scaled cell count
+    * is 16, which holds at every gate SF; a larger corpus gets its own
+    * fingerprint+k-keyed entry. */
+  private[graft] def s12CentroidsFor(s: SparkSession,
+      dir: String): Array[Array[Float]] = {
+    val n = Tables.embeddings(s, dir).count()
+    val k = s12CellsFor(n)
+    val fp = corpusFingerprint(s, dir)
+    val key = if (k == IvfCells) fp else s"$fp-s12k$k"
+    val c = centroidsKeyed(s, key, k, dir)
+    lastS12Key = Some(key)
     c
   }
 
@@ -443,26 +481,32 @@ object Similarity {
     * s3/s9, which broadcast a fixed query list — the cell join is a
     * KEYED SHUFFLE on the cell id, both sides partitioned alike;
     * candidate volume is Σ_cells assigned(cell) × probers(cell) ≈
-    * probes × N × occupancy. Occupancy stays O(1) at scale by
-    * growing the cell count with the corpus (the d10/s3 rule —
-    * FAISS's sqrt(N) cells), making the graph build linear-ish;
-    * with the gate's fixed 16 cells the quadratic-in-occupancy term
-    * is visible and DOCUMENTED (the §5 probe measures it). Cell
-    * assignment and probe ranking are the inlined-centroid
-    * scan-local argmax (zero training cost — the cached s3
-    * quantizer); top-k per vector is a WindowGroupLimit rank. The
-    * oracle replays assignment/probe/cosine/rank with the trained
-    * centroids inlined ([[s12OracleSql]]); vectors whose probed
-    * cells hold < k others legitimately emit fewer edges. */
+    * probes × N × occupancy. Occupancy is PINNED by scaling the cell
+    * count with the corpus ([[s12CellsFor]]: max(16, ceil(n/128)) —
+    * the FAISS fixed-occupancy rule), keeping the build LINEAR: the
+    * fixed-16-cell spelling measured 128–157× on the 10× probe
+    * (occupancy grew 10×, pairs 100×); the scaled quantizer is the
+    * fix, trained by the same Lloyd kernel and sharing s3's cached
+    * artifact whenever the scaled count is 16 (every gate SF). Cell
+    * assignment and probe ranking are ONE fused `ivf_rank_cells`
+    * kernel call per row (the s7 lesson — and s12's cell count grows,
+    * so the composed struct spelling would only get worse); top-k per
+    * vector is a WindowGroupLimit rank. The oracle replays
+    * assignment/probe/cosine/rank with the SAME scaled centroids
+    * inlined ([[s12OracleSql]]); vectors whose probed cells hold < k
+    * others legitimately emit fewer edges. */
   def s12KnnGraph(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val centroids: Array[(Int, Array[Float])] =
-      centroidsFor(s, dir).zipWithIndex.map { case (v, i) => (i, v) }
-    val structsArr = centroidStructsArr(centroids)
-    val cellExpr = expr(s"array_max($structsArr).id")
-    val probeExpr = expr(
-      s"transform(slice(reverse(array_sort($structsArr)), 1, $S12Probes)," +
-        " x -> x.id)")
+    // corpus-scaled quantizer (fixed ~128 occupancy) + the fused
+    // ranking kernel on BOTH corpus-sized sides: the composed
+    // 16-struct array_max spelling was s7's measured bottleneck at 16
+    // cells, and s12's cell count GROWS with the corpus
+    val cents = s12CentroidsFor(s, dir)
+    val centFlat = "array(" +
+      cents.flatMap(_.map(x => s"CAST($x AS FLOAT)")).mkString(",") + ")"
+    val rankExpr = s"ivf_rank_cells(embedding, $centFlat)"
+    val cellExpr = expr(s"element_at($rankExpr, 1)")
+    val probeExpr = expr(s"slice($rankExpr, 1, $S12Probes)")
     val q = Tables.embeddings(s, dir)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         explode(probeExpr).as("cell"))
@@ -1974,7 +2018,7 @@ object Similarity {
     val pq = pqFor(s, dir)
     staticOracle +
       ("s3_ann_ivf" -> s3OracleSql(cent)) +
-      ("s12_knn_graph" -> s12OracleSql(cent)) +
+      ("s12_knn_graph" -> s12OracleSql(s12CentroidsFor(s, dir))) +
       ("s9_ann_filtered" -> s9OracleSql(cent)) +
       ("d10_semdedup" -> d10OracleSql(cent)) +
       ("s6_ann_pq" -> s6OracleSql(pq)) +
@@ -1996,7 +2040,13 @@ object Similarity {
     (cached, pqCached) match {
       case (Some(c), Some(p)) => staticOracle +
         ("s3_ann_ivf" -> s3OracleSql(c)) +
-        ("s12_knn_graph" -> s12OracleSql(c)) +
+        // the s12 quantizer shares s3's cache entry whenever its
+        // scaled cell count is 16 (every gate corpus); a corpus where
+        // they differ has necessarily RUN s12 (that is how a dump is
+        // taken), so lastS12Key resolves — fall back to c otherwise
+        ("s12_knn_graph" -> s12OracleSql(
+          lastS12Key.flatMap(k => Option(centroidCache.get(k)))
+            .getOrElse(c))) +
         ("s9_ann_filtered" -> s9OracleSql(c)) +
         ("d10_semdedup" -> d10OracleSql(c)) +
         ("s6_ann_pq" -> s6OracleSql(p)) +

@@ -324,4 +324,33 @@ class FunctionsSpec extends AnyFunSuite {
       .selectExpr("sk.hll_est").head().getLong(0)
     assert(withNulls == 2L, "null skipped, 2 distinct remain")
   }
+
+  test("ivf_rank_cells matches the composed struct spelling at the " +
+      "fixed 16-cell geometry AND a corpus-scaled cell count") {
+    val s = TestSpark.spark
+    GraftFunctions.register(s)
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    val rows = Seq.fill(40)(vec()).toDF("embedding")
+    for (k <- Seq(16, 20)) {
+      val cents = Array.fill(k)(vec())
+      val flat = "array(" +
+        cents.flatMap(_.map(x => s"CAST($x AS FLOAT)")).mkString(",") + ")"
+      val structs = "array(" + cents.zipWithIndex.map { case (v, i) =>
+        s"struct(cosine_sim(embedding, array(${v.map(x =>
+          s"CAST($x AS FLOAT)").mkString(",")})) AS cos, $i AS id)"
+      }.mkString(",") + ")"
+      val emit = math.min(k, 16)
+      val got = rows.selectExpr(
+          s"slice(ivf_rank_cells(embedding, $flat), 1, $emit) AS kr",
+          s"transform(slice(reverse(array_sort($structs)), 1, $emit)," +
+            " x -> x.id) AS sr")
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+          s"k=$k: kernel rank diverged from the struct spelling")
+      }
+    }
+  }
 }

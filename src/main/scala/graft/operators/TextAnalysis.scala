@@ -1304,6 +1304,11 @@ object TextAnalysis {
     * two-phase cum ≡ the global scan. */
   def t17CcnetPpl(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the tokenize+md5-bucket subtree feeds the model build AND the
+    // scoring join AND (via nll) three more consumers — without a cut
+    // the executed plan replays the scan+explode+md5 work 3× (PLANS
+    // audit: 6 scans, 16 exchanges). localCheckpoint materializes the
+    // 3-int bigram frame once (the d8/q36 reuse rule).
     val pairs = Tables.documents(s, dir)
       .withColumn("ptext", t17Planted)
       .withColumn("toks", expr("filter(split(ptext, ' '), x -> x <> '')"))
@@ -1314,8 +1319,11 @@ object TextAnalysis {
           "element_at(toks, i + 1) AS cw))")).as("p"))
       .select(col("doc_id"),
         t17Bucket(col("p.pw")).as("pb"), t17Bucket(col("p.cw")).as("cb"))
+      .localCheckpoint(true)
     val bc = pairs.groupBy("pb", "cb").agg(count(lit(1)).as("c"))
     val uc = bc.groupBy("pb").agg(sum("c").as("cu"))
+    // nll likewise serves three consumers (histogram, total count,
+    // the final bucket projection) — cut it too, it is doc-sized
     val nll = pairs
       .join(broadcast(bc), Seq("pb", "cb"))
       .join(broadcast(uc), Seq("pb"))
@@ -1323,6 +1331,7 @@ object TextAnalysis {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         expr("(-sum(lp)) div count(1)").as("nll_micro"))
+      .localCheckpoint(true)
     val hist = nll.groupBy("nll_micro").agg(count(lit(1)).as("hc"))
       .withColumn("hb", expr(s"nll_micro div ${T17HistB}L"))
     val inW = Window.partitionBy("hb").orderBy("nll_micro")

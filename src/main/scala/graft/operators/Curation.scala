@@ -1063,6 +1063,93 @@ object Curation {
       .orderBy("pos")
   }
 
+  /** The audited column set of [[c26TableStats]]: (table, column,
+    * canonical-integer-units SQL) — prices in cents, ids/quantities
+    * raw, the events item extracted via the q15/q37 idiom (genuinely
+    * nullable: non-click events carry no `k`). Shared spelling with
+    * the oracle via [[c26SqlUnits]]. */
+  private val C26Cols: Seq[(String, Seq[(String, String, String)])] = Seq(
+    "lineitem" -> Seq(
+      ("l_quantity", "CAST(l_quantity AS BIGINT)",
+        "CAST(l_quantity AS BIGINT)"),
+      ("l_extendedprice", "CAST(round(l_extendedprice * 100, 0) AS BIGINT)",
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT)"),
+      ("l_discount", "CAST(round(l_discount * 100, 0) AS BIGINT)",
+        "CAST(round(l_discount * 100, 0) AS BIGINT)")),
+    "orders" -> Seq(
+      ("o_totalprice", "CAST(round(o_totalprice * 100, 0) AS BIGINT)",
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT)"),
+      ("o_custkey", "CAST(o_custkey AS BIGINT)",
+        "CAST(o_custkey AS BIGINT)")),
+    "events" -> Seq(
+      ("props_k",
+        "CAST(CAST(get_json_object(props, '$.k') AS INT) AS BIGINT)",
+        "CAST(CAST(NULLIF(regexp_extract(props, '\"k\":\\s*(\\d+)', 1)," +
+          " '') AS INTEGER) AS BIGINT)"),
+      // '$.v' never occurs in props: the ALL-NULL column (a schema
+      // column empty in this partition — real lakes have them), which
+      // a stats collector must survive: zero hashed values = the
+      // EMPTY SKETCH (v_empty = m, est = 0), min/max NULL
+      ("props_v",
+        "CAST(CAST(get_json_object(props, '$.v') AS INT) AS BIGINT)",
+        "CAST(CAST(NULLIF(regexp_extract(props, '\"v\":\\s*(\\d+)', 1)," +
+          " '') AS INTEGER) AS BIGINT)")))
+
+  /** One fused stats scan per table: count + per-column (null count,
+    * hll_sketch NDV, min, max) in a SINGLE aggregate, then exploded
+    * to one row per column — the c18 conditional-aggregation shape
+    * with q44's native sketch aggregate riding alongside. */
+  private def c26Table(s: SparkSession, tbl: String, df: DataFrame,
+      cols: Seq[(String, String, String)]): DataFrame = {
+    val base = df.select(cols.map { case (n, u, _) =>
+      expr(u).as(s"u_$n") }: _*)
+    val aggs = cols.flatMap { case (n, _, _) => Seq(
+      sum(when(col(s"u_$n").isNull, 1L).otherwise(0L)).as(s"nn_$n"),
+      expr(s"hll_sketch(CAST(conv(substring(md5(CAST(u_$n AS STRING))," +
+        s" 1, 8), 16, 10) AS BIGINT))").as(s"sk_$n"),
+      min(col(s"u_$n")).as(s"mn_$n"),
+      max(col(s"u_$n")).as(s"mx_$n")) }
+    base.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(explode(array(cols.map { case (n, _, _) =>
+        struct(lit(tbl).as("tbl"), lit(s"$tbl.$n").as("col_name"),
+          col("n_rows"), col(s"nn_$n").as("n_nulls"),
+          col(s"sk_$n.v_empty").as("v_empty"),
+          col(s"sk_$n.s_scaled").as("s_scaled"),
+          col(s"sk_$n.hll_est").as("hll_est"),
+          col(s"mn_$n").as("min_u"), col(s"mx_$n").as("max_u"))
+      }: _*)).as("c"))
+      .select("c.*")
+  }
+
+  /** c26: TABLE STATISTICS maintenance — the lake's `ANALYZE TABLE`:
+    * per-column row count, null count, NDV estimate, min and max,
+    * the inputs a cost-based optimizer (and every data-quality
+    * monitor) reads before planning against a 100 TB table. Each
+    * table pays ONE scan: all of its columns' aggregates — including
+    * one [[graft.functions.HllSketchAgg]] `hll_sketch` per column,
+    * fixed 64-byte state each — run in a single conditional
+    * aggregation (the c18 fused-scan rule: the 50th column costs an
+    * aggregate, never another pass), then explode to the per-column
+    * audit rows. NDV rides the q40/q44 integer-exact sketch, so even
+    * the ESTIMATES hash-match cross-engine — the oracle replays the
+    * register pipeline per column via the shared
+    * [[Relational.hllOracleSqlKeyed]] generator keyed on col_name.
+    * min/max travel in canonical integer units (cents for prices —
+    * the engine-shared exact spelling). events.props_k exercises the
+    * null path genuinely (non-click events carry no item). */
+  def c26TableStats(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val frames = C26Cols.map { case (tbl, cols) =>
+      val df = tbl match {
+        case "lineitem" => Tables.lineitem(s, dir)
+        case "orders" => Tables.orders(s, dir)
+        case _ => Tables.events(s, dir)
+      }
+      c26Table(s, tbl, df, cols)
+    }
+    frames.reduce(_.unionByName(_)).orderBy("col_name")
+  }
+
   /** The mktsegment domain [[c18Expectations]] validates against
     * (shared with the oracle). */
   val C18Segments: Seq[String] =
@@ -1669,6 +1756,41 @@ object Curation {
          |SELECT doc_id, okey, CAST(pos AS BIGINT) AS pos,
          |  CAST((pos - 1) // $C23BatchSize AS BIGINT) AS batch_id
          |FROM r ORDER BY pos""".stripMargin,
+    // per-column register replay via the shared HLL generator keyed
+    // on col_name; plain SQL stats joined alongside
+    "c26_table_stats" -> {
+      val hashedUnion = C26Cols.flatMap { case (tbl, cols) =>
+        cols.map { case (n, _, duck) =>
+          s"""SELECT '$tbl.$n' AS col_name,
+             |    ${Relational.sqlHash32(duck)} AS h
+             |  FROM $tbl WHERE ($duck) IS NOT NULL""".stripMargin }
+      }.mkString("\n  UNION ALL\n  ")
+      val statsUnion = C26Cols.flatMap { case (tbl, cols) =>
+        cols.map { case (n, _, duck) =>
+          s"""SELECT '$tbl' AS tbl, '$tbl.$n' AS col_name,
+             |    CAST(count(*) AS BIGINT) AS n_rows,
+             |    CAST(sum(CASE WHEN u IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_nulls,
+             |    CAST(min(u) AS BIGINT) AS min_u,
+             |    CAST(max(u) AS BIGINT) AS max_u
+             |  FROM (SELECT ($duck) AS u FROM $tbl)""".stripMargin }
+      }.mkString("\n  UNION ALL\n  ")
+      val sketchSql = Relational.hllOracleSqlKeyed(Seq("col_name"),
+        s"SELECT col_name, h FROM (\n  $hashedUnion)",
+        withMerge = false)
+      // LEFT join + empty-sketch identity: a column with zero hashed
+      // values has no register rows, so its sketch is the constants
+      // (v_empty = m, s_scaled = m·2^(w+1), est = 0)
+      s"""SELECT st.tbl, st.col_name, st.n_rows, st.n_nulls,
+         |  COALESCE(sk.v_empty, ${Relational.HllM}) AS v_empty,
+         |  COALESCE(sk.s_scaled, CAST(${Relational.HllM.toLong *
+            (1L << (Relational.HllWBits + 1))} AS BIGINT)) AS s_scaled,
+         |  COALESCE(sk.hll_est, CAST(0 AS BIGINT)) AS hll_est,
+         |  st.min_u, st.max_u
+         |FROM ($statsUnion) st
+         |LEFT JOIN ($sketchSql) sk USING (col_name)
+         |ORDER BY st.col_name""".stripMargin
+    },
     // the t17 trainer + terciles replayed via the shared CTEs, then
     // the curriculum order as ONE global row_number — proving the
     // composite two-phase enumeration ≡ the global sort
@@ -1759,6 +1881,7 @@ object Curation {
     "c22_quantile_filter" -> c22QuantileFilter,
     "c23_train_order" -> c23TrainOrder,
     "c25_curriculum" -> c25Curriculum,
+    "c26_table_stats" -> c26TableStats,
     "c18_expectations" -> c18Expectations,
     "c20_incremental_mv" -> c20IncrementalMv,
   )

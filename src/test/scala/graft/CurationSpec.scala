@@ -847,4 +847,53 @@ class CurationSpec extends AnyFunSuite {
     assert(q.queryExecution.executedPlan.toString
       .contains("hashpartitioning(br"))
   }
+
+  test("c26 table stats match direct per-column queries; NDV estimates " +
+      "bounded; the null path fires; one scan per table") {
+    import org.apache.spark.sql.functions._
+    val q = Curation.c26TableStats(s, dir)
+    val out = q.collect().map(r => r.getString(1) ->
+      ((r.getString(0), r.getLong(2), r.getLong(3), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getLong(7)),
+        if (r.isNullAt(8)) None else Some(r.getLong(8))))).toMap
+    assert(out.size == 7)
+    val checks = Seq(
+      ("lineitem.l_quantity", Tables.lineitem(s, dir)
+        .selectExpr("CAST(l_quantity AS BIGINT) AS u")),
+      ("orders.o_custkey", Tables.orders(s, dir)
+        .selectExpr("CAST(o_custkey AS BIGINT) AS u")),
+      ("events.props_k", Tables.events(s, dir)
+        .selectExpr("CAST(CAST(get_json_object(props, '$.k') AS INT) " +
+          "AS BIGINT) AS u")))
+    checks.foreach { case (name, df) =>
+      val rows = df.collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getLong(0)))
+      val (tbl, n, nn, est, mn, mx) = out(name) match {
+        case (t, a, b, c, d, e) => (t, a, b, c, d, e) }
+      assert(name.startsWith(tbl + "."))
+      assert(n == rows.length.toLong, s"$name n_rows")
+      assert(nn == rows.count(_.isEmpty).toLong, s"$name n_nulls")
+      val vals = rows.flatten
+      assert(mn == vals.reduceOption(_ min _) &&
+        mx == vals.reduceOption(_ max _), s"$name min/max")
+      // NDV: 64-register HLL — 4-sigma of the ~13% relative error
+      // (linear-counting regime below is much tighter)
+      val truth = vals.distinct.length.toLong
+      val tol = math.max(4L, (0.52 * truth).toLong)
+      assert(math.abs(est - truth) <= tol,
+        s"$name: NDV est $est vs true $truth")
+    }
+    // the ALL-NULL column (absent JSON key): every row null, the
+    // empty sketch (est 0), min/max NULL — the stats collector
+    // survives a schema column that is empty in this partition
+    val (_, nV, nnV, estV, mnV, mxV) = out("events.props_v")
+    assert(nnV == nV && estV == 0L && mnV.isEmpty && mxV.isEmpty)
+    // fused scan: one FileScan per audited table, never per column
+    // (count the AQE FINAL plan only — the adaptive toString appends
+    // an "== Initial Plan ==" section that would double every scan)
+    val planStr = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "FileScan".r.findAllIn(planStr).length
+    assert(scans == 3, s"expected 3 scans (one per table), got $scans")
+  }
 }

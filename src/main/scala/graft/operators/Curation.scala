@@ -1150,6 +1150,48 @@ object Curation {
     frames.reduce(_.unionByName(_)).orderBy("col_name")
   }
 
+  /** c27 bucket count (equi-height fence posts per column). */
+  val C27Buckets = 8
+
+  /** c27: equi-height COLUMN HISTOGRAMS — the distribution half of
+    * the optimizer's statistics (c26 maintains the scalars; a CBO's
+    * selectivity estimates read equi-height histograms, Spark's own
+    * `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` shape). For
+    * each audited column, the [[C27Buckets]] nearest-rank fence
+    * posts: `ub_i` = smallest value whose cumulative count reaches
+    * `ceil(i·n/B)` (pure integers: `cum·B ≥ i·n` — the q39 rank
+    * rule), so bucket i holds ~n/B rows and a heavily-tied column
+    * (l_quantity, ~50 distinct values) legitimately repeats bounds
+    * where one value spans several fences.
+    *
+    * Scale shape: ONE scan emits every column's (col_name, value)
+    * pairs via `stack` (the c26 one-scan-per-table rule), ONE keyed
+    * histogram shuffle collapses them to distinct values, the
+    * cumulative window runs per column over the COLLAPSED histogram
+    * (the q33 discipline — state bounded by distinct values, and
+    * the partition key carries col_name so columns proceed in
+    * parallel), and the fence extraction is one histogram-bounded
+    * aggregate against a B-row constant frame. Both engines run the
+    * same rank arithmetic — hash-exact. */
+  def c27Histograms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = Tables.lineitem(s, dir).select(expr(
+      "stack(2, 'l_quantity', CAST(l_quantity AS BIGINT), " +
+        "'l_extendedprice', CAST(round(l_extendedprice * 100, 0) " +
+        "AS BIGINT)) AS (col_name, u)"))
+    val hist = vals.groupBy("col_name", "u").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("col_name").orderBy("u")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.groupBy("col_name").agg(sum("c").as("n"))
+    val cum = hist.withColumn("cum", sum("c").over(w)).join(tot, "col_name")
+    val idx = s.range(1, C27Buckets + 1).toDF("bucket")
+    cum.crossJoin(broadcast(idx))
+      .groupBy("col_name", "bucket")
+      .agg(min(when(col("cum") * C27Buckets >= col("bucket") * col("n"),
+        col("u"))).as("ub"), max("n").as("n_rows"))
+      .orderBy("col_name", "bucket")
+  }
+
   /** The mktsegment domain [[c18Expectations]] validates against
     * (shared with the oracle). */
   val C18Segments: Seq[String] =
@@ -1756,6 +1798,32 @@ object Curation {
          |SELECT doc_id, okey, CAST(pos AS BIGINT) AS pos,
          |  CAST((pos - 1) // $C23BatchSize AS BIGINT) AS batch_id
          |FROM r ORDER BY pos""".stripMargin,
+    // same rank arithmetic: cum·B >= i·n over the per-column value
+    // histogram, fences via a generated bucket axis
+    "c27_histograms" ->
+      s"""WITH v AS (
+         |  SELECT 'l_quantity' AS col_name,
+         |    CAST(l_quantity AS BIGINT) AS u FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_extendedprice' AS col_name,
+         |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS u
+         |  FROM lineitem),
+         |h AS (SELECT col_name, u, CAST(count(*) AS BIGINT) AS c
+         |  FROM v GROUP BY 1, 2),
+         |cq AS (
+         |  SELECT col_name, u, c,
+         |    sum(c) OVER (PARTITION BY col_name ORDER BY u
+         |      ROWS UNBOUNDED PRECEDING) AS cum,
+         |    sum(c) OVER (PARTITION BY col_name) AS n
+         |  FROM h),
+         |bx AS (SELECT CAST(unnest(generate_series(1, $C27Buckets))
+         |  AS BIGINT) AS bucket)
+         |SELECT col_name, bucket,
+         |  CAST(min(CASE WHEN cum * $C27Buckets >= bucket * n THEN u END)
+         |    AS BIGINT) AS ub,
+         |  CAST(max(n) AS BIGINT) AS n_rows
+         |FROM cq CROSS JOIN bx
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // per-column register replay via the shared HLL generator keyed
     // on col_name; plain SQL stats joined alongside
     "c26_table_stats" -> {
@@ -1882,6 +1950,7 @@ object Curation {
     "c23_train_order" -> c23TrainOrder,
     "c25_curriculum" -> c25Curriculum,
     "c26_table_stats" -> c26TableStats,
+    "c27_histograms" -> c27Histograms,
     "c18_expectations" -> c18Expectations,
     "c20_incremental_mv" -> c20IncrementalMv,
   )

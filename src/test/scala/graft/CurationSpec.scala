@@ -896,4 +896,39 @@ class CurationSpec extends AnyFunSuite {
     val scans = "FileScan".r.findAllIn(planStr).length
     assert(scans == 3, s"expected 3 scans (one per table), got $scans")
   }
+
+  test("c27 equi-height fences match a driver nearest-rank replay; " +
+      "buckets hold their mass; ties repeat bounds on l_quantity") {
+    import org.apache.spark.sql.functions._
+    val b = Curation.C27Buckets
+    val out = Curation.c27Histograms(s, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val cols = Seq(
+      "l_quantity" -> "CAST(l_quantity AS BIGINT)",
+      "l_extendedprice" ->
+        "CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
+    cols.foreach { case (name, uExpr) =>
+      val xs = Tables.lineitem(s, dir).selectExpr(s"$uExpr AS u")
+        .collect().map(_.getLong(0)).sorted
+      val n = xs.length.toLong
+      (1 to b).foreach { i =>
+        val rank = (i * n + b - 1) / b // ceil(i*n/B), 1-indexed
+        val expected = xs((rank - 1).toInt)
+        val (ub, nr) = out((name, i.toLong))
+        assert(nr == n, s"$name n_rows")
+        assert(ub == expected, s"$name fence $i: $ub vs $expected")
+        // equi-height: at least i/B of the mass sits at or below ub
+        assert(xs.count(_ <= ub).toLong * b >= i * n, s"$name mass $i")
+      }
+      // the last fence is the maximum
+      assert(out((name, b.toLong))._1 == xs.last)
+    }
+    // heavy ties (l_quantity ~50 distinct values over 8 buckets) can
+    // legitimately repeat a bound; near-unique cents must not
+    val qb = (1 to b).map(i => out(("l_quantity", i.toLong))._1)
+    val eb = (1 to b).map(i => out(("l_extendedprice", i.toLong))._1)
+    assert(eb.distinct.length == b, "cents fences should be distinct")
+    assert(qb.length == b)
+  }
 }

@@ -236,4 +236,82 @@ class PropertiesSpec extends AnyFunSuite {
     }
     assert(rows.length == inputs.length)
   }
+
+  test("property: q50's prefix-extrema rule equals brute-force " +
+      "dominance on arbitrary 2D point sets (ties included)") {
+    val pt: Gen[(Long, Long)] = for {
+      x <- Gen.choose(0L, 12L); y <- Gen.choose(0L, 12L)
+    } yield (x, y)
+    def dominates(b: (Long, Long), a: (Long, Long)): Boolean =
+      b._1 >= a._1 && b._2 <= a._2 && (b._1 > a._1 || b._2 < a._2)
+    samples(Gen.nonEmptyListOf(pt), 60, seed = 23L).foreach { pts =>
+      // brute force: the definition
+      val brute = pts.filter(a => !pts.exists(b => dominates(b, a))).toSet
+      // prefix extrema: per-x min y, survivor iff it holds its x's
+      // min AND beats the running min over strictly greater x
+      val perX = pts.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val xsDesc = perX.keys.toSeq.sorted.reverse
+      val runMin = xsDesc.scanLeft(Long.MaxValue) { (m, x) =>
+        math.min(m, perX(x)) }
+      val m1 = xsDesc.zip(runMin).toMap // exclusive prefix min
+      val viaRule = pts.filter(p =>
+        p._2 == perX(p._1) && m1(p._1) > p._2).toSet
+      assert(viaRule == brute, s"rule != definition on $pts")
+    }
+  }
+
+  test("property: the nearest-rank fence rule (cum*B >= i*n) equals " +
+      "the sorted ceil-rank definition for arbitrary multisets") {
+    val gen = for {
+      xs <- Gen.nonEmptyListOf(Gen.choose(0L, 30L))
+      b <- Gen.choose(1, 12)
+    } yield (xs, b)
+    samples(gen, 80, seed = 31L).foreach { case (xs, b) =>
+      val sorted = xs.sorted
+      val n = xs.length.toLong
+      val hist = xs.groupBy(identity).view.mapValues(_.length.toLong)
+        .toSeq.sortBy(_._1)
+      val cums = hist.scanLeft((0L, 0L)) { case ((_, c), (v, cnt)) =>
+        (v, c + cnt) }.tail
+      (1 to b).foreach { i =>
+        val viaRule = cums.find { case (_, cum) => cum * b >= i * n }
+          .get._1
+        val rank = (i * n + b - 1) / b
+        assert(viaRule == sorted((rank - 1).toInt),
+          s"B=$b i=$i on $xs")
+      }
+    }
+  }
+
+  test("property: ivf_rank_cells ranks like the (cos DESC, id DESC) " +
+      "reference for arbitrary vectors and cell counts") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val dim = graft.functions.IvfRankCellsKernel.D
+    val vecG: Gen[Array[Float]] =
+      Gen.listOfN(dim, Gen.choose(-4.0f, 4.0f)).map(_.toArray)
+    val caseG = for {
+      k <- Gen.choose(1, 40)
+      cents <- Gen.listOfN(k, vecG)
+      emb <- vecG
+    } yield (emb, cents)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    samples(caseG, 60, seed = 37L).foreach { case (emb, cents) =>
+      val flat = new GenericArrayData(
+        cents.flatMap(_.map(x => x: Any)).toArray)
+      val got = graft.functions.IvfRankCellsKernel
+        .rank(new GenericArrayData(emb.map(x => x: Any)), flat)
+        .toIntArray().toSeq
+      val expected = cents.zipWithIndex
+        .map { case (c, i) => (cos(emb, c), i) }
+        .sortBy { case (s, i) => (-s, -i) }
+        .map(_._2).take(16)
+      assert(got == expected, s"k=${cents.length}")
+    }
+  }
 }

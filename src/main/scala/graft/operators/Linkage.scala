@@ -119,12 +119,130 @@ object Linkage {
       .orderBy("d_id")
   }
 
+  /** q53: WITHIN-TABLE entity resolution — the full ER pipeline shape
+    * (block → match → CLUSTER) where q46 stops at match-to-reference:
+    * the combined record list (clean customers ∪ the staged dirty
+    * re-uploads) is resolved into ENTITIES — every record gets the
+    * minimum record id reachable through edit-distance-≤ 1 name links
+    * (exact re-uploads link at distance 0 through name equality, the
+    * single-digit corruptions at distance 1) — the dedupe-your-CRM
+    * verdict a master-data pipeline publishes.
+    *
+    * Composition of audited machinery, nothing new below the seams:
+    * candidates come from q46's deletion-neighborhood equi-join at
+    * DISTINCT-NAME granularity (the d2/d11 content-groups lesson —
+    * a name's node id is its min record id, so cluster roots ARE min
+    * record ids), the levenshtein verify restores precision, and the
+    * transitive closure is d8's star contraction
+    * ([[Graph.connectedComponents]] — O(log² n) keyed-shuffle rounds,
+    * no driver graph). The MASTER LIST IS CANONICAL: names carried by
+    * any clean record never link pairwise (already-resolved data does
+    * not re-merge — and on dense sequential names, master×master
+    * lev-1 edges would weld the table into one giant entity; the
+    * incremental-ER contract is also what keeps the closure sane).
+    * An incoming record within distance of two masters still BRIDGES
+    * them — real ER transitivity, surfaced as a merged entity id,
+    * which is why production systems audit cluster sizes; the spec
+    * measures the planted list's cross-links. The
+    * oracle replays derivation/keys/verify and closes the same edges
+    * with a recursive CTE (the d8 oracle pattern) — all-integer
+    * output, hash-exact. customer. */
+  def q53ErClusters(s: SparkSession, dir: String): DataFrame = {
+    val clean = Tables.customer(s, dir)
+      .select(col("c_custkey").as("rec_id"), col("c_name").as("name"))
+    val maxId = clean.agg(max("rec_id")).head().getLong(0)
+    val dirty = Tables.customer(s, dir)
+      .filter(col("c_custkey") % DirtyMod === 0)
+      .select((col("c_custkey") + maxId + 1).as("rec_id"),
+        when(col("c_custkey") % ExactMod === 0, col("c_name"))
+          .otherwise(expr(
+            "concat(substr(c_name, 1, 9 + CAST(c_custkey % 9 AS INT)), " +
+              "substr(c_name, 11 + CAST(c_custkey % 9 AS INT), 1000000))"))
+          .as("name"))
+    val recs = clean.unionByName(dirty)
+    // a name is a MASTER if any clean record carries it; masters are
+    // already-resolved canonical data and never merge PAIRWISE — on
+    // this corpus that is also what keeps the graph sane: dense
+    // sequential master names sit within one digit substitution of
+    // each other (lev 1), so master×master edges would weld the
+    // whole table into one giant entity (measured: 1M candidate
+    // pairs and a component spanning the corpus). An incoming record
+    // within distance of TWO masters still bridges them — the real
+    // ER ambiguity, surfaced as a merged id and spec-measured.
+    val names = recs.groupBy("name").agg(min("rec_id").as("nid"),
+      max(when(col("rec_id") <= maxId, 1).otherwise(0)).as("is_clean"))
+    val keys = names.select(col("nid"), col("name"), col("is_clean"),
+      explode(expr(delKeysExpr("name"))).as("k"))
+    val edges = keys
+      .select(col("nid").as("src"), col("name").as("na"),
+        col("is_clean").as("ca"), col("k"))
+      .join(keys.select(col("nid").as("dst"), col("name").as("nb"),
+        col("is_clean").as("cb"), col("k")), "k")
+      .filter(col("src") < col("dst"))
+      .filter(!(col("ca") === 1 && col("cb") === 1))
+      .select("src", "dst", "na", "nb").distinct()
+      .filter(levenshtein(col("na"), col("nb")) <= FuzzyMaxDist)
+      .select("src", "dst")
+    val comp = Graph.connectedComponents(edges)
+    recs.join(names, "name")
+      .join(comp.withColumnRenamed("id", "nid"), Seq("nid"), "left")
+      .select(col("rec_id"),
+        coalesce(col("component"), col("nid")).as("entity_id"))
+      .orderBy("rec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q46_fuzzy_join" -> q46FuzzyJoin)
+    "q46_fuzzy_join" -> q46FuzzyJoin,
+    "q53_er_clusters" -> q53ErClusters)
 
   /** DuckDB mirror: same derivation, same deletion-neighborhood
     * equi-join, same levenshtein verify and (dist, key) tie rule. */
   val oracle: Map[String, String] = Map(
+    // same records, same name-level deletion join + verify, the
+    // closure as a recursive CTE (the d8 oracle pattern)
+    "q53_er_clusters" -> {
+      def delKeys(name: String) =
+        s"list_distinct(list_append(list_transform(range(1, " +
+          s"length($name) + 1), p -> substr($name, 1, p - 1) || " +
+          s"substr($name, p + 1)), $name))"
+      s"""WITH RECURSIVE mx AS (SELECT max(c_custkey) AS m FROM customer),
+         |dirty AS (
+         |  SELECT c.c_custkey + mx.m + 1 AS rec_id,
+         |    CASE WHEN c.c_custkey % $ExactMod = 0 THEN c.c_name
+         |      ELSE substr(c.c_name, 1, 9 + CAST(c.c_custkey % 9 AS INT))
+         |        || substr(c.c_name, 11 + CAST(c.c_custkey % 9 AS INT))
+         |    END AS name
+         |  FROM customer c, mx WHERE c.c_custkey % $DirtyMod = 0),
+         |recs AS (
+         |  SELECT c_custkey AS rec_id, c_name AS name FROM customer
+         |  UNION ALL
+         |  SELECT rec_id, name FROM dirty),
+         |nm AS (SELECT name, min(rec_id) AS nid,
+         |  max(CASE WHEN rec_id <= (SELECT m FROM mx) THEN 1 ELSE 0 END)
+         |    AS is_clean
+         |  FROM recs GROUP BY 1),
+         |nk AS (
+         |  SELECT nid, name, is_clean, unnest(${delKeys("name")}) AS k
+         |  FROM nm),
+         |pe AS (
+         |  SELECT DISTINCT a.nid AS u, a.name AS na,
+         |    b.nid AS v, b.name AS nb
+         |  FROM nk a JOIN nk b USING (k)
+         |  WHERE a.nid < b.nid
+         |    AND NOT (a.is_clean = 1 AND b.is_clean = 1)),
+         |ve AS (SELECT u, v FROM pe
+         |  WHERE levenshtein(na, nb) <= $FuzzyMaxDist),
+         |de AS (SELECT u, v FROM ve UNION SELECT v, u FROM ve),
+         |reach(n, r) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM de)
+         |  UNION
+         |  SELECT reach.n, e.v FROM reach JOIN de e ON e.u = reach.r),
+         |comp AS (SELECT n, min(r) AS root FROM reach GROUP BY 1)
+         |SELECT r.rec_id, COALESCE(c.root, nm.nid) AS entity_id
+         |FROM recs r JOIN nm USING (name)
+         |LEFT JOIN comp c ON c.n = nm.nid
+         |ORDER BY r.rec_id""".stripMargin
+    },
     "q46_fuzzy_join" -> {
       def delKeys(name: String) =
         s"list_distinct(list_append(list_transform(range(1, " +

@@ -82,4 +82,68 @@ class LinkageSpec extends AnyFunSuite {
     assert(lev("ab", "ba") == 2 && (delKeys("ab") & delKeys("ba")).nonEmpty,
       "precision relies on the levenshtein verify, as documented")
   }
+
+  test("q53 entities equal a driver union-find over the same rule; " +
+      "every incoming record clusters with its source; masters only " +
+      "merge through a bridging incoming record") {
+    val clean = Tables.customer(s, dir).select("c_custkey", "c_name")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val maxId = clean.map(_._1).max
+    val got = Linkage.q53ErClusters(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver replay: same records, same master-canonical edge rule,
+    // transitive closure by union-find
+    val dirty = clean.filter(_._1 % Linkage.DirtyMod == 0).map {
+      case (k, n) =>
+        val nm = if (k % Linkage.ExactMod == 0) n
+        else n.substring(0, 9 + (k % 9).toInt) +
+          n.substring(10 + (k % 9).toInt)
+        (k + maxId + 1) -> nm
+    }
+    val recs = clean ++ dirty
+    val byName = recs.groupBy(_._2)
+    val nid = byName.view.mapValues(_.map(_._1).min).toMap
+    val isClean = byName.view
+      .mapValues(_.exists(_._1 <= maxId)).toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    def delKeys(w: String): Set[String] =
+      (w.indices.map(i => w.substring(0, i) + w.substring(i + 1)) :+ w)
+        .toSet
+    val names = byName.keys.toSeq
+    val byKey = names.flatMap(n => delKeys(n).map(_ -> n))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct)
+    byKey.values.foreach { ns =>
+      for (a <- ns; b <- ns if nid(a) < nid(b))
+        if (!(isClean(a) && isClean(b)) && lev(a, b) <= Linkage.FuzzyMaxDist)
+          union(nid(a), nid(b))
+    }
+    val expected = recs.map { case (id, n) => id -> find(nid(n)) }.toMap
+    assert(got == expected)
+    // every incoming record resolves to its source master's entity
+    dirty.foreach { case (dId, _) =>
+      val src = dId - maxId - 1
+      assert(got(dId) == got(src), s"incoming $dId lost its source $src")
+    }
+    // multi-master entities exist only via a bridging incoming name
+    val entToRecs = recs.groupBy { case (id, _) => got(id) }
+    entToRecs.foreach { case (e, members) =>
+      val masters = members.map(_._2).distinct.filter(isClean)
+      if (masters.length > 1)
+        assert(members.map(_._2).distinct.exists(n => !isClean(n)),
+          s"entity $e merged masters with no bridge")
+    }
+    val nBridged = entToRecs.count(
+      _._2.map(_._2).distinct.count(isClean) > 1)
+    info(s"entities: ${entToRecs.size}, multi-master: $nBridged")
+    assert(nBridged * 20 <= entToRecs.size,
+      "bridging should be the rare ambiguity, not the norm")
+  }
 }

@@ -120,33 +120,34 @@ object Linkage {
   }
 
   /** q53: WITHIN-TABLE entity resolution — the full ER pipeline shape
-    * (block → match → CLUSTER) where q46 stops at match-to-reference:
-    * the combined record list (clean customers ∪ the staged dirty
-    * re-uploads) is resolved into ENTITIES — every record gets the
-    * minimum record id reachable through edit-distance-≤ 1 name links
-    * (exact re-uploads link at distance 0 through name equality, the
-    * single-digit corruptions at distance 1) — the dedupe-your-CRM
-    * verdict a master-data pipeline publishes.
+    * (block → match → MERGE-OR-QUEUE) where q46 stops at
+    * match-to-reference: every record of the combined list (clean
+    * customers ∪ staged dirty re-uploads) gets an entity id and a
+    * VERDICT — `master` (canonical), `merged` (an incoming record
+    * whose lev ≤ 1 match set contains EXACTLY ONE master — it joins
+    * that master's entity), or `ambiguous` (more than one master in
+    * range — queued for review, kept a singleton entity). This is
+    * the production MDM discipline: auto-merge only on an
+    * unambiguous match, never transitively.
     *
-    * Composition of audited machinery, nothing new below the seams:
-    * candidates come from q46's deletion-neighborhood equi-join at
-    * DISTINCT-NAME granularity (the d2/d11 content-groups lesson —
-    * a name's node id is its min record id, so cluster roots ARE min
-    * record ids), the levenshtein verify restores precision, and the
-    * transitive closure is d8's star contraction
-    * ([[Graph.connectedComponents]] — O(log² n) keyed-shuffle rounds,
-    * no driver graph). The MASTER LIST IS CANONICAL: names carried by
-    * any clean record never link pairwise (already-resolved data does
-    * not re-merge — and on dense sequential names, master×master
-    * lev-1 edges would weld the table into one giant entity; the
-    * incremental-ER contract is also what keeps the closure sane).
-    * An incoming record within distance of two masters still BRIDGES
-    * them — real ER transitivity, surfaced as a merged entity id,
-    * which is why production systems audit cluster sizes; the spec
-    * measures the planted list's cross-links. The
-    * oracle replays derivation/keys/verify and closes the same edges
-    * with a recursive CTE (the d8 oracle pattern) — all-integer
-    * output, hash-exact. customer. */
+    * Transitive lev-1 clustering is deliberately ABSENT, and the
+    * corpus shows why it must be: on dense sequential ids a
+    * digit-DELETED variant sits within one insertion of ~10 masters,
+    * so transitive closure over lev-1 links percolates — measured on
+    * the first spelling: ONE "entity" swallowed all 15,000 masters
+    * at sf0.1 (and its recursive-CTE oracle paid 425s for the
+    * component² closure). Real MDM systems refuse exactly that merge;
+    * the unique-match rule is the refusal, and ambiguity rates are
+    * the audit (spec-measured per SF: sparse ids at sf0.001 make
+    * most variants unique; dense sf0.1 ids make most ambiguous —
+    * the rule's behavior tracks the data, as it should).
+    *
+    * Plan: q46's deletion-neighborhood machinery at DISTINCT-NAME
+    * granularity, masters only on the index side (half the key
+    * volume); one candidate-bounded verify; one name-keyed
+    * match-count aggregation; verdicts joined back — all equi-joins,
+    * no closure, no iteration. All-integer/string output,
+    * hash-exact. customer. */
   def q53ErClusters(s: SparkSession, dir: String): DataFrame = {
     val clean = Tables.customer(s, dir)
       .select(col("c_custkey").as("rec_id"), col("c_name").as("name"))
@@ -160,34 +161,33 @@ object Linkage {
               "substr(c_name, 11 + CAST(c_custkey % 9 AS INT), 1000000))"))
           .as("name"))
     val recs = clean.unionByName(dirty)
-    // a name is a MASTER if any clean record carries it; masters are
-    // already-resolved canonical data and never merge PAIRWISE — on
-    // this corpus that is also what keeps the graph sane: dense
-    // sequential master names sit within one digit substitution of
-    // each other (lev 1), so master×master edges would weld the
-    // whole table into one giant entity (measured: 1M candidate
-    // pairs and a component spanning the corpus). An incoming record
-    // within distance of TWO masters still bridges them — the real
-    // ER ambiguity, surfaced as a merged id and spec-measured.
     val names = recs.groupBy("name").agg(min("rec_id").as("nid"),
       max(when(col("rec_id") <= maxId, 1).otherwise(0)).as("is_clean"))
-    val keys = names.select(col("nid"), col("name"), col("is_clean"),
+    val masters = names.filter(col("is_clean") === 1)
+    val incoming = names.filter(col("is_clean") === 0)
+    val mKeys = masters.select(col("nid").as("m_nid"),
+      col("name").as("m_name"), explode(expr(delKeysExpr("name"))).as("k"))
+    val iKeys = incoming.select(col("nid"), col("name"),
       explode(expr(delKeysExpr("name"))).as("k"))
-    val edges = keys
-      .select(col("nid").as("src"), col("name").as("na"),
-        col("is_clean").as("ca"), col("k"))
-      .join(keys.select(col("nid").as("dst"), col("name").as("nb"),
-        col("is_clean").as("cb"), col("k")), "k")
-      .filter(col("src") < col("dst"))
-      .filter(!(col("ca") === 1 && col("cb") === 1))
-      .select("src", "dst", "na", "nb").distinct()
-      .filter(levenshtein(col("na"), col("nb")) <= FuzzyMaxDist)
-      .select("src", "dst")
-    val comp = Graph.connectedComponents(edges)
+    val matches = iKeys.join(mKeys, "k")
+      .select("nid", "name", "m_nid", "m_name").distinct()
+      .filter(levenshtein(col("name"), col("m_name")) <= FuzzyMaxDist)
+      .groupBy("nid")
+      .agg(count(lit(1)).as("n_matches"), min("m_nid").as("m_min"))
     recs.join(names, "name")
-      .join(comp.withColumnRenamed("id", "nid"), Seq("nid"), "left")
+      .join(matches, Seq("nid"), "left")
       .select(col("rec_id"),
-        coalesce(col("component"), col("nid")).as("entity_id"))
+        when(col("is_clean") === 1, col("nid"))
+          .when(col("n_matches") === 1, col("m_min"))
+          .otherwise(col("nid")).as("entity_id"),
+        // verdicts are RECORD-level: an exact re-upload carries a
+        // master NAME but is itself an incoming record — it reads
+        // 'merged' (the distance-0 auto-merge), never 'master'
+        when(col("rec_id") <= maxId, lit("master"))
+          .when(col("is_clean") === 1, lit("merged"))
+          .when(col("n_matches") === 1, lit("merged"))
+          .when(col("n_matches") > 1, lit("ambiguous"))
+          .otherwise(lit("new")).as("status"))
       .orderBy("rec_id")
   }
 
@@ -198,14 +198,14 @@ object Linkage {
   /** DuckDB mirror: same derivation, same deletion-neighborhood
     * equi-join, same levenshtein verify and (dist, key) tie rule. */
   val oracle: Map[String, String] = Map(
-    // same records, same name-level deletion join + verify, the
-    // closure as a recursive CTE (the d8 oracle pattern)
+    // same records, same name-level deletion join + verify, same
+    // unique-match merge-or-queue verdicts — plain SQL, no closure
     "q53_er_clusters" -> {
       def delKeys(name: String) =
         s"list_distinct(list_append(list_transform(range(1, " +
           s"length($name) + 1), p -> substr($name, 1, p - 1) || " +
           s"substr($name, p + 1)), $name))"
-      s"""WITH RECURSIVE mx AS (SELECT max(c_custkey) AS m FROM customer),
+      s"""WITH mx AS (SELECT max(c_custkey) AS m FROM customer),
          |dirty AS (
          |  SELECT c.c_custkey + mx.m + 1 AS rec_id,
          |    CASE WHEN c.c_custkey % $ExactMod = 0 THEN c.c_name
@@ -221,26 +221,32 @@ object Linkage {
          |  max(CASE WHEN rec_id <= (SELECT m FROM mx) THEN 1 ELSE 0 END)
          |    AS is_clean
          |  FROM recs GROUP BY 1),
-         |nk AS (
-         |  SELECT nid, name, is_clean, unnest(${delKeys("name")}) AS k
-         |  FROM nm),
-         |pe AS (
-         |  SELECT DISTINCT a.nid AS u, a.name AS na,
-         |    b.nid AS v, b.name AS nb
-         |  FROM nk a JOIN nk b USING (k)
-         |  WHERE a.nid < b.nid
-         |    AND NOT (a.is_clean = 1 AND b.is_clean = 1)),
-         |ve AS (SELECT u, v FROM pe
-         |  WHERE levenshtein(na, nb) <= $FuzzyMaxDist),
-         |de AS (SELECT u, v FROM ve UNION SELECT v, u FROM ve),
-         |reach(n, r) AS (
-         |  SELECT u, u FROM (SELECT DISTINCT u FROM de)
-         |  UNION
-         |  SELECT reach.n, e.v FROM reach JOIN de e ON e.u = reach.r),
-         |comp AS (SELECT n, min(r) AS root FROM reach GROUP BY 1)
-         |SELECT r.rec_id, COALESCE(c.root, nm.nid) AS entity_id
+         |mk AS (
+         |  SELECT nid AS m_nid, name AS m_name,
+         |    unnest(${delKeys("name")}) AS k
+         |  FROM nm WHERE is_clean = 1),
+         |ik AS (
+         |  SELECT nid, name, unnest(${delKeys("name")}) AS k
+         |  FROM nm WHERE is_clean = 0),
+         |cand AS (
+         |  SELECT DISTINCT nid, name, m_nid, m_name
+         |  FROM ik JOIN mk USING (k)),
+         |mt AS (
+         |  SELECT nid, CAST(count(*) AS BIGINT) AS n_matches,
+         |    min(m_nid) AS m_min
+         |  FROM cand WHERE levenshtein(name, m_name) <= $FuzzyMaxDist
+         |  GROUP BY 1)
+         |SELECT r.rec_id,
+         |  CASE WHEN nm.is_clean = 1 THEN nm.nid
+         |    WHEN mt.n_matches = 1 THEN mt.m_min
+         |    ELSE nm.nid END AS entity_id,
+         |  CASE WHEN r.rec_id <= (SELECT m FROM mx) THEN 'master'
+         |    WHEN nm.is_clean = 1 THEN 'merged'
+         |    WHEN mt.n_matches = 1 THEN 'merged'
+         |    WHEN mt.n_matches > 1 THEN 'ambiguous'
+         |    ELSE 'new' END AS status
          |FROM recs r JOIN nm USING (name)
-         |LEFT JOIN comp c ON c.n = nm.nid
+         |LEFT JOIN mt ON mt.nid = nm.nid
          |ORDER BY r.rec_id""".stripMargin
     },
     "q46_fuzzy_join" -> {

@@ -83,16 +83,15 @@ class LinkageSpec extends AnyFunSuite {
       "precision relies on the levenshtein verify, as documented")
   }
 
-  test("q53 entities equal a driver union-find over the same rule; " +
-      "every incoming record clusters with its source; masters only " +
-      "merge through a bridging incoming record") {
+  test("q53 verdicts equal a driver unique-match replay; merges are " +
+      "never wrong; ambiguity means >1 master genuinely in range; " +
+      "no entity ever exceeds one master plus its variants") {
     val clean = Tables.customer(s, dir).select("c_custkey", "c_name")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
     val maxId = clean.map(_._1).max
     val got = Linkage.q53ErClusters(s, dir).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // driver replay: same records, same master-canonical edge rule,
-    // transitive closure by union-find
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // driver replay of the unique-match merge-or-queue rule
     val dirty = clean.filter(_._1 % Linkage.DirtyMod == 0).map {
       case (k, n) =>
         val nm = if (k % Linkage.ExactMod == 0) n
@@ -103,47 +102,43 @@ class LinkageSpec extends AnyFunSuite {
     val recs = clean ++ dirty
     val byName = recs.groupBy(_._2)
     val nid = byName.view.mapValues(_.map(_._1).min).toMap
-    val isClean = byName.view
-      .mapValues(_.exists(_._1 <= maxId)).toMap
-    val parent = scala.collection.mutable.Map[Long, Long]()
-    def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
-    }
-    def union(a: Long, b: Long): Unit = {
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    def delKeys(w: String): Set[String] =
-      (w.indices.map(i => w.substring(0, i) + w.substring(i + 1)) :+ w)
-        .toSet
-    val names = byName.keys.toSeq
-    val byKey = names.flatMap(n => delKeys(n).map(_ -> n))
-      .groupBy(_._1).view.mapValues(_.map(_._2).distinct)
-    byKey.values.foreach { ns =>
-      for (a <- ns; b <- ns if nid(a) < nid(b))
-        if (!(isClean(a) && isClean(b)) && lev(a, b) <= Linkage.FuzzyMaxDist)
-          union(nid(a), nid(b))
-    }
-    val expected = recs.map { case (id, n) => id -> find(nid(n)) }.toMap
+    val isClean = byName.view.mapValues(_.exists(_._1 <= maxId)).toMap
+    val masterNames = byName.keys.filter(isClean).toSeq
+    def matchesOf(n: String): Seq[String] =
+      masterNames.filter(m => lev(n, m) <= Linkage.FuzzyMaxDist)
+    val expected = recs.map { case (id, n) =>
+      if (id <= maxId) id -> ((nid(n), "master"))
+      else if (isClean(n)) id -> ((nid(n), "merged"))
+      else {
+        val ms = matchesOf(n)
+        if (ms.length == 1) id -> ((nid(ms.head), "merged"))
+        else if (ms.length > 1) id -> ((nid(n), "ambiguous"))
+        else id -> ((nid(n), "new"))
+      }
+    }.toMap
     assert(got == expected)
-    // every incoming record resolves to its source master's entity
-    dirty.foreach { case (dId, _) =>
-      val src = dId - maxId - 1
-      assert(got(dId) == got(src), s"incoming $dId lost its source $src")
+    // a merge is never wrong: every merged incoming record's entity
+    // is within the threshold of its own name
+    val nameOf = recs.toMap
+    got.foreach { case (id, (e, st)) =>
+      if (st == "merged" && id > maxId) {
+        val master = nameOf(e)
+        assert(lev(nameOf(id), master) <= Linkage.FuzzyMaxDist,
+          s"record $id merged to a master out of range")
+      }
     }
-    // multi-master entities exist only via a bridging incoming name
-    val entToRecs = recs.groupBy { case (id, _) => got(id) }
-    entToRecs.foreach { case (e, members) =>
-      val masters = members.map(_._2).distinct.filter(isClean)
-      if (masters.length > 1)
-        assert(members.map(_._2).distinct.exists(n => !isClean(n)),
-          s"entity $e merged masters with no bridge")
-    }
-    val nBridged = entToRecs.count(
-      _._2.map(_._2).distinct.count(isClean) > 1)
-    info(s"entities: ${entToRecs.size}, multi-master: $nBridged")
-    assert(nBridged * 20 <= entToRecs.size,
-      "bridging should be the rare ambiguity, not the norm")
+    // ambiguity is genuine: each queued record really has >1 master
+    val nAmb = got.count(_._2._2 == "ambiguous")
+    val nMerged = got.count { case (id, (_, st)) =>
+      st == "merged" && id > maxId }
+    assert(nAmb > 0 && nMerged > 0, "both verdicts must be exercised")
+    info(s"incoming: ${dirty.size}, merged: $nMerged, ambiguous: $nAmb")
+    // no percolation: an entity is one master + its merged variants,
+    // never a chain (the giant-component failure the unique-match
+    // rule exists to prevent — the transitive spelling measured one
+    // 15,000-record entity at sf0.1)
+    val sizes = got.toSeq.groupBy(_._2._1).map(_._2.size)
+    assert(sizes.max <= 1 + dirty.size / 10,
+      s"suspiciously large entity: ${sizes.max}")
   }
 }

@@ -312,20 +312,39 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** d4: n-gram Jaccard similarity over blocked candidate pairs.
-    * Blocking key: (lang, n_chars bucket). Intersections come from a
-    * single shuffle on (block, shingle) — pairs sharing no shingle are
-    * never materialized.
+  /** d4 candidate-generation knobs — the d14 discipline applied to the
+    * symmetric near-dup case. A shingle participates in blocking only
+    * while its (lang, cb)-block document frequency is ≤ [[D4MaxDf]]
+    * (computed over DISTINCT contents, so exact duplicates never inflate
+    * it), and each group PROBES with its [[D4RareK]] rarest capped
+    * shingles (ties by shingle text) against an index of ALL capped
+    * occurrences. Candidates per group are ≤ RareK·MaxDf whatever the
+    * corpus, so the candidate join's output is LINEAR in corpus size —
+    * the unbounded (block, shingle) self-join was the 10×-sweep's one
+    * super-linear operator (21.5× wall for 10× rows: near-dup-rich data
+    * makes Σ_sh df² quadratic in family size, and the old spelling also
+    * paid one shuffled row per (pair × shared shingle) to count
+    * intersections). The probe is SYMMETRIC (either side probing an
+    * occurrence of the other yields the pair), and confirmation is
+    * row-local `array_intersect` on the pair's two full shingle sets —
+    * exact Jaccard, cost ∝ |candidates|.
     *
-    * Like d2, the shingle join runs at distinct-content level and doc
-    * membership expands afterwards; the group key includes the blocking
-    * attributes (lang, cb), so two docs collapse together only when they
-    * are interchangeable for this operator. Within-group pairs (exact
-    * duplicates) have inter = union = |shset| and jaccard exactly 1.0 in
-    * both engines. */
-  def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    * The recall trade is explicit, d14-style: a qualifying pair is
+    * missed only if NEITHER side's RareK rarest capped shingles is
+    * shared — for jaccard ≥ 0.2 the sides share ≥ 20% of shingles, and
+    * shared shingles in a near-dup pair are no more frequent than the
+    * unshared ones, so rarest-first probing strongly favors them.
+    * DedupSpec measures recall against [[d4BruteForce]] on the gate
+    * corpus and on a planted family whose shared shingles sit at the df
+    * cap. */
+  val D4MaxDf = 16
+  val D4RareK = 8
+
+  /** Shared d4 prefix: distinct-content groups with blocking attributes
+    * and shingle sets, eagerly materialized (three consumers below). */
+  private def d4Groups(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val groups = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .withColumn("norm", TextOps.normText(col("text")))
       .withColumn("cb", expr("n_chars div 100"))
       .groupBy(md5(col("norm")).as("h"), col("lang"), col("cb"))
@@ -336,20 +355,52 @@ object Dedup {
       .filter(size(col("toks")) >= MinToks)
       .withColumn("shset", expr("array_distinct(word_shingles(toks))"))
       .withColumn("nsh", size(col("shset")))
+      .select("gk", "lang", "cb", "members", "norm", "shset", "nsh")
+  }
 
+  /** d4: n-gram Jaccard similarity over blocked candidate pairs.
+    * Blocking key: (lang, n_chars bucket, df-capped rarest-K shingles) —
+    * see the knob scaladoc above for the scale contract.
+    *
+    * Like d2, blocking runs at distinct-content level and doc membership
+    * expands afterwards; the group key includes the blocking attributes
+    * (lang, cb), so two docs collapse together only when they are
+    * interchangeable for this operator. Within-group pairs (exact
+    * duplicates) have inter = union = |shset| and jaccard exactly 1.0 in
+    * both engines, and bypass the probe entirely. */
+  def d4NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val groups = d4Groups(s, dir)
+      .localCheckpoint(true) // shared by the df pass, confirm, and within
     val ex = groups
-      .select(col("gk"), col("lang"), col("cb"), col("nsh"), col("members"),
-        explode(col("shset")).as("sh"))
-      .hint("shuffle_hash") // see d2Minhash: stage reuse beats broadcast
-
-    val groupPairs = ex.as("x").join(ex.as("y"),
+      .select(col("gk"), col("lang"), col("cb"), explode(col("shset")).as("sh"))
+    val dfc = ex.groupBy("lang", "cb", "sh").agg(count(lit(1)).as("dfc"))
+    val capped = ex.join(dfc, Seq("lang", "cb", "sh"))
+      .filter(col("dfc") <= D4MaxDf)
+      .select("gk", "lang", "cb", "sh", "dfc")
+      .localCheckpoint(true) // one df-join pass feeds both index and probe
+    val index = capped.select("gk", "lang", "cb", "sh")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("gk").orderBy(col("dfc"), col("sh"))
+    val probe = capped
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= D4RareK)
+      .select("gk", "lang", "cb", "sh")
+    val cand = probe.as("x").join(index.as("y"),
         col("x.lang") === col("y.lang") && col("x.cb") === col("y.cb") &&
-          col("x.sh") === col("y.sh") && col("x.gk") < col("y.gk"))
-      .groupBy(col("x.gk").as("gka"), col("y.gk").as("gkb"),
-        col("x.nsh").as("na"), col("y.nsh").as("nb"))
-      .agg(count(lit(1)).as("inter"),
-        first(col("x.members")).as("ma"), first(col("y.members")).as("mb"))
-      .withColumn("union_sz", col("na") + col("nb") - col("inter"))
+          col("x.sh") === col("y.sh") && col("x.gk") =!= col("y.gk"))
+      .select(least(col("x.gk"), col("y.gk")).as("gka"),
+        greatest(col("x.gk"), col("y.gk")).as("gkb"))
+      .distinct()
+    val sets = groups.select(col("gk"), col("shset"), col("nsh"),
+      col("members"))
+    val groupPairs = cand
+      .join(sets.select(col("gk").as("gka"), col("shset").as("sa"),
+        col("nsh").as("na"), col("members").as("ma")), Seq("gka"))
+      .join(sets.select(col("gk").as("gkb"), col("shset").as("sb"),
+        col("nsh").as("nb"), col("members").as("mb")), Seq("gkb"))
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("union_sz",
+        (col("na") + col("nb")).cast("long") - col("inter"))
       .withColumn("jaccard", col("inter") / col("union_sz"))
       .filter(col("jaccard") >= 0.2)
 
@@ -362,7 +413,15 @@ object Dedup {
         greatest(col("a"), col("b")).as("doc_b"),
         col("inter"), col("union_sz"), col("jaccard"))
 
-    val within = groups.filter(size(col("members")) > 1)
+    cross.unionAll(d4Within(groups))
+      .select("doc_a", "doc_b", "inter", "union_sz", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact-duplicate (within-group) pairs of a [[d4Groups]] frame:
+    * inter = union = |shset|, jaccard exactly 1.0. */
+  private def d4Within(groups: DataFrame): DataFrame =
+    groups.filter(size(col("members")) > 1)
       .select(col("members"), col("nsh"))
       .select(explode(col("members")).as("a"), col("members"), col("nsh"))
       .select(col("a"), explode(col("members")).as("b"), col("nsh"))
@@ -372,7 +431,35 @@ object Dedup {
         col("nsh").cast("long").as("union_sz"),
         (col("nsh").cast("long") / col("nsh").cast("long")).as("jaccard"))
 
-    cross.unionAll(within)
+  /** Test-only UNBLOCKED d4: the full (block, shingle) self-join with
+    * exact intersection counting — output-sensitive and super-linear on
+    * near-dup-rich corpora (the shape retired from the gate), kept as
+    * the ground truth the DedupSpec recall measurement runs against. */
+  private[graft] def d4BruteForce(s: SparkSession, dir: String): DataFrame = {
+    val groups = d4Groups(s, dir)
+    val ex = groups
+      .select(col("gk"), col("lang"), col("cb"), col("nsh"), col("members"),
+        explode(col("shset")).as("sh"))
+      .hint("shuffle_hash") // see d2Minhash: stage reuse beats broadcast
+    val groupPairs = ex.as("x").join(ex.as("y"),
+        col("x.lang") === col("y.lang") && col("x.cb") === col("y.cb") &&
+          col("x.sh") === col("y.sh") && col("x.gk") < col("y.gk"))
+      .groupBy(col("x.gk").as("gka"), col("y.gk").as("gkb"),
+        col("x.nsh").as("na"), col("y.nsh").as("nb"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("x.members")).as("ma"), first(col("y.members")).as("mb"))
+      .withColumn("union_sz", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard", col("inter") / col("union_sz"))
+      .filter(col("jaccard") >= 0.2)
+    val cross = groupPairs
+      .select(explode(col("ma")).as("a"), col("mb"),
+        col("inter"), col("union_sz"), col("jaccard"))
+      .select(col("a"), explode(col("mb")).as("b"),
+        col("inter"), col("union_sz"), col("jaccard"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"),
+        col("inter"), col("union_sz"), col("jaccard"))
+    cross.unionAll(d4Within(groups))
       .select("doc_a", "doc_b", "inter", "union_sz", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
@@ -1691,21 +1778,56 @@ object Dedup {
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d4_ngram_jaccard" ->
-      s"""${TextOps.sqlShingleCte},
-         |d AS (SELECT doc_id, lang, n_chars // 100 AS cb,
-         |        list_distinct(shingles) AS shset FROM shingle_t
-         |        WHERE len(toks) >= $MinToks),
-         |ex AS (SELECT doc_id, lang, cb, len(shset) AS nsh,
-         |         unnest(shset) AS sh FROM d)
-         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         |  CAST(count(*) AS BIGINT) AS inter,
-         |  CAST(x.nsh + y.nsh - count(*) AS BIGINT) AS union_sz,
-         |  count(*) / (x.nsh + y.nsh - count(*)) AS jaccard
-         |FROM ex x JOIN ex y
-         |  ON x.lang = y.lang AND x.cb = y.cb AND x.sh = y.sh
-         |  AND x.doc_id < y.doc_id
-         |GROUP BY x.doc_id, y.doc_id, x.nsh, y.nsh
-         |HAVING count(*) / (x.nsh + y.nsh - count(*)) >= 0.2
+      s"""WITH norm_t AS (
+         |  SELECT doc_id, lang, n_chars, ${TextOps.sqlNormText} AS norm
+         |  FROM documents),
+         |gd AS (
+         |  SELECT md5(norm) AS h, lang, n_chars // 100 AS cb, norm,
+         |    list_sort(list(doc_id)) AS members
+         |  FROM norm_t GROUP BY md5(norm), lang, n_chars // 100, norm),
+         |gt AS (SELECT h, lang, cb, members, ${TextOps.sqlToks} AS toks
+         |  FROM gd),
+         |gsz AS (
+         |  SELECT h || '|' || lang || '|' || CAST(cb AS VARCHAR) AS gk,
+         |    lang, cb, members,
+         |    list_distinct(${TextOps.sqlShingles}) AS shset
+         |  FROM gt WHERE len(toks) >= $MinToks),
+         |g AS (SELECT *, CAST(len(shset) AS BIGINT) AS nsh FROM gsz),
+         |exq AS (SELECT gk, lang, cb, unnest(shset) AS sh FROM g),
+         |dfq AS (SELECT lang, cb, sh, count(*) AS dfc
+         |  FROM exq GROUP BY lang, cb, sh),
+         |idx AS (SELECT e.gk, e.lang, e.cb, e.sh, f.dfc
+         |  FROM exq e JOIN dfq f USING (lang, cb, sh)
+         |  WHERE f.dfc <= $D4MaxDf),
+         |probe AS (SELECT gk, lang, cb, sh FROM (
+         |  SELECT gk, lang, cb, sh, row_number() OVER (
+         |      PARTITION BY gk ORDER BY dfc, sh) AS rn
+         |  FROM idx) WHERE rn <= $D4RareK),
+         |cand AS (SELECT DISTINCT least(x.gk, y.gk) AS gka,
+         |    greatest(x.gk, y.gk) AS gkb
+         |  FROM probe x JOIN idx y
+         |    ON x.lang = y.lang AND x.cb = y.cb AND x.sh = y.sh
+         |    AND x.gk <> y.gk),
+         |conf AS (
+         |  SELECT a.members AS ma, b.members AS mb,
+         |    CAST(len(list_intersect(a.shset, b.shset)) AS BIGINT) AS inter,
+         |    a.nsh + b.nsh AS sz
+         |  FROM cand c JOIN g a ON a.gk = c.gka JOIN g b ON b.gk = c.gkb),
+         |scored AS (
+         |  SELECT ma, mb, inter, sz - inter AS union_sz,
+         |    inter / (sz - inter) AS jaccard
+         |  FROM conf WHERE inter / (sz - inter) >= 0.2),
+         |crossp AS (
+         |  SELECT least(t1.a, t2.b) AS doc_a, greatest(t1.a, t2.b) AS doc_b,
+         |    inter, union_sz, jaccard
+         |  FROM scored, unnest(ma) AS t1(a), unnest(mb) AS t2(b)),
+         |within AS (
+         |  SELECT t1.a AS doc_a, t2.b AS doc_b, nsh AS inter,
+         |    nsh AS union_sz, CAST(1.0 AS DOUBLE) AS jaccard
+         |  FROM g, unnest(members) AS t1(a), unnest(members) AS t2(b)
+         |  WHERE len(members) > 1 AND t1.a < t2.b)
+         |SELECT doc_a, doc_b, inter, union_sz, jaccard FROM
+         |  (SELECT * FROM crossp UNION ALL SELECT * FROM within)
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d5_dedup_embedding" ->
       s"""WITH params AS (

@@ -102,6 +102,67 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d4 blocked recall vs brute force: 1.0 on the gate corpus, exact " +
+    "jaccard agreement on every found pair") {
+    val full = Dedup.d4BruteForce(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    val got = Dedup.d4NgramJaccard(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(full.nonEmpty)
+    // blocking can only ever DROP pairs, never invent or rescore them
+    assert((got.keySet -- full.keySet).isEmpty,
+      s"blocked d4 invented pairs: ${got.keySet -- full.keySet}")
+    got.foreach { case (k, j) =>
+      assert(j == full(k), s"pair $k jaccard drifted: $j vs ${full(k)}")
+    }
+    val recall = got.size.toDouble / full.size
+    assert(recall == 1.0,
+      s"gate-corpus recall $recall (${got.size}/${full.size}) — the df cap" +
+        " must not bite where median shingle df is 1")
+  }
+
+  test("d4 df-cap contract: a dense near-dup family at the cap is found; " +
+    "one past the cap is the documented miss") {
+    import org.apache.spark.sql.functions._
+    val sess = s
+    import sess.implicits._
+    // family A: D4MaxDf near-copies (shared-shingle df == cap → kept);
+    // family B: cap+4 near-copies (df > cap → every blocking shingle of
+    // the family is dropped and its cross-pairs are missed — the
+    // explicit, spec-measured trade that bounds candidates at scale)
+    // fixed-width numbering keeps every doc's n_chars identical, so the
+    // whole plant shares one (lang, cb) block and only the df cap decides
+    def fam(base: Long, n: Int, tag: String): Seq[(Long, String)] =
+      (0 until n).map { i =>
+        (base + i,
+          s"alpha$tag beta$tag gamma$tag delta$tag epsilon$tag zeta$tag " +
+            s"eta$tag theta$tag iota$tag kappa$tag " +
+            ("pad word list " * 4) + f"suffix$tag$i%02d unique$tag$i%02d")
+      }
+    val docs = fam(1000L, Dedup.D4MaxDf, "aa") ++
+      fam(2000L, Dedup.D4MaxDf + 4, "bb")
+    val out = java.nio.file.Files.createTempDirectory("graft-d4cap").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val pairs = Dedup.d4NgramJaccard(s, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val aIds = (0 until Dedup.D4MaxDf).map(1000L + _)
+    val aPairs = for { x <- aIds; y <- aIds if x < y } yield (x, y)
+    // brute force confirms both families' pairs genuinely qualify
+    val full = Dedup.d4BruteForce(s, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(aPairs.forall(full.contains) &&
+      full.exists { case (a, b) => a >= 2000L && b >= 2000L })
+    aPairs.foreach { p =>
+      assert(pairs.contains(p), s"under-cap family pair $p missed")
+    }
+    assert(!pairs.exists { case (a, b) => a >= 2000L && b >= 2000L },
+      "over-cap family pairs found — the df cap is not biting, so the " +
+        "linear candidate bound is not in force")
+  }
+
   test("dedupKeepList keeps exactly one doc per planted duplicate pair") {
     val s = TestSpark.spark
     val confirmed = Dedup.d4Confirm(s, dir, Dedup.d2Minhash(s, dir))

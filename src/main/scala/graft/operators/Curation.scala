@@ -353,29 +353,43 @@ object Curation {
     * effectively free), one to per-(doc,bucket) counts (the only
     * data-sized shuffle, ≤64 rows per doc); the 64-row affinity table
     * and its 1-row totals ride as broadcasts, and selection is
-    * row-local hash arithmetic. Integer headroom: counts×scale stay
-    * under 2⁶³ through ~sf10 corpus sizes; a 100 TB deployment
-    * rescales both totals by a common power of two (ratios are
-    * scale-invariant) or widens to DECIMAL(38,0). */
-  def c9DsirSelect(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"),
-        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
-      .withColumn("b", c9BucketCol(col("word")))
-    val buckets = toks.groupBy("b")
-      .agg(count(lit(1)).as("src_c"),
-        sum(when(col("lang") === C9TargetLang, 1L).otherwise(0L)).as("tgt_c"))
-    val totals = buckets.agg(sum("src_c").as("s_tot"), sum("tgt_c").as("t_tot"))
-    // DECIMAL(38,0) intermediates on the (tiny, bucket-count-sized)
-    // affinity frame: the plain BIGINT spelling silently WRAPS in
-    // non-ANSI Spark once corpus token counts pass ~sf10 headroom,
-    // while the DuckDB oracle promotes to HUGEINT — the engines would
-    // diverge with wrong scores and no error. Decimal holds the exact
-    // product to 1e38 (the oracle's HUGEINT reaches 1.7e38); `div`
-    // returns BIGINT and goes NULL rather than wrong if the ratio
-    // itself ever outgrew it, which assert_true turns into a loud
-    // job failure instead of a silently NULL-scored corpus.
-    val aff = buckets.crossJoin(broadcast(totals))
+    * row-local hash arithmetic. Integer headroom: the affinity path is
+    * DECIMAL(38,0)-exact with a provable range guard (see
+    * [[c9Affinity]]) good to ~9.2e14 source tokens ≈ 37× a 100 TB
+    * corpus; past it the job fails loudly with a rescale hint. */
+  /** The c9 affinity table from a per-bucket (b, src_c, tgt_c) count
+    * frame: Laplace-smoothed integer ratio in [[C9Scale]] units.
+    *
+    * DECIMAL(38,0) intermediates on the (tiny, bucket-count-sized)
+    * affinity frame: the plain BIGINT spelling silently WRAPS in
+    * non-ANSI Spark once corpus token counts pass ~sf10 headroom,
+    * while the DuckDB oracle promotes to HUGEINT — the engines would
+    * diverge with wrong scores and no error. Decimal holds the exact
+    * product to 1e38 (the oracle's HUGEINT reaches 1.7e38). The `div`
+    * back to BIGINT is guarded by a PROVABLE range bound, not by
+    * NULL-checking — Spark's IntegralDivide on decimals WRAPS to Long
+    * silently (measured: 4.0e22 div → 7458848195172736512), it does
+    * not go NULL: since tgt_c + 1 ≤ t_tot + [[C9Buckets]] always,
+    * every ratio is ≤ (s_tot + B) · [[C9Scale]], so asserting
+    * s_tot + B ≤ Long.Max/Scale (one row, broadcast) makes the whole
+    * score path exact — ~9.2e14 source tokens of headroom, ≈37× a
+    * 100 TB corpus; past it the job fails LOUDLY with the rescale
+    * hint (ratios are scale-invariant) instead of wrapping.
+    * CurationSpec feeds planted near-overflow counts through this
+    * seam: past-Long-wrap products must score exactly (BigInt
+    * reference), past-bound totals must fail loudly. */
+  private[graft] def c9Affinity(buckets: DataFrame): DataFrame = {
+    val totals = buckets
+      .agg(sum("src_c").as("s_tot"), sum("tgt_c").as("t_tot"))
+      .select(
+        when(assert_true(
+          col("s_tot") + C9Buckets <= Long.MaxValue / C9Scale,
+          lit("c9 affinity ratio can exceed BIGINT at these totals — " +
+            "rescale both totals by a common power of two (ratios are " +
+            "scale-invariant) or widen the score path")).isNull,
+          col("s_tot")).as("s_tot"),
+        col("t_tot"))
+    buckets.crossJoin(broadcast(totals))
       .withColumn("a_raw", expr(
         s"(CAST(tgt_c + 1 AS DECIMAL(38,0)) * (s_tot + $C9Buckets) " +
           s"* $C9Scale) div " +
@@ -385,10 +399,27 @@ object Curation {
           lit("c9 affinity ratio overflowed BIGINT — rescale totals " +
             "(ratios are scale-invariant) or widen the score path")).isNull,
           col("a_raw")).as("a"))
+  }
+
+  def c9DsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
+      .withColumn("b", c9BucketCol(col("word")))
+    val buckets = toks.groupBy("b")
+      .agg(count(lit(1)).as("src_c"),
+        sum(when(col("lang") === C9TargetLang, 1L).otherwise(0L)).as("tgt_c"))
+    val aff = c9Affinity(buckets)
     toks.groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c"))
       .join(broadcast(aff), "b")
       .groupBy("doc_id", "lang")
-      .agg(sum(expr("c * a")).as("w"), sum("c").as("dl"))
+      // w rides DECIMAL(38,0): under the c9Affinity range guard every
+      // a fits BIGINT, but dl·a can still pass 2⁶³ for a long doc in a
+      // skewed corpus — the decimal sum is exact to 1e38 (mirroring the
+      // oracle's HUGEINT) and the final div lands back in range because
+      // w div dl ≤ max(a)
+      .agg(sum(expr("c * CAST(a AS DECIMAL(38,0))")).as("w"),
+        sum("c").as("dl"))
       .withColumn("score_10k", expr("w div dl"))
       .withColumn("accept_buckets",
         least(lit(C9Scale), expr(s"w div ($C9BaseDen * dl)")).cast("int"))
@@ -1579,7 +1610,7 @@ object Curation {
          |  GROUP BY doc_id, lang, b),
          |sc AS (
          |  SELECT doc_id, lang,
-         |    CAST(sum(c * a) AS BIGINT) AS w,
+         |    sum(c * a) AS w,
          |    CAST(sum(c) AS BIGINT) AS dl
          |  FROM db JOIN aff USING (b) GROUP BY doc_id, lang)
          |SELECT doc_id, lang,

@@ -64,6 +64,53 @@ class BpeSpec extends AnyFunSuite {
     assert(got == expect, s"got $got expect $expect")
   }
 
+  test("non-BMP words segment by code point and ties break in " +
+    "code-point (UTF-8 byte) order, not UTF-16 order") {
+    // U+1D54F (supplementary, surrogate pair 0xD835 0xDD4F) vs U+FFFD
+    // (BMP): UTF-16 code-UNIT compare says 𝕏 < U+FFFD (0xD835 < 0xFFFD)
+    // while code-point / UTF-8 byte order — what DuckDB's binary
+    // collation gives the replay oracle's ORDER BY — says the reverse.
+    // A tied argmax between the two is exactly where the retired
+    // toCharArray/String-compare trainer diverged from the oracle.
+    val X = new String(Character.toChars(0x1D54F))
+    val R = "\uFFFD"
+    val filler = "qrstuvwx" // 7 count-1 pairs to feed merges 3-6
+    val merges = Bpe.train(Array((X + "a", 10L), (R + "a", 10L),
+      (filler, 1L)))
+    // tie at count 10: code-point order picks (U+FFFD, a) first
+    assert((merges(0).lhs, merges(0).rhs, merges(0).cnt) == (R, "a", 10L))
+    // the surrogate-pair symbol survives segmentation WHOLE — the
+    // UTF-16 code-unit split would have produced two lone surrogates
+    // and the pair (𝕏, a) could never form
+    assert((merges(1).lhs, merges(1).rhs, merges(1).cnt) == (X, "a", 10L))
+    assert(merges(1).lhs.codePointCount(0, merges(1).lhs.length) == 1)
+  }
+
+  test("static oracle inlines the most recently USED corpus when two " +
+    "train in one JVM") {
+    import org.apache.spark.sql.functions._
+    // second corpus with different merge statistics than the gate dir
+    val out = java.nio.file.Files.createTempDirectory("graft-bpe2").toString
+    val sess = s
+    import sess.implicits._
+    val texts = Seq.tabulate(40)(i =>
+      (i.toLong, "zebra zebra quilt quilt jumble jumble frozen frozen"))
+    texts.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val a = Bpe.oracleFor(s, dir)    // trains/touches the gate corpus
+    val b = Bpe.oracleFor(s, out)    // trains/touches the second corpus
+    assert(a("c10_bpe_tokenize") != b("c10_bpe_tokenize"),
+      "corpora trained identical merges — the staleness check is vacuous")
+    // the static form must resolve the LAST corpus touched, both ways;
+    // an access-ordered LRU's first entry is the LEAST recent — the
+    // retired values().next() spelling returned `a` here
+    assert(Bpe.oracle("c10_bpe_tokenize") == b("c10_bpe_tokenize"))
+    Bpe.mergesFor(s, dir) // cache hit still counts as a USE
+    assert(Bpe.oracle("c10_bpe_tokenize") == a("c10_bpe_tokenize"))
+  }
+
   test("frequency floor and vocab cap bound the collected vocabulary") {
     import s.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft-bpecap").toString

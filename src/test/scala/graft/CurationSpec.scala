@@ -251,6 +251,44 @@ class CurationSpec extends AnyFunSuite {
       "both selection outcomes should occur on this corpus")
   }
 
+  test("c9 affinity is exact past the Long wrap and fails loudly past " +
+    "BIGINT ratio range") {
+    val sess = s
+    import sess.implicits._
+    // counts sized so s_tot = 9e14 sits just UNDER the provable range
+    // guard (Long.Max/10⁴ ≈ 9.22e14) while the product
+    // (tgt+1)·(s_tot+64)·10⁴ ≈ 9·10²⁷ is 10⁹× past Long.MaxValue. The
+    // retired BIGINT spelling wrapped here silently while the DuckDB
+    // oracle promoted to HUGEINT; DECIMAL(38,0) must reproduce the
+    // exact BigInt value.
+    val src = 450000000000000L // 4.5e14 per bucket
+    val tgt = 1000000000L      // 1e9 per bucket
+    val buckets = Seq((0, src, tgt), (1, src, tgt))
+      .toDF("b", "src_c", "tgt_c")
+    val got = Curation.c9Affinity(buckets).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val (sTot, tTot) = (BigInt(src) * 2, BigInt(tgt) * 2)
+    val product =
+      (BigInt(tgt) + 1) * (sTot + Curation.C9Buckets) * Curation.C9Scale
+    assert(product > BigInt(Long.MaxValue),
+      "plant must actually exceed Long, or the test is vacuous")
+    val expect =
+      (product / ((BigInt(src) + 1) * (tTot + Curation.C9Buckets))).toLong
+    assert(got == Map(0 -> expect, 1 -> expect))
+    // a ratio past BIGINT itself (all source mass in one bucket, all
+    // target mass in the other) must abort loudly — never NULL scores
+    val bad = Seq((0, 0L, 1000000000000000L),
+      (1, 4000000000000000000L, 0L)).toDF("b", "src_c", "tgt_c")
+    val e = intercept[Throwable] {
+      Curation.c9Affinity(bad).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("BIGINT")),
+      s"wanted the loud range-guard assert, got: ${messages(e).take(3)}")
+  }
+
   test("c9 importance is monotone in target-likeness (planted corpus)") {
     // target (en) docs are pure 'alpha'; probe docs mix alpha/beta —
     // score_10k must rise strictly with their alpha share

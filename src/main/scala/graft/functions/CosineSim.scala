@@ -560,5 +560,7 @@ object GraftFunctions {
     reg("hll_sketch", classOf[HllSketchAgg], cs => HllSketchAgg(cs(0)))
     reg("nfc_normalize", classOf[NfcNormalize], cs => NfcNormalize(cs(0)))
     reg("url_canon", classOf[UrlCanon], cs => UrlCanon(cs(0)))
+    reg("t17_bigram_keys", classOf[T17BigramKeys], cs => T17BigramKeys(cs(0),
+      litInt("t17_bigram_keys", "buckets", cs(1))))
   }
 }

@@ -61,5 +61,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("hll_sketch", classOf[HllSketchAgg], cs => HllSketchAgg(cs(0)))
     inject("nfc_normalize", classOf[NfcNormalize], cs => NfcNormalize(cs(0)))
     inject("url_canon", classOf[UrlCanon], cs => UrlCanon(cs(0)))
+    inject("t17_bigram_keys", classOf[T17BigramKeys],
+      cs => T17BigramKeys(cs(0),
+        GraftFunctions.litInt("t17_bigram_keys", "buckets", cs(1))))
   }
 }

@@ -1302,13 +1302,83 @@ object TextAnalysis {
     * broadcasts back, cum = offset + in-bucket cum. The oracle keeps
     * the ONE-window global spelling, so hash-equality proves the
     * two-phase cum ≡ the global scan. */
-  def t17CcnetPpl(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // the tokenize+md5-bucket subtree feeds the model build AND the
-    // scoring join AND (via nll) three more consumers — without a cut
-    // the executed plan replays the scan+explode+md5 work 3× (PLANS
-    // audit: 6 scans, 16 exchanges). localCheckpoint materializes the
-    // 3-int bigram frame once (the d8/q36 reuse rule).
+  def t17CcnetPpl(s: SparkSession, dir: String): DataFrame =
+    t17Terciles(s, t17NllKernel(s, dir))
+
+  /** Per-corpus trained [[graft.functions.CcnetLpGrid]] — the t8Model
+    * pattern: keyed (applicationId, documents fingerprint), access-order
+    * LRU, training holds the monitor (duplicate concurrent builds cost
+    * more than the lock wait). The collect is bounded by [[T17Buckets]]²
+    * observed pairs (≤ 1M rows however large the corpus — the hashing
+    * trick IS the bound), and the broadcast grid is 4 MB. */
+  private type T17Model =
+    org.apache.spark.broadcast.Broadcast[graft.functions.CcnetLpGrid]
+  private val t17Cache =
+    new java.util.LinkedHashMap[String, T17Model](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, T17Model]): Boolean = size > 8
+    }
+  /** Spec hook: number of actual grid trainings in this JVM. */
+  private[graft] val t17TrainCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] def clearT17Cache(): Unit =
+    t17Cache.synchronized(t17Cache.clear())
+
+  /** The per-doc bigram-key frame: ONE md5 per token inside the
+    * codegen'd [[graft.functions.T17BigramKeys]] walk (the join
+    * spelling paid two per bigram through the exploded struct), no
+    * explode, one row per scoring-eligible doc. */
+  private def t17Keys(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, dir)
+      .withColumn("ptext", t17Planted)
+      .select(col("doc_id"),
+        expr(s"t17_bigram_keys(ptext, $T17Buckets)").as("ks"))
+      .filter(size(col("ks")) >= 1) // the join spelling's size(toks) >= 2
+  }
+
+  /** Per-doc (doc_id, n_bigrams, nll_micro) via the kernel path: train
+    * (or cache-hit) the lp grid, then score each doc ROW-LOCALLY — one
+    * broadcast array load per bigram, no model join, no per-doc
+    * shuffle. The train pass explodes the keys frame once (native
+    * explode of a long array, no HOF) into the B²-bounded pair count;
+    * on a cache hit the query is a single corpus scan. TextAnalysisSpec
+    * pins this bit-identical to [[t17NllJoinSpelling]] corpus-wide. */
+  private[graft] def t17NllKernel(s: SparkSession, dir: String): DataFrame = {
+    val key = s.sparkContext.applicationId + "/" +
+      Tables.fingerprint(s, dir, "documents")
+    val (model, keys) = t17Cache.synchronized {
+      val hit = t17Cache.get(key)
+      if (hit != null) (hit, t17Keys(s, dir))
+      else {
+        t17TrainCount.incrementAndGet()
+        // two consumers on a miss (pair counts + scoring): cut the
+        // subtree so the md5 walk runs once (the d8/q36 reuse rule)
+        val k = t17Keys(s, dir).localCheckpoint(true)
+        val pairs = k.select(explode(col("ks")).as("k"))
+          .groupBy("k").agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val m = s.sparkContext.broadcast(
+          graft.functions.CcnetLpGrid.build(pairs, T17Buckets))
+        t17Cache.put(key, m)
+        (m, k)
+      }
+    }
+    val st = org.apache.spark.sql.graftbridge.GraftColumns.column(
+      graft.functions.T17Nll(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("ks"),
+        model))
+    keys.select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"), col("st.n_bigrams").as("n_bigrams"),
+        col("st.nll_micro").as("nll_micro"))
+  }
+
+  /** The retired join spelling of the per-doc NLL — model joined back
+    * as broadcasts, lp computed per bigram instance, per-doc shuffle —
+    * kept as the transparent ground truth the kernel spec runs against
+    * (the t8CharlmFilterJoinSpelling discipline). */
+  private[graft] def t17NllJoinSpelling(s: SparkSession,
+      dir: String): DataFrame = {
     val pairs = Tables.documents(s, dir)
       .withColumn("ptext", t17Planted)
       .withColumn("toks", expr("filter(split(ptext, ' '), x -> x <> '')"))
@@ -1322,16 +1392,22 @@ object TextAnalysis {
       .localCheckpoint(true)
     val bc = pairs.groupBy("pb", "cb").agg(count(lit(1)).as("c"))
     val uc = bc.groupBy("pb").agg(sum("c").as("cu"))
-    // nll likewise serves three consumers (histogram, total count,
-    // the final bucket projection) — cut it too, it is doc-sized
-    val nll = pairs
+    pairs
       .join(broadcast(bc), Seq("pb", "cb"))
       .join(broadcast(uc), Seq("pb"))
       .withColumn("lp", expr(t17LpMicroSql))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         expr("(-sum(lp)) div count(1)").as("nll_micro"))
-      .localCheckpoint(true)
+  }
+
+  /** Tercile bucketing over a per-doc (doc_id, n_bigrams, nll_micro)
+    * frame — the two-phase histogram prefix sum described above. */
+  private def t17Terciles(s: SparkSession, nllIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // nll serves three consumers (histogram, total count, the final
+    // bucket projection) — cut it, it is doc-sized
+    val nll = nllIn.localCheckpoint(true)
     val hist = nll.groupBy("nll_micro").agg(count(lit(1)).as("hc"))
       .withColumn("hb", expr(s"nll_micro div ${T17HistB}L"))
     val inW = Window.partitionBy("hb").orderBy("nll_micro")

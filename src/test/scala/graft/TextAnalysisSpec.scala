@@ -664,6 +664,23 @@ class TextAnalysisSpec extends AnyFunSuite {
       .contains("WindowGroupLimit"))
   }
 
+  test("t17 kernel scoring is bit-identical to the composed join " +
+      "spelling and the grid trains once per corpus") {
+    TextAnalysis.clearT17Cache()
+    val before = TextAnalysis.t17TrainCount.get()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val kernel = rows(TextAnalysis.t17NllKernel(s, dir))
+    assert(TextAnalysis.t17TrainCount.get() == before + 1)
+    val join = rows(TextAnalysis.t17NllJoinSpelling(s, dir))
+    assert(kernel.nonEmpty && kernel == join,
+      s"kernel/join drift: ${(kernel -- join).take(3)} vs " +
+        s"${(join -- kernel).take(3)}")
+    // second kernel call: cache hit, no retrain
+    rows(TextAnalysis.t17NllKernel(s, dir))
+    assert(TextAnalysis.t17TrainCount.get() == before + 1)
+  }
+
   test("t17 ccnet terciles match a driver bigram-LM replay; planted " +
       "docs land in the tail; tercile masses honor nearest-rank") {
     import org.apache.spark.sql.functions._

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Curation, Dedup, TextAnalysis}
+import graft.operators.{CatalogStats, Curation, Dedup, TextAnalysis}
 
 class CurationSpec extends AnyFunSuite {
   private lazy val s = TestSpark.spark
@@ -249,6 +249,93 @@ class CurationSpec extends AnyFunSuite {
     assert(got == expect)
     assert(got.values.exists(_._4 == 1) && got.values.exists(_._4 == 0),
       "both selection outcomes should occur on this corpus")
+  }
+
+  test("catalog stats from the c26 scan flip a join from sort-merge to " +
+    "broadcast under CBO") {
+    import org.apache.spark.sql.functions._
+    val c = s.newSession()
+    c.conf.set("spark.sql.cbo.enabled", "true")
+    // isolate the STATIC planner decision: AQE could rescue the plan
+    // only AFTER materializing the first shuffle — catalog stats make
+    // the starting plan right, which is the point being asserted
+    c.conf.set("spark.sql.adaptive.enabled", "false")
+    CatalogStats.stage(c, "g13_orders", Tables.orders(c, dir))
+    CatalogStats.stage(c, "g13_lineitem", Tables.lineitem(c, dir))
+    try {
+      val fileBytes =
+        c.table("g13_orders").queryExecution.optimizedPlan.stats.sizeInBytes
+      c.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        (fileBytes / 2).toString)
+      val loKey = Tables.orders(c, dir)
+        .agg(min("o_custkey")).collect()(0).getLong(0)
+      def q = c.table("g13_lineitem").join(
+        c.table("g13_orders").filter(col("o_custkey") <= loKey),
+        col("l_orderkey") === col("o_orderkey"))
+      val before = q.queryExecution.executedPlan.toString
+      assert(before.contains("SortMergeJoin"),
+        s"without stats the filtered side must look file-sized:\n$before")
+      CatalogStats.analyze(c, "g13_orders",
+        Seq("o_custkey", "o_totalprice"))
+      CatalogStats.analyze(c, "g13_lineitem", Seq("l_quantity"))
+      val after = q.queryExecution.executedPlan.toString
+      assert(after.contains("BroadcastHashJoin") &&
+        !after.contains("SortMergeJoin"),
+        s"CBO + column stats must see the filter shrink orders:\n$after")
+    } finally {
+      c.sql("DROP TABLE IF EXISTS g13_orders")
+      c.sql("DROP TABLE IF EXISTS g13_lineitem")
+    }
+  }
+
+  test("the c27 equi-height histogram corrects a skewed-column estimate " +
+    "scalar stats get wrong, flipping the plan") {
+    import org.apache.spark.sql.functions._
+    val c = s.newSession()
+    c.conf.set("spark.sql.cbo.enabled", "true")
+    c.conf.set("spark.sql.adaptive.enabled", "false")
+    val sess = c
+    import sess.implicits._
+    // 99% of values are 1; the 1% tail spreads to 1000. Uniform
+    // min/max interpolation estimates v > 500 at ~50% of rows; the
+    // equi-height histogram sees seven bins pinned at 1.
+    val rows = (0 until 9900).map(i => (i.toLong, 1L)) ++
+      (0 until 100).map(i => (9900L + i, (i * 10 + 1).toLong))
+    CatalogStats.stage(c, "g13_skew", rows.toDF("k", "v"))
+    CatalogStats.stage(c, "g13_probe",
+      (0L until 20000L).toDF("k").withColumn("pad", lit("x")))
+    // .stats is computed lazily on THIS thread — it must read the CBO
+    // session's conf, not the default test session's
+    org.apache.spark.sql.SparkSession.setActiveSession(c)
+    try {
+      def q = c.table("g13_probe").join(
+        c.table("g13_skew").filter(col("v") > 500), "k")
+      def estBytes: BigInt = q.queryExecution.optimizedPlan.stats.sizeInBytes
+      CatalogStats.analyze(c, "g13_probe", Seq("k"))
+      CatalogStats.analyze(c, "g13_skew", Seq("k", "v"))
+      val scalarEst = estBytes
+      CatalogStats.analyze(c, "g13_skew", Seq("k", "v"),
+        histCols = Set("v"))
+      val histEst = estBytes
+      assert(histEst * 2 < scalarEst,
+        s"histogram must cut the skewed-range estimate: $histEst " +
+          s"vs $scalarEst")
+      // pick the threshold BETWEEN the two estimates: the same query
+      // broadcasts exactly iff the histogram is present
+      c.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        ((histEst + scalarEst) / 2).toString)
+      val withHist = q.queryExecution.executedPlan.toString
+      assert(withHist.contains("BroadcastHashJoin"),
+        s"histogram estimate must clear the threshold:\n$withHist")
+      CatalogStats.analyze(c, "g13_skew", Seq("k", "v")) // drop histogram
+      val scalarOnly = q.queryExecution.executedPlan.toString
+      assert(scalarOnly.contains("SortMergeJoin"),
+        s"scalar-only estimate must overshoot the threshold:\n$scalarOnly")
+    } finally {
+      c.sql("DROP TABLE IF EXISTS g13_skew")
+      c.sql("DROP TABLE IF EXISTS g13_probe")
+      org.apache.spark.sql.SparkSession.setActiveSession(s)
+    }
   }
 
   test("c9 affinity is exact past the Long wrap and fails loudly past " +

@@ -842,6 +842,68 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** s13: COMPACT the vector lake — c16's OPTIMIZE job applied to the
+    * cell-partitioned IVF index. Every s8 admission appends its shard
+    * under `inc/` with one file per writer task per touched cell —
+    * after enough increments a probed cell costs dozens of file opens
+    * per query, the classic small-file tax, now on the search path
+    * instead of a batch scan. This entry compacts exactly the
+    * FRAGMENTED cell directories of the `inc/` layer
+    * ([[graft.sources.Sources.compactPartitionedPath]]: one writer
+    * task per touched cell, untouched cells never read or rewritten,
+    * re-run a structural no-op) and returns the per-cell content audit
+    * of the layer — (cell, n_vecs, min/max/sum of vec_id) — which the
+    * oracle recomputes by deriving the SAME shard and frozen-quantizer
+    * assignment in SQL: the gate hash-proves compaction changed
+    * NOTHING but layout. SimilaritySpec pins the mechanics (files per
+    * fragmented dir → 1, byte-identical untouched dirs, free re-run)
+    * and that s8's query answers are bit-identical pre/post.
+    *
+    * Scale shape: list + rewrite ∝ touched cells (the admission's own
+    * footprint), never the corpus index; at 100 TB the base layer
+    * compacts the same way per cell bucket. */
+  def s13CompactIndex(s: SparkSession, dir: String): DataFrame = {
+    val idx = s8IndexPath(s, dir)
+    graft.sources.Sources.compactPartitionedPath(s, s"$idx/inc", "cell")
+    s.read.parquet(s"$idx/inc")
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_id"),
+        max("vec_id").as("max_id"), sum("vec_id").as("sum_id"))
+      .select(col("cell").cast("int").as("cell"), col("n_vecs"),
+        col("min_id"), col("max_id"), col("sum_id"))
+      .orderBy("cell")
+  }
+
+  /** DuckDB mirror of [[s13CompactIndex]]'s audit: derive the s8
+    * increment shard and its frozen-quantizer cell assignment in SQL,
+    * group by cell. */
+  private[graft] def s13OracleSql(cent: Array[Array[Float]]): String = {
+    def litVec(v: Array[Float]) =
+      v.map(x => s"CAST($x AS FLOAT)").mkString("[", ",", "]")
+    val vals = cent.zipWithIndex
+      .map { case (v, i) => s"($i, ${litVec(v)})" }.mkString(",\n    ")
+    s"""WITH cent(cid, cv) AS (VALUES
+       |    $vals),
+       |mx AS (SELECT max(vec_id) AS m FROM embeddings),
+       |inc AS (
+       |  SELECT e.vec_id + mx.m + 1 AS vec_id, e.embedding
+       |  FROM embeddings e, mx WHERE e.vec_id % $S8Mod = 0),
+       |scored_cells AS (
+       |  SELECT i.vec_id, c.cid,
+       |    ${VectorOps.sqlCosine("embedding", "cv")} AS ccos
+       |  FROM inc i CROSS JOIN cent c),
+       |assigned AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY ccos DESC, cid DESC) AS crnk
+       |    FROM scored_cells) WHERE crnk = 1)
+       |SELECT CAST(cell AS INTEGER) AS cell,
+       |  CAST(count(*) AS BIGINT) AS n_vecs,
+       |  min(vec_id) AS min_id, max(vec_id) AS max_id,
+       |  CAST(sum(vec_id) AS BIGINT) AS sum_id
+       |FROM assigned GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
   /** The d12 staged shard: every [[S8Mod]]th corpus vector re-keyed
     * past max id — EXACT copy when the source id divides 2·[[S8Mod]]
     * (the re-upload: must be dropped as a semantic dup at any sane τ),
@@ -2025,6 +2087,7 @@ object Similarity {
       ("s7_ann_ivfpq" -> s7OracleSql(cent, pq)) +
       ("s8_ann_incremental" -> s8OracleSql(cent)) +
       ("s11_ann_forget" -> s11OracleSql(cent)) +
+      ("s13_compact_index" -> s13OracleSql(cent)) +
       ("d12_semdedup_incremental" -> d12OracleSql(cent))
   }
 
@@ -2053,6 +2116,7 @@ object Similarity {
         ("s7_ann_ivfpq" -> s7OracleSql(c, p)) +
         ("s8_ann_incremental" -> s8OracleSql(c)) +
         ("s11_ann_forget" -> s11OracleSql(c)) +
+        ("s13_compact_index" -> s13OracleSql(c)) +
         ("d12_semdedup_incremental" -> d12OracleSql(c))
       case _ => throw new IllegalStateException(
         "s3/d10/s6/s7 oracle requested but no trained quantizer is " +
@@ -2148,6 +2212,7 @@ object Similarity {
     "s7_ann_ivfpq" -> s7IvfPq, // oracle generated with both models inlined
     "s8_ann_incremental" -> s8AnnIncremental, // oracle: centroids inlined
     "s11_ann_forget" -> s11AnnForget, // oracle: centroids inlined
+    "s13_compact_index" -> s13CompactIndex, // oracle: centroids inlined
     "d12_semdedup_incremental" -> d12SemdedupIncremental, // generated oracle
   )
 }

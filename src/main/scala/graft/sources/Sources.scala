@@ -164,6 +164,42 @@ object Sources {
     fragmented.length
   }
 
+  /** Path-based sibling of [[compactPartitions]] for RAW hive-layout
+    * parquet trees (no catalog table — the s8/s11 vector-lake index
+    * lives as `cell=N/` directories under a fingerprinted path).
+    * Rewrites only directories holding more than `maxFilesPerDir`
+    * parquet files, one writer task per partition value; the slice is
+    * eagerly materialized (localCheckpoint) BEFORE the dynamic
+    * partition overwrite so the rewrite never reads what it is
+    * replacing, and untouched directories are never listed, read, or
+    * rewritten. A second call finds nothing fragmented and returns
+    * before reading a footer. Returns the compacted-directory count. */
+  def compactPartitionedPath(s: SparkSession, path: String, partCol: String,
+      maxFilesPerDir: Int = 1): Int = {
+    val loc = new org.apache.hadoop.fs.Path(path)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fragmented = fs.listStatus(loc)
+      .filter(d => d.isDirectory &&
+        d.getPath.getName.startsWith(s"$partCol="))
+      .filter(d => fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerDir)
+      .map(_.getPath.getName.drop(partCol.length + 1))
+      .toIndexedSeq
+    if (fragmented.isEmpty) return 0
+    val slice = s.read.parquet(path)
+      .filter(col(partCol).isin(fragmented: _*))
+      .localCheckpoint(true)
+    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try slice.repartition(col(partCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
+    finally prev match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    fragmented.length
+  }
+
   /** Incremental load into a partitioned table: replace ONLY the
     * partitions present in `df`, leaving every other directory
     * untouched — the daily/monthly lake-ingest shape (the reference's

@@ -675,6 +675,65 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), s"PQ join must broadcast:\n$plan")
   }
 
+  test("s13 compaction: fragmented cells collapse to one file with " +
+    "content and s8 answers bit-identical; untouched dirs never " +
+    "rewritten; re-run free") {
+    import org.apache.spark.sql.functions._
+    val idx = Similarity.s8IndexPath(s, dir)
+    // stage a deliberately fragmented copy of the inc layer (8 writer
+    // tasks per cell — the multi-executor admission footprint)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-s13")
+      .toString + "/inc"
+    s.read.parquet(s"$idx/inc").repartition(8)
+      .write.partitionBy("cell").mode("overwrite").parquet(tmp)
+    val loc = new org.apache.hadoop.fs.Path(tmp)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def cellDirs = fs.listStatus(loc)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("cell="))
+    def nFiles(d: org.apache.hadoop.fs.FileStatus): Int =
+      fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet"))
+    // pre-compact ONE cell by hand so an already-healthy directory
+    // exists; its bytes must survive the job untouched
+    val hand = cellDirs.minBy(_.getPath.getName).getPath
+    val handCell = hand.getName.drop("cell=".length)
+    val handDf = s.read.parquet(hand.toString).coalesce(1)
+      .localCheckpoint(true)
+    fs.delete(hand, true)
+    handDf.write.parquet(hand.toString)
+    val handStamp = fs.listStatus(hand)
+      .map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).toSet
+    val fragBefore = cellDirs.filter(d => nFiles(d) > 1)
+    assert(fragBefore.length > 1, "staging failed to fragment")
+    val before = s.read.parquet(tmp)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val n = graft.sources.Sources.compactPartitionedPath(s, tmp, "cell")
+    assert(n == fragBefore.length,
+      s"compacted $n of ${fragBefore.length} fragmented dirs")
+    cellDirs.foreach(d => assert(nFiles(d) == 1,
+      s"${d.getPath.getName} still holds ${nFiles(d)} files"))
+    val after = s.read.parquet(tmp)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(after == before, "compaction must change layout only")
+    assert(fs.listStatus(hand)
+      .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+      .toSet == handStamp,
+      s"healthy dir cell=$handCell was rewritten")
+    assert(graft.sources.Sources.compactPartitionedPath(s, tmp, "cell") == 0,
+      "re-run must find nothing fragmented")
+    // the real index: s8 answers bit-identical across compaction
+    val pre = Similarity.s8AnnIncremental(s, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    graft.sources.Sources.compactPartitionedPath(s, s"$idx/inc", "cell")
+    val post = Similarity.s8AnnIncremental(s, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(pre == post)
+  }
+
   test("s11 erases forgotten vectors from the index: no forgotten " +
       "neighbor, the rule bites vs s8, counts reconcile, re-run idempotent") {
     import org.apache.spark.sql.functions._

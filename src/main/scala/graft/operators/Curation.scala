@@ -1960,6 +1960,165 @@ object Curation {
          |ORDER BY doc_id""".stripMargin,
   )
 
+  // ------------------------------------------ c28 shard-admission composite
+
+  /** c28 shard derivation: every [[C28Mod]]th doc THAT HAS AN EMBEDDING
+    * (doc_id joins vec_id — the s5 alignment), re-keyed past BOTH
+    * tables' max so the d11 and d12 admission contracts (shard ids
+    * exceed corpus ids) hold simultaneously. Two independent planted
+    * bits make all four screen combinations occur:
+    * text bit (doc_id div [[C28Mod]]) % 2 — 0 = exact copy (the
+    * signature screen must reject), 1 = reversed (novel shingles);
+    * vector bit (doc_id div 2·[[C28Mod]]) % 2 — 0 = copied embedding
+    * (the semantic screen must reject: cosine with its source is the
+    * self-cosine, ≥ τ), 1 = negated (survives except against the
+    * corpus's ≤ −τ tail). Deterministic, so the oracle derives the
+    * identical shard in SQL. */
+  val C28Mod = 6
+
+  /** The staged c28 shard (doc_id, text, embedding) — fingerprint-keyed
+    * on BOTH source tables, `_SUCCESS`-gated write-once. */
+  def c28ShardPath(s: SparkSession, dir: String): String = {
+    val path = "target/admitshard/" +
+      s"${Tables.fingerprint(s, dir, "documents").hashCode.toHexString}_" +
+      s"${Tables.fingerprint(s, dir, "embeddings").hashCode.toHexString}" +
+      "/shard.parquet"
+    val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success)) {
+      val docs = Tables.documents(s, dir)
+      val vecs = Tables.embeddings(s, dir)
+      val m = math.max(
+        docs.agg(max(col("doc_id"))).head().getLong(0),
+        vecs.agg(max(col("vec_id"))).head().getLong(0))
+      docs.filter(col("doc_id") % C28Mod === 0)
+        .join(vecs, col("vec_id") === col("doc_id"))
+        .select(
+          (col("doc_id") + m + 1).as("doc_id"),
+          when(expr(s"(doc_id div $C28Mod) % 2") === 0, col("text"))
+            .otherwise(reverse(col("text"))).as("text"),
+          when(expr(s"(doc_id div ${2 * C28Mod}) % 2") === 0,
+            col("embedding"))
+            .otherwise(expr("transform(embedding, x -> CAST(-x AS FLOAT))"))
+            .as("embedding"))
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** c28: END-TO-END SHARD ADMISSION — the c1 composition discipline
+    * applied to the incremental family: ONE staged shard runs the
+    * d11 signature screen (persisted band index, [[Dedup.d11Admit]]),
+    * the d12 semantic screen (frozen quantizer, cell-pruned corpus
+    * side, [[Similarity.d12Admit]]), and the s8 physical admit
+    * ([[Similarity.s8WriteAssigned]] of exactly the intersection into
+    * a cell-partitioned tree). The output row per shard doc is
+    * (doc_id, cell, sig_ok, sem_ok, indexed) with `indexed` READ BACK
+    * from the written tree — the oracle recomputes both screens as
+    * full recomputes on the union (each stage's own oracle shape) and
+    * `indexed` as their conjunction, so the gate hash-proves the
+    * physical write landed exactly the docs both screens admitted.
+    * CurationSpec asserts the composite equals the three stages run
+    * separately and that all four (sig, sem) combinations occur.
+    *
+    * Scale shape: inherits each stage's admission contract — zero
+    * corpus-sized work (broadcast band probe, cell-pruned index read,
+    * partitioned append ∝ admitted shard). */
+  def c28AdmitShard(s: SparkSession, dir: String): DataFrame = {
+    val shardPath = c28ShardPath(s, dir)
+    val shard = s.read.parquet(shardPath).localCheckpoint(true)
+    val sig = Dedup.d11Admit(s, dir, shard.select("doc_id", "text"))
+      .select(col("doc_id"), col("is_new_unique").as("sig_ok"))
+    val sem = Similarity.d12Admit(s, dir,
+        shard.select(col("doc_id").as("vec_id"), col("embedding")))
+      .select(col("vec_id").as("doc_id"), col("cell"),
+        col("is_new_unique").as("sem_ok"))
+    val verdicts = sig.join(sem, "doc_id")
+    val admitted = verdicts
+      .filter(col("sig_ok") === 1 && col("sem_ok") === 1)
+      .select(col("doc_id").as("vec_id"))
+      .join(shard.select(col("doc_id").as("vec_id"), col("embedding")),
+        Seq("vec_id"))
+    val outPath = new org.apache.hadoop.fs.Path(shardPath)
+      .getParent.toString + "/indexed"
+    Similarity.s8WriteAssigned(s, dir, admitted, outPath)
+    val indexed = s.read.parquet(outPath)
+      .select(col("vec_id").as("doc_id"), lit(1).as("ix"))
+    verdicts.join(indexed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cell").cast("int").as("cell"),
+        col("sig_ok"), col("sem_ok"),
+        coalesce(col("ix"), lit(0)).cast("int").as("indexed"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[c28AdmitShard]]: the d11 full-union text
+    * recompute AND the d12 full-union semantic recompute (trained
+    * centroids inlined), joined on the SQL-derived shard; `indexed` =
+    * the conjunction. */
+  private[graft] def c28OracleSql(cent: Array[Array[Float]]): String = {
+    def litVec(v: Array[Float]) =
+      v.map(x => s"CAST($x AS FLOAT)").mkString("[", ",", "]")
+    val vals = cent.zipWithIndex
+      .map { case (v, i) => s"($i, ${litVec(v)})" }.mkString(",\n    ")
+    val unionChain = Dedup.sqlConfirmedCtes.stripPrefix("WITH ")
+      .replace("FROM documents", "FROM udocs")
+    s"""WITH cent(cid, cv) AS (VALUES
+       |    $vals),
+       |mxx AS (
+       |  SELECT greatest((SELECT max(doc_id) FROM documents),
+       |    (SELECT max(vec_id) FROM embeddings)) AS m),
+       |shard AS (
+       |  SELECT d.doc_id + mxx.m + 1 AS doc_id,
+       |    CASE WHEN (d.doc_id // $C28Mod) % 2 = 0 THEN d.text
+       |      ELSE reverse(d.text) END AS text,
+       |    CASE WHEN (d.doc_id // ${2 * C28Mod}) % 2 = 0 THEN e.embedding
+       |      ELSE list_transform(e.embedding, x -> CAST(-x AS FLOAT))
+       |      END AS embedding
+       |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+       |  CROSS JOIN mxx
+       |  WHERE d.doc_id % $C28Mod = 0),
+       |udocs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM shard),
+       |$unionChain,
+       |sigq AS (
+       |  SELECT s.doc_id,
+       |    CASE WHEN EXISTS (SELECT 1 FROM confirmed c
+       |      WHERE c.doc_b = s.doc_id
+       |        AND c.jaccard >= ${Dedup.KeepMinJaccard})
+       |      THEN 0 ELSE 1 END AS sig_ok
+       |  FROM shard s),
+       |uvecs AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL SELECT doc_id AS vec_id, embedding FROM shard),
+       |scored_cells AS (
+       |  SELECT u.vec_id, u.embedding, c.cid,
+       |    ${VectorOps.sqlCosine("embedding", "cv")} AS ccos
+       |  FROM uvecs u CROSS JOIN cent c),
+       |cells AS (
+       |  SELECT vec_id, embedding, cid AS cell FROM (
+       |    SELECT vec_id, embedding, cid, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY ccos DESC, cid DESC) AS crnk
+       |    FROM scored_cells) WHERE crnk = 1),
+       |dropped AS (
+       |  SELECT DISTINCT y.vec_id
+       |  FROM cells x JOIN cells y
+       |    ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |  WHERE ${VectorOps.sqlCosine("x.embedding", "y.embedding")}
+       |    >= ${Similarity.D10Tau}),
+       |sem AS (
+       |  SELECT s.doc_id, c.cell,
+       |    CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS sem_ok
+       |  FROM shard s JOIN cells c ON c.vec_id = s.doc_id
+       |  LEFT JOIN dropped d ON d.vec_id = s.doc_id)
+       |SELECT sigq.doc_id, CAST(sem.cell AS INTEGER) AS cell,
+       |  CAST(sigq.sig_ok AS INTEGER) AS sig_ok,
+       |  CAST(sem.sem_ok AS INTEGER) AS sem_ok,
+       |  CAST(sigq.sig_ok * sem.sem_ok AS INTEGER) AS indexed
+       |FROM sigq JOIN sem ON sem.doc_id = sigq.doc_id
+       |ORDER BY sigq.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c1_curation_pipeline" -> c1CurationPipeline,
     "c2_cluster_curation" -> c2ClusterCuration,
@@ -1971,6 +2130,9 @@ object Curation {
     "c7_dataset_card" -> c7DatasetCard,
     "c8_split_leakfree" -> c8SplitLeakfree,
     "c9_dsir_select" -> c9DsirSelect,
+    "c28_admit_shard" -> c28AdmitShard, // oracle: centroids inlined
+      // (Similarity.oracleFor carries it — the screen needs the
+      // trained quantizer)
     "c12_snapshot_diff" -> c12SnapshotDiff,
     "c13_apply_diff" -> c13ApplyDiff,
     "c15_forget_keys" -> c15ForgetKeys,

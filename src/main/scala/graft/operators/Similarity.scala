@@ -952,12 +952,20 @@ object Similarity {
     * never all-pairs. The planted shard exercises both verdicts:
     * exact copies drop (cos 1.0 with their source), negated vectors
     * survive except against the corpus's ≤ −τ tail. */
-  def d12SemdedupIncremental(s: SparkSession, dir: String): DataFrame = {
+  def d12SemdedupIncremental(s: SparkSession, dir: String): DataFrame =
+    d12Admit(s, dir, s.read.parquet(d12IncrementPath(s, dir)))
+
+  /** The semantic-admission core over an explicit (vec_id, embedding)
+    * shard — factored out like [[Dedup.d11Admit]]/[[s8WriteAssigned]]
+    * so the c28 composite can screen ITS shard. CONTRACT: every shard
+    * vec_id must exceed every corpus vec_id. */
+  private[graft] def d12Admit(s: SparkSession, dir: String,
+      incVecs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val idx = s8IndexPath(s, dir)
     val cents = centroidsFor(s, dir).zipWithIndex.map { case (v, i) => (i, v) }
     val cellExpr = expr(s"array_max(${centroidStructsArr(cents)}).id")
-    val inc = s.read.parquet(d12IncrementPath(s, dir))
+    val inc = incVecs
       .withColumn("cell", cellExpr)
       .localCheckpoint(true) // shard-sized; reused by 3 joins below
     val incCells = inc.select("cell").distinct().collect().map(_.getInt(0))
@@ -2088,6 +2096,7 @@ object Similarity {
       ("s8_ann_incremental" -> s8OracleSql(cent)) +
       ("s11_ann_forget" -> s11OracleSql(cent)) +
       ("s13_compact_index" -> s13OracleSql(cent)) +
+      ("c28_admit_shard" -> Curation.c28OracleSql(cent)) +
       ("d12_semdedup_incremental" -> d12OracleSql(cent))
   }
 
@@ -2117,6 +2126,7 @@ object Similarity {
         ("s8_ann_incremental" -> s8OracleSql(c)) +
         ("s11_ann_forget" -> s11OracleSql(c)) +
         ("s13_compact_index" -> s13OracleSql(c)) +
+        ("c28_admit_shard" -> Curation.c28OracleSql(c)) +
         ("d12_semdedup_incremental" -> d12OracleSql(c))
       case _ => throw new IllegalStateException(
         "s3/d10/s6/s7 oracle requested but no trained quantizer is " +

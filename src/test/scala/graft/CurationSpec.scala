@@ -251,6 +251,36 @@ class CurationSpec extends AnyFunSuite {
       "both selection outcomes should occur on this corpus")
   }
 
+  test("c28 composite equals its three stages run separately; all four " +
+    "screen combinations occur; the written tree is the intersection") {
+    import org.apache.spark.sql.functions._
+    val out = Curation.c28AdmitShard(s, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getInt(3), r.getInt(4))))
+      .toMap
+    val shardPath = Curation.c28ShardPath(s, dir)
+    val shard = s.read.parquet(shardPath)
+    val sig = Dedup.d11Admit(s, dir, shard.select("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sem = graft.operators.Similarity.d12Admit(s, dir,
+        shard.select(col("doc_id").as("vec_id"), col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out.keySet == sig.keySet && out.keySet == sem.keySet)
+    out.foreach { case (id, (sg, sm, ix)) =>
+      assert(sg == sig(id), s"doc $id: composite sig $sg vs stage ${sig(id)}")
+      assert(sm == sem(id), s"doc $id: composite sem $sm vs stage ${sem(id)}")
+      assert(ix == sg * sm, s"doc $id: indexed $ix != $sg*$sm")
+    }
+    // the plant must exercise every screen combination
+    val combos = out.values.map(v => (v._1, v._2)).toSet
+    assert(combos == Set((0, 0), (0, 1), (1, 0), (1, 1)),
+      s"missing screen combinations: ${Set((0,0),(0,1),(1,0),(1,1)) -- combos}")
+    // the physically written tree holds exactly the intersection
+    val written = s.read.parquet(new org.apache.hadoop.fs.Path(shardPath)
+        .getParent.toString + "/indexed")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(written == out.filter(_._2._3 == 1).keySet)
+  }
+
   test("catalog stats from the c26 scan flip a join from sort-merge to " +
     "broadcast under CBO") {
     import org.apache.spark.sql.functions._

@@ -326,24 +326,53 @@ object Relational {
   }
 
   /** q28: hierarchical totals in one pass — ROLLUP(returnflag,
-    * linestatus) emits the detail rows, the per-flag subtotals and the
-    * grand total from a single aggregation (the course's pivot-table
-    * margins, pandas pivot_table(margins=True), as the engine-native
-    * grouping-sets plan: Spark expands the sets map-side and still
-    * partial-aggregates, so it stays one shuffle — not one job per
-    * level). GROUPING() flags distinguish "subtotal row" from a real
-    * NULL key; sums are decimal-exact. */
+    * linestatus) semantics (the course's pivot-table margins, pandas
+    * pivot_table(margins=True)), spelled as ONE detail aggregation
+    * plus re-aggregation of its 6-row result. The engine-native
+    * grouping-sets plan runs an Expand that multiplies EVERY corpus
+    * row ×3 through the (decimal) aggregation pipeline — on a
+    * low-cardinality rollup that triples the dominant cost for rows
+    * the detail aggregate already summarizes. Instead the detail
+    * groupBy keeps its sums in EXACT DECIMAL (cast to double only at
+    * the output edge), and the subtotal/grand levels re-aggregate the
+    * tiny detail frame — decimal addition is associative, so the
+    * re-aggregated totals are bit-identical to the single-pass rollup
+    * at any partitioning (RelationalSpec pins ≡ the `.rollup`
+    * spelling; the oracle stays `GROUP BY ROLLUP`). GROUPING() flags
+    * become per-level literals. 10× probe: the Expand spelling ran
+    * 4.8–7.8×; this is the volume-scan cost alone. */
   def q28RollupAgg(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .rollup("l_returnflag", "l_linestatus")
-      .agg(
-        grouping(col("l_returnflag")).cast("int").as("g_flag"),
-        grouping(col("l_linestatus")).cast("int").as("g_status"),
-        count(lit(1)).as("cnt"),
-        Exact.dsum(col("l_quantity")).as("sum_qty"),
-        Exact.dsum(col("l_extendedprice")).as("sum_price"))
+    q28FromDetail(
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("dq"),
+          sum(col("l_extendedprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("dp"))
+        .localCheckpoint(true)) // 6 rows; three levels read it
+
+  /** The three rollup levels from a (flag, status, cnt, dq, dp)
+    * detail frame — exact-decimal re-aggregation. */
+  private def q28FromDetail(detail: DataFrame): DataFrame = {
+    def outCols(gf: Int, gs: Int) = Seq(
+      lit(gf).as("g_flag"), lit(gs).as("g_status"),
+      col("cnt"), col("dq").cast("double").as("sum_qty"),
+      col("dp").cast("double").as("sum_price"))
+    val lvl0 = detail.select(
+      (Seq(col("l_returnflag"), col("l_linestatus")) ++ outCols(0, 0)): _*)
+    val lvl1 = detail.groupBy("l_returnflag")
+      .agg(sum("cnt").as("cnt"), sum("dq").as("dq"), sum("dp").as("dp"))
+      .select((Seq(col("l_returnflag"),
+        lit(null).cast("string").as("l_linestatus")) ++ outCols(0, 1)): _*)
+    val lvl2 = detail
+      .agg(sum("cnt").as("cnt"), sum("dq").as("dq"), sum("dp").as("dp"))
+      .select((Seq(lit(null).cast("string").as("l_returnflag"),
+        lit(null).cast("string").as("l_linestatus")) ++ outCols(1, 1)): _*)
+    lvl0.unionByName(lvl1).unionByName(lvl2)
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
+  }
 
   /** q29 sketch capacity: the k smallest 32-bit hashes kept per key.
     * Relative error of a KMV estimate ≈ 1/sqrt(k−2) ≈ 13% at 64; keys

@@ -725,4 +725,26 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq != rawTop,
       "decay ranking identical to raw counts — no freshness signal")
   }
+
+  test("q28 re-aggregated rollup is bit-identical to the Expand-based " +
+    ".rollup spelling") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Exact
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (Option(r.get(0)), Option(r.get(1)), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))
+    }.toSeq
+    val got = rows(graft.operators.Relational.q28RollupAgg(s, dir))
+    val rollup = rows(graft.Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"),
+        count(lit(1)).as("cnt"),
+        Exact.dsum(col("l_quantity")).as("sum_qty"),
+        Exact.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first))
+    assert(got.nonEmpty && got == rollup)
+  }
 }

@@ -204,13 +204,24 @@ object Bench {
     Option(detailPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(
       detailPath, detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // stdout gets a COMPACT line: the driver harvester keeps only the
+    // last ~2000 chars of output and parses the JSON line from that
+    // tail — at 145+ queries the full per-query map alone is ~4000
+    // chars, so rounds 4 and 12 both harvested a truncated line
+    // (parsed: null). Print the headline + the 10 slowest queries
+    // (~1 KB total, fits the window with sbt's trailer); the FULL
+    // per-query map lives in the detail file and in the committed
+    // BENCH_local artifact (SURVEY §6).
+    val top = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(10)
     println(
       f"""{"metric":"total_wall","value":$total%.3f,"unit":"sec","runs":$runs,""" +
-        s""""queries":${fmtMap(results.map(r => r._1 -> r._2._1))},""" +
+        s""""n_queries":${results.length},""" +
+        s""""top10":${fmtMap(top.map(r => r._1 -> r._2._1))},""" +
         s""""pinned":${fmtMap(pinnedResults.map(r => r._1 -> r._2._1))},""" +
         f""""memo_build_sec":$memoBuildSec%.3f,"pin_ratio":$pinRatio%.3f,""" +
         s""""loaded":$loaded,""" +
-        f""""noise":$noise%.3f,"failed":$fs,"sf":"$sfDir"}""")
+        f""""noise":$noise%.3f,"failed":$fs,""" +
+        s""""queries_detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -2042,7 +2042,12 @@ object Curation {
     val outPath = new org.apache.hadoop.fs.Path(shardPath)
       .getParent.toString + "/indexed"
     Similarity.s8WriteAssigned(s, dir, admitted, outPath)
-    val indexed = s.read.parquet(outPath)
+    // explicit schema: a corpus whose semantic tail rejects the WHOLE
+    // shard (legitimate — e.g. every negated vector collides) leaves a
+    // zero-partition tree that schema inference cannot read
+    val indexed = s.read
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, cell INT")
+      .parquet(outPath)
       .select(col("vec_id").as("doc_id"), lit(1).as("ix"))
     verdicts.join(indexed, Seq("doc_id"), "left")
       .select(col("doc_id"), col("cell").cast("int").as("cell"),

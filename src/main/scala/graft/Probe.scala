@@ -51,7 +51,54 @@ object Probe {
     if (sections("c20")) probeC20(spark, sfDir) // not in the default set
     if (sections("s10")) probeS10(spark, sfDir) // not in the default set
     if (sections("d14")) probeD14(spark, sfDir) // not in the default set
+    if (sections("d4")) probeD4(spark, sfDir) // not in the default set
     spark.stop()
+  }
+
+  /** ---- d4's round-13 scale claim: df-capped rarest-K blocking
+    * bounds candidate volume LINEARLY, with the recall trade explicit.
+    * Tiers replicate the corpus into k near-copy families
+    * (ScaleBench's distinct-suffix rule): at 10× family df = 10 ≤
+    * MaxDf = 16, so the blocked output must EQUAL the unbounded brute
+    * force (recall measured); at 100× family df = 100 > cap — the
+    * replicated families fall OUT of the blocking by design (the
+    * documented miss: 100-copy families are what d1-collapse and the
+    * d2→d4Confirm production chain own at that density) and the wall
+    * must stay ~linear in rows while the old spelling's Σdf² term
+    * would have grown 100× per family. Not in the default set. */
+  private def probeD4(spark: SparkSession, sfDir: String): Unit = {
+    println("== d4: df-capped blocking vs 1x/10x/100x near-copy corpora ==")
+    val docs = Tables.documents(spark, sfDir)
+    val mId = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    def tier(tag: String, k: Int): String = {
+      val path = s"target/probe/d4$tag"
+      docs.crossJoin(spark.range(k).withColumnRenamed("id", "copy"))
+        .select((col("doc_id") + col("copy") * mId).as("doc_id"),
+          concat(col("text"), lit(" copyword"), col("copy").cast("string"))
+            .as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$path/documents.parquet")
+      path
+    }
+    val dirs = Seq(("1x", sfDir), ("10x", tier("x10", 10)),
+      ("100x", tier("x100", 100)))
+    for ((tag, dir) <- dirs) {
+      val t0 = System.nanoTime()
+      val n = operators.Dedup.d4NgramJaccard(spark, dir).count()
+      println(f"[d4] $tag%-5s wall=${(System.nanoTime() - t0) / 1e9}%7.2fs " +
+        s"pairs=$n")
+    }
+    val got = operators.Dedup.d4NgramJaccard(spark, dirs(1)._2)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val t0 = System.nanoTime()
+    val full = operators.Dedup.d4BruteForce(spark, dirs(1)._2)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(f"[d4] 10x brute force wall=${(System.nanoTime() - t0) / 1e9}%7.2fs" +
+      f" pairs=${full.size} recall=${got.size.toDouble / full.size}%.4f" +
+      s" invented=${(got -- full).size}")
   }
 
   /** ---- c20's scale claim: MV maintenance cost ∝ |changeset| +

@@ -1197,13 +1197,21 @@ object Curation {
     *
     * Scale shape: ONE scan emits every column's (col_name, value)
     * pairs via `stack` (the c26 one-scan-per-table rule), ONE keyed
-    * histogram shuffle collapses them to distinct values, the
-    * cumulative window runs per column over the COLLAPSED histogram
-    * (the q33 discipline — state bounded by distinct values, and
-    * the partition key carries col_name so columns proceed in
-    * parallel), and the fence extraction is one histogram-bounded
-    * aggregate against a B-row constant frame. Both engines run the
-    * same rank arithmetic — hash-exact. */
+    * histogram shuffle collapses them to distinct values, and the
+    * cumulative counts run the t17/c23 TWO-PHASE prefix sum (round
+    * 13): a `Window.partitionBy(col_name)` alone puts a near-unique
+    * column's whole collapsed histogram in ONE task — ~600k serial
+    * rows for cents at sf0.1, the whole column's distinct values at
+    * 100 TB. Values are nonnegative, so `u div` [[C27HistB]] buckets
+    * are lexicographic RANGES of the value: in-bucket cumulative
+    * sums run as hundreds of parallel windows per column, an
+    * exclusive prefix of per-bucket totals (the only serial frame,
+    * bucket-count-sized) broadcasts back, cum = offset + in-bucket
+    * cum. The ORACLE keeps the one-window global spelling, so
+    * hash-equality proves two-phase ≡ global (t17's argument). Fence
+    * extraction stays one histogram-bounded aggregate against a
+    * B-row constant frame; both engines run the same rank
+    * arithmetic — hash-exact. */
   def c27Histograms(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vals = Tables.lineitem(s, dir).select(expr(
@@ -1211,10 +1219,21 @@ object Curation {
         "'l_extendedprice', CAST(round(l_extendedprice * 100, 0) " +
         "AS BIGINT)) AS (col_name, u)"))
     val hist = vals.groupBy("col_name", "u").agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy("col_name").orderBy("u")
+      .withColumn("hb", expr(s"u div ${C27HistB}L"))
+    val inW = Window.partitionBy("col_name", "hb").orderBy("u")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = hist.groupBy("col_name", "hb").agg(sum("c").as("bc"))
+      .withColumn("off",
+        coalesce(sum("bc").over(Window.partitionBy("col_name")
+          .orderBy("hb").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("col_name", "hb", "off")
     val tot = hist.groupBy("col_name").agg(sum("c").as("n"))
-    val cum = hist.withColumn("cum", sum("c").over(w)).join(tot, "col_name")
+    val cum = hist
+      .withColumn("incum", sum("c").over(inW))
+      .join(broadcast(offs), Seq("col_name", "hb"))
+      .withColumn("cum", col("incum") + col("off"))
+      .join(tot, "col_name")
     val idx = s.range(1, C27Buckets + 1).toDF("bucket")
     cum.crossJoin(broadcast(idx))
       .groupBy("col_name", "bucket")
@@ -1222,6 +1241,11 @@ object Curation {
         col("u"))).as("ub"), max("n").as("n_rows"))
       .orderBy("col_name", "bucket")
   }
+
+  /** Width of the value-range buckets c27's two-phase cumulative
+    * counts run within (the t17HistB sibling): 2¹⁴ spans cent-valued
+    * price columns in a few hundred parallel windows. */
+  val C27HistB = 16384L
 
   /** The mktsegment domain [[c18Expectations]] validates against
     * (shared with the oracle). */

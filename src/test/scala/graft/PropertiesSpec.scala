@@ -46,6 +46,43 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: t17 bigram-key kernel equals a reference tokenizer " +
+    "under arbitrary spacing and non-BMP text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def refBucket(w: String): Int = {
+      val h = md.digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(h.substring(0, 3), 16) % 1024
+    }
+    // words mix ASCII, a BMP char above the surrogate range, and a
+    // supplementary-plane char (UTF-8 multibyte safety of the byte
+    // walk); spacing includes empty runs, leading/trailing blocks
+    val uword: Gen[String] = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaLowerChar.map(_.toString),
+      Gen.const("\uFFFD"),
+      Gen.const(new String(Character.toChars(0x1D54F)))
+    )).map(_.mkString)
+    val spacing: Gen[String] = Gen.chooseNum(1, 3).map(" " * _)
+    val utext: Gen[String] = for {
+      lead <- Gen.chooseNum(0, 2).map(" " * _)
+      ws <- Gen.listOf(uword)
+      seps <- Gen.listOfN(ws.length, spacing)
+      trail <- Gen.chooseNum(0, 2).map(" " * _)
+    } yield lead + ws.zip(seps).map { case (w, sp) => w + sp }
+      .mkString + trail
+    samples(utext, 200, seed = 13L).foreach { text =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val expect: Seq[Long] =
+        if (toks.length < 2) Seq.empty
+        else toks.map(refBucket).sliding(2)
+          .map(p => p(0).toLong * 1024 + p(1)).toSeq
+      val got = graft.functions.CcnetKernels
+        .bigramKeys(UTF8String.fromString(text), 1024)
+      assert(got.toLongArray().toSeq == expect,
+        s"kernel drift on ${text.take(60).mkString}")
+    }
+  }
+
   test("property: simhash60 is deterministic and stays within 60 bits") {
     samples(Gen.nonEmptyListOf(word), 50, seed = 11L).foreach { toks =>
       val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(

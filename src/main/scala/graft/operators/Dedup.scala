@@ -355,7 +355,11 @@ object Dedup {
       .filter(size(col("toks")) >= MinToks)
       .withColumn("shset", expr("array_distinct(word_shingles(toks))"))
       .withColumn("nsh", size(col("shset")))
-      .select("gk", "lang", "cb", "members", "norm", "shset", "nsh")
+      // norm deliberately dropped: the MinToks floor guarantees nsh ≥ 1
+      // so the d4Confirm 0/0-jaccard text fallback can never trigger
+      // here, and carrying the full normalized text would double the
+      // checkpointed frame for nothing
+      .select("gk", "lang", "cb", "members", "shset", "nsh")
   }
 
   /** d4: n-gram Jaccard similarity over blocked candidate pairs.

@@ -350,7 +350,13 @@ object Dedup {
       .groupBy(md5(col("norm")).as("h"), col("lang"), col("cb"))
       .agg(sort_array(collect_list(col("doc_id"))).as("members"),
         first(col("norm")).as("norm"))
-      .withColumn("gk", concat_ws("|", col("h"), col("lang"), col("cb")))
+      // null-PROPAGATING concat (not concat_ws, which SKIPS nulls): the
+      // oracle builds gk with `||`, which nulls out when lang is null —
+      // on dirty data both engines must agree that a null-lang group's
+      // gk is NULL (and so falls out of every gk equi-join identically)
+      // rather than Spark silently collapsing "h||cb" collision keys
+      .withColumn("gk", concat(col("h"), lit("|"), col("lang"),
+        lit("|"), col("cb").cast("string")))
       .withColumn("toks", expr(TextOps.toksExpr))
       .filter(size(col("toks")) >= MinToks)
       .withColumn("shset", expr("array_distinct(word_shingles(toks))"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
 import org.apache.spark.sql.catalyst.plans.logical.{Histogram, HistogramBin}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** The missing half of c26/c27: PERSIST the ANALYZE output into the
   * session catalog so the cost-based optimizer actually reads it —
@@ -30,8 +31,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the stats scan is c26's (one fused aggregate per
   * table, sketch NDV, map-side partials); the histogram adds c27's
-  * distinct-value-bounded shuffle. The catalog write is one metastore
-  * call per table. Register production tables with
+  * distinct-value-bounded shuffle with the TWO-PHASE prefix sum —
+  * in-bucket windows run hundreds of parallel tasks, the only serial
+  * frame is the [[HistHB]]-row bucket-total prefix, so a near-unique
+  * column (ids, timestamps) never lands its whole distinct-value
+  * histogram in one task. The catalog write is one metastore call per
+  * table. Register production tables with
   * `CREATE TABLE ... USING parquet LOCATION` (no copy); [[stage]]
   * copies only because spec corpora are path-based test parquet. */
 object CatalogStats {
@@ -42,48 +47,123 @@ object CatalogStats {
     df.write.format("parquet").saveAsTable(name)
   }
 
+  /** Column types whose min/max CatalogColumnStat can carry (the
+    * planner's ordered domain). Strings/binary get lengths, not
+    * bounds — matching Spark's own ANALYZE. */
+  private def ordered(dt: DataType): Boolean = dt match {
+    case _: NumericType | DateType | TimestampType | BooleanType => true
+    case _ => false
+  }
+
+  /** Format a natively-collected min/max value as the EXTERNAL string
+    * `CatalogColumnStat.fromExternalString` parses back at plan time
+    * (statistics serialization v2): integrals/floats/booleans print
+    * verbatim, decimals plain (no scientific notation), dates as ISO
+    * `yyyy-MM-dd`, timestamps as the v2 formatter's fixed
+    * `yyyy-MM-dd HH:mm:ss.SSSSSS` in UTC. Dates/timestamps are
+    * collected as epoch integers (never java.sql round-trips), so the
+    * session timezone can't skew the catalog value. */
+  private def extString(dt: DataType, v: Any): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | BooleanType => v.toString
+    case _: DecimalType =>
+      v.asInstanceOf[java.math.BigDecimal].toPlainString
+    case DateType =>
+      java.time.LocalDate.ofEpochDay(v.asInstanceOf[Number].longValue)
+        .format(java.time.format.DateTimeFormatter.ISO_LOCAL_DATE)
+    case TimestampType =>
+      val us = v.asInstanceOf[Number].longValue
+      java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          (Math.floorMod(us, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    case other => throw new IllegalArgumentException(
+      s"CatalogStats: no external min/max format for $other")
+  }
+
+  /** The min/max aggregate for a column, in a collectible shape:
+    * dates as epoch days, timestamps as epoch micros, everything else
+    * native (no double cast — a Long near 2^63 or a DECIMAL(38,_)
+    * must reach the catalog exact). */
+  private def boundAgg(n: String, dt: DataType, isMin: Boolean) = {
+    val f: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (isMin) min else max
+    val tag = if (isMin) "mn" else "mx"
+    dt match {
+      case DateType =>
+        f(datediff(col(n), to_date(lit("1970-01-01")))).as(s"${tag}_$n")
+      case TimestampType => f(unix_micros(col(n))).as(s"${tag}_$n")
+      case _ => f(col(n)).as(s"${tag}_$n")
+    }
+  }
+
   /** Compute and persist catalog statistics for `cols` of table
     * `name`: rowCount + per-column (distinctCount via the q44 HLL
-    * sketch, min, max, nullCount, avgLen/maxLen from the type), plus
-    * a [[Curation.C27Buckets]]-bin equi-height histogram (c27's
+    * sketch, min, max, nullCount; avgLen/maxLen measured for
+    * strings/binary, type-width otherwise), plus a
+    * [[Curation.C27Buckets]]-bin equi-height histogram (c27's
     * nearest-rank fences + per-bin NDV) for `histCols`. One fused
-    * scan for the scalars; one distinct-value-bounded pass per
-    * histogram column. Returns what was written. */
+    * scan for the scalars; one distinct-value-bounded two-phase pass
+    * per histogram column. Rejects unsupported column types loudly —
+    * a wrong external string would poison every later CBO plan on
+    * the table. Returns what was written. */
   def analyze(s: SparkSession, name: String, cols: Seq[String],
       histCols: Set[String] = Set.empty): CatalogStatistics = {
     graft.functions.GraftFunctions.register(s)
     val df = s.table(name)
+    cols.foreach { n =>
+      df.schema(n).dataType match {
+        case dt if ordered(dt) => ()
+        case StringType | BinaryType => ()
+        case dt => throw new IllegalArgumentException(
+          s"CatalogStats.analyze: unsupported type $dt for column `$n`" +
+            " — catalog column stats cover atomic types only")
+      }
+    }
+    histCols.foreach { n =>
+      require(cols.contains(n),
+        s"histogram column `$n` must be in the analyzed column list")
+      require(df.schema(n).dataType.isInstanceOf[NumericType],
+        s"histogram column `$n` must be numeric")
+    }
     // sizeInBytes BEFORE stats exist = the file-based estimate the
     // planner was using; keep it as the honest on-disk size
     val sizeInBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val aggs = cols.flatMap { n => Seq(
-      sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"nn_$n"),
-      expr(s"hll_sketch(CAST(conv(substring(md5(CAST(`$n` AS STRING))," +
-        s" 1, 8), 16, 10) AS BIGINT)).hll_est").as(s"ndv_$n"),
-      min(col(n)).cast("double").as(s"mn_$n"),
-      max(col(n)).cast("double").as(s"mx_$n")) }
+    val aggs = cols.flatMap { n =>
+      val dt = df.schema(n).dataType
+      val base = Seq(
+        sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"nn_$n"),
+        expr(s"hll_sketch(CAST(conv(substring(md5(CAST(`$n` AS STRING))," +
+          s" 1, 8), 16, 10) AS BIGINT)).hll_est").as(s"ndv_$n"))
+      val bounds =
+        if (ordered(dt)) Seq(boundAgg(n, dt, isMin = true),
+          boundAgg(n, dt, isMin = false))
+        else Seq(avg(octet_length(col(n).cast("binary"))).as(s"al_$n"),
+          max(octet_length(col(n).cast("binary"))).as(s"ml_$n"))
+      base ++ bounds
+    }
     val row = df.agg(count(lit(1)).as("n"), aggs: _*).collect()(0)
     val nRows = row.getAs[Long]("n")
     val colStats = cols.map { n =>
       val dt = df.schema(n).dataType
-      val len = dt.defaultSize.toLong
-      def ext(v: Double): String = dt match {
-        case org.apache.spark.sql.types.LongType |
-             org.apache.spark.sql.types.IntegerType |
-             org.apache.spark.sql.types.ShortType |
-             org.apache.spark.sql.types.ByteType => v.toLong.toString
-        case _ => v.toString
-      }
       val nn = row.getAs[Long](s"nn_$n")
+      val allNull = nn == nRows
       val (mnO, mxO) =
-        if (nn == nRows) (None, None)
-        else (Some(ext(row.getAs[Double](s"mn_$n"))),
-          Some(ext(row.getAs[Double](s"mx_$n"))))
+        if (!ordered(dt) || allNull) (None, None)
+        else (Some(extString(dt, row.getAs[Any](s"mn_$n"))),
+          Some(extString(dt, row.getAs[Any](s"mx_$n"))))
+      val (avgLen, maxLen) = dt match {
+        case StringType | BinaryType if !allNull =>
+          (math.ceil(row.getAs[Double](s"al_$n")).toLong,
+            row.getAs[Int](s"ml_$n").toLong)
+        case _ => (dt.defaultSize.toLong, dt.defaultSize.toLong)
+      }
       n -> CatalogColumnStat(
         distinctCount = Some(BigInt(row.getAs[Long](s"ndv_$n"))),
         min = mnO, max = mxO,
         nullCount = Some(BigInt(nn)),
-        avgLen = Some(len), maxLen = Some(len),
+        avgLen = Some(avgLen), maxLen = Some(maxLen),
         histogram = if (histCols(n)) Some(histogramFor(df, n)) else None)
     }.toMap
     val stats = CatalogStatistics(sizeInBytes, Some(BigInt(nRows)), colStats)
@@ -91,33 +171,63 @@ object CatalogStats {
     stats
   }
 
+  /** Value-range bucket count for the two-phase cumulative sum: the
+    * distinct-value histogram splits into up to this many
+    * lexicographic ranges, each cumulated by its own window task; the
+    * only serial frame is the [[HistHB]]-row bucket-total prefix. */
+  val HistHB = 512
+
   /** c27's equi-height fences as the optimizer's [[Histogram]]: bin i
     * spans (ub_{i-1}, ub_i] with ub_i = the smallest value whose
     * cumulative count reaches ceil(i·n/B) (the integer nearest-rank
     * rule — c27Histograms' exact spelling), per-bin NDV counted on
-    * the collapsed distinct-value histogram. The window state is
-    * distinct-value-bounded (the q33 discipline). */
+    * the collapsed distinct-value histogram.
+    *
+    * Scale shape (the c27Histograms two-phase, Curation.scala c27):
+    * a bare `Window.orderBy(u)` would put the column's ENTIRE
+    * distinct-value histogram in one task — the whole distinct count
+    * of a near-unique column at 100 TB. Instead, `hb` range-buckets
+    * (monotone in u, so cumulative order is preserved) cumulate in
+    * [[HistHB]]-way parallel windows; an exclusive prefix of
+    * per-bucket totals (the only serial frame, ≤ [[HistHB]] rows)
+    * broadcasts back; cum = offset + in-bucket cum. Fence extraction
+    * is ONE aggregate with B conditional mins — no ×B row expansion
+    * (the retired crossJoin(range) shape). Driver-side collects are
+    * all bounded: one 4-scalar row, one B-column fence row, one
+    * B-column NDV row. */
   private[graft] def histogramFor(df: DataFrame, n: String): Histogram = {
     import org.apache.spark.sql.expressions.Window
     val b = Curation.C27Buckets
     val hist = df.select(col(n).cast("double").as("u"))
       .filter(col("u").isNotNull)
       .groupBy("u").agg(count(lit(1)).as("c"))
-    val w = Window.orderBy("u")
+    val g = hist.agg(min("u").as("lo"), max("u").as("hi"),
+      sum("c").as("nv")).collect()(0)
+    if (g.isNullAt(0)) return Histogram(0d, Array.empty)
+    val (lo0, hi0) = (g.getAs[Double]("lo"), g.getAs[Double]("hi"))
+    val nv = g.getAs[Long]("nv")
+    val width = (hi0 - lo0) / HistHB
+    val hbCol =
+      if (width > 0)
+        least(floor((col("u") - lit(lo0)) / lit(width)),
+          lit((HistHB - 1).toLong)).cast("long")
+      else lit(0L)
+    val hbed = hist.withColumn("hb", hbCol)
+    val inW = Window.partitionBy("hb").orderBy("u")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist.withColumn("cum", sum("c").over(w))
-      .crossJoin(broadcast(hist.agg(sum("c").as("nv"),
-        count(lit(1)).as("ndv_all"), min("u").as("lo0"))))
-    val idx = df.sparkSession.range(1, b + 1).toDF("bucket")
-    val fences = cum.crossJoin(broadcast(idx))
-      .groupBy("bucket")
-      .agg(min(when(col("cum") * b >= col("bucket") * col("nv"),
-        col("u"))).as("ub"),
-        max("nv").as("nv"), max("lo0").as("lo0"))
-      .orderBy("bucket").collect()
-    val lo0 = fences.head.getAs[Double]("lo0")
-    val nv = fences.head.getAs[Long]("nv")
-    val ubs = fences.map(_.getAs[Double]("ub"))
+    val offs = hbed.groupBy("hb").agg(sum("c").as("bc"))
+      .withColumn("off", coalesce(sum("bc").over(Window.orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("hb", "off")
+    val cum = hbed.withColumn("incum", sum("c").over(inW))
+      .join(broadcast(offs), "hb")
+      .withColumn("cum", col("incum") + col("off"))
+    val fenceAggs = (1 to b).map { i =>
+      min(when(col("cum") * b >= lit(i.toLong) * lit(nv), col("u")))
+        .as(s"ub_$i")
+    }
+    val fr = cum.agg(fenceAggs.head, fenceAggs.tail: _*).collect()(0)
+    val ubs = (1 to b).map(i => fr.getAs[Double](s"ub_$i")).toArray
     val los = lo0 +: ubs.dropRight(1)
     // per-bin NDV in one histogram-bounded pass: value v belongs to
     // bin i iff los(i) < v <= ubs(i), except bin 0 includes its lo

@@ -2003,9 +2003,12 @@ object Curation {
   /** The staged c28 shard (doc_id, text, embedding) — fingerprint-keyed
     * on BOTH source tables, `_SUCCESS`-gated write-once. */
   def c28ShardPath(s: SparkSession, dir: String): String = {
+    // full fingerprints, never a 32-bit hash of them: a hashCode
+    // collision across corpora would silently reuse a stale shard
+    // behind the _SUCCESS gate (the s8IndexPath discipline)
     val path = "target/admitshard/" +
-      s"${Tables.fingerprint(s, dir, "documents").hashCode.toHexString}_" +
-      s"${Tables.fingerprint(s, dir, "embeddings").hashCode.toHexString}" +
+      s"${Tables.fingerprint(s, dir, "documents")}_" +
+      s"${Tables.fingerprint(s, dir, "embeddings")}" +
       "/shard.parquet"
     val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -189,14 +189,13 @@ object Sources {
     val slice = s.read.parquet(path)
       .filter(col(partCol).isin(fragmented: _*))
       .localCheckpoint(true)
-    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try slice.repartition(col(partCol))
-      .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(path)
-    finally prev match {
-      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    // per-writer option, never a session-conf mutation: a concurrent
+    // write on the same session must not inherit dynamic mode, and two
+    // concurrent compactions must not race a save/restore
+    slice.repartition(col(partCol))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(path)
     fragmented.length
   }
 

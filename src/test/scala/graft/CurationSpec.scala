@@ -368,6 +368,121 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("histogramFor on a near-unique column runs the two-phase " +
+    "cumulative — no task receives the whole distinct-value histogram") {
+    val c = s.newSession()
+    c.conf.set("spark.sql.shuffle.partitions", "16")
+    // AQE would coalesce this spec's ~2 MB shuffle into one partition
+    // (fine at scale, where partitions are real-sized); turn it off so
+    // task shuffle-read counts measure the WINDOW shape, not coalescing
+    c.conf.set("spark.sql.adaptive.enabled", "false")
+    val sess = c
+    import sess.implicits._
+    // 120k DISTINCT values, one row each — the id/timestamp shape that
+    // serialized the retired Window.orderBy(u) spelling into one task
+    val nDistinct = 120000
+    CatalogStats.stage(c, "g14_hist",
+      (0 until nDistinct).map(i => (i.toLong, i.toLong)).toDF("k", "v"))
+    val maxTaskShuffleRecords = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          val r = m.shuffleReadMetrics.recordsRead
+          var cur = maxTaskShuffleRecords.get()
+          while (r > cur && !maxTaskShuffleRecords.compareAndSet(cur, r)) {
+            cur = maxTaskShuffleRecords.get()
+          }
+        }
+      }
+    }
+    c.sparkContext.addSparkListener(listener)
+    try {
+      val stats = CatalogStats.analyze(c, "g14_hist", Seq("v"),
+        histCols = Set("v"))
+      org.apache.spark.graftbridge.GraftScheduler
+        .drainListenerBus(c.sparkContext)
+      // the serial shape would put all 120k distinct values in ONE
+      // window task; two-phase caps any task at ~ndv/shufflePartitions
+      val worst = maxTaskShuffleRecords.get()
+      assert(worst < nDistinct / 4,
+        s"a task read $worst shuffle records — the whole histogram " +
+          "landed in one task (serial window shape)")
+      // and the fences are the exact nearest-rank answer: with u = 0..n-1
+      // once each, ub_i = smallest u with (u+1)*8 >= i*n
+      val h = stats.colStats("v").histogram.get
+      val b = Curation.C27Buckets
+      assert(h.bins.length == b)
+      (1 to b).foreach { i =>
+        val expect = math.ceil(i.toDouble * nDistinct / b).toLong - 1
+        assert(h.bins(i - 1).hi == expect.toDouble,
+          s"fence $i: ${h.bins(i - 1).hi} != $expect")
+      }
+      assert(h.bins.map(_.ndv).sum == nDistinct.toLong)
+      assert(h.height == nDistinct.toDouble / b)
+    } finally {
+      c.sparkContext.removeSparkListener(listener)
+      c.sql("DROP TABLE IF EXISTS g14_hist")
+    }
+  }
+
+  test("analyze writes type-correct external min/max for date, " +
+    "timestamp, decimal, and string columns, readable by the planner") {
+    val c = s.newSession()
+    c.conf.set("spark.sql.cbo.enabled", "true")
+    val df = c.sql(
+      """SELECT * FROM VALUES
+        (DATE'2021-03-04', TIMESTAMP'2021-03-04 05:06:07.123456',
+         CAST(1.25 AS DECIMAL(12,2)), 'alpha'),
+        (DATE'2023-11-30', TIMESTAMP'2024-01-02 03:04:05.987654',
+         CAST(987654321.99 AS DECIMAL(12,2)), 'omega_long'),
+        (NULL, NULL, NULL, NULL)
+        AS t(d, ts, dec, st)""")
+    CatalogStats.stage(c, "g14_typed", df)
+    org.apache.spark.sql.SparkSession.setActiveSession(c)
+    try {
+      // expected catalyst-internal bounds, computed from the staged
+      // table itself so the session timezone cannot skew the check
+      import org.apache.spark.sql.functions.{col, datediff, max, min,
+        to_date, lit, unix_micros}
+      val exp = c.table("g14_typed").agg(
+        min(datediff(col("d"), to_date(lit("1970-01-01")))).as("dmn"),
+        max(datediff(col("d"), to_date(lit("1970-01-01")))).as("dmx"),
+        min(unix_micros(col("ts"))).as("tmn"),
+        max(unix_micros(col("ts"))).as("tmx")).collect()(0)
+      CatalogStats.analyze(c, "g14_typed", Seq("d", "ts", "dec", "st"))
+      // .stats parses the external strings back — a wrong format would
+      // throw here or carry a wrong value into every later plan
+      val stats = c.table("g14_typed").queryExecution.optimizedPlan.stats
+      val byName = stats.attributeStats.map { case (a, cs) => a.name -> cs }
+      assert(byName("d").min.get == exp.getAs[Int]("dmn"))
+      assert(byName("d").max.get == exp.getAs[Int]("dmx"))
+      assert(byName("ts").min.get == exp.getAs[Long]("tmn"))
+      assert(byName("ts").max.get == exp.getAs[Long]("tmx"))
+      val dmn = byName("dec").min.get
+        .asInstanceOf[org.apache.spark.sql.types.Decimal].toBigDecimal
+      val dmx = byName("dec").max.get
+        .asInstanceOf[org.apache.spark.sql.types.Decimal].toBigDecimal
+      assert(dmn == BigDecimal("1.25") && dmx == BigDecimal("987654321.99"))
+      // strings carry lengths, never bounds (Spark's own ANALYZE rule)
+      assert(byName("st").min.isEmpty && byName("st").max.isEmpty)
+      assert(byName("st").maxLen.contains("omega_long".length.toLong))
+      assert(byName("st").nullCount.contains(BigInt(1)))
+      // complex types are rejected loudly, not written wrong
+      CatalogStats.stage(c, "g14_arr",
+        c.sql("SELECT array(1, 2) AS a, 1 AS k"))
+      val err = intercept[IllegalArgumentException] {
+        CatalogStats.analyze(c, "g14_arr", Seq("a"))
+      }
+      assert(err.getMessage.contains("unsupported type"))
+    } finally {
+      c.sql("DROP TABLE IF EXISTS g14_typed")
+      c.sql("DROP TABLE IF EXISTS g14_arr")
+      org.apache.spark.sql.SparkSession.setActiveSession(s)
+    }
+  }
+
   test("c9 affinity is exact past the Long wrap and fails loudly past " +
     "BIGINT ratio range") {
     val sess = s

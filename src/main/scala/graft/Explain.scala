@@ -26,7 +26,21 @@ import java.nio.file.{Files, Paths}
 object Explain {
   def main(args: Array[String]): Unit = {
     val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
-    val out = if (args.length > 1) args(1) else "PLANS.txt"
+    // dev-only subset (csv of query names, the Verify/Bench third-arg
+    // convention): audits one query's executed plan without the full
+    // sweep; never overwrites the stamped artifact by default
+    val subset: Option[Set[String]] =
+      if (args.length > 2 && args(2).nonEmpty)
+        Some(args(2).split(",").map(_.trim).toSet)
+      else None
+    subset.foreach { set =>
+      val unknown = set -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    }
+    val out =
+      if (args.length > 1) args(1)
+      else if (subset.isDefined) "target/plans-subset.txt"
+      else "PLANS.txt"
 
     import scala.sys.process._
     def git(cmd: String*): String =
@@ -34,7 +48,8 @@ object Explain {
     val sha = git("rev-parse", "HEAD")
     val dirty =
       git("status", "--porcelain", "--", "src/main", "build.sbt").nonEmpty
-    if (dirty && !sys.env.get("SPARK_GRAFT_EXPLAIN_ALLOW_DIRTY").contains("1")) {
+    if (dirty && subset.isEmpty &&
+      !sys.env.get("SPARK_GRAFT_EXPLAIN_ALLOW_DIRTY").contains("1")) {
       System.err.println("[explain] REFUSING to generate: src/main or " +
         "build.sbt has uncommitted changes, so the stamped commit would " +
         "not identify the audited code. Commit first (or set " +
@@ -80,7 +95,8 @@ object Explain {
     }
     spark.sparkContext.addSparkListener(listener)
 
-    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+    for (name <- SparkEntry.queries.keys.toSeq.sorted
+        .filter(n => subset.forall(_.contains(n)))) {
       org.apache.spark.graftbridge.GraftScheduler
         .drainListenerBus(spark.sparkContext)
       allStages.set(0); shuffleStages.set(0)

@@ -46,6 +46,47 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("property: t6 pii byte-walk kernel equals the java-regex " +
+    "reference on adversarial fragment soup") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.PiiKernels
+    // fragments chosen to collide at every matcher decision point:
+    // octet alternation boundaries (25/255/256/199), digit-run lengths
+    // around the phone/card group sizes, separators glued to
+    // separators, '@' runs, dot-letter tails of every length, plus
+    // whole near-miss and true-PII tokens and a multibyte char —
+    // concatenated WITHOUT spacing so matches and boundaries form
+    // across fragment joins
+    val frag: Gen[String] = Gen.oneOf(
+      Gen.oneOf("0", "1", "2", "5", "9", "25", "255", "256", "199",
+        "04", "111", "1111", "4111", "99999", "0000", "123"),
+      Gen.oneOf(".", "-", " ", "@", "+", "_", "%", "..", "--", ". ",
+        "-.", "@@", "+1"),
+      Gen.oneOf("a", "c", "co", "com", "x", "ab", "ORD", "v", "io",
+        "日", "́", "é", "́́."),
+      Gen.oneOf("a@b.co", "1-555-0100", "10.0.0.9", "999.1.1.1",
+        "v1.2.3", "4111-1111-1111-1111", "4111 1111 1111 1111",
+        "bob.smith+tag@sub.example.co.uk"))
+    val text: Gen[String] =
+      Gen.choose(0, 24).flatMap(k => Gen.listOfN(k, frag)).map(_.mkString)
+    var checked = 0
+    samples(text, 4000, seed = 99L).foreach { t =>
+      val u = UTF8String.fromString(t)
+      val walk = PiiKernels.scrub(u)
+      val ref = PiiKernels.scrubRegex(u)
+      (0 until 4).foreach { i =>
+        assert(walk.getInt(i) == ref.getInt(i),
+          s"count $i: ${walk.getInt(i)} vs ${ref.getInt(i)} on '$t'")
+      }
+      assert(walk.getUTF8String(4) == ref.getUTF8String(4),
+        s"redacted '${walk.getUTF8String(4)}' vs " +
+          s"'${ref.getUTF8String(4)}' on '$t'")
+      assert(walk.getInt(5) == ref.getInt(5), s"residual on '$t'")
+      checked += 1
+    }
+    assert(checked >= 3000)
+  }
+
   test("property: t17 bigram-key kernel equals a reference tokenizer " +
     "under arbitrary spacing and non-BMP text") {
     import org.apache.spark.unsafe.types.UTF8String

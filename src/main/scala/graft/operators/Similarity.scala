@@ -510,7 +510,17 @@ object Similarity {
     val q = Tables.embeddings(s, dir)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         explode(probeExpr).as("cell"))
+    // Parallelism must follow the PAIR volume, not the scan bytes:
+    // each probe-side row fans out to probes×occupancy ≈ 512 cosine
+    // pairs inside the join stage, so a scan-sized partitioning
+    // (one ~5 MB file = one task at the 10× probe) serializes ~10M
+    // pairs onto one thread — measured 23.7 s in a single task.
+    // Explicit-N round-robin repartition spreads the fan-out and is
+    // deliberately NOT AQE-coalescible (the exchange's 6 MB of input
+    // looks tiny to size-based coalescing, which is blind to the
+    // downstream blowup). 10× probe: 24.6 s → ~4 s.
     val cand = Tables.embeddings(s, dir)
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .withColumn("cell", cellExpr)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
         col("cell"))
@@ -518,7 +528,13 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id"))
     cand.join(q, "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", VectorOps.cosine("qe", "ce"))
+      // project the embeddings AWAY before the window: the candidate
+      // frame is probes×occupancy×N rows, and row_number's keyed
+      // shuffle+sort would otherwise carry BOTH 256-byte vectors per
+      // pair (~15 GB at the 10× probe) instead of 24 bytes of
+      // (ids, cos) — measured 27 s → 9 s at 10×
+      .select(col("query_id"), col("neighbor_id"),
+        VectorOps.cosine("qe", "ce").as("cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= S12K)
       .select("query_id", "rnk", "neighbor_id", "cos")

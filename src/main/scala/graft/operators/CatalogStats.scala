@@ -44,6 +44,13 @@ object CatalogStats {
     * a production lake table registers its existing LOCATION). */
   def stage(s: SparkSession, name: String, df: DataFrame): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $name")
+    // the DROP only knows THIS catalog — a managed-table location left
+    // behind by a previous JVM (the warehouse dir outlives the
+    // in-memory catalog) would block saveAsTable; clear it
+    val loc = new org.apache.hadoop.fs.Path(
+      s.sessionState.catalog.defaultTablePath(TableIdentifier(name)))
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.format("parquet").saveAsTable(name)
   }
 

@@ -1247,6 +1247,194 @@ object Curation {
     * price columns in a few hundred parallel windows. */
   val C27HistB = 16384L
 
+  // ------------------------------------------------ c29 catalog analyze
+
+  /** c29 column manifest: (staged table, column, source table, DuckDB
+    * derivation, kind). Kind drives the min/max EXTERNAL-string
+    * spelling the oracle reproduces: `int` BIGINT digits, `date` ISO
+    * yyyy-MM-dd, `ts` the catalog v2 UTC micros format, `str` no
+    * bounds (measured byte lengths instead). Every derivation is the
+    * c26 canonical-integer-units discipline, so both engines hash and
+    * format identical values. */
+  private val C29Cols: Seq[(String, String, String, String, String)] = Seq(
+    ("g_c29_orders", "ck", "orders", "CAST(o_custkey AS BIGINT)", "int"),
+    ("g_c29_orders", "od", "orders", "CAST(o_orderdate AS DATE)", "date"),
+    ("g_c29_orders", "ots", "orders",
+      "CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)", "ts"),
+    ("g_c29_orders", "pcn", "orders",
+      "CASE WHEN o_custkey % 5 = 0 THEN NULL ELSE " +
+        "CAST(round(o_totalprice * 100, 0) AS BIGINT) END", "int"),
+    ("g_c29_lineitem", "qty", "lineitem", "CAST(l_quantity AS BIGINT)",
+      "int"),
+    ("g_c29_lineitem", "rf", "lineitem", "l_returnflag", "str"))
+
+  /** c29: ANALYZE under the ORACLE — the catalog-statistics write
+    * ([[CatalogStats.analyze]]) promoted to a hash-verified gate
+    * entry. c26/c27 prove the statistics MATH cross-engine and
+    * CurationSpec proves the persisted stats flip plans; this entry
+    * closes the remaining gap — the CBO's actual INPUT (what
+    * `alterTableStats` wrote: rowCount, HLL distinctCount, nullCount,
+    * the type-formatted external min/max strings, measured string
+    * lengths, and the equi-height histogram bins) is READ BACK from
+    * the session catalog and hash-compared against a DuckDB
+    * recompute. Two staged tables cover the type surface: bigint,
+    * date, timestamp (the v2 `yyyy-MM-dd HH:mm:ss.SSSSSS` external
+    * format), a planted-null bigint carrying the near-unique
+    * histogram (null filtering + the two-phase cumulative under the
+    * gate), a tie-heavy histogram column (one value spanning several
+    * fences), and a string column (no bounds, measured avg/max byte
+    * lengths).
+    *
+    * Scale shape: [[CatalogStats.analyze]]'s — one fused scan per
+    * table for the scalars, the c27 two-phase distinct-value-bounded
+    * pass per histogram column, one metastore call per table. Staging
+    * here copies projections only because the gate corpus is
+    * path-based parquet; a production lake table registers its
+    * existing LOCATION and pays no copy. */
+  def c29Analyze(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    graft.functions.GraftFunctions.register(s)
+    val orders = Tables.orders(s, dir).select(
+      col("o_custkey").cast("long").as("ck"),
+      col("o_orderdate").cast("date").as("od"),
+      col("o_orderdate").cast("date").cast("timestamp").as("ots"),
+      when(col("o_custkey") % 5 === 0, lit(null).cast("long"))
+        .otherwise(expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .as("pcn"))
+    val li = Tables.lineitem(s, dir).select(
+      expr("CAST(l_quantity AS BIGINT)").as("qty"),
+      col("l_returnflag").as("rf"))
+    CatalogStats.stage(s, "g_c29_orders", orders)
+    CatalogStats.stage(s, "g_c29_lineitem", li)
+    CatalogStats.analyze(s, "g_c29_orders", Seq("ck", "od", "ots", "pcn"),
+      histCols = Set("pcn"))
+    CatalogStats.analyze(s, "g_c29_lineitem", Seq("qty", "rf"),
+      histCols = Set("qty"))
+    val sess = s
+    import sess.implicits._
+    // READBACK from the catalog, not analyze()'s return value: the
+    // gate proves what was PERSISTED survives the metastore round trip
+    val rows = Seq(
+      "g_c29_orders" -> Seq("ck", "od", "ots", "pcn"),
+      "g_c29_lineitem" -> Seq("qty", "rf")).flatMap { case (t, cols) =>
+      val meta = s.sessionState.catalog.getTableMetadata(TableIdentifier(t))
+      val st = meta.stats.get
+      val rc = st.rowCount.get.toLong
+      cols.flatMap { c =>
+        val cs = st.colStats(c)
+        val isStr = meta.schema(c).dataType ==
+          org.apache.spark.sql.types.StringType
+        val scalar = (t, c, "scalar", Some(rc),
+          Some(cs.nullCount.get.toLong), Some(cs.distinctCount.get.toLong),
+          cs.min, cs.max,
+          if (isStr) cs.avgLen.map(_.toLong) else None,
+          if (isStr) cs.maxLen.map(_.toLong) else None,
+          None: Option[Long], None: Option[Long], None: Option[Long])
+        val hist = cs.histogram.toSeq.flatMap(_.bins.zipWithIndex.map {
+          case (b, i) =>
+            (t, c, "hist", None: Option[Long], None: Option[Long],
+              None: Option[Long], None: Option[String],
+              None: Option[String], None: Option[Long],
+              None: Option[Long],
+              Some((i + 1).toLong), Some(b.hi.toLong), Some(b.ndv))
+        })
+        scalar +: hist
+      }
+    }
+    rows.toDF("tbl", "col_name", "kind", "row_count", "null_count", "ndv",
+        "min_s", "max_s", "avg_len", "max_len", "bucket", "ub", "bin_ndv")
+      .orderBy(col("tbl"), col("col_name"), col("kind"),
+        coalesce(col("bucket"), lit(0L)))
+  }
+
+  /** c29 oracle: HLL register replay keyed on col_name (the c26
+    * fragment), plain-SQL scalars with type-formatted VARCHAR bounds,
+    * and the c27 fence rule + per-bin distinct counts for the two
+    * histogram columns. */
+  private def c29OracleSql: String = {
+    val hashedUnion = C29Cols.map { case (_, c, src, duck, _) =>
+      s"""SELECT '$c' AS col_name, ${Relational.sqlHash32(duck)} AS h
+         |  FROM $src WHERE ($duck) IS NOT NULL""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    val sketchSql = Relational.hllOracleSqlKeyed(Seq("col_name"),
+      s"SELECT col_name, h FROM (\n  $hashedUnion)", withMerge = false)
+    def bound(kind: String, f: String) = kind match {
+      case "int" => s"CAST($f(u) AS VARCHAR)"
+      case "date" => s"strftime($f(u), '%Y-%m-%d')"
+      case "ts" => s"strftime($f(u), '%Y-%m-%d %H:%M:%S.%f')"
+      case "str" => "CAST(NULL AS VARCHAR)"
+    }
+    val scalarUnion = C29Cols.map { case (t, c, src, duck, kind) =>
+      val (al, ml) =
+        if (kind == "str")
+          // DuckDB strlen = BYTE length (its octet_length is BLOB-only)
+          ("CAST(ceil(avg(strlen(u))) AS BIGINT)",
+            "CAST(max(strlen(u)) AS BIGINT)")
+        else ("CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)")
+      s"""SELECT '$t' AS tbl, '$c' AS col_name, 'scalar' AS kind,
+         |    CAST(count(*) AS BIGINT) AS row_count,
+         |    CAST(sum(CASE WHEN u IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS null_count,
+         |    ${bound(kind, "min")} AS min_s,
+         |    ${bound(kind, "max")} AS max_s,
+         |    $al AS avg_len, $ml AS max_len
+         |  FROM (SELECT ($duck) AS u FROM $src)""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    def histCtes(tag: String, duck: String, src: String) =
+      s"""hv_$tag AS (
+         |  SELECT u, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT ($duck) AS u FROM $src) WHERE u IS NOT NULL
+         |  GROUP BY 1),
+         |cq_$tag AS (
+         |  SELECT u, sum(c) OVER (ORDER BY u ROWS UNBOUNDED PRECEDING)
+         |    AS cum, sum(c) OVER () AS n FROM hv_$tag),
+         |f_$tag AS (
+         |  SELECT bucket,
+         |    min(CASE WHEN cum * $C27Buckets >= bucket * n THEN u END)
+         |      AS ub
+         |  FROM cq_$tag CROSS JOIN bx GROUP BY 1),
+         |fl_$tag AS (
+         |  SELECT bucket, ub,
+         |    COALESCE(lag(ub) OVER (ORDER BY bucket),
+         |      (SELECT min(u) FROM hv_$tag)) AS lo
+         |  FROM f_$tag),
+         |hb_$tag AS (
+         |  SELECT fl.bucket, fl.ub, CAST(count(hv.u) AS BIGINT) AS bin_ndv
+         |  FROM fl_$tag fl LEFT JOIN hv_$tag hv
+         |    ON hv.u <= fl.ub
+         |      AND (hv.u > fl.lo OR (fl.bucket = 1 AND hv.u >= fl.lo))
+         |  GROUP BY 1, 2)"""
+    val pcnDuck = C29Cols.find(_._2 == "pcn").get._4
+    val qtyDuck = C29Cols.find(_._2 == "qty").get._4
+    def histSelect(t: String, c: String, tag: String) =
+      s"""SELECT '$t' AS tbl, '$c' AS col_name, 'hist' AS kind,
+         |    CAST(NULL AS BIGINT) AS row_count,
+         |    CAST(NULL AS BIGINT) AS null_count,
+         |    CAST(NULL AS BIGINT) AS ndv,
+         |    CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s,
+         |    CAST(NULL AS BIGINT) AS avg_len, CAST(NULL AS BIGINT) AS max_len,
+         |    bucket, CAST(ub AS BIGINT) AS ub, bin_ndv
+         |  FROM hb_$tag""".stripMargin
+    s"""WITH bx AS (
+       |  SELECT CAST(unnest(generate_series(1, $C27Buckets)) AS BIGINT)
+       |    AS bucket),
+       |${histCtes("pcn", pcnDuck, "orders")},
+       |${histCtes("qty", qtyDuck, "lineitem")}
+       |SELECT * FROM (
+       |SELECT sc.tbl, sc.col_name, sc.kind, sc.row_count, sc.null_count,
+       |  COALESCE(sk.hll_est, CAST(0 AS BIGINT)) AS ndv,
+       |  sc.min_s, sc.max_s, sc.avg_len, sc.max_len,
+       |  CAST(NULL AS BIGINT) AS bucket, CAST(NULL AS BIGINT) AS ub,
+       |  CAST(NULL AS BIGINT) AS bin_ndv
+       |FROM ($scalarUnion) sc
+       |LEFT JOIN ($sketchSql) sk USING (col_name)
+       |UNION ALL
+       |${histSelect("g_c29_orders", "pcn", "pcn")}
+       |UNION ALL
+       |${histSelect("g_c29_lineitem", "qty", "qty")}
+       |) ORDER BY tbl, col_name, kind, COALESCE(bucket, 0)""".stripMargin
+  }
+
   /** The mktsegment domain [[c18Expectations]] validates against
     * (shared with the oracle). */
   val C18Segments: Seq[String] =
@@ -1855,6 +2043,7 @@ object Curation {
          |FROM r ORDER BY pos""".stripMargin,
     // same rank arithmetic: cum·B >= i·n over the per-column value
     // histogram, fences via a generated bucket axis
+    "c29_analyze" -> c29OracleSql,
     "c27_histograms" ->
       s"""WITH v AS (
          |  SELECT 'l_quantity' AS col_name,
@@ -2176,6 +2365,7 @@ object Curation {
     "c25_curriculum" -> c25Curriculum,
     "c26_table_stats" -> c26TableStats,
     "c27_histograms" -> c27Histograms,
+    "c29_analyze" -> c29Analyze,
     "c18_expectations" -> c18Expectations,
     "c20_incremental_mv" -> c20IncrementalMv,
   )

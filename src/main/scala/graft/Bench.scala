@@ -212,6 +212,26 @@ object Bench {
     // (~1 KB total, fits the window with sbt's trailer); the FULL
     // per-query map lives in the detail file and in the committed
     // BENCH_local artifact (SURVEY §6).
+    // committed DuckDB-oracle reference (tools/merge_bench.py writes
+    // it from the round's bench_oracle run): riding the total in this
+    // line makes the vs-baseline ratio a driver-artifact fact. The
+    // source filename says WHICH round's oracle timing it is — the
+    // oracle is re-timed when the surface changes, not per Bench run.
+    val oracleRef: String =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("tools/oracle_ref.json")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val tot = """"oracle_total"\s*:\s*([0-9.]+)""".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        val src = """"source"\s*:\s*"([^"]*)"""".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        (tot, src) match {
+          case (Some(t), Some(f)) =>
+            s""""oracle_ref_total":$t,"oracle_ref_src":"$f","""
+          case _ => ""
+        }
+      } catch { case _: Exception => "" }
     val top = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(10)
     println(
       f"""{"metric":"total_wall","value":$total%.3f,"unit":"sec","runs":$runs,""" +
@@ -219,7 +239,7 @@ object Bench {
         s""""top10":${fmtMap(top.map(r => r._1 -> r._2._1))},""" +
         s""""pinned":${fmtMap(pinnedResults.map(r => r._1 -> r._2._1))},""" +
         f""""memo_build_sec":$memoBuildSec%.3f,"pin_ratio":$pinRatio%.3f,""" +
-        s""""loaded":$loaded,""" +
+        s""""loaded":$loaded,""" + oracleRef +
         f""""noise":$noise%.3f,"failed":$fs,""" +
         s""""queries_detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()

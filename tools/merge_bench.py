@@ -6,7 +6,7 @@ Spark-vs-single-node ratio per query.
 
 Usage: tools/merge_bench.py <bench_json_path> <oracle_json_path>
 (rewrites bench_json_path in place)."""
-import sys, json
+import sys, json, os
 
 
 def main(bench_path: str, oracle_path: str) -> int:
@@ -19,6 +19,17 @@ def main(bench_path: str, oracle_path: str) -> int:
     bench["oracle_runs"] = oracle.get("runs")
     with open(bench_path, "w") as f:
         json.dump(bench, f)
+    # committed oracle reference: graft.Bench echoes this total into its
+    # compact stdout line, so the driver's BENCH artifact carries the
+    # vs-baseline ratio without having to read the repo
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "oracle_ref.json")
+    with open(ref_path, "w") as f:
+        json.dump({"oracle_total": bench["oracle_total"],
+                   "sf": oracle.get("sf"),
+                   "runs": oracle.get("runs"),
+                   "n_queries": len(secs),
+                   "source": os.path.basename(bench_path)}, f)
     q = bench.get("queries", {})
     worst = sorted(((q[n] / secs[n], n) for n in q
                     if n in secs and secs[n] > 0 and q[n] > 0),

@@ -1291,6 +1291,25 @@ object Curation {
     * here copies projections only because the gate corpus is
     * path-based parquet; a production lake table registers its
     * existing LOCATION and pays no copy. */
+  /** Fingerprint-keyed write-once staging: the staged projection is a
+    * pure function of the source corpus, so a matching `graft.fp`
+    * table property means the table is already the right content —
+    * the ANALYZE operator then measures ANALYZE, not a parquet copy
+    * (production's contract: the table exists; ANALYZE is the op). */
+  private def c29Stage(s: SparkSession, name: String, fp: String,
+      df: => DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val cat = s.sessionState.catalog
+    val cur =
+      if (cat.tableExists(TableIdentifier(name)))
+        cat.getTableMetadata(TableIdentifier(name)).properties.get("graft.fp")
+      else None
+    if (!cur.contains(fp)) {
+      CatalogStats.stage(s, name, df)
+      s.sql(s"ALTER TABLE $name SET TBLPROPERTIES('graft.fp'='$fp')")
+    }
+  }
+
   def c29Analyze(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.catalyst.TableIdentifier
     graft.functions.GraftFunctions.register(s)
@@ -1304,8 +1323,8 @@ object Curation {
     val li = Tables.lineitem(s, dir).select(
       expr("CAST(l_quantity AS BIGINT)").as("qty"),
       col("l_returnflag").as("rf"))
-    CatalogStats.stage(s, "g_c29_orders", orders)
-    CatalogStats.stage(s, "g_c29_lineitem", li)
+    c29Stage(s, "g_c29_orders", Tables.fingerprint(s, dir, "orders"), orders)
+    c29Stage(s, "g_c29_lineitem", Tables.fingerprint(s, dir, "lineitem"), li)
     CatalogStats.analyze(s, "g_c29_orders", Seq("ck", "od", "ots", "pcn"),
       histCols = Set("pcn"))
     CatalogStats.analyze(s, "g_c29_lineitem", Seq("qty", "rf"),

@@ -526,7 +526,22 @@ object Similarity {
         col("cell"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
-    cand.join(q, "cell")
+    // Size-adaptive cell join (the q36 rank-join precedent): at gate
+    // SF the exploded probe side is a few MB and broadcasting it wins;
+    // at corpus scale it is CORPUS-sized (n×probes rows of 256-byte
+    // vectors — ~250 MB at the 100× probe) and the planner's estimate,
+    // blind to the explode, still chose broadcast: a 100×-probe stage
+    // audit showed an 80 s driver stall building the hash relation.
+    // Past the broadcast threshold, pin a shuffled hash join keyed on
+    // cell — both sides exchange n-to-4n ROWS (pairs explode inside
+    // the join), no sort, no driver round trip.
+    val n = Tables.embeddings(s, dir).count()
+    val qBytes = n * (S12Probes + 1) * (16L + 4L * cents(0).length)
+    val joined =
+      if (qBytes <= s.sessionState.conf.autoBroadcastJoinThreshold)
+        cand.join(broadcast(q), "cell")
+      else cand.hint("shuffle_hash").join(q, "cell")
+    joined
       .filter(col("query_id") =!= col("neighbor_id"))
       // project the embeddings AWAY before the window: the candidate
       // frame is probes×occupancy×N rows, and row_number's keyed

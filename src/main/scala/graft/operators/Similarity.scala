@@ -692,6 +692,109 @@ object Similarity {
        |FROM sel$S10K ORDER BY query_id, step""".stripMargin
   }
 
+  // ------------------------------------------ d15 semantic decontamination
+
+  /** d15 eval-set size (fixed — benchmarks are fixed-size, so the
+    * per-corpus-row cost is a constant 32 cosines at any scale) and
+    * contamination threshold (the corpus is near-orthogonal, organic
+    * max pairwise cosine 0.48–0.60 — see [[D10Tau]] — so 0.9 fires on
+    * planted leaks only, with margin). */
+  val D15Evals = 32
+  val D15Tau = 0.9
+
+  /** d15: SEMANTIC DECONTAMINATION — the embedding-space sibling of
+    * d9's n-gram decontamination: flag every training vector whose
+    * cosine against ANY benchmark-eval embedding reaches [[D15Tau]] —
+    * the screen that catches paraphrased/reworded benchmark leakage
+    * that n-gram overlap misses (run in practice against benchmark
+    * embeddings before a corpus ships). Output per corpus vector:
+    * (vec_id, best_eval, max_cos, contaminated).
+    *
+    * Eval derivation (deterministic, oracle-mirrored): the
+    * [[D15Evals]] corpus vectors with the smallest md5(vec_id) —
+    * selected via distributed TakeOrdered top-k, never a global
+    * window — play the benchmark, a third each: VERBATIM (the
+    * benchmark leaked into training — its source must flag at
+    * cos 1.0), PERTURBED (x·0.9 + 0.02, double arithmetic rounded
+    * once to float — a reworded leak; the
+    * constant shift tilts a unit vector by ≤ ~10°, so the source
+    * still flags ≥ ~0.98 for ANY vector, while pure scaling would be
+    * invisible to cosine), and NEGATED (a benchmark absent from
+    * training — cos −1 against its own source, far below τ against
+    * everything else).
+    *
+    * Scale shape: the eval set is FIXED-size and broadcast; ONE
+    * corpus scan pays [[D15Evals]] fused cosines per row (candidate
+    * frame = 32n rows, projected to (ids, cos) BEFORE the top-1
+    * window — the s12 lesson applied at birth); the verdict is a
+    * WindowGroupLimit rank. Linear with a constant-32 factor at any
+    * corpus size. */
+  def d15SemDecontam(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val sel = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        md5(col("vec_id").cast("string")).as("hk"))
+      .orderBy(col("hk"), col("vec_id")).limit(D15Evals)
+    // rank window over the LIMITed 32 rows only — bounded serial frame
+    val wSel = Window.orderBy(col("hk"), col("vec_id"))
+    val evals = sel.withColumn("rn", row_number().over(wSel))
+      .select(col("rn").as("eval_id"),
+        when(col("rn") % 3 === 1, col("embedding"))
+          .when(col("rn") % 3 === 2, expr("transform(embedding, " +
+            // arithmetic in DOUBLE, ONE final rounding to FLOAT: bare
+            // float*float may double-round differently across engines
+            "x -> CAST(CAST(x AS DOUBLE) * CAST(0.9 AS DOUBLE) + " +
+            "CAST(0.02 AS DOUBLE) AS FLOAT))"))
+          .otherwise(expr("transform(embedding, x -> CAST(-x AS FLOAT))"))
+          .as("ev"))
+    val wb = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("eval_id"))
+    Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(evals))
+      .select(col("vec_id"), col("eval_id"),
+        VectorOps.cosine("embedding", "ev").as("cos"))
+      .withColumn("rnk", row_number().over(wb))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("eval_id").as("best_eval"),
+        col("cos").as("max_cos"),
+        when(col("cos") >= D15Tau, lit(1)).otherwise(lit(0))
+          .as("contaminated"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB mirror of [[d15SemDecontam]]: same hash-ordered eval
+    * derivation, same per-kind transforms in FLOAT, same shared-fold
+    * cosine, same (cos desc, eval_id) top-1 rule. τ compared as an
+    * explicit DOUBLE cast (a bare 0.9 literal is DECIMAL in DuckDB). */
+  private def d15OracleSql: String =
+    s"""WITH ranked_eval AS (
+       |  SELECT vec_id, embedding, row_number() OVER (
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |  FROM embeddings),
+       |evals AS (
+       |  SELECT rn AS eval_id,
+       |    CASE rn % 3
+       |      WHEN 1 THEN embedding
+       |      WHEN 2 THEN list_transform(embedding,
+       |        x -> CAST(CAST(x AS DOUBLE) * CAST(0.9 AS DOUBLE) +
+       |          CAST(0.02 AS DOUBLE) AS FLOAT))
+       |      ELSE list_transform(embedding, x -> CAST(-x AS FLOAT))
+       |    END AS ev
+       |  FROM ranked_eval WHERE rn <= $D15Evals),
+       |scored AS (
+       |  SELECT e.vec_id, ev.eval_id,
+       |    ${VectorOps.sqlCosine("e.embedding", "ev.ev")} AS cos
+       |  FROM embeddings e CROSS JOIN evals ev),
+       |best AS (
+       |  SELECT vec_id, eval_id, cos, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY cos DESC, eval_id) AS rnk
+       |  FROM scored)
+       |SELECT vec_id, CAST(eval_id AS INTEGER) AS best_eval,
+       |  cos AS max_cos,
+       |  CAST(CASE WHEN cos >= CAST($D15Tau AS DOUBLE) THEN 1 ELSE 0 END
+       |    AS INTEGER) AS contaminated
+       |FROM best WHERE rnk = 1 ORDER BY vec_id""".stripMargin
+
   /** Semantic-duplicate threshold for [[d10SemDedup]]. The synthetic
     * embeddings are near-orthogonal (max pairwise cosine 0.48–0.60,
     * ZERO pairs above 0.8 at any SF — probed round 10), so the
@@ -2170,6 +2273,9 @@ object Similarity {
     // greedy MMR unrolled as S10K stacked CTE stages (c10 pattern);
     // shared-fold cosines + exact-in-binary λ=1/2 keep it hash-exact
     "s10_mmr_diversify" -> s10OracleSql,
+    // static derivation — no trained artifact; eval set, transforms,
+    // cosine fold and tie rule all mirrored verbatim
+    "d15_semdecontam" -> d15OracleSql,
     // same shared bm25TermScoreSql expression tree, same 6-decimal
     // idf/partial rounding, same DECIMAL(18,6) order-free sum
     "s4_bm25_topk" ->
@@ -2247,6 +2353,7 @@ object Similarity {
 
     "s10_mmr_diversify" -> s10MmrDiversify, // oracle: k-step CTE unroll
     "d10_semdedup" -> d10SemDedup, // oracle generated with inlined centroids
+    "d15_semdecontam" -> d15SemDecontam,
     "s4_bm25_topk" -> s4Bm25,
     "s5_hybrid_rerank" -> s5HybridRerank,
     "s6_ann_pq" -> s6Pq, // oracle generated with inlined codebooks

@@ -768,4 +768,53 @@ class SimilaritySpec extends AnyFunSuite {
     // so the merge no-ops and the answer is unchanged
     assert(rows(Similarity.s11AnnForget(s, dir)).toSeq == erased.toSeq)
   }
+
+  test("d15 semantic decontamination: verbatim leaks flag at cos 1.0, " +
+    "perturbed leaks above tau, negated benchmarks flag nothing") {
+    import org.apache.spark.sql.functions._
+    val out = Similarity.d15SemDecontam(s, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("best_eval"), r.getAs[Double]("max_cos"),
+          r.getAs[Int]("contaminated")))).toMap
+    // the corpus is fully audited, one verdict per vector
+    assert(out.size == graft.Tables.embeddings(s, dir).count())
+    // reconstruct the derived eval set (same hash order) to find the
+    // planted sources and their kinds
+    val sel = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"), md5(col("vec_id").cast("string")).as("hk"))
+      .orderBy(col("hk"), col("vec_id")).limit(Similarity.D15Evals)
+      .collect().map(_.getLong(0))
+    val kinds = sel.zipWithIndex.map { case (v, i) => v -> ((i + 1) % 3) }
+    // verbatim (kind 1): the source itself is in the corpus → its
+    // verdict must be contaminated with max_cos exactly the
+    // self-cosine (≈1) and best_eval = its own eval
+    kinds.filter(_._2 == 1).foreach { case (src, _) =>
+      val (_, cos, c) = out(src)
+      assert(c == 1 && cos > 0.999, s"verbatim source $src: cos $cos")
+    }
+    // perturbed (kind 2): the reworded leak still flags its source
+    kinds.filter(_._2 == 2).foreach { case (src, _) =>
+      val (_, cos, c) = out(src)
+      assert(c == 1 && cos >= Similarity.D15Tau && cos < 1.0,
+        s"perturbed source $src: cos $cos")
+    }
+    // negated (kind 0): a benchmark absent from training — its source
+    // must NOT flag via it (cos −1 against itself; the corpus is
+    // near-orthogonal so nothing else reaches τ either)
+    val negatedEvalIds = kinds.zipWithIndex.collect {
+      case ((_, 0), i) => i + 1
+    }.toSet
+    out.foreach { case (v, (be, cos, c)) =>
+      if (c == 1)
+        assert(!negatedEvalIds.contains(be),
+          s"vec $v flagged via negated eval $be at cos $cos")
+    }
+    // contamination is exactly the planted leaks: the near-orthogonal
+    // corpus (max organic pairwise cosine ≤ 0.6) cannot reach τ = 0.9
+    val flagged = out.count(_._2._3 == 1)
+    val planted = kinds.count(k => k._2 == 1 || k._2 == 2)
+    assert(flagged == planted,
+      s"$flagged flagged vs $planted planted leaks — organic text " +
+        "crossed τ or a leak was missed")
+  }
 }

@@ -41,6 +41,16 @@ object Explain {
       if (args.length > 1) args(1)
       else if (subset.isDefined) "target/plans-subset.txt"
       else "PLANS.txt"
+    // a subset audit may NEVER land on the stamped artifact path: a
+    // PLANS.txt holding only the requested queries would read as a
+    // complete audit (and the subset path also skips the dirty-tree
+    // refusal below, so it could additionally stamp uncommitted code)
+    if (subset.isDefined &&
+      Paths.get(out).getFileName.toString == "PLANS.txt") {
+      System.err.println("[explain] REFUSING subset output to PLANS.txt — " +
+        "the stamped artifact must be the full sweep. Use another path.")
+      sys.exit(1)
+    }
 
     import scala.sys.process._
     def git(cmd: String*): String =

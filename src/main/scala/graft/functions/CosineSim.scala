@@ -269,6 +269,137 @@ object IvfRankCellsKernel {
   }
 }
 
+/** `ivf_rank_cells2(embedding, coarse_flat, fine_flat, fine_coarse, cp)
+  * -> array<int>` — TWO-LEVEL cell ranking, the FAISS-IMI shape for
+  * corpus-scaled quantizers: rank the ~√K coarse centroids by
+  * (cosine DESC, id DESC), keep the top `cp` coarse buckets, then rank
+  * ONLY the fine cells assigned to those buckets by the same order.
+  * [[IvfRankCells]] pays O(K) cosines per row — with K scaled as n/128
+  * (s12's fixed-occupancy rule) that rank term is O(n²/128) across the
+  * corpus, the one super-linear residual of round 14; this kernel pays
+  * O(√K·(1+cp)) per row. `fine_coarse` maps fine cell id -> coarse
+  * bucket id (trained driver-side, inlined as a literal next to both
+  * centroid arrays). When cp >= #coarse buckets every fine cell is a
+  * candidate and the ranking EQUALS the flat [[IvfRankCells]] order —
+  * the gate corpora sit in that regime (spec-pinned), so the
+  * restriction only engages where the corpus-scaled K grows. Cosines
+  * use the [[CosineSim]] fold; the DuckDB oracle replays the identical
+  * coarse→restrict→fine rule with all three literals inlined. */
+case class IvfRankCells2(first: Expression, second: Expression,
+    third: Expression, fourth: Expression, cp: Int)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override val nullIntolerant: Boolean = true
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_rank_cells2"
+
+  override def nullSafeEval(e: Any, co: Any, fi: Any, mp: Any): Any =
+    IvfRankCells2Kernel.rank(e.asInstanceOf[ArrayData],
+      co.asInstanceOf[ArrayData], fi.asInstanceOf[ArrayData],
+      mp.asInstanceOf[ArrayData], cp)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (e, co, fi, mp) =>
+      s"graft.functions.IvfRankCells2Kernel.rank($e, $co, $fi, $mp, $cp)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): IvfRankCells2 =
+    copy(first = newFirst, second = newSecond,
+      third = newThird, fourth = newFourth)
+}
+
+object IvfRankCells2Kernel {
+  /** Shared geometry with [[IvfRankCellsKernel]] (dim [[D]], emit cap
+    * [[Emit]] — no caller probes deeper than 16). */
+  val D: Int = IvfRankCellsKernel.D
+  val Emit = 16
+
+  /** (cos DESC, id DESC) partial selection over `cos(0 until k)`
+    * restricted to ids with `in(id)` (null = all), first
+    * min(k-in, emit) ranks. */
+  private def select(cos: Array[Double], in: Array[Boolean],
+      emit: Int): Array[Int] = {
+    val k = cos.length
+    var cand = 0
+    var i = 0
+    while (i < k) { if (in == null || in(i)) cand += 1; i += 1 }
+    val m = math.min(cand, emit)
+    val out = new Array[Int](m)
+    val used = new Array[Boolean](k)
+    var r = 0
+    while (r < m) {
+      var best = -1
+      var j = 0
+      while (j < k) {
+        if ((in == null || in(j)) && !used(j) &&
+          (best < 0 || cos(j) > cos(best) ||
+            (cos(j) == cos(best) && j > best))) best = j
+        j += 1
+      }
+      used(best) = true
+      out(r) = best
+      r += 1
+    }
+    out
+  }
+
+  private def cosines(emb: ArrayData, cents: ArrayData): Array[Double] = {
+    val k = cents.numElements() / D
+    val n = math.min(emb.numElements(), D)
+    val cos = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val base = c * D
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = emb.getFloat(i).toDouble
+        val y = cents.getFloat(base + i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      cos(c) = dot / (math.sqrt(na) * math.sqrt(nb))
+      c += 1
+    }
+    cos
+  }
+
+  def rank(emb: ArrayData, coarse: ArrayData, fine: ArrayData,
+      fineCoarse: ArrayData, cp: Int): ArrayData = {
+    val kc = coarse.numElements() / D
+    val top = select(cosines(emb, coarse), null, math.min(cp, kc))
+    val sel = new Array[Boolean](kc)
+    var i = 0
+    while (i < top.length) { sel(top(i)) = true; i += 1 }
+    val k = fine.numElements() / D
+    // fine cosines only for cells in a selected coarse bucket — the
+    // whole point: unselected cells never pay a cosine
+    val n = math.min(emb.numElements(), D)
+    val cos = new Array[Double](k)
+    val in = new Array[Boolean](k)
+    var c = 0
+    while (c < k) {
+      if (sel(fineCoarse.getInt(c))) {
+        in(c) = true
+        val base = c * D
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var j = 0
+        while (j < n) {
+          val x = emb.getFloat(j).toDouble
+          val y = fine.getFloat(base + j).toDouble
+          dot += x * y; na += x * x; nb += y * y
+          j += 1
+        }
+        cos(c) = dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      select(cos, in, Emit))
+  }
+}
+
 object PqEncodeKernel {
   /** Geometry must match graft.operators.Similarity.{PqM, PqK, PqSubDim}
     * (asserted there at codebook-literal build time). */

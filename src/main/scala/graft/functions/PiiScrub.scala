@@ -174,14 +174,22 @@ object PiiKernels {
     s
   }
 
-  /** java Pattern.hasBaseCharacter: walk chars backward from position
-    * `p`, skipping NON_SPACING_MARKs, true iff a letter/digit comes
-    * first. */
+  /** java Pattern.hasBaseCharacter: walk backward from position `p`,
+    * skipping NON_SPACING_MARKs, true iff a letter/digit comes first.
+    * CRITICAL: the JDK walks UTF-16 CODE UNITS (`seq.charAt(x)`), so a
+    * supplementary code point is met LOW-SURROGATE-FIRST — a surrogate
+    * is neither letter/digit nor NON_SPACING_MARK, and the walk stops
+    * with false. A supplementary base letter (𐐀) therefore does NOT
+    * anchor a mark for `\b`, even though the full code point is a
+    * letter. 4-byte UTF-8 sequences map exactly to supplementary code
+    * points, so the byte-walk mirrors this by failing on any 4-byte
+    * lead byte. */
   private def hasBase(a: Array[Byte], p: Int): Boolean = {
     var e = p
     while (e > 0) {
       val s = charStartBefore(a, e)
-      val cp = decodeAt(a, a.length, s)
+      if ((a(s) & 0xFF) >= 0xF0) return false // supplementary: JDK sees
+      val cp = decodeAt(a, a.length, s) //        its low surrogate first
       if (Character.isLetterOrDigit(cp)) return true
       if (Character.getType(cp) != Character.NON_SPACING_MARK) return false
       e = s
@@ -205,7 +213,11 @@ object PiiKernels {
   }
 
   /** Bound's word test for the char ENDING at `i - 1` (false at the
-    * start of the text). */
+    * start of the text). Left-branch asymmetry vs [[wordAt]]: the JDK's
+    * base walk for a LEFT mark starts at the mark's own last code unit
+    * (`hasBaseCharacter(matcher, i-1, seq)` with the mark ending at
+    * i-1) — a BMP mark skips itself as NSM, but a SUPPLEMENTARY mark is
+    * its own low surrogate there, so it never has a base. */
   private def wordBefore(a: Array[Byte], i: Int): Boolean = {
     if (i <= 0) return false
     val b = a(i - 1)
@@ -214,7 +226,7 @@ object PiiKernels {
     val cp = decodeAt(a, a.length, s)
     if (wordCp(cp)) true
     else if (Character.getType(cp) == Character.NON_SPACING_MARK)
-      hasBase(a, s)
+      (a(s) & 0xFF) < 0xF0 && hasBase(a, s)
     else false
   }
 
@@ -438,19 +450,52 @@ object PiiKernels {
   }
 
   /** The product kernel (see object scaladoc). Bit-equal to
-    * [[scrubRegex]] / the composed regexp spelling. */
+    * [[scrubRegex]] / the composed regexp spelling — INCLUDING on
+    * malformed UTF-8: the byte-walk assumes valid UTF-8 (it returns
+    * original bytes when unchanged, while String round-trips normalize
+    * bad sequences to U+FFFD and can shift `\b`/class positions), so
+    * the prescan validates and falls back to [[scrubRegex]] — which IS
+    * the String round-trip Spark's own regexp functions take — on any
+    * invalid sequence. */
   def scrub(s: UTF8String): InternalRow = {
     val a = s.getBytes
     val n = a.length
-    // prescan: email needs '@', phone/ip/card need an ASCII digit —
-    // text with neither is untouched (all counts 0 => the fold is
-    // identity => residual 0)
+    // prescan, one walk: (1) email needs '@', phone/ip/card need an
+    // ASCII digit — text with neither is untouched (all counts 0 =>
+    // the fold is identity => residual 0); (2) UTF-8 validity
+    // (length, continuation bytes, overlong/surrogate/out-of-range
+    // second-byte fences) — invalid => scrubRegex fallback
     var hasAt = false; var hasDig = false
     var i = 0
-    while (i < n && !(hasAt && hasDig)) {
+    while (i < n) {
       val b = a(i)
-      if (b == '@') hasAt = true else if (dig(b)) hasDig = true
-      i += 1
+      if (b >= 0) {
+        if (b == '@') hasAt = true else if (dig(b)) hasDig = true
+        i += 1
+      } else {
+        val b0 = b & 0xFF
+        val len =
+          if (b0 >= 0xC2 && b0 <= 0xDF) 2
+          else if (b0 >= 0xE0 && b0 <= 0xEF) 3
+          else if (b0 >= 0xF0 && b0 <= 0xF4) 4
+          else -1 // 0x80..0xC1 (stray continuation / overlong 2-byte)
+        if (len < 0 || i + len > n) return scrubRegex(s)
+        val b1 = a(i + 1) & 0xFF
+        val b1ok = b0 match {
+          case 0xE0 => b1 >= 0xA0 && b1 <= 0xBF // 3-byte overlong fence
+          case 0xED => b1 >= 0x80 && b1 <= 0x9F // UTF-16 surrogate fence
+          case 0xF0 => b1 >= 0x90 && b1 <= 0xBF // 4-byte overlong fence
+          case 0xF4 => b1 >= 0x80 && b1 <= 0x8F // > U+10FFFF fence
+          case _ => b1 >= 0x80 && b1 <= 0xBF
+        }
+        if (!b1ok) return scrubRegex(s)
+        var j = i + 2
+        while (j < i + len) {
+          if ((a(j) & 0xC0) != 0x80) return scrubRegex(s)
+          j += 1
+        }
+        i += len
+      }
     }
     val out = new Array[Any](6)
     if (!hasAt && !hasDig) {

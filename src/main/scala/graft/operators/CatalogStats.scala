@@ -133,6 +133,18 @@ object CatalogStats {
         s"histogram column `$n` must be in the analyzed column list")
       require(df.schema(n).dataType.isInstanceOf[NumericType],
         s"histogram column `$n` must be numeric")
+      // the histogram buckets through double ([[histogramFor]]); a
+      // domain that double cannot hold injectively would silently merge
+      // distinct values into one fence — reject loudly (the analyze()
+      // external-string precedent). LongType bounds are checked against
+      // 2^53 after the scan below.
+      df.schema(n).dataType match {
+        case d: DecimalType => require(d.precision <= 15,
+          s"histogram column `$n` is DECIMAL(${d.precision},${d.scale}) — " +
+            "precision > 15 does not round-trip double; histogram fences " +
+            "would silently merge distinct values")
+        case _ => ()
+      }
     }
     // sizeInBytes BEFORE stats exist = the file-based estimate the
     // planner was using; keep it as the honest on-disk size
@@ -146,8 +158,15 @@ object CatalogStats {
       val bounds =
         if (ordered(dt)) Seq(boundAgg(n, dt, isMin = true),
           boundAgg(n, dt, isMin = false))
-        else Seq(avg(octet_length(col(n).cast("binary"))).as(s"al_$n"),
-          max(octet_length(col(n).cast("binary"))).as(s"ml_$n"))
+        else if (dt == StringType)
+          // CHARACTER count, matching upstream ANALYZE (its avgLen/
+          // maxLen come from Length(col) = chars for StringType);
+          // octet_length here would disagree with Spark's own stats
+          // on any non-ASCII table
+          Seq(avg(length(col(n))).as(s"al_$n"),
+            max(length(col(n))).as(s"ml_$n"))
+        else Seq(avg(octet_length(col(n))).as(s"al_$n"),
+          max(octet_length(col(n))).as(s"ml_$n"))
       base ++ bounds
     }
     val row = df.agg(count(lit(1)).as("n"), aggs: _*).collect()(0)
@@ -165,6 +184,15 @@ object CatalogStats {
           (math.ceil(row.getAs[Double](s"al_$n")).toLong,
             row.getAs[Int](s"ml_$n").toLong)
         case _ => (dt.defaultSize.toLong, dt.defaultSize.toLong)
+      }
+      if (histCols(n) && !allNull && dt == LongType) {
+        val lim = 1L << 53
+        val (lo, hi) = (row.getAs[Long](s"mn_$n"), row.getAs[Long](s"mx_$n"))
+        require(math.abs(lo) <= lim && math.abs(hi) <= lim,
+          s"histogram column `$n` holds BIGINT values past 2^53 " +
+            s"([$lo, $hi]) — the double-bucketed histogram would " +
+            "silently merge distinct values; scalar stats are still " +
+            "exact, drop the column from histCols")
       }
       n -> CatalogColumnStat(
         distinctCount = Some(BigInt(row.getAs[Long](s"ndv_$n"))),

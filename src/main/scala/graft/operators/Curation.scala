@@ -1253,7 +1253,7 @@ object Curation {
     * derivation, kind). Kind drives the min/max EXTERNAL-string
     * spelling the oracle reproduces: `int` BIGINT digits, `date` ISO
     * yyyy-MM-dd, `ts` the catalog v2 UTC micros format, `str` no
-    * bounds (measured byte lengths instead). Every derivation is the
+    * bounds (measured char lengths instead). Every derivation is the
     * c26 canonical-integer-units discipline, so both engines hash and
     * format identical values. */
   private val C29Cols: Seq[(String, String, String, String, String)] = Seq(
@@ -1282,7 +1282,7 @@ object Curation {
     * format), a planted-null bigint carrying the near-unique
     * histogram (null filtering + the two-phase cumulative under the
     * gate), a tie-heavy histogram column (one value spanning several
-    * fences), and a string column (no bounds, measured avg/max byte
+    * fences), and a string column (no bounds, measured avg/max char
     * lengths).
     *
     * Scale shape: [[CatalogStats.analyze]]'s — one fused scan per
@@ -1386,9 +1386,11 @@ object Curation {
     val scalarUnion = C29Cols.map { case (t, c, src, duck, kind) =>
       val (al, ml) =
         if (kind == "str")
-          // DuckDB strlen = BYTE length (its octet_length is BLOB-only)
-          ("CAST(ceil(avg(strlen(u))) AS BIGINT)",
-            "CAST(max(strlen(u)) AS BIGINT)")
+          // DuckDB length(VARCHAR) = CHARACTER count, mirroring
+          // CatalogStats.analyze's length(col) (upstream ANALYZE
+          // measures string lengths in chars, not bytes)
+          ("CAST(ceil(avg(length(u))) AS BIGINT)",
+            "CAST(max(length(u)) AS BIGINT)")
         else ("CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)")
       s"""SELECT '$t' AS tbl, '$c' AS col_name, 'scalar' AS kind,
          |    CAST(count(*) AS BIGINT) AS row_count,

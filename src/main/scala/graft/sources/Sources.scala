@@ -212,18 +212,34 @@ object Sources {
     * years. Columns are realigned by NAME to the table's stored order
     * (partition columns last) because `insertInto` is positional. */
   def overwritePartitions(df: DataFrame, table: String, partCol: String): Unit = {
-    val s = df.sparkSession
-    val stored = s.table(table).columns
-    val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try df.select(stored.map(col).toIndexedSeq: _*)
-      .repartition(col(partCol))
-      .write.mode(SaveMode.Overwrite)
-      .insertInto(table)
-    finally prev match {
-      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    val base = df.sparkSession
+    val stored = base.table(table).columns
+    // dynamic mode must never leak to the caller's session: the
+    // save/restore spelling opened a window in which a CONCURRENT write
+    // on the same session silently ran dynamic. The per-writer
+    // `.option("partitionOverwriteMode", ...)` (the
+    // compactPartitionedPath convention) is NOT honored by catalog
+    // `insertInto` (v1 inserts drop writer options — probed: the table
+    // truncated), so the conf is set on an ISOLATED `newSession()`
+    // clone instead: same SparkContext and shared catalog, private
+    // SQLConf. The plan crosses sessions through a global temp view
+    // (session-scoped views don't), dropped in `finally`.
+    val iso = base.newSession()
+    iso.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val view = "graft_ovw_" + java.util.UUID.randomUUID().toString
+      .replace("-", "")
+    df.createOrReplaceGlobalTempView(view)
+    try {
+      iso.table(s"global_temp.$view")
+        .select(stored.map(col).toIndexedSeq: _*)
+        .repartition(col(partCol))
+        .write.mode(SaveMode.Overwrite)
+        .insertInto(table)
+      // the insert refreshed the CLONE's relation cache only — the
+      // caller's session still holds the replaced files in its listing
+      // cache and would FAILED_READ_FILE on the next scan
+      base.catalog.refreshTable(table)
+    } finally base.catalog.dropGlobalTempView(view)
   }
 
   /** MERGE (upsert + delete) into a partitioned table — the

@@ -66,7 +66,18 @@ class PropertiesSpec extends AnyFunSuite {
         "日", "́", "é", "́́."),
       Gen.oneOf("a@b.co", "1-555-0100", "10.0.0.9", "999.1.1.1",
         "v1.2.3", "4111-1111-1111-1111", "4111 1111 1111 1111",
-        "bob.smith+tag@sub.example.co.uk"))
+        "bob.smith+tag@sub.example.co.uk"),
+      // supplementary-plane probes for the \b asymmetries: a base
+      // letter (𐐀 U+10400), a decimal digit (𝟙 U+1D7D9), a
+      // NON_SPACING_MARK (U+101FD), and mark chains across the BMP
+      // border — the JDK's hasBaseCharacter walks UTF-16 code units
+      // and stops FALSE on their low surrogates, while the
+      // adjacent-char test decodes full code points
+      Gen.oneOf(new String(Character.toChars(0x10400)),
+        new String(Character.toChars(0x1D7D9)),
+        new String(Character.toChars(0x101FD)),
+        new String(Character.toChars(0x10400)) + "́",
+        "́" + new String(Character.toChars(0x101FD))))
     val text: Gen[String] =
       Gen.choose(0, 24).flatMap(k => Gen.listOfN(k, frag)).map(_.mkString)
     var checked = 0
@@ -82,6 +93,39 @@ class PropertiesSpec extends AnyFunSuite {
         s"redacted '${walk.getUTF8String(4)}' vs " +
           s"'${ref.getUTF8String(4)}' on '$t'")
       assert(walk.getInt(5) == ref.getInt(5), s"residual on '$t'")
+      checked += 1
+    }
+    assert(checked >= 3000)
+  }
+
+  test("property: t6 pii kernel equals the reference on RAW BYTE soup " +
+    "(malformed UTF-8 included)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.PiiKernels
+    // arbitrary bytes: PII-alphabet ASCII, lead/continuation bytes of
+    // every UTF-8 class (incl. overlong 0xC0, surrogate-range 0xED 0xA0,
+    // out-of-range 0xF5, stray continuations) — scrub must detect the
+    // invalid sequences and match scrubRegex's String round-trip
+    // (U+FFFD normalization) byte-for-byte
+    val byte: Gen[Byte] = Gen.oneOf(
+      Gen.oneOf("0129.- @+ab".getBytes("US-ASCII").toSeq),
+      Gen.oneOf(Seq(0xC0, 0xC2, 0xCC, 0xE0, 0xED, 0xEF, 0xF0, 0xF4, 0xF5,
+        0x80, 0x81, 0x9F, 0xA0, 0xBF).map(_.toByte)))
+    val soup: Gen[Array[Byte]] =
+      Gen.choose(0, 40).flatMap(k => Gen.listOfN(k, byte)).map(_.toArray)
+    var checked = 0
+    samples(soup, 4000, seed = 173L).foreach { bytes =>
+      val u = UTF8String.fromBytes(bytes)
+      val walk = PiiKernels.scrub(u)
+      val ref = PiiKernels.scrubRegex(u)
+      (0 until 4).foreach { i =>
+        assert(walk.getInt(i) == ref.getInt(i),
+          s"count $i on bytes ${bytes.map(b => f"$b%02x").mkString(" ")}")
+      }
+      assert(walk.getUTF8String(4) == ref.getUTF8String(4),
+        s"redacted on bytes ${bytes.map(b => f"$b%02x").mkString(" ")}")
+      assert(walk.getInt(5) == ref.getInt(5),
+        s"residual on bytes ${bytes.map(b => f"$b%02x").mkString(" ")}")
       checked += 1
     }
     assert(checked >= 3000)

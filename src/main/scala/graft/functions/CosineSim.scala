@@ -315,16 +315,11 @@ object IvfRankCells2Kernel {
   val D: Int = IvfRankCellsKernel.D
   val Emit = 16
 
-  /** (cos DESC, id DESC) partial selection over `cos(0 until k)`
-    * restricted to ids with `in(id)` (null = all), first
-    * min(k-in, emit) ranks. */
-  private def select(cos: Array[Double], in: Array[Boolean],
-      emit: Int): Array[Int] = {
+  /** (cos DESC, id DESC) partial selection over `cos(0 until k)`,
+    * first min(k, emit) ranks. */
+  private def select(cos: Array[Double], emit: Int): Array[Int] = {
     val k = cos.length
-    var cand = 0
-    var i = 0
-    while (i < k) { if (in == null || in(i)) cand += 1; i += 1 }
-    val m = math.min(cand, emit)
+    val m = math.min(k, emit)
     val out = new Array[Int](m)
     val used = new Array[Boolean](k)
     var r = 0
@@ -332,8 +327,7 @@ object IvfRankCells2Kernel {
       var best = -1
       var j = 0
       while (j < k) {
-        if ((in == null || in(j)) && !used(j) &&
-          (best < 0 || cos(j) > cos(best) ||
+        if (!used(j) && (best < 0 || cos(j) > cos(best) ||
             (cos(j) == cos(best) && j > best))) best = j
         j += 1
       }
@@ -368,20 +362,23 @@ object IvfRankCells2Kernel {
   def rank(emb: ArrayData, coarse: ArrayData, fine: ArrayData,
       fineCoarse: ArrayData, cp: Int): ArrayData = {
     val kc = coarse.numElements() / D
-    val top = select(cosines(emb, coarse), null, math.min(cp, kc))
+    val top = select(cosines(emb, coarse), math.min(cp, kc))
     val sel = new Array[Boolean](kc)
     var i = 0
     while (i < top.length) { sel(top(i)) = true; i += 1 }
     val k = fine.numElements() / D
     // fine cosines only for cells in a selected coarse bucket — the
-    // whole point: unselected cells never pay a cosine
+    // whole point: unselected cells never pay a cosine — and the rank
+    // selection below walks the CANDIDATE list, not all k cells (the
+    // per-rank O(k) scan would hand back much of the cosine saving:
+    // emit·k comparisons ≈ the flat kernel's mult count)
     val n = math.min(emb.numElements(), D)
-    val cos = new Array[Double](k)
-    val in = new Array[Boolean](k)
+    val candIdx = new Array[Int](k)
+    val candCos = new Array[Double](k)
+    var cnt = 0
     var c = 0
     while (c < k) {
       if (sel(fineCoarse.getInt(c))) {
-        in(c) = true
         val base = c * D
         var dot = 0.0; var na = 0.0; var nb = 0.0
         var j = 0
@@ -391,12 +388,33 @@ object IvfRankCells2Kernel {
           dot += x * y; na += x * x; nb += y * y
           j += 1
         }
-        cos(c) = dot / (math.sqrt(na) * math.sqrt(nb))
+        candIdx(cnt) = c
+        candCos(cnt) = dot / (math.sqrt(na) * math.sqrt(nb))
+        cnt += 1
       }
       c += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      select(cos, in, Emit))
+    // partial (cos DESC, id DESC) selection over the candidates only;
+    // candIdx is id-ascending, so on equal cos the LATER slot (higher
+    // id) must win — mirror of the flat kernel's tie rule
+    val m = math.min(cnt, Emit)
+    val out = new Array[Int](m)
+    val used = new Array[Boolean](cnt)
+    var r = 0
+    while (r < m) {
+      var best = -1
+      var j = 0
+      while (j < cnt) {
+        if (!used(j) && (best < 0 || candCos(j) > candCos(best) ||
+          (candCos(j) == candCos(best) && candIdx(j) > candIdx(best))))
+          best = j
+        j += 1
+      }
+      used(best) = true
+      out(r) = candIdx(best)
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
 
@@ -662,6 +680,9 @@ object GraftFunctions {
     reg("pq_encode", classOf[PqEncode], cs => PqEncode(cs(0), cs(1)))
     reg("ivf_rank_cells", classOf[IvfRankCells],
       cs => IvfRankCells(cs(0), cs(1)))
+    reg("ivf_rank_cells2", classOf[IvfRankCells2], cs =>
+      IvfRankCells2(cs(0), cs(1), cs(2), cs(3),
+        litInt("ivf_rank_cells2", "cp", cs(4))))
     reg("dot_at", classOf[DotAt], cs =>
       DotAt(cs(0), litInt("dot_at", "pos", cs(1)), cs(2)))
     reg("simhash60", classOf[SimHash60], cs => SimHash60(cs(0)))

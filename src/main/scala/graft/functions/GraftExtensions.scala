@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("pq_encode", classOf[PqEncode], cs => PqEncode(cs(0), cs(1)))
     inject("ivf_rank_cells", classOf[IvfRankCells],
       cs => IvfRankCells(cs(0), cs(1)))
+    inject("ivf_rank_cells2", classOf[IvfRankCells2], cs =>
+      IvfRankCells2(cs(0), cs(1), cs(2), cs(3),
+        GraftFunctions.litInt("ivf_rank_cells2", "cp", cs(4))))
     inject("dot_at", classOf[DotAt], cs =>
       DotAt(cs(0), GraftFunctions.litInt("dot_at", "pos", cs(1)), cs(2)))
     inject("simhash60", classOf[SimHash60], cs => SimHash60(cs(0)))

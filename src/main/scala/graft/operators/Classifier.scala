@@ -115,8 +115,9 @@ object Classifier {
       s"(${dbl(totNeg)} + ${dbl(s"$ClfBuckets.0")}))) * " +
       s"${dbl(s"$ClfScale.0")}, 0) AS BIGINT)"
 
-  /** Class-prior log-ratio in micro-nats, same discipline. */
-  private def priorSql(dPos: String, dNeg: String): String =
+  /** Class-prior log-ratio in micro-nats, same discipline. Shared with
+    * the c30 composed-DAG oracle. */
+  private[operators] def priorSql(dPos: String, dNeg: String): String =
     s"CAST(round((ln(${dbl(dPos)}) - ln(${dbl(dNeg)})) * " +
       s"${dbl(s"$ClfScale.0")}, 0) AS BIGINT)"
 
@@ -240,14 +241,13 @@ object Classifier {
   private def sqlStop: String =
     Relational.stopwords.map(w => s"'$w'").mkString(", ")
 
-  /** Shared oracle head: label → bucketed tokens → counts → weights —
-    * the FULL trainer replayed in static SQL (the c10 discipline: the
-    * gate hash-verifies training itself, nothing inlined). */
-  private def sqlTrainCtes: String =
-    s"""WITH norm_t AS (
-       |  SELECT doc_id, ${TextOps.sqlNormText} AS norm FROM documents),
-       |tok_t AS (SELECT doc_id, ${TextOps.sqlToks} AS toks FROM norm_t),
-       |lab AS (SELECT doc_id, toks,
+  /** Trainer-replay CTE TAIL — label → bucketed tokens → counts →
+    * weights, expecting a relation `tok_t`(doc_id, toks) already in
+    * scope. Shared by [[sqlTrainCtes]] and the c30 composed-DAG oracle
+    * (whose WITH chain already defines the identical tok_t for the
+    * dedup CTEs — CTE names may not repeat). */
+  private[operators] def sqlTrainTail: String =
+    s"""lab AS (SELECT doc_id, toks,
        |  CASE WHEN $ClfStopFactor *
        |      len(list_filter(toks, t -> t IN ($sqlStop))) >= len(toks)
        |    THEN 1 ELSE 0 END AS y FROM tok_t),
@@ -263,6 +263,15 @@ object Classifier {
        |w AS (SELECT f, c_pos, c_neg,
        |    ${llrSql("c_pos", "c_neg", "tot_pos", "tot_neg")} AS w_micro
        |  FROM cnts, tots)""".stripMargin
+
+  /** Shared oracle head: label → bucketed tokens → counts → weights —
+    * the FULL trainer replayed in static SQL (the c10 discipline: the
+    * gate hash-verifies training itself, nothing inlined). */
+  private def sqlTrainCtes: String =
+    s"""WITH norm_t AS (
+       |  SELECT doc_id, ${TextOps.sqlNormText} AS norm FROM documents),
+       |tok_t AS (SELECT doc_id, ${TextOps.sqlToks} AS toks FROM norm_t),
+       |$sqlTrainTail""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t15_clf_train" -> t15ClfTrain,

@@ -500,6 +500,173 @@ object Curation {
       .orderBy("stage_id")
   }
 
+  // ------------------------------------------------ c30 curation v2
+
+  /** c30: the REFRESHED flagship curation DAG — the production stage
+    * order every modern corpus paper ships (CCNet/RefinedWeb/FineWeb/
+    * Dolma lineage): URL dedup → normalize → surface rules → learned
+    * quality (relative cut) → near-dup clusters → decontamination
+    * (n-gram AND semantic) → language mix. c4 remains the round-8/9
+    * composition (absolute t2 floor, count cap); c30 composes the
+    * stages the engine has since grown, each the already-audited
+    * spelling of its standalone entry:
+    *
+    *  1. `url_dedup` (d13): canonicalize each doc's crawl URL
+    *     ([[TextAnalysis.t14UrlSql]] variant 1 — the corpus carries no
+    *     URL column — through the `url_canon` kernel) and keep only
+    *     the minimum doc_id per canonical key.
+    *  2. `normalize` (t13): NFC + whitespace/control collapse + trim
+    *     over the t13-decorated text (the decoration exercises the
+    *     compose path on this ASCII corpus); a TRANSFORM stage — the
+    *     report carries its `rows_changed`, and every later stage
+    *     consumes `norm30`, so its effect is hash-verified downstream.
+    *  3. `gopher_rules` (t12): the seven-rule battery
+    *     ([[TextAnalysis.gopherCols]]) over the normalized text, no
+    *     planting — organic failures only (short docs, stopword-free
+    *     non-Latin docs: the battery is English-calibrated, as
+    *     published).
+    *  4. `quality_cut` (t15 × c22): score every doc with the TRAINED
+    *     NB quality classifier ([[Classifier.modelFor]] — the oracle
+    *     replays training itself, the c10 discipline) and keep each
+    *     source's top 1/[[C22KeepDen]] by integer micro-nat score,
+    *     nearest-rank over the survivor histogram (the c22 rule, on
+    *     the learned score — the FineWeb practice).
+    *  5. `cluster_dedup` (c2/d8): the whole-corpus cluster policy —
+    *     boilerplate clusters dropped, best-quality representative
+    *     kept ([[c2KeptReps]], memoized membership).
+    *  6. `decontaminate` (d9 ∧ d15): drop the benchmark slice itself,
+    *     every doc d9's 8-gram overlap flags, AND every doc d15's
+    *     embedding screen flags (vec_id ≡ doc_id where an embedding
+    *     exists; docs without embeddings pass the semantic screen —
+    *     you screen what you can embed).
+    *  7. `lang_mix` (c5): temperature rebalance over the survivors'
+    *     language counts (α = ½, base [[C5BaseFrac]]) — the head
+    *     language sheds ~30%, small languages keep everything.
+    *
+    * Scale shape: stages 2–4's scoring is scan-local (kernels + HOF
+    * walk against the broadcast weight literal); stage 1 is one keyed
+    * window on the canonical URL; stage 4's threshold rides the
+    * (source × distinct-score) HISTOGRAM, never a per-source doc sort;
+    * stages 5–6 join the memoized cluster/decontamination frames; the
+    * flag frame is localCheckpointed once and the two survivor
+    * aggregations (threshold, mix) read it instead of re-deriving the
+    * corpus pass. Everything after the (hash-proven) kernel outputs is
+    * integer arithmetic. */
+  private def c30Flags(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val m = Classifier.modelFor(s, dir)
+    val wm = typedlit(m.weights)
+    val deco = TextAnalysis.T13Deco
+    val raw30 = concat(
+      when(col("doc_id") % 3 === 0, lit(deco(0)))
+        .when(col("doc_id") % 3 === 1, lit(deco(1)))
+        .otherwise(lit(deco(2))),
+      when(col("doc_id") % 2 === 0, lit(TextAnalysis.T13Gap))
+        .otherwise(lit(" ")),
+      col("text"))
+    val base = TextAnalysis.gopherCols(
+      Tables.documents(s, dir)
+        .withColumn("canon",
+          expr(s"url_canon(${TextAnalysis.t14UrlSql(1)})"))
+        .withColumn("p1",
+          min("doc_id").over(Window.partitionBy("canon")) === col("doc_id"))
+        .withColumn("raw30", raw30)
+        .withColumn("norm30", trim(regexp_replace(
+          expr("nfc_normalize(raw30)"), TextAnalysis.T13WsRe, " ")))
+        .withColumn("chg", col("norm30") =!= col("raw30"))
+        .withColumn("ptext", col("norm30")))
+      .withColumn("norm", TextOps.normText(col("norm30")))
+      .withColumn("toks", expr(TextOps.toksExpr))
+      .withColumn("score_micro", lit(m.priorMicro) +
+        aggregate(col("toks"), lit(0L), (acc, t) => acc +
+          coalesce(element_at(wm,
+            TextAnalysis.bucketMod(t, Classifier.ClfBuckets)), lit(0L))))
+      .withColumn("p3", col("p1") && col("passes_gopher"))
+      .select("doc_id", "lang", "source", "chg", "p1", "p3", "score_micro")
+      .localCheckpoint(true)
+    val p3rows = base.filter(col("p3"))
+    val hist = p3rows.groupBy("source", "score_micro")
+      .agg(count(lit(1)).as("c"))
+    val tot = p3rows.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val w4 = Window.partitionBy("source").orderBy(col("score_micro").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = hist.withColumn("cum_ge", sum("c").over(w4))
+      .join(tot, "source")
+      .filter(col("cum_ge") >=
+        expr(s"(n_src + ${C22KeepDen - 1}) div $C22KeepDen"))
+      .groupBy("source").agg(max("score_micro").as("thr_u"))
+    val keep = c2KeptReps(s, dir)
+      .select(col("doc_id"), lit(true).as("kept"))
+    val ngc = Dedup.d9Decontaminate(s, dir)
+      .select(col("doc_id"), lit(true).as("ng_cont"))
+    val semc = Similarity.d15SemDecontam(s, dir)
+      .filter(col("contaminated") === 1)
+      .select(col("vec_id").as("doc_id"), lit(true).as("sem_cont"))
+    val flagged = base
+      .join(thr, Seq("source"), "left")
+      .join(keep, Seq("doc_id"), "left")
+      .join(ngc, Seq("doc_id"), "left")
+      .join(semc, Seq("doc_id"), "left")
+      .withColumn("p4", col("p3") && col("score_micro") >= col("thr_u"))
+      .withColumn("p5", col("p4") && coalesce(col("kept"), lit(false)))
+      .withColumn("p6", col("p5") &&
+        TextAnalysis.sampleBucket(col("doc_id")) >= Dedup.D9BenchPct &&
+        !coalesce(col("ng_cont"), lit(false)) &&
+        !coalesce(col("sem_cont"), lit(false)))
+      .select("doc_id", "lang", "source", "chg", "p1", "p3", "p4", "p5",
+        "p6", "score_micro")
+      .localCheckpoint(true)
+    val mixc = flagged.filter(col("p6")).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val mixn = mixc.agg(max("n_docs").as("n_max"))
+    val mixThr = mixc.crossJoin(broadcast(mixn))
+      .withColumn("keep_frac", least(lit(1.0), lit(C5BaseFrac) *
+        sqrt(col("n_max").cast("double") / col("n_docs").cast("double"))))
+      .withColumn("keep_buckets",
+        floor(col("keep_frac") * C5Buckets).cast("int"))
+      .select("lang", "keep_buckets")
+    flagged.join(broadcast(mixThr), Seq("lang"), "left")
+      .withColumn("p7", col("p6") &&
+        TextAnalysis.bucketMod(col("doc_id"), C5Buckets)
+          < col("keep_buckets"))
+  }
+
+  def c30CurationV2(s: SparkSession, dir: String): DataFrame =
+    c30Flags(s, dir).filter(col("p7"))
+      .select("doc_id", "lang", "source", "score_micro")
+      .orderBy("doc_id")
+
+  /** c30_report: per-stage retention lineage of [[c30CurationV2]] —
+    * the c4_report shape plus a `rows_changed` column so the
+    * TRANSFORM stage (normalize) is visible next to the filter
+    * stages. One aggregation over the same flag frame. */
+  def c30Report(s: SparkSession, dir: String): DataFrame =
+    c30Flags(s, dir)
+      .agg(count(lit(1)).as("n_in"),
+        count(when(col("p1"), 1)).as("n1"),
+        count(when(col("p1") && col("chg"), 1)).as("nchg"),
+        count(when(col("p3"), 1)).as("n3"),
+        count(when(col("p4"), 1)).as("n4"),
+        count(when(col("p5"), 1)).as("n5"),
+        count(when(col("p6"), 1)).as("n6"),
+        count(when(col("p7"), 1)).as("n7"))
+      .select(expr(
+        """stack(7,
+          |  1, 'url_dedup',     n_in, n1, CAST(0 AS BIGINT),
+          |  2, 'normalize',     n1,   n1, nchg,
+          |  3, 'gopher_rules',  n1,   n3, CAST(0 AS BIGINT),
+          |  4, 'quality_cut',   n3,   n4, CAST(0 AS BIGINT),
+          |  5, 'cluster_dedup', n4,   n5, CAST(0 AS BIGINT),
+          |  6, 'decontaminate', n5,   n6, CAST(0 AS BIGINT),
+          |  7, 'lang_mix',      n6,   n7, CAST(0 AS BIGINT))
+          |  AS (stage_id, stage, rows_in, rows_out, rows_changed)"""
+          .stripMargin))
+      .withColumn("rows_dropped", col("rows_in") - col("rows_out"))
+      .select("stage_id", "stage", "rows_in", "rows_out", "rows_dropped",
+        "rows_changed")
+      .orderBy("stage_id")
+
   /** c6 packing parameters: token budget per training sequence and the
     * shard fan-out. 256 tokens ≈ a few docs per sequence on this corpus
     * (docs run ~50 whitespace tokens), so both the fill and the close
@@ -1456,6 +1623,118 @@ object Curation {
        |) ORDER BY tbl, col_name, kind, COALESCE(bucket, 0)""".stripMargin
   }
 
+  /** Shared DuckDB CTE chain of the c30 oracles, ending in
+    * `f7`(doc_id, lang, source, chg, s1, s3..s7, score_micro) — every
+    * stage the composed stage-mirror of its standalone entry's
+    * spelling: [[Dedup.sqlClusterCtes]] + [[sqlSizedCte]] (cluster
+    * policy), [[Dedup.sqlD9Ctes]] (n-gram decontamination),
+    * [[Classifier.sqlTrainTail]] + prior (the FULL trainer replayed —
+    * the c10 discipline), [[Similarity.d15Ctes]] (semantic screen),
+    * [[TextAnalysis.sqlGopherCtes]]/[[TextAnalysis.sqlGopherPass]]
+    * (rule battery over the normalized text), the t14 canonicalizer
+    * (URL stage) and the c5 mix rule over survivors. */
+  private def c30OracleCtes: String =
+    s"""${Dedup.sqlClusterCtes},
+       |m4 AS (SELECT doc_id,
+       |    CAST(len(toks) AS INTEGER) AS n_tok,
+       |    CAST(len(list_filter(toks,
+       |      t -> t IN (${TextAnalysis.sqlStopList}))) AS BIGINT) AS n_stop
+       |  FROM tok_t),
+       |q4 AS (SELECT doc_id,
+       |    ${TextAnalysis.sqlScore("n_stop", "n_tok")} AS score
+       |  FROM m4),
+       |${Dedup.sqlD9Ctes},
+       |${sqlSizedCte("q4")},
+       |c2keep AS (SELECT doc_id FROM sized
+       |  WHERE rk = 1 AND cluster_size <= $MaxClusterSize),
+       |${Classifier.sqlTrainTail},
+       |docs_t AS (SELECT CAST(SUM(y) AS BIGINT) AS d_pos,
+       |    CAST(SUM(1 - y) AS BIGINT) AS d_neg FROM lab),
+       |${Similarity.d15Ctes},
+       |d15cont AS (SELECT vec_id FROM d15best
+       |  WHERE rnk = 1 AND cos >= CAST(${Similarity.D15Tau} AS DOUBLE)),
+       |urls30 AS (SELECT doc_id, ${TextAnalysis.t14UrlSql(1)} AS url
+       |  FROM documents),
+       |u30 AS (SELECT doc_id,
+       |    ${TextAnalysis.t14CanonSql("url", spark = false)} AS canon
+       |  FROM urls30),
+       |p1k AS (SELECT canon, min(doc_id) AS keep_id FROM u30
+       |  GROUP BY canon),
+       |nn30 AS (SELECT doc_id, raw30,
+       |    trim(regexp_replace(nfc_normalize(raw30),
+       |      '${TextAnalysis.T13WsRe}', ' ', 'g')) AS norm30
+       |  FROM (SELECT doc_id,
+       |      ((CASE doc_id % 3 WHEN 0 THEN '${TextAnalysis.T13Deco(0)}'
+       |        WHEN 1 THEN '${TextAnalysis.T13Deco(1)}'
+       |        ELSE '${TextAnalysis.T13Deco(2)}' END) ||
+       |       (CASE WHEN doc_id % 2 = 0 THEN '${TextAnalysis.T13Gap}'
+       |        ELSE ' ' END) || text) AS raw30
+       |    FROM documents)),
+       |${TextAnalysis.sqlGopherCtes("nn30", "norm30", "c30")},
+       |clfn30 AS (SELECT doc_id,
+       |    ${TextOps.sqlToksOf(TextOps.sqlNormTextOf("norm30"))} AS toks30
+       |  FROM nn30),
+       |tokf30 AS (SELECT doc_id,
+       |    ${TextAnalysis.sqlBucketMod("tok", Classifier.ClfBuckets)} AS f
+       |  FROM (SELECT doc_id, unnest(toks30) AS tok FROM clfn30) u),
+       |ds30 AS (SELECT doc_id, SUM(COALESCE(w.w_micro, 0)) AS tok_sum
+       |  FROM tokf30 LEFT JOIN w USING (f) GROUP BY doc_id),
+       |sc30 AS (SELECT d.doc_id,
+       |    CAST(pr.p + COALESCE(ds30.tok_sum, 0) AS BIGINT) AS score_micro
+       |  FROM documents d LEFT JOIN ds30 USING (doc_id)
+       |  CROSS JOIN (SELECT ${Classifier.priorSql("d_pos", "d_neg")} AS p
+       |    FROM docs_t) pr),
+       |f30 AS (
+       |  SELECT d.doc_id, d.lang, d.source,
+       |    (u30.doc_id = p1k.keep_id) AS s1,
+       |    (nn30.norm30 <> nn30.raw30) AS chg,
+       |    ((u30.doc_id = p1k.keep_id) AND
+       |      ${TextAnalysis.sqlGopherPass}) AS s3,
+       |    sc30.score_micro
+       |  FROM documents d
+       |  JOIN u30 ON u30.doc_id = d.doc_id
+       |  JOIN p1k ON p1k.canon = u30.canon
+       |  JOIN nn30 ON nn30.doc_id = d.doc_id
+       |  JOIN gc_c30 g ON g.doc_id = d.doc_id
+       |  JOIN sc30 ON sc30.doc_id = d.doc_id),
+       |hist4 AS (SELECT source, score_micro, CAST(count(*) AS BIGINT) AS c
+       |  FROM f30 WHERE s3 GROUP BY 1, 2),
+       |tot4 AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src
+       |  FROM f30 WHERE s3 GROUP BY 1),
+       |thr4 AS (SELECT source, max(score_micro) AS thr_u FROM (
+       |    SELECT h.source, h.score_micro,
+       |      sum(h.c) OVER (PARTITION BY h.source
+       |        ORDER BY h.score_micro DESC ROWS UNBOUNDED PRECEDING)
+       |        AS cum_ge,
+       |      t.n_src
+       |    FROM hist4 h JOIN tot4 t USING (source))
+       |  WHERE cum_ge >= (n_src + ${C22KeepDen - 1}) // $C22KeepDen
+       |  GROUP BY source),
+       |f6 AS (SELECT f30.*,
+       |    (s3 AND score_micro >= thr4.thr_u) AS s4,
+       |    (s3 AND score_micro >= thr4.thr_u
+       |      AND doc_id IN (SELECT doc_id FROM c2keep)) AS s5,
+       |    (s3 AND score_micro >= thr4.thr_u
+       |      AND doc_id IN (SELECT doc_id FROM c2keep)
+       |      AND ${TextAnalysis.sqlSampleBucket("doc_id")}
+       |        >= ${Dedup.D9BenchPct}
+       |      AND doc_id NOT IN (SELECT doc_id FROM d9over)
+       |      AND doc_id NOT IN (SELECT vec_id FROM d15cont)) AS s6
+       |  FROM f30 LEFT JOIN thr4 USING (source)),
+       |mixc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM f6 WHERE s6 GROUP BY lang),
+       |mixn AS (SELECT max(n_docs) AS n_max FROM mixc),
+       |mixthr AS (
+       |  SELECT lang, CAST(floor(least(CAST(1.0 AS DOUBLE),
+       |      $C5BaseFrac * sqrt(CAST(n_max AS DOUBLE)
+       |        / CAST(n_docs AS DOUBLE))) * $C5Buckets) AS INTEGER)
+       |    AS keep_buckets
+       |  FROM mixc, mixn),
+       |f7 AS (SELECT f6.*,
+       |    (s6 AND ${TextAnalysis.sqlBucketMod("doc_id", C5Buckets)}
+       |      < mixthr.keep_buckets) AS s7
+       |  FROM f6 LEFT JOIN mixthr USING (lang))""".stripMargin
+
   /** The mktsegment domain [[c18Expectations]] validates against
     * (shared with the oracle). */
   val C18Segments: Seq[String] =
@@ -1935,6 +2214,40 @@ object Curation {
          |    AS src_rank
          |FROM ranked4 WHERE src_rank <= $C3PerSourceCap
          |ORDER BY source, src_rank""".stripMargin,
+    "c30_curation_v2" ->
+      s"""$c30OracleCtes
+         |SELECT doc_id, lang, source, score_micro
+         |FROM f7 WHERE s7 ORDER BY doc_id""".stripMargin,
+    "c30_report" ->
+      s"""$c30OracleCtes,
+         |cnt AS (SELECT
+         |    CAST(count(*) AS BIGINT) AS n_in,
+         |    CAST(count(*) FILTER (s1) AS BIGINT) AS n1,
+         |    CAST(count(*) FILTER (s1 AND chg) AS BIGINT) AS nchg,
+         |    CAST(count(*) FILTER (s3) AS BIGINT) AS n3,
+         |    CAST(count(*) FILTER (s4) AS BIGINT) AS n4,
+         |    CAST(count(*) FILTER (s5) AS BIGINT) AS n5,
+         |    CAST(count(*) FILTER (s6) AS BIGINT) AS n6,
+         |    CAST(count(*) FILTER (s7) AS BIGINT) AS n7
+         |  FROM f7)
+         |SELECT stage_id, stage, rows_in, rows_out,
+         |  rows_in - rows_out AS rows_dropped, rows_changed
+         |FROM (
+         |  SELECT CAST(1 AS INTEGER) AS stage_id, 'url_dedup' AS stage,
+         |    n_in AS rows_in, n1 AS rows_out, CAST(0 AS BIGINT)
+         |      AS rows_changed FROM cnt
+         |  UNION ALL SELECT 2, 'normalize', n1, n1, nchg FROM cnt
+         |  UNION ALL SELECT 3, 'gopher_rules', n1, n3,
+         |    CAST(0 AS BIGINT) FROM cnt
+         |  UNION ALL SELECT 4, 'quality_cut', n3, n4,
+         |    CAST(0 AS BIGINT) FROM cnt
+         |  UNION ALL SELECT 5, 'cluster_dedup', n4, n5,
+         |    CAST(0 AS BIGINT) FROM cnt
+         |  UNION ALL SELECT 6, 'decontaminate', n5, n6,
+         |    CAST(0 AS BIGINT) FROM cnt
+         |  UNION ALL SELECT 7, 'lang_mix', n6, n7,
+         |    CAST(0 AS BIGINT) FROM cnt)
+         |ORDER BY stage_id""".stripMargin,
     "c4_report" ->
       s"""${Dedup.sqlClusterCtes},
          |m4 AS (SELECT doc_id,
@@ -2367,6 +2680,8 @@ object Curation {
     "c3_source_cap" -> c3SourceCap,
     "c4_curation_full" -> c4CurationFull,
     "c4_report" -> c4Report,
+    "c30_curation_v2" -> c30CurationV2,
+    "c30_report" -> c30Report,
     "c5_mixture_sample" -> c5MixtureSample,
     "c6_pack_sequences" -> c6PackSequences,
     "c7_dataset_card" -> c7DatasetCard,

@@ -317,6 +317,97 @@ object Similarity {
   private[graft] def s12CellsFor(n: Long): Int =
     math.max(IvfCells, ((n + S12Occupancy - 1) / S12Occupancy).toInt)
 
+  /** Per-corpus embeddings row count, keyed by the corpus FINGERPRINT
+    * (one FS listing, no scan — re-ingest invalidates). s12 needs the
+    * count twice per call (cell scaling + the broadcast-vs-shuffle
+    * join decision); without the cache every invocation paid an extra
+    * count() job on the corpus (r14 ADVICE). */
+  private val embCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[graft] def embeddingsCount(s: SparkSession, dir: String): Long =
+    embCountCache.computeIfAbsent(corpusFingerprint(s, dir),
+      _ => Tables.embeddings(s, dir).count()).longValue
+
+  /** s12 coarse level: ~√K coarse buckets over the fine centroids
+    * (the FAISS-IMI shape) and the constant number of coarse buckets
+    * a row's fine ranking is restricted to. Per-row rank work drops
+    * from O(K) to O(√K·(1+cp)): with K = n/128 the flat ranking's
+    * corpus total is O(n²/128) — the one super-linear term left in
+    * round 14 — while the two-level total is O(n^1.5). At every gate
+    * corpus K = 16 ⇒ kc = 4 ≤ cp, the restriction covers ALL buckets
+    * and the ranking provably EQUALS the flat order (spec-pinned per
+    * row); it engages only where the corpus-scaled K outgrows it. */
+  val S12CoarseProbes = 8
+
+  private[graft] def s12CoarseCellsFor(k: Int): Int =
+    math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+
+  /** coarse centroids + fine→coarse assignment, cached by the fine
+    * set's content signature (derivation is deterministic). */
+  private val coarseCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Float]], Array[Int])]()
+
+  private[graft] def s12CoarseFor(
+      fine: Array[Array[Float]]): (Array[Array[Float]], Array[Int]) =
+    coarseCache.computeIfAbsent(centroidSig(fine), _ => trainCoarse(fine))
+
+  /** Deterministic driver-side Lloyd over the FINE CENTROIDS (not the
+    * corpus — the fine set is already the corpus summary, ≤ n/128
+    * rows, so this is O(K·√K·D·iters) driver work: ~32M flops at the
+    * 100× probe). Strided init over the id-ordered fine set, max-cosine
+    * assignment with ties to the HIGHER coarse id (the fine level's
+    * struct-array_max order), mean update in double cast to float per
+    * round (bit-deterministic), empty buckets keep their centroid
+    * during iteration and are DROPPED (ids compacted) at the end so a
+    * selected coarse bucket always routes to ≥ 1 fine cell. */
+  private def trainCoarse(
+      fine: Array[Array[Float]]): (Array[Array[Float]], Array[Int]) = {
+    val k = fine.length
+    val kc = math.min(s12CoarseCellsFor(k), k)
+    val dim = fine.head.length
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var coarse = Array.tabulate(kc)(j => fine((j.toLong * k / kc).toInt))
+    def assign(): Array[Int] = Array.tabulate(k) { i =>
+      var best = 0; var bestCos = -2.0; var j = 0
+      while (j < kc) {
+        val c = cos(fine(i), coarse(j))
+        if (c >= bestCos) { bestCos = c; best = j } // ties -> higher id
+        j += 1
+      }
+      best
+    }
+    var iter = 0
+    while (iter < KmeansIters) {
+      val a = assign()
+      val sums = Array.fill(kc)(new Array[Double](dim))
+      val counts = new Array[Int](kc)
+      var i = 0
+      while (i < k) {
+        counts(a(i)) += 1
+        var d = 0
+        while (d < dim) { sums(a(i))(d) += fine(i)(d); d += 1 }
+        i += 1
+      }
+      coarse = Array.tabulate(kc) { j =>
+        if (counts(j) == 0) coarse(j)
+        else Array.tabulate(dim)(d => (sums(j)(d) / counts(j)).toFloat)
+      }
+      iter += 1
+    }
+    val fin = assign()
+    val occupied = (0 until kc).filter(j => fin.contains(j)).toArray
+    val remap = occupied.zipWithIndex.toMap
+    (occupied.map(coarse), fin.map(remap))
+  }
+
   /** Most recent s12 quantizer cache key (the Bpe lastKey pattern) —
     * the static [[oracle]] resolves s12's generated SQL from this. */
   @volatile private[graft] var lastS12Key: Option[String] = None
@@ -327,7 +418,7 @@ object Similarity {
     * fingerprint+k-keyed entry. */
   private[graft] def s12CentroidsFor(s: SparkSession,
       dir: String): Array[Array[Float]] = {
-    val n = Tables.embeddings(s, dir).count()
+    val n = embeddingsCount(s, dir)
     val k = s12CellsFor(n)
     val fp = corpusFingerprint(s, dir)
     val key = if (k == IvfCells) fp else s"$fp-s12k$k"
@@ -488,26 +579,47 @@ object Similarity {
     * (occupancy grew 10×, pairs 100×); the scaled quantizer is the
     * fix, trained by the same Lloyd kernel and sharing s3's cached
     * artifact whenever the scaled count is 16 (every gate SF). Cell
-    * assignment and probe ranking are ONE fused `ivf_rank_cells`
-    * kernel call per row (the s7 lesson — and s12's cell count grows,
-    * so the composed struct spelling would only get worse); top-k per
-    * vector is a WindowGroupLimit rank. The oracle replays
-    * assignment/probe/cosine/rank with the SAME scaled centroids
-    * inlined ([[s12OracleSql]]); vectors whose probed cells hold < k
-    * others legitimately emit fewer edges. */
+    * assignment and probe ranking are ONE fused TWO-LEVEL
+    * `ivf_rank_cells2` kernel call per row (the FAISS-IMI shape:
+    * [[s12CoarseFor]]'s √K coarse buckets route each row to
+    * [[S12CoarseProbes]] buckets' fine cells, so the per-row rank term
+    * is O(√K·(1+cp)) instead of the flat kernel's O(K) — which, with
+    * K = n/128, was the repo's one remaining super-linear corpus
+    * total, O(n²/128)); top-k per vector is a WindowGroupLimit rank.
+    * The oracle replays the SAME two-level rule — coarse ranking,
+    * bucket restriction, fine ranking — with all three trained
+    * literals inlined ([[s12OracleSql]]); vectors whose probed cells
+    * hold < k others legitimately emit fewer edges. At every gate SF
+    * kc = 4 ≤ cp, so the restriction covers all buckets and the
+    * ranking equals the flat order row-for-row (spec-pinned). */
   def s12KnnGraph(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // corpus-scaled quantizer (fixed ~128 occupancy) + the fused
-    // ranking kernel on BOTH corpus-sized sides: the composed
-    // 16-struct array_max spelling was s7's measured bottleneck at 16
-    // cells, and s12's cell count GROWS with the corpus
+    // TWO-LEVEL ranking kernel on BOTH corpus-sized sides: the flat
+    // ivf_rank_cells kernel ranked ALL K cells per row — with K = n/128
+    // an O(n²/128) corpus total, the one super-linear term of round
+    // 14's audit; ivf_rank_cells2 ranks √K coarse buckets and only the
+    // winning [[S12CoarseProbes]] buckets' fine cells (O(n^1.5) total).
+    // At gate scale kc = 4 ≤ cp, the rule degenerates to the flat
+    // ranking (spec-pinned row-for-row) and the oracle replays the
+    // two-level rule itself.
     val cents = s12CentroidsFor(s, dir)
-    val centFlat = "array(" +
-      cents.flatMap(_.map(x => s"CAST($x AS FLOAT)")).mkString(",") + ")"
-    val rankExpr = s"ivf_rank_cells(embedding, $centFlat)"
+    val (coarse, fineCoarse) = s12CoarseFor(cents)
+    val cp = math.min(S12CoarseProbes, coarse.length)
+    def flat(a: Array[Array[Float]]) = "array(" +
+      a.flatMap(_.map(x => s"CAST($x AS FLOAT)")).mkString(",") + ")"
+    val mapArr = "array(" + fineCoarse.mkString(",") + ")"
+    val rankExpr = s"ivf_rank_cells2(embedding, ${flat(coarse)}, " +
+      s"${flat(cents)}, $mapArr, $cp)"
     val cellExpr = expr(s"element_at($rankExpr, 1)")
     val probeExpr = expr(s"slice($rankExpr, 1, $S12Probes)")
+    // the q side pays the same per-row rank kernel as the candidate
+    // side — spread it over the full thread count too (the scan's
+    // few-file partitioning would serialize ~n rank calls onto a
+    // handful of tasks at probe scale; same explicit-N reasoning as
+    // the candidate side below)
     val q = Tables.embeddings(s, dir)
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         explode(probeExpr).as("cell"))
     // Parallelism must follow the PAIR volume, not the scan bytes:
@@ -534,8 +646,10 @@ object Similarity {
     // audit showed an 80 s driver stall building the hash relation.
     // Past the broadcast threshold, pin a shuffled hash join keyed on
     // cell — both sides exchange n-to-4n ROWS (pairs explode inside
-    // the join), no sort, no driver round trip.
-    val n = Tables.embeddings(s, dir).count()
+    // the join), no sort, no driver round trip. The row count comes
+    // from the fingerprint-keyed cache (shared with the cell scaling)
+    // — no extra count() job per invocation (r14 ADVICE).
+    val n = embeddingsCount(s, dir)
     val qBytes = n * (S12Probes + 1) * (16L + 4L * cents(0).length)
     val joined =
       if (qBytes <= s.sessionState.conf.autoBroadcastJoinThreshold)
@@ -762,16 +876,17 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  /** DuckDB mirror of [[d15SemDecontam]]: same hash-ordered eval
-    * derivation, same per-kind transforms in FLOAT, same shared-fold
-    * cosine, same (cos desc, eval_id) top-1 rule. τ compared as an
-    * explicit DOUBLE cast (a bare 0.9 literal is DECIMAL in DuckDB). */
-  private def d15OracleSql: String =
-    s"""WITH ranked_eval AS (
+  /** DuckDB CTE chain of [[d15SemDecontam]] ending in
+    * `d15best`(vec_id, eval_id, cos, rnk) — hash-ordered eval
+    * derivation, per-kind transforms in FLOAT, shared-fold cosine,
+    * (cos desc, eval_id) rank. Shared by the d15 oracle and the c30
+    * composed-DAG oracle so the screen cannot drift. */
+  private[operators] def d15Ctes: String =
+    s"""d15ranked AS (
        |  SELECT vec_id, embedding, row_number() OVER (
        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
        |  FROM embeddings),
-       |evals AS (
+       |d15evals AS (
        |  SELECT rn AS eval_id,
        |    CASE rn % 3
        |      WHEN 1 THEN embedding
@@ -780,20 +895,26 @@ object Similarity {
        |          CAST(0.02 AS DOUBLE) AS FLOAT))
        |      ELSE list_transform(embedding, x -> CAST(-x AS FLOAT))
        |    END AS ev
-       |  FROM ranked_eval WHERE rn <= $D15Evals),
-       |scored AS (
+       |  FROM d15ranked WHERE rn <= $D15Evals),
+       |d15scored AS (
        |  SELECT e.vec_id, ev.eval_id,
        |    ${VectorOps.sqlCosine("e.embedding", "ev.ev")} AS cos
-       |  FROM embeddings e CROSS JOIN evals ev),
-       |best AS (
+       |  FROM embeddings e CROSS JOIN d15evals ev),
+       |d15best AS (
        |  SELECT vec_id, eval_id, cos, row_number() OVER (
        |    PARTITION BY vec_id ORDER BY cos DESC, eval_id) AS rnk
-       |  FROM scored)
+       |  FROM d15scored)""".stripMargin
+
+  /** DuckDB mirror of [[d15SemDecontam]] — [[d15Ctes]] + the verdict
+    * row. τ compared as an explicit DOUBLE cast (a bare 0.9 literal is
+    * DECIMAL in DuckDB). */
+  private def d15OracleSql: String =
+    s"""WITH $d15Ctes
        |SELECT vec_id, CAST(eval_id AS INTEGER) AS best_eval,
        |  cos AS max_cos,
        |  CAST(CASE WHEN cos >= CAST($D15Tau AS DOUBLE) THEN 1 ELSE 0 END
        |    AS INTEGER) AS contaminated
-       |FROM best WHERE rnk = 1 ORDER BY vec_id""".stripMargin
+       |FROM d15best WHERE rnk = 1 ORDER BY vec_id""".stripMargin
 
   /** Semantic-duplicate threshold for [[d10SemDedup]]. The synthetic
     * embeddings are near-orthogonal (max pairwise cosine 0.48–0.60,
@@ -2106,19 +2227,44 @@ object Similarity {
   }
 
   /** DuckDB mirror of [[s12KnnGraph]] — [[s3OracleSql]]'s replay with
-    * the WHOLE corpus as the query side, [[S12Probes]] probes and
-    * [[S12K]] edges per vector. */
-  private[graft] def s12OracleSql(cent: Array[Array[Float]]): String = {
+    * the WHOLE corpus as the query side, [[S12Probes]] probes,
+    * [[S12K]] edges per vector, and the TWO-LEVEL cell ranking rule:
+    * rank the coarse centroids per row (ccos DESC, ccid DESC), keep
+    * the top `cp` buckets, score ONLY fine cells assigned to them
+    * (the fine→coarse map rides the cent VALUES as a third column),
+    * rank those by (ccos DESC, cid DESC) — exactly what
+    * `ivf_rank_cells2` computes, with all three trained literals
+    * inlined. */
+  private[graft] def s12OracleSql(cent: Array[Array[Float]],
+      coarse: Array[Array[Float]], fineCoarse: Array[Int],
+      cp: Int): String = {
     def litVec(v: Array[Float]) =
       v.map(x => s"CAST($x AS FLOAT)").mkString("[", ",", "]")
     val vals = cent.zipWithIndex
+      .map { case (v, i) => s"($i, ${litVec(v)}, ${fineCoarse(i)})" }
+      .mkString(",\n    ")
+    val cvals = coarse.zipWithIndex
       .map { case (v, i) => s"($i, ${litVec(v)})" }.mkString(",\n    ")
-    s"""WITH cent(cid, cv) AS (VALUES
+    s"""WITH ccent(ccid, cv) AS (VALUES
+       |    $cvals),
+       |cent(cid, fv, fcc) AS (VALUES
        |    $vals),
+       |coarse_scored AS (
+       |  SELECT e.vec_id, c.ccid,
+       |    ${VectorOps.sqlCosine("e.embedding", "cv")} AS ccos
+       |  FROM embeddings e CROSS JOIN ccent c),
+       |coarse_top AS (
+       |  SELECT vec_id, ccid FROM (
+       |    SELECT vec_id, ccid, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, ccid DESC) AS crnk
+       |    FROM coarse_scored)
+       |  WHERE crnk <= $cp),
        |scored_cells AS (
-       |  SELECT e.vec_id, e.embedding, c.cid,
-       |    ${VectorOps.sqlCosine("embedding", "cv")} AS ccos
-       |  FROM embeddings e CROSS JOIN cent c),
+       |  SELECT e.vec_id, e.embedding, f.cid,
+       |    ${VectorOps.sqlCosine("e.embedding", "fv")} AS ccos
+       |  FROM embeddings e
+       |  JOIN coarse_top t ON t.vec_id = e.vec_id
+       |  JOIN cent f ON f.fcc = t.ccid),
        |ranked_cells AS (
        |  SELECT vec_id, embedding, cid, row_number() OVER (
        |    PARTITION BY vec_id ORDER BY ccos DESC, cid DESC) AS crnk
@@ -2139,6 +2285,15 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, cos
        |FROM ranked WHERE rnk <= $S12K ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** [[s12OracleSql]] with the coarse level derived from the fine set
+    * exactly as the operator derives it — the one spelling both oracle
+    * resolution paths (explicit-corpus and last-run) share. */
+  private[graft] def s12OracleFor(cent: Array[Array[Float]]): String = {
+    val (coarse, fineCoarse) = s12CoarseFor(cent)
+    s12OracleSql(cent, coarse, fineCoarse,
+      math.min(S12CoarseProbes, coarse.length))
   }
 
   /** DuckDB mirror of [[s9FilteredAnn]] — [[s3OracleSql]]'s replay
@@ -2222,7 +2377,7 @@ object Similarity {
     val pq = pqFor(s, dir)
     staticOracle +
       ("s3_ann_ivf" -> s3OracleSql(cent)) +
-      ("s12_knn_graph" -> s12OracleSql(s12CentroidsFor(s, dir))) +
+      ("s12_knn_graph" -> s12OracleFor(s12CentroidsFor(s, dir))) +
       ("s9_ann_filtered" -> s9OracleSql(cent)) +
       ("d10_semdedup" -> d10OracleSql(cent)) +
       ("s6_ann_pq" -> s6OracleSql(pq)) +
@@ -2250,7 +2405,7 @@ object Similarity {
         // scaled cell count is 16 (every gate corpus); a corpus where
         // they differ has necessarily RUN s12 (that is how a dump is
         // taken), so lastS12Key resolves — fall back to c otherwise
-        ("s12_knn_graph" -> s12OracleSql(
+        ("s12_knn_graph" -> s12OracleFor(
           lastS12Key.flatMap(k => Option(centroidCache.get(k)))
             .getOrElse(c))) +
         ("s9_ann_filtered" -> s9OracleSql(c)) +

@@ -566,18 +566,12 @@ object TextAnalysis {
     * stats are per-row array folds over codegen'd `functions._` (no
     * UDF, no shuffle beyond the presentation sort); at 100 TB it runs
     * at read time like t1–t4 and composes with c1's quality floor. */
-  def t12GopherRules(s: SparkSession, dir: String): DataFrame = {
-    val planted =
-      when(col("doc_id") % T12PlantModA === 0 &&
-        col("doc_id") % T12PlantModB === 0,
-        concat(col("text"), lit(T12PlantA), lit(T12PlantB)))
-        .when(col("doc_id") % T12PlantModA === 0,
-          concat(col("text"), lit(T12PlantA)))
-        .when(col("doc_id") % T12PlantModB === 0,
-          concat(col("text"), lit(T12PlantB)))
-        .otherwise(col("text"))
-    Tables.documents(s, dir)
-      .withColumn("ptext", planted)
+  /** The Gopher rule battery over a frame carrying `ptext` — counters,
+    * the seven flags and their conjunction appended as columns.
+    * Factored so the t12 gate entry and the c30 composed curation DAG
+    * share ONE spelling (and [[sqlGopherCtes]] is its DuckDB mirror). */
+  private[operators] def gopherCols(df: DataFrame): DataFrame =
+    df
       .withColumn("lines", split(col("ptext"), "\n"))
       .withColumn("flat", translate(col("ptext"), "\n", " "))
       .withColumn("words",
@@ -613,6 +607,18 @@ object TextAnalysis {
         col("r_words") && col("r_meanlen") && col("r_symbol") &&
           col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
           col("r_stop"))
+
+  def t12GopherRules(s: SparkSession, dir: String): DataFrame = {
+    val planted =
+      when(col("doc_id") % T12PlantModA === 0 &&
+        col("doc_id") % T12PlantModB === 0,
+        concat(col("text"), lit(T12PlantA), lit(T12PlantB)))
+        .when(col("doc_id") % T12PlantModA === 0,
+          concat(col("text"), lit(T12PlantA)))
+        .when(col("doc_id") % T12PlantModB === 0,
+          concat(col("text"), lit(T12PlantB)))
+        .otherwise(col("text"))
+    gopherCols(Tables.documents(s, dir).withColumn("ptext", planted))
       .select(col("doc_id"),
         col("n_words").cast("int").as("n_words"),
         col("n_lines").cast("int").as("n_lines"),
@@ -627,6 +633,47 @@ object TextAnalysis {
         col("passes_gopher"))
       .orderBy("doc_id")
   }
+
+  /** DuckDB mirror of [[gopherCols]]'s counters over relation `src`'s
+    * column `textCol`, CTE names suffixed `_tag` — ends in
+    * `gc_<tag>`(doc_id, n_words, n_lines, char_sum, n_sym, n_bullet,
+    * n_ellend, n_alpha, n_stop). Shared by the t12 oracle and the c30
+    * composed-DAG oracle so the battery cannot drift. */
+  private[operators] def sqlGopherCtes(src: String, textCol: String,
+      tag: String): String =
+    s"""gm_$tag AS (
+       |  SELECT doc_id, $textCol AS ptext,
+       |    string_split($textCol, chr(10)) AS lines,
+       |    list_filter(string_split(replace($textCol, chr(10), ' '), ' '),
+       |      w -> w <> '') AS words
+       |  FROM $src),
+       |gc_$tag AS (
+       |  SELECT doc_id,
+       |    len(words) AS n_words,
+       |    len(lines) AS n_lines,
+       |    coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+       |      AS char_sum,
+       |    (length(ptext) - length(replace(ptext, '#', '')))
+       |      + (length(ptext) - length(replace(ptext, '...', ''))) // 3
+       |      AS n_sym,
+       |    len(list_filter(lines, l -> substr(l, 1, 2) = '- ')) AS n_bullet,
+       |    len(list_filter(lines, l -> length(l) >= 3
+       |      AND substr(l, length(l) - 2, 3) = '...')) AS n_ellend,
+       |    len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
+       |      AS n_alpha,
+       |    len(list_filter(words, w -> w IN ('the','a','of','and','to',
+       |      'that','with','be','have'))) AS n_stop
+       |  FROM gm_$tag)""".stripMargin
+
+  /** The seven-rule conjunction over a gc_* row's counters. */
+  private[operators] val sqlGopherPass: String =
+    """((n_words >= 20 AND n_words <= 100000)
+      |    AND (n_words * 3 <= char_sum AND char_sum <= n_words * 10)
+      |    AND (n_sym * 10 < n_words)
+      |    AND (n_bullet * 10 < n_lines * 9)
+      |    AND (n_ellend * 10 < n_lines * 3)
+      |    AND (n_alpha * 10 > n_words * 8)
+      |    AND (n_stop >= 2))""".stripMargin
 
   /** t10 span width: word 5-grams — long enough that organic word-soup
     * collisions across documents stay rare, short enough that a
@@ -986,7 +1033,7 @@ object TextAnalysis {
     * URLs collide ACROSS docs sharing (scheme, source, port), giving
     * d13 genuine cross-document duplicate groups, not just v0≡v1
     * pairs. */
-  private def t14UrlSql(variant: Int): String =
+  private[operators] def t14UrlSql(variant: Int): String =
     if (variant == 0)
       "CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'HTTP' END || " +
         "'://WWW.' || source || '.Example.COM' || " +
@@ -1558,7 +1605,8 @@ object TextAnalysis {
          |FROM c GROUP BY canon ORDER BY canon""".stripMargin,
     // same planting CASEs, same line/word splits (chr(10) mirrors the
     // Scala literal's newlines), same integer rationals on every rule —
-    // no float crosses the gate
+    // no float crosses the gate; the counter CTEs are the SHARED
+    // [[sqlGopherCtes]] spelling (also composed by the c30 DAG oracle)
     "t12_gopher_rules" ->
       s"""WITH planted AS (
          |  SELECT doc_id, CASE
@@ -1570,29 +1618,8 @@ object TextAnalysis {
          |      THEN text || ${sqlT12Plant(T12PlantB)}
          |    ELSE text END AS ptext
          |  FROM documents),
-         |m AS (
-         |  SELECT doc_id, ptext,
-         |    string_split(ptext, chr(10)) AS lines,
-         |    list_filter(string_split(replace(ptext, chr(10), ' '), ' '),
-         |      w -> w <> '') AS words
-         |  FROM planted),
-         |c AS (
-         |  SELECT doc_id,
-         |    len(words) AS n_words,
-         |    len(lines) AS n_lines,
-         |    coalesce(list_sum(list_transform(words, w -> length(w))), 0)
-         |      AS char_sum,
-         |    (length(ptext) - length(replace(ptext, '#', '')))
-         |      + (length(ptext) - length(replace(ptext, '...', ''))) // 3
-         |      AS n_sym,
-         |    len(list_filter(lines, l -> substr(l, 1, 2) = '- ')) AS n_bullet,
-         |    len(list_filter(lines, l -> length(l) >= 3
-         |      AND substr(l, length(l) - 2, 3) = '...')) AS n_ellend,
-         |    len(list_filter(words, w -> regexp_matches(w, '[a-z]')))
-         |      AS n_alpha,
-         |    len(list_filter(words, w -> w IN ('the','a','of','and','to',
-         |      'that','with','be','have'))) AS n_stop
-         |  FROM m)
+         |${sqlGopherCtes("planted", "ptext", "t12")},
+         |c AS (SELECT * FROM gc_t12)
          |SELECT doc_id,
          |  CAST(n_words AS INTEGER) AS n_words,
          |  CAST(n_lines AS INTEGER) AS n_lines,

@@ -17,13 +17,20 @@ object TextOps {
   def normText(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
-  val sqlNormText: String =
-    "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+  /** [[sqlNormText]] over an arbitrary input column/expression — the
+    * c30 composition normalizes a DERIVED text column, not `text`. */
+  def sqlNormTextOf(c: String): String =
+    s"lower(trim(regexp_replace($c, '\\s+', ' ', 'g')))"
+
+  val sqlNormText: String = sqlNormTextOf("text")
 
   /** Non-empty whitespace tokens of an already-normalized column named `norm`. */
   val toksExpr: String = "filter(split(norm, ' '), t -> t <> '')"
 
-  val sqlToks: String = "list_filter(string_split(norm, ' '), t -> t <> '')"
+  def sqlToksOf(c: String): String =
+    s"list_filter(string_split($c, ' '), t -> t <> '')"
+
+  val sqlToks: String = sqlToksOf("norm")
 
   /** Word 3-gram shingles over a token array column named `toks`.
     * `slice` clamps at the end so short documents yield their full text

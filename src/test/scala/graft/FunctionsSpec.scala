@@ -353,4 +353,59 @@ class FunctionsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ivf_rank_cells2 matches the composed two-level spelling under " +
+      "STRICT bucket restriction, and degenerates to the flat ranking " +
+      "when cp covers every coarse bucket") {
+    val s = TestSpark.spark
+    GraftFunctions.register(s)
+    import s.implicits._
+    val rnd = new scala.util.Random(23)
+    def vec() = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    def flat(a: Array[Array[Float]]) = "array(" +
+      a.flatMap(_.map(x => s"CAST($x AS FLOAT)")).mkString(",") + ")"
+    def structs(a: Array[Array[Float]]) =
+      "array(" + a.zipWithIndex.map { case (v, i) =>
+        s"struct(cosine_sim(embedding, array(${v.map(x =>
+          s"CAST($x AS FLOAT)").mkString(",")})) AS cos, $i AS id)"
+      }.mkString(",") + ")"
+    val rows = Seq.fill(60)(vec()).toDF("embedding")
+    val k = 40
+    val fine = Array.fill(k)(vec())
+    val kc = 7
+    val coarse = Array.fill(kc)(vec())
+    val map = Array.tabulate(k)(i => i % kc)
+    val mapArr = "array(" + map.mkString(",") + ")"
+    // strict restriction: cp = 2 of 7 buckets — the composed spelling
+    // ranks coarse structs, keeps the top-2 bucket ids, filters the
+    // fine structs through the map, and ranks the survivors; slice(16)
+    // matches the kernel's emit cap (shorter arrays pass through)
+    val topc = s"transform(slice(reverse(array_sort(" +
+      s"${structs(coarse)})), 1, 2), x -> x.id)"
+    val cand = s"filter(${structs(fine)}, " +
+      s"st -> array_contains($topc, element_at($mapArr, st.id + 1)))"
+    val got = rows.selectExpr(
+        s"ivf_rank_cells2(embedding, ${flat(coarse)}, ${flat(fine)}, " +
+          s"$mapArr, 2) AS kr",
+        s"transform(slice(reverse(array_sort($cand)), 1, 16), x -> x.id)" +
+          " AS sr",
+        s"slice(ivf_rank_cells(embedding, ${flat(fine)}), 1, 16) AS fl")
+      .collect()
+    var restricted = 0
+    got.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+        "two-level kernel diverged from the composed spelling")
+      if (r.getSeq[Int](0) != r.getSeq[Int](2)) restricted += 1
+    }
+    assert(restricted > 0, "cp=2 of 7 never changed a ranking — the " +
+      "restriction test is vacuous")
+    // degeneracy: cp >= kc covers every bucket => flat order exactly
+    val deg = rows.selectExpr(
+        s"ivf_rank_cells2(embedding, ${flat(coarse)}, ${flat(fine)}, " +
+          s"$mapArr, $kc) AS kr",
+        s"slice(ivf_rank_cells(embedding, ${flat(fine)}), 1, 16) AS fl")
+      .collect()
+    deg.foreach(r => assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+      "cp = kc must equal the flat ranking"))
+  }
 }

@@ -150,6 +150,32 @@ class SimilaritySpec extends AnyFunSuite {
       .toString.contains("WindowGroupLimit"))
   }
 
+  test("s12 two-level ranking EQUALS the flat ranking row-for-row on " +
+      "the gate corpus (cp covers every coarse bucket there)") {
+    val fine = Similarity.s12CentroidsFor(s, dir)
+    val (coarse, map) = Similarity.s12CoarseFor(fine)
+    val cp = math.min(Similarity.S12CoarseProbes, coarse.length)
+    // the gate regime IS the degenerate one: √16 = 4 buckets ≤ cp —
+    // the restriction only engages at corpus-scaled cell counts
+    assert(coarse.length <= cp,
+      s"gate corpus unexpectedly restricted: kc=${coarse.length} cp=$cp")
+    // every fine cell keeps a bucket; ids compacted
+    assert(map.length == fine.length)
+    assert(map.toSet == (0 until coarse.length).toSet,
+      "coarse buckets must be non-empty and compactly numbered")
+    def flat(a: Array[Array[Float]]) = "array(" +
+      a.flatMap(_.map(x => s"CAST($x AS FLOAT)")).mkString(",") + ")"
+    val mapArr = "array(" + map.mkString(",") + ")"
+    val emit = math.min(fine.length, 16)
+    val mismatches = Tables.embeddings(s, dir).selectExpr(
+        s"ivf_rank_cells2(embedding, ${flat(coarse)}, ${flat(fine)}, " +
+          s"$mapArr, $cp) AS two",
+        s"slice(ivf_rank_cells(embedding, ${flat(fine)}), 1, $emit) AS fl")
+      .collect().count(r => r.getSeq[Int](0) != r.getSeq[Int](1))
+    assert(mismatches == 0,
+      s"$mismatches rows ranked differently under the two-level rule")
+  }
+
   test("s9 filtered ANN: every neighbor passes the predicate; recall " +
       "vs the filtered brute force is 1.0 at the gate corpus") {
     import org.apache.spark.sql.functions._

@@ -1645,22 +1645,23 @@ object Curation {
        |  FROM m4),
        |${Dedup.sqlD9Ctes},
        |${sqlSizedCte("q4")},
-       |c2keep AS (SELECT doc_id FROM sized
+       |c2keep AS MATERIALIZED (SELECT doc_id FROM sized
        |  WHERE rk = 1 AND cluster_size <= $MaxClusterSize),
        |${Classifier.sqlTrainTail},
        |docs_t AS (SELECT CAST(SUM(y) AS BIGINT) AS d_pos,
        |    CAST(SUM(1 - y) AS BIGINT) AS d_neg FROM lab),
        |${Similarity.d15Ctes},
-       |d15cont AS (SELECT vec_id FROM d15best
+       |d15cont AS MATERIALIZED (SELECT vec_id FROM d15best
        |  WHERE rnk = 1 AND cos >= CAST(${Similarity.D15Tau} AS DOUBLE)),
+       |d9cont AS MATERIALIZED (SELECT doc_id FROM d9over),
        |urls30 AS (SELECT doc_id, ${TextAnalysis.t14UrlSql(1)} AS url
        |  FROM documents),
-       |u30 AS (SELECT doc_id,
+       |u30 AS MATERIALIZED (SELECT doc_id,
        |    ${TextAnalysis.t14CanonSql("url", spark = false)} AS canon
        |  FROM urls30),
        |p1k AS (SELECT canon, min(doc_id) AS keep_id FROM u30
        |  GROUP BY canon),
-       |nn30 AS (SELECT doc_id, raw30,
+       |nn30 AS MATERIALIZED (SELECT doc_id, raw30,
        |    trim(regexp_replace(nfc_normalize(raw30),
        |      '${TextAnalysis.T13WsRe}', ' ', 'g')) AS norm30
        |  FROM (SELECT doc_id,
@@ -1674,7 +1675,7 @@ object Curation {
        |clfn30 AS (SELECT doc_id,
        |    ${TextOps.sqlToksOf(TextOps.sqlNormTextOf("norm30"))} AS toks30
        |  FROM nn30),
-       |tokf30 AS (SELECT doc_id,
+       |tokf30 AS MATERIALIZED (SELECT doc_id,
        |    ${TextAnalysis.sqlBucketMod("tok", Classifier.ClfBuckets)} AS f
        |  FROM (SELECT doc_id, unnest(toks30) AS tok FROM clfn30) u),
        |ds30 AS (SELECT doc_id, SUM(COALESCE(w.w_micro, 0)) AS tok_sum
@@ -1710,7 +1711,7 @@ object Curation {
        |    FROM hist4 h JOIN tot4 t USING (source))
        |  WHERE cum_ge >= (n_src + ${C22KeepDen - 1}) // $C22KeepDen
        |  GROUP BY source),
-       |f6 AS (SELECT f30.*,
+       |f6 AS MATERIALIZED (SELECT f30.*,
        |    (s3 AND score_micro >= thr4.thr_u) AS s4,
        |    (s3 AND score_micro >= thr4.thr_u
        |      AND doc_id IN (SELECT doc_id FROM c2keep)) AS s5,
@@ -1718,7 +1719,7 @@ object Curation {
        |      AND doc_id IN (SELECT doc_id FROM c2keep)
        |      AND ${TextAnalysis.sqlSampleBucket("doc_id")}
        |        >= ${Dedup.D9BenchPct}
-       |      AND doc_id NOT IN (SELECT doc_id FROM d9over)
+       |      AND doc_id NOT IN (SELECT doc_id FROM d9cont)
        |      AND doc_id NOT IN (SELECT vec_id FROM d15cont)) AS s6
        |  FROM f30 LEFT JOIN thr4 USING (source)),
        |mixc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs

@@ -606,13 +606,26 @@ object Similarity {
     val cents = s12CentroidsFor(s, dir)
     val (coarse, fineCoarse) = s12CoarseFor(cents)
     val cp = math.min(S12CoarseProbes, coarse.length)
-    def flat(a: Array[Array[Float]]) = "array(" +
-      a.flatMap(_.map(x => s"CAST($x AS FLOAT)")).mkString(",") + ")"
-    val mapArr = "array(" + fineCoarse.mkString(",") + ")"
-    val rankExpr = s"ivf_rank_cells2(embedding, ${flat(coarse)}, " +
-      s"${flat(cents)}, $mapArr, $cp)"
-    val cellExpr = expr(s"element_at($rankExpr, 1)")
-    val probeExpr = expr(s"slice($rankExpr, 1, $S12Probes)")
+    // the kernel Column is built PROGRAMMATICALLY (catalyst Literals
+    // through the GraftColumns bridge), not via expr(): the fine
+    // centroid literal is corpus-scaled — K·64 float literals is
+    // megabytes of SQL text at the 100× probe, re-parsed per
+    // invocation; the constructed Literal carries the array directly
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
+    val rankCol = org.apache.spark.sql.graftbridge.GraftColumns.column(
+      graft.functions.IvfRankCells2(
+        UnresolvedAttribute("embedding"),
+        Literal.create(coarse.flatten,
+          ArrayType(FloatType, containsNull = false)),
+        Literal.create(cents.flatten,
+          ArrayType(FloatType, containsNull = false)),
+        Literal.create(fineCoarse,
+          ArrayType(IntegerType, containsNull = false)),
+        cp))
+    val cellExpr = element_at(rankCol, lit(1))
+    val probeExpr = slice(rankCol, 1, S12Probes)
     // the q side pays the same per-row rank kernel as the candidate
     // side — spread it over the full thread count too (the scan's
     // few-file partitioning would serialize ~n rank calls onto a

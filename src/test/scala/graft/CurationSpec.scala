@@ -318,6 +318,38 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("analyze rejects histogram columns whose domain cannot ride " +
+    "double, and measures string lengths in CHARACTERS") {
+    import org.apache.spark.sql.functions._
+    val c = s.newSession()
+    val sess = c
+    import sess.implicits._
+    CatalogStats.stage(c, "g15_guard",
+      Seq((1L, 1L << 54, "héllo", "12345678901234567.89"))
+        .toDF("k", "big", "str", "dec")
+        .withColumn("dec", col("dec").cast("decimal(20,2)")))
+    try {
+      // scalar stats stay exact for any BIGINT — only the
+      // double-bucketed histogram must refuse a >2^53 domain
+      val st = CatalogStats.analyze(c, "g15_guard", Seq("big", "str"))
+      assert(st.colStats("big").max.contains((1L << 54).toString))
+      // string lengths are CHARACTER counts (upstream ANALYZE
+      // semantics): "héllo" is 5 chars / 6 UTF-8 bytes
+      assert(st.colStats("str").maxLen.contains(5L) &&
+        st.colStats("str").avgLen.contains(5L))
+      val e1 = intercept[IllegalArgumentException] {
+        CatalogStats.analyze(c, "g15_guard", Seq("big"),
+          histCols = Set("big"))
+      }
+      assert(e1.getMessage.contains("2^53"))
+      val e2 = intercept[IllegalArgumentException] {
+        CatalogStats.analyze(c, "g15_guard", Seq("dec"),
+          histCols = Set("dec"))
+      }
+      assert(e2.getMessage.contains("precision"))
+    } finally c.sql("DROP TABLE IF EXISTS g15_guard")
+  }
+
   test("the c27 equi-height histogram corrects a skewed-column estimate " +
     "scalar stats get wrong, flipping the plan") {
     import org.apache.spark.sql.functions._

@@ -1,0 +1,124 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only BOUNDED-MEMORY honesty probe (r15 verdict ask #1): every
+  * other number in the repo was measured on local[32] with a 48 GiB
+  * heap that never spills — but the 100 TB design claims rest on the
+  * shuffle/spill path, which a per-executor memory budget makes the
+  * binding constraint in production. This runs the shuffle/checkpoint
+  * heavy gate entries against the 10× corpus (target/sf1sim, the
+  * ScaleBench replication) inside a CONSTRAINED JVM and records, per
+  * query: wall seconds, memory/disk spill bytes, the max per-task
+  * peakExecutionMemory, shuffle write volume, and the heaviest stage's
+  * spill — completion under pressure is the assertion, the metrics are
+  * the evidence (SURVEY §5 table).
+  *
+  * Usage (the constrained shape the probe exists for):
+  * {{{
+  * SPARK_DRIVER_MEM=8g SPARK_GRAFT_CPUS=8 \
+  *   sbt "runMain graft.MemProbe"            # all heavy entries
+  * SPARK_GRAFT_MEMPROBE_ONLY=d14_containment,... # csv subset
+  * }}}
+  * build.sbt turns SPARK_DRIVER_MEM into -Xmx (local mode: executor
+  * heap = driver heap); with spark.memory.fraction 0.6 that leaves
+  * ~4.4 GiB of unified execution+storage memory shared by 8 task
+  * threads ≈ 550 MiB per concurrent task at the 10× corpus — the
+  * shape that forces ExternalSorter/ExternalAppendOnlyMap onto their
+  * spill paths if any operator's per-task working set outgrows its
+  * share. The probe prints the REAL heap it got, so an artifact
+  * produced without the env pinch is self-describingly invalid.
+  */
+object MemProbe {
+  /** The gate entries whose plans carry the big shuffles, window
+    * sorts, iterative checkpoints, or candidate fan-outs — the r15
+    * verdict's list. */
+  val Heavy: Seq[String] = Seq(
+    "d14_containment", "c28_admit_shard", "c30_curation_v2",
+    "q36_pagerank", "q49_bfs_hops", "s12_knn_graph", "c27_histograms",
+    "c8_split_leakfree", "d8_dedup_clusters", "m4_media_dedup")
+
+  private final class SpillListener extends SparkListener {
+    val memSpill = new AtomicLong
+    val diskSpill = new AtomicLong
+    val peakTask = new AtomicLong
+    val shufWrite = new AtomicLong
+    /** stageId → (memSpill, diskSpill, sum of task peaks). */
+    val stages = new java.util.concurrent.ConcurrentHashMap[
+      Int, (Long, Long, Long)]()
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        diskSpill.addAndGet(m.diskBytesSpilled)
+        peakTask.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        stages.merge(te.stageId,
+          (m.memoryBytesSpilled, m.diskBytesSpilled, m.peakExecutionMemory),
+          (a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+      }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark: SparkSession = GraftSession
+      .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val out = "target/sf1sim"
+    if (!new java.io.File(s"$out/lineitem.parquet").exists())
+      ScaleBench.generate(spark, sfDir, out)
+
+    val heapGb = Runtime.getRuntime.maxMemory / 1e9
+    println(f"""{"probe":"memprobe_env","heapGB":$heapGb%.1f,"cores":$cpus,""" +
+      f""""memoryFraction":"${spark.conf.get("spark.memory.fraction", "0.6")}"}""")
+
+    val only = sys.env.get("SPARK_GRAFT_MEMPROBE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    only.foreach { set =>
+      val unknown = set -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+    }
+    val names = Heavy.filter(n => only.forall(_.contains(n)))
+
+    for (n <- names) {
+      spark.catalog.clearCache(); System.gc()
+      val l = new SpillListener
+      spark.sparkContext.addSparkListener(l)
+      val t0 = System.nanoTime()
+      val ok =
+        try {
+          SparkEntry.queries(n)(spark, out)
+            .write.format("noop").mode("overwrite").save()
+          true
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[memprobe] $n FAILED: ${e.getMessage}")
+            false
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener events are posted async — drain before reading
+      org.apache.spark.graftbridge.GraftScheduler
+        .drainListenerBus(spark.sparkContext)
+      spark.sparkContext.removeSparkListener(l)
+      import scala.jdk.CollectionConverters._
+      val worstStage = l.stages.asScala.toSeq
+        .sortBy { case (_, (ms, ds, _)) => -(ms + ds) }.headOption
+      val (wsId, wsSpill) = worstStage
+        .map { case (id, (ms, ds, _)) => (id, (ms + ds) / 1e6) }
+        .getOrElse((-1, 0.0))
+      println(f"""{"probe":"memprobe","q":"$n","ok":$ok,"sec":$sec%.1f,""" +
+        f""""spillMemMB":${l.memSpill.get / 1e6}%.0f,""" +
+        f""""spillDiskMB":${l.diskSpill.get / 1e6}%.0f,""" +
+        f""""peakTaskMemMB":${l.peakTask.get / 1e6}%.0f,""" +
+        f""""shufWriteMB":${l.shufWrite.get / 1e6}%.0f,""" +
+        f""""worstStage":$wsId,"worstStageSpillMB":$wsSpill%.0f}""")
+    }
+    spark.stop()
+  }
+}

@@ -107,10 +107,37 @@ object Similarity {
 
   /** Number of IVF cells (coarse-quantizer centroids). */
   val IvfCells = 16
-  /** Sample cap for the offline k-means pass (driver-side:
-    * ≤ KmeansSample × 64 floats, ~0.5 MB). */
+  /** Sample FLOOR for the offline k-means pass — the actual target
+    * scales with the cell count ([[kmeansSampleFor]]); at the fixed
+    * 16-cell quantizers (s3/d10/…, every gate corpus) the target IS
+    * this floor, ≤ 2048 × 64 floats ≈ 0.5 MB on the driver. */
   val KmeansSample = 2048
   val KmeansIters = 8
+  /** Training rows drawn per cell when the cell count outgrows the
+    * floor — the FAISS rule of thumb (≥ ~39·k points is "safe",
+    * ≥ 16·k the practical warning threshold; 16 keeps the driver
+    * budget honest while never under-determining a centroid). */
+  val KmeansRowsPerCell = 16
+
+  /** Lloyd sample target for a `cells`-centroid quantizer:
+    * max([[KmeansSample]], [[KmeansRowsPerCell]]·cells). The pre-r16
+    * fixed 2048-row cap made the corpus-scaled s12 quantizer
+    * (cells = n/128, [[s12CellsFor]]) hard-fail its
+    * `sample ≥ cells` require past n ≈ 2048·128 = 262k vectors —
+    * training DATA must scale with the number of trained PARAMETERS.
+    * Driver cost in rows is 16·cells × dim floats (6.4 MB at the
+    * 100×-probe K=1563, dim=64); the flop/byte crossover to a
+    * distributed Lloyd is documented in SURVEY §5. */
+  private[graft] def kmeansSampleFor(cells: Int): Int =
+    math.max(KmeansSample, KmeansRowsPerCell * cells)
+
+  /** Fixed chunk size for the Lloyd pass's parallel driver loops.
+    * Chunk boundaries are CONSTANT (never derived from thread or core
+    * count) and partials merge in chunk order, so trained floats are
+    * bit-deterministic on any machine — and a ≤ 2048-row sample (every
+    * fixed-16-cell quantizer) is exactly ONE chunk, reproducing the
+    * pre-r16 sequential accumulation order bit-for-bit. */
+  private val KmeansChunk = 2048
 
   /** Coarse quantizer: Lloyd k-means (max-cosine assignment, mean
     * update) over a deterministic hash-spread sample of the corpus.
@@ -120,14 +147,16 @@ object Similarity {
     * of vec_ids just picks a different random-ish sample, so cell
     * quality is NOT an artifact of id order, unlike the round-1 "lowest
     * 16 vec_ids" quantizer); the Lloyd iterations run on the driver over
-    * ≤ [[KmeansSample]] vectors and the resulting 16×64 floats persist
-    * into the plan as literals. Init is deterministic farthest-point
-    * (maxmin cosine) from the id-sorted sample. */
+    * ~[[kmeansSampleFor]] vectors — flop-heavy passes chunk-parallel
+    * over driver cores with deterministic merge order — and the
+    * resulting cells×dim floats persist into the plan as literals.
+    * Init is deterministic farthest-point (maxmin cosine) from the
+    * id-sorted sample. */
   private[graft] def kmeansCentroids(s: SparkSession, dir: String,
       cells: Int = IvfCells): Array[Array[Float]] = {
     val e = Tables.embeddings(s, dir)
     val n = e.count()
-    val step = math.max(1L, n / KmeansSample)
+    val step = math.max(1L, n / kmeansSampleFor(cells))
     val sample: Array[Array[Float]] = e
       .filter(pmod(hash(col("vec_id")), lit(step)) === 0)
       .orderBy("vec_id")
@@ -159,28 +188,58 @@ object Similarity {
       }
       val added = sample(bestIdx)
       chosen += added
-      i = 0
-      while (i < sample.length) {
-        nearest(i) = math.max(nearest(i), cos(sample(i), added))
-        i += 1
-      }
+      // elementwise max against the new centroid — no accumulation, so
+      // the parallel update is deterministic regardless of scheduling
+      java.util.stream.IntStream.range(0, sample.length).parallel()
+        .forEach { j =>
+          nearest(j) = math.max(nearest(j), cos(sample(j), added))
+        }
     }
     var centroids = chosen.toArray
 
+    // Lloyd: assignment + partial sums run per fixed-size chunk in
+    // parallel (O(sample·cells·dim) flops per iteration — 16·cells²·dim
+    // once the sample scales with cells, the pass worth spreading over
+    // driver cores); partials merge in chunk order, so the result is
+    // bit-deterministic and a one-chunk sample (every fixed-16-cell
+    // quantizer) reproduces the sequential accumulation exactly.
+    val nChunks = (sample.length + KmeansChunk - 1) / KmeansChunk
     var iter = 0
     while (iter < KmeansIters) {
+      val cents = centroids
+      val partials =
+        new Array[(Array[Int], Array[Array[Double]])](nChunks)
+      java.util.stream.IntStream.range(0, nChunks).parallel().forEach { ci =>
+        val lo = ci * KmeansChunk
+        val hi = math.min(sample.length, lo + KmeansChunk)
+        val pSums = Array.fill(cells)(new Array[Double](dim))
+        val pCounts = new Array[Int](cells)
+        var si = lo
+        while (si < hi) {
+          val v = sample(si)
+          var best = 0; var bestCos = -2.0; var c = 0
+          while (c < cells) {
+            val cs = cos(v, cents(c))
+            if (cs > bestCos) { bestCos = cs; best = c }
+            c += 1
+          }
+          pCounts(best) += 1
+          var i = 0
+          while (i < dim) { pSums(best)(i) += v(i); i += 1 }
+          si += 1
+        }
+        partials(ci) = (pCounts, pSums)
+      }
       val sums = Array.fill(cells)(new Array[Double](dim))
       val counts = new Array[Int](cells)
-      sample.foreach { v =>
-        var best = 0; var bestCos = -2.0; var c = 0
+      partials.foreach { case (pCounts, pSums) =>
+        var c = 0
         while (c < cells) {
-          val cs = cos(v, centroids(c))
-          if (cs > bestCos) { bestCos = cs; best = c }
+          counts(c) += pCounts(c)
+          var i = 0
+          while (i < dim) { sums(c)(i) += pSums(c)(i); i += 1 }
           c += 1
         }
-        counts(best) += 1
-        var i = 0
-        while (i < dim) { sums(best)(i) += v(i); i += 1 }
       }
       centroids = Array.tabulate(cells) { c =>
         if (counts(c) == 0) centroids(c) // empty cell keeps its centroid
@@ -680,6 +739,108 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= S12K)
       .select("query_id", "rnk", "neighbor_id", "cos")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** s14 beam width (candidates kept per query per hop) and hop
+    * count (fixed — the unrolled-CTE oracle and the bounded plan both
+    * depend on a CONSTANT number of rounds, the s10/q49 rule). */
+  val S14Beam = 32
+  val S14Hops = 4
+
+  /** s14: GRAPH ANN SEARCH — greedy beam search over the s12 kNN
+    * graph, the capability the graph exists to feed (HNSW/NSG-style
+    * search: navigate edges toward the query instead of scanning
+    * cells). Each query's beam seeds DETERMINISTICALLY from the
+    * global entry point (minimum vec_id) PLUS the query's own
+    * adjacency in the graph — the NN-Descent in-corpus convention;
+    * the seed union means s14's recall can never fall below the raw
+    * graph's own edges (measured: entry-only search scored 0.53 vs
+    * the raw edges' 0.73 recall@3 at sf0.1 — a degree-[[S12K]] graph
+    * has no long-range links, HNSW's hierarchy is exactly the cure,
+    * and seeding is the flat-graph equivalent). Then [[S14Hops]]
+    * rounds of: expand the current beam's out-edges, score the
+    * previously-unseen endpoints against the query, keep the best
+    * [[S14Beam]] by (cos DESC, node ASC — the integer tie rule).
+    * Result: the final beam's [[TopK]] best non-self nodes per
+    * query, s1's output shape, so recall vs exact brute force is
+    * directly measurable (recorded in SimilaritySpec).
+    *
+    * Edges are SYMMETRIZED first (kNN edges are directed src → its
+    * [[S12K]] nearest; search walks both directions — the NN-Descent
+    * convention): union + distinct, checkpointed ONCE and reused by
+    * every hop.
+    *
+    * Scale shape: the beam frame is queries × [[S14Beam]] rows —
+    * broadcast-joined against the corpus-sized edge and vector
+    * tables, so each hop is two keyed lookups into big tables with a
+    * TINY probe side, never a corpus scan per query; per-hop
+    * candidate volume is bounded by queries × beam × 2·[[S12K]].
+    * Monotone-beam rule: a node dropped from the beam may be
+    * re-expanded later, but the beam only ever improves, so it can
+    * never re-enter (re-scoring is idempotent — the oracle replays
+    * the same current-beam anti-join). Each round is
+    * localCheckpointed so the composed plan stays flat (the d8/q36/
+    * s10 iterative-operator rule). Oracle: the s12 edge derivation
+    * replayed as CTEs (trained literals inlined) + the [[S14Hops]]
+    * beam rounds unrolled as stacked CTEs (the s10 pattern). */
+  def s14AnnGraph(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val knn = s12KnnGraph(s, dir)
+      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+    val edges = knn.unionByName(
+        knn.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    val q = queriesDf(s, dir)
+    val nodes = e.select(col("vec_id").as("node"), col("embedding").as("ne"))
+    val entryId = e.agg(min("vec_id")).collect()(0).getLong(0)
+    val wBeam = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("node"))
+    // seed = the global entry + the query's own adjacency (the
+    // NN-Descent in-corpus convention: a kNN-graph search for a
+    // corpus-member query starts from that member's own edges —
+    // without them, a degree-[[S12K]] graph is too sparse to navigate
+    // from a single fixed entry and the search UNDERPERFORMS the raw
+    // graph: measured 0.53 vs 0.73 recall@3 at sf0.1. An
+    // out-of-corpus query contributes no adjacency rows and falls
+    // back to the global entry alone.)
+    val seed = q.select(col("query_id"), lit(entryId).as("node"))
+      .unionByName(broadcast(q.select("query_id"))
+        .join(edges, col("query_id") === col("src"))
+        .select(col("query_id"), col("dst").as("node")))
+      .distinct()
+    var beam = seed
+      .join(nodes, "node")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("node"),
+        VectorOps.cosine("qe", "ne").as("cos"))
+      .withColumn("rnk", row_number().over(wBeam))
+      .filter(col("rnk") <= S14Beam)
+      .select("query_id", "node", "cos")
+      .localCheckpoint(true)
+    for (_ <- 1 to S14Hops) {
+      val expanded = broadcast(beam.select("query_id", "node"))
+        .join(edges, col("node") === col("src"))
+        .select(col("query_id"), col("dst").as("node")).distinct()
+        .join(beam.select("query_id", "node"), Seq("query_id", "node"),
+          "left_anti")
+      val scoredNew = expanded
+        .join(nodes, "node")
+        .join(broadcast(q), "query_id")
+        .select(col("query_id"), col("node"),
+          VectorOps.cosine("qe", "ne").as("cos"))
+      beam = beam.unionByName(scoredNew)
+        .withColumn("rnk", row_number().over(wBeam))
+        .filter(col("rnk") <= S14Beam)
+        .select("query_id", "node", "cos")
+        .localCheckpoint(true)
+    }
+    beam.filter(col("query_id") =!= col("node"))
+      .withColumn("rnk", row_number().over(wBeam))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("rnk"), col("node").as("neighbor_id"),
+        col("cos"))
       .orderBy("query_id", "rnk")
   }
 
@@ -2250,6 +2411,17 @@ object Similarity {
     * inlined. */
   private[graft] def s12OracleSql(cent: Array[Array[Float]],
       coarse: Array[Array[Float]], fineCoarse: Array[Int],
+      cp: Int): String =
+    s"""WITH ${s12EdgeCtes(cent, coarse, fineCoarse, cp)}
+       |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, cos
+       |FROM ranked WHERE rnk <= $S12K ORDER BY query_id, rnk""".stripMargin
+
+  /** The CTE chain of [[s12OracleSql]] up to and including `ranked`
+    * (every corpus pair scored and rank-numbered per query) — shared
+    * verbatim by the s12 gate entry and s14's edge-derivation replay,
+    * so the two oracles can never drift on what the graph IS. */
+  private def s12EdgeCtes(cent: Array[Array[Float]],
+      coarse: Array[Array[Float]], fineCoarse: Array[Int],
       cp: Int): String = {
     def litVec(v: Array[Float]) =
       v.map(x => s"CAST($x AS FLOAT)").mkString("[", ",", "]")
@@ -2258,7 +2430,7 @@ object Similarity {
       .mkString(",\n    ")
     val cvals = coarse.zipWithIndex
       .map { case (v, i) => s"($i, ${litVec(v)})" }.mkString(",\n    ")
-    s"""WITH ccent(ccid, cv) AS (VALUES
+    s"""ccent(ccid, cv) AS (VALUES
        |    $cvals),
        |cent(cid, fv, fcc) AS (VALUES
        |    $vals),
@@ -2295,9 +2467,7 @@ object Similarity {
        |ranked AS (
        |  SELECT query_id, neighbor_id, cos, row_number() OVER (
        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
-       |  FROM scored)
-       |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, cos
-       |FROM ranked WHERE rnk <= $S12K ORDER BY query_id, rnk""".stripMargin
+       |  FROM scored)""".stripMargin
   }
 
   /** [[s12OracleSql]] with the coarse level derived from the fine set
@@ -2306,6 +2476,84 @@ object Similarity {
   private[graft] def s12OracleFor(cent: Array[Array[Float]]): String = {
     val (coarse, fineCoarse) = s12CoarseFor(cent)
     s12OracleSql(cent, coarse, fineCoarse,
+      math.min(S12CoarseProbes, coarse.length))
+  }
+
+  /** DuckDB mirror of [[s14AnnGraph]]: the s12 edge derivation
+    * replayed via [[s12EdgeCtes]] (trained literals inlined),
+    * symmetrized with a distinct UNION, then the [[S14Hops]] beam
+    * rounds unrolled as stacked CTEs (the s10 pattern) — expand the
+    * current beam's out-edges, anti-join the CURRENT beam (NOT
+    * EXISTS), score the new endpoints with the shared fold, keep
+    * [[S14Beam]] by (cos DESC, node). Final: the beam's [[TopK]]
+    * non-self nodes per query. Every multi-referenced CTE (the edge
+    * set, each beam round) is MATERIALIZED — DuckDB otherwise inlines
+    * each reference, re-evaluating beam_{i-1} three times per hop
+    * (the commit-974b3ab c30 lesson, which here compounds
+    * exponentially across the unrolled hops). */
+  private[graft] def s14OracleSql(cent: Array[Array[Float]],
+      coarse: Array[Array[Float]], fineCoarse: Array[Int],
+      cp: Int): String = {
+    val hops = (1 to S14Hops).map { i =>
+      s"""gexp$i AS (
+         |  SELECT DISTINCT b.query_id, e.dst AS node
+         |  FROM beam${i - 1} b JOIN gedges e ON e.src = b.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM beam${i - 1} z
+         |    WHERE z.query_id = b.query_id AND z.node = e.dst)),
+         |gnew$i AS (
+         |  SELECT x.query_id, x.node, ${VectorOps.sqlCosine("qe", "ne")} AS cos
+         |  FROM gexp$i x JOIN gnodes n ON n.node = x.node
+         |  JOIN gq ON gq.query_id = x.query_id),
+         |beam$i AS MATERIALIZED (
+         |  SELECT query_id, node, cos FROM (
+         |    SELECT query_id, node, cos, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, node) AS rnk
+         |    FROM (SELECT * FROM beam${i - 1}
+         |      UNION ALL SELECT * FROM gnew$i))
+         |  WHERE rnk <= $S14Beam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${s12EdgeCtes(cent, coarse, fineCoarse, cp)},
+       |gknn AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM ranked WHERE rnk <= $S12K),
+       |gedges AS MATERIALIZED (
+       |  SELECT query_id AS src, neighbor_id AS dst FROM gknn
+       |  UNION
+       |  SELECT neighbor_id AS src, query_id AS dst FROM gknn),
+       |gq AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |  WHERE vec_id < $NumQueries),
+       |gnodes AS MATERIALIZED (
+       |  SELECT vec_id AS node, embedding AS ne FROM embeddings),
+       |gseed AS (
+       |  SELECT query_id, (SELECT min(vec_id) FROM embeddings) AS node
+       |  FROM gq
+       |  UNION
+       |  SELECT gq.query_id, e.dst AS node
+       |  FROM gq JOIN gedges e ON e.src = gq.query_id),
+       |beam0 AS MATERIALIZED (
+       |  SELECT query_id, node, cos FROM (
+       |    SELECT query_id, node, cos, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, node) AS rnk
+       |    FROM (
+       |      SELECT x.query_id, x.node,
+       |        ${VectorOps.sqlCosine("qe", "ne")} AS cos
+       |      FROM gseed x JOIN gnodes n ON n.node = x.node
+       |      JOIN gq ON gq.query_id = x.query_id))
+       |  WHERE rnk <= $S14Beam),
+       |$hops
+       |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, node AS neighbor_id, cos
+       |FROM (
+       |  SELECT query_id, node, cos, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, node) AS rnk
+       |  FROM beam$S14Hops WHERE query_id <> node)
+       |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** [[s14OracleSql]] via the operator's own coarse derivation — the
+    * s12 pattern, sharing its trained-literal resolution. */
+  private[graft] def s14OracleFor(cent: Array[Array[Float]]): String = {
+    val (coarse, fineCoarse) = s12CoarseFor(cent)
+    s14OracleSql(cent, coarse, fineCoarse,
       math.min(S12CoarseProbes, coarse.length))
   }
 
@@ -2391,6 +2639,7 @@ object Similarity {
     staticOracle +
       ("s3_ann_ivf" -> s3OracleSql(cent)) +
       ("s12_knn_graph" -> s12OracleFor(s12CentroidsFor(s, dir))) +
+      ("s14_ann_graph" -> s14OracleFor(s12CentroidsFor(s, dir))) +
       ("s9_ann_filtered" -> s9OracleSql(cent)) +
       ("d10_semdedup" -> d10OracleSql(cent)) +
       ("s6_ann_pq" -> s6OracleSql(pq)) +
@@ -2419,6 +2668,9 @@ object Similarity {
         // they differ has necessarily RUN s12 (that is how a dump is
         // taken), so lastS12Key resolves — fall back to c otherwise
         ("s12_knn_graph" -> s12OracleFor(
+          lastS12Key.flatMap(k => Option(centroidCache.get(k)))
+            .getOrElse(c))) +
+        ("s14_ann_graph" -> s14OracleFor(
           lastS12Key.flatMap(k => Option(centroidCache.get(k)))
             .getOrElse(c))) +
         ("s9_ann_filtered" -> s9OracleSql(c)) +
@@ -2518,6 +2770,7 @@ object Similarity {
     "s3_ann_ivf" -> s3Ivf, // oracle generated with inlined centroids
     "s9_ann_filtered" -> s9FilteredAnn, // oracle: filtered s3 replay
     "s12_knn_graph" -> s12KnnGraph, // oracle: generated, corpus-as-queries
+    "s14_ann_graph" -> s14AnnGraph, // oracle: s12 edge replay + hop unroll
 
     "s10_mmr_diversify" -> s10MmrDiversify, // oracle: k-step CTE unroll
     "d10_semdedup" -> d10SemDedup, // oracle generated with inlined centroids

@@ -843,4 +843,79 @@ class SimilaritySpec extends AnyFunSuite {
       s"$flagged flagged vs $planted planted leaks — organic text " +
         "crossed τ or a leak was missed")
   }
+
+  test("s14 beam search over the s12 graph: s1's output shape, no self, " +
+    "rank order = cosine order, recall vs exact recorded") {
+    val out = Similarity.s14AnnGraph(s, dir).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet.subsetOf((0L until Similarity.NumQueries).toSet))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length <= Similarity.TopK)
+      assert(rs.forall(_.getLong(2) != q), "self match leaked")
+      val cs = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cs.sameElements(cs.sortBy(-_)), "rank order != cosine order")
+      assert(rs.map(_.getLong(2)).distinct.length == rs.length,
+        "duplicate neighbor in one query's result")
+    }
+    // recall@TopK vs exact brute force — the number the graph search
+    // exists to buy; recorded (info). The beam seeds from the query's
+    // own adjacency + the global entry, so s14 can never score below
+    // the raw s12 edges (beam is monotone); measured at build time:
+    // 0.93 / 1.00 / 0.87 at sf0.001/0.01/0.1 vs the raw edges' 0.73
+    // (sf0.1) and the entry-only variant's 0.53. Floor at 0.6 so a
+    // future regression below raw-graph quality fails loudly.
+    val exact = Similarity.s1BruteForce(s, dir).collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val got = byQ.view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val hits = exact.keys.toSeq
+      .map(q => (got.getOrElse(q, Set.empty[Long]) & exact(q)).size).sum
+    val recall = hits.toDouble / (exact.size * Similarity.TopK)
+    info(f"s14 recall@${Similarity.TopK} vs s1 = $recall%.2f")
+    assert(recall >= 0.6, f"s14 recall $recall%.2f fell below the " +
+      "raw-graph floor — the seeded beam should dominate s12's own edges")
+  }
+
+  test("kmeans training sample scales with the cell count: a quantizer " +
+    "past the old fixed-2048 cap trains (r15 s12 ceiling), " +
+    "deterministically, while gate-scale sampling is unchanged") {
+    // the gate corpora (cells = 16) still draw the fixed floor — the
+    // trained literals every green CORRECTNESS hash depends on are
+    // untouched by the scaling rule
+    assert(Similarity.kmeansSampleFor(Similarity.IvfCells)
+      == Similarity.KmeansSample)
+    // s12's corpus-scaled quantizer: cells = n/128. The pre-r16 sampler
+    // drew ≤ 2048 rows for ANY cell count, so cells > 2048 (n > ~262k
+    // vectors) hard-failed `require(sample.length >= cells)`. The
+    // scaled target draws 16 rows per cell instead.
+    val cells = 2500
+    assert(Similarity.kmeansSampleFor(cells) == 16 * cells)
+
+    // stage a synthetic corpus with n < 16·cells (step = 1: the whole
+    // corpus is the sample) but n ≥ cells — the exact shape the old cap
+    // rejected. dim 4 keeps the Lloyd pass cheap; the quantizer is
+    // dim-agnostic.
+    val dir = "target/test-s12-ceiling"
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 5000).map { i =>
+      (i.toLong, Array.fill(4)(rnd.nextFloat() * 2f - 1f), i.toLong % 7)
+    }
+    import s.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .repartition(2).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+
+    val trained = Similarity.kmeansCentroids(s, dir, cells)
+    assert(trained.length == cells)
+    assert(trained.forall(_.length == 4))
+    // chunk-parallel Lloyd with in-order partial merge: retraining must
+    // reproduce the same float BITS run-to-run (the artifact checksum
+    // and every inlined-literal oracle depend on it)
+    val retrained = Similarity.kmeansCentroids(s, dir, cells)
+    assert(trained.zip(retrained).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) =>
+        java.lang.Float.floatToIntBits(x) == java.lang.Float.floatToIntBits(y)
+      }
+    }, "parallel Lloyd produced different bits across two trainings")
+  }
 }

@@ -66,9 +66,21 @@ object MemProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark: SparkSession = GraftSession
-      .builder(master = s"local[$cpus]", shufflePartitions = cpus.toInt)
-      .getOrCreate()
+    // partition count decoupled from the thread count: the production
+    // lever when a per-task aggregation outgrows its memory share is
+    // MORE (smaller) partitions at the same parallelism — the §5
+    // partition-sizing rule, demonstrable here via
+    // SPARK_GRAFT_MEMPROBE_PARTS (default = threads, the worst case)
+    val parts = sys.env.getOrElse("SPARK_GRAFT_MEMPROBE_PARTS", cpus)
+    // protected-storage knob (diagnosis lever for checkpoint-block vs
+    // execution contention — see the §5 memory-probe notes)
+    val storageFrac = sys.env.get("SPARK_GRAFT_MEMPROBE_STORAGEFRAC")
+    val pageSize = sys.env.get("SPARK_GRAFT_MEMPROBE_PAGESIZE")
+    val b = GraftSession
+      .builder(master = s"local[$cpus]", shufflePartitions = parts.toInt)
+    storageFrac.foreach(f => b.config("spark.memory.storageFraction", f))
+    pageSize.foreach(p => b.config("spark.buffer.pageSize", p))
+    val spark: SparkSession = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val out = "target/sf1sim"
     if (!new java.io.File(s"$out/lineitem.parquet").exists())
@@ -87,6 +99,12 @@ object MemProbe {
     val names = Heavy.filter(n => only.forall(_.contains(n)))
 
     for (n <- names) {
+      // every query pays its OWN subtree: the confirmed-pairs /
+      // cluster memos one dedup entry builds would otherwise let the
+      // next ride it for free (the ScaleBench rep rule) — a memory
+      // probe that measures a cache hit proves nothing
+      graft.operators.Dedup.clearConfirmedCache()
+      graft.operators.Dedup.clearClusterCache()
       spark.catalog.clearCache(); System.gc()
       val l = new SpillListener
       spark.sparkContext.addSparkListener(l)

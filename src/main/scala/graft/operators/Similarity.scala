@@ -131,6 +131,15 @@ object Similarity {
   private[graft] def kmeansSampleFor(cells: Int): Int =
     math.max(KmeansSample, KmeansRowsPerCell * cells)
 
+  /** Largest Lloyd sample the DRIVER path will collect (rows) —
+    * 16 rows/cell ⇒ K ≈ 10⁴, the §5 flop-arithmetic crossover
+    * (~5.5e12 flops ≈ a minute chunk-parallel). Past it,
+    * [[kmeansCentroidsDistributed]] trains with the sample staying on
+    * executors. Overridable per session via
+    * `spark.graft.kmeans.driverMaxSample` (specs lower it to exercise
+    * the distributed path on spec-sized corpora). */
+  val KmeansDriverMaxSample = 160000
+
   /** Fixed chunk size for the Lloyd pass's parallel driver loops.
     * Chunk boundaries are CONSTANT (never derived from thread or core
     * count) and partials merge in chunk order, so trained floats are
@@ -154,6 +163,14 @@ object Similarity {
     * id-sorted sample. */
   private[graft] def kmeansCentroids(s: SparkSession, dir: String,
       cells: Int = IvfCells): Array[Array[Float]] = {
+    val cap = s.conf.get("spark.graft.kmeans.driverMaxSample",
+      KmeansDriverMaxSample.toString).toInt
+    if (kmeansSampleFor(cells) > cap) kmeansCentroidsDistributed(s, dir, cells)
+    else kmeansCentroidsDriver(s, dir, cells)
+  }
+
+  private def kmeansCentroidsDriver(s: SparkSession, dir: String,
+      cells: Int): Array[Array[Float]] = {
     val e = Tables.embeddings(s, dir)
     val n = e.count()
     val step = math.max(1L, n / kmeansSampleFor(cells))
@@ -240,6 +257,83 @@ object Similarity {
           while (i < dim) { sums(c)(i) += pSums(c)(i); i += 1 }
           c += 1
         }
+      }
+      centroids = Array.tabulate(cells) { c =>
+        if (counts(c) == 0) centroids(c) // empty cell keeps its centroid
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
+      }
+      iter += 1
+    }
+    centroids
+  }
+
+  /** DISTRIBUTED Lloyd — the §5 driver-budget handoff implemented
+    * (spelling (a) of the audit): when the scaled sample outgrows
+    * [[KmeansDriverMaxSample]], training runs with the sample staying
+    * on EXECUTORS. Per iteration: assignment is the codegen'd
+    * `ivf_rank_cells` scan kernel with the current centroids riding a
+    * constructed catalyst Literal (the s12 plumbing — no SQL-text
+    * parse of K·64 float literals), per-cell means are one
+    * posexplode + groupBy(cell, pos) aggregation, and only K·D
+    * (cell, pos, sum, count) scalars return to the driver — the
+    * driver holds PARAMETERS, never the sample. Seeds: the `cells`
+    * sample vectors with the smallest (md5(vec_id), vec_id) — a
+    * distributed TakeOrdered (farthest-point init is inherently
+    * sequential O(sample·K·D) driver work, exactly what this path
+    * exists to avoid). The sample is localCheckpointed once so the
+    * [[KmeansIters]] iterations re-read executor blocks, not parquet.
+    *
+    * Determinism caveat (documented, deliberate): per-cell float sums
+    * reduce in partition order, so trained floats can differ across
+    * runs at the ULP level — unlike the bit-deterministic driver
+    * path. The artifact store ([[centroidsKeyed]]: fingerprint-keyed,
+    * checksummed) pins ONE training per corpus, and every generated
+    * oracle inlines from that same artifact, so the correctness gate
+    * stays exact; only cross-JVM retrains of the same corpus may
+    * produce an equivalent-quality but not bit-identical quantizer. */
+  private[graft] def kmeansCentroidsDistributed(s: SparkSession,
+      dir: String, cells: Int): Array[Array[Float]] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val e = Tables.embeddings(s, dir)
+    val n = e.count()
+    val step = math.max(1L, n / kmeansSampleFor(cells))
+    val sample = e
+      .filter(pmod(hash(col("vec_id")), lit(step)) === 0)
+      .select("vec_id", "embedding")
+      .localCheckpoint(true)
+    val m = sample.count()
+    require(m >= cells, s"sample smaller than $cells")
+    var centroids: Array[Array[Float]] = sample
+      .withColumn("hk", md5(col("vec_id").cast("string")))
+      .orderBy("hk", "vec_id").limit(cells)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val dim = centroids.head.length
+    // the assignment kernel's flat-centroid layout is strided at its
+    // fixed D — a different corpus dim would silently mis-assign
+    require(dim == graft.functions.IvfRankCellsKernel.D,
+      s"distributed Lloyd requires dim ${graft.functions.IvfRankCellsKernel.D}, got $dim")
+    var iter = 0
+    while (iter < KmeansIters) {
+      val rankCol = org.apache.spark.sql.graftbridge.GraftColumns.column(
+        graft.functions.IvfRankCells(
+          UnresolvedAttribute("embedding"),
+          Literal.create(centroids.flatten,
+            ArrayType(FloatType, containsNull = false))))
+      val agg = sample
+        .withColumn("cell", element_at(rankCol, lit(1)))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("v").cast("double")).as("sv"), count(lit(1)).as("cnt"))
+        .collect()
+      val sums = Array.fill(cells)(new Array[Double](dim))
+      val counts = new Array[Long](cells)
+      agg.foreach { r =>
+        val c = r.getInt(0); val p = r.getInt(1)
+        sums(c)(p) = r.getDouble(2)
+        if (p == 0) counts(c) = r.getLong(3)
       }
       centroids = Array.tabulate(cells) { c =>
         if (counts(c) == 0) centroids(c) // empty cell keeps its centroid

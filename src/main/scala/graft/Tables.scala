@@ -59,6 +59,26 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "documents"))
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "embeddings"))
 
+  /** `documents`, guaranteed at least session-level scan parallelism
+    * for a COMPUTE-HEAVY first pass (normalize/tokenize/shingle/
+    * fingerprint kernels: orders of magnitude more work per row than
+    * the scan bytes suggest). A compact corpus — one small parquet
+    * file, or one ROW GROUP, which the reader cannot split however
+    * low maxPartitionBytes goes — yields a single scan task, and the
+    * whole kernel pass serializes onto one core (found by the r16 d4
+    * band adjudication: the serialized stage is both slow and
+    * hypersensitive to machine load). ADAPTIVE, not unconditional: a
+    * production-scale corpus already has ≫ cores splits, and a
+    * round-robin exchange there would shuffle the full text corpus
+    * for nothing — the repartition engages only when the planned scan
+    * parallelism is below the session target. The partition probe is
+    * metadata-only (physical planning, no job). */
+  def documentsSpread(s: SparkSession, dir: String): DataFrame = {
+    val df = documents(s, dir)
+    val target = s.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Metadata-only fingerprint of one table: path + per-file
     * (name, length, mtime). One FS listing, no data read — the cache key
     * for per-corpus memoization (Similarity centroids, Dedup confirmed

@@ -103,7 +103,7 @@ object Bpe {
   private[graft] def wordCounts(s: SparkSession, dir: String,
       minFreq: Long = BpeMinFreq,
       cap: Int = BpeVocabCap): Array[(String, Long)] =
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .select(explode(expr("filter(split(text, ' '), x -> x <> '')"))
         .as("word"))
       .groupBy("word").agg(count(lit(1)).as("c"))
@@ -224,7 +224,7 @@ object Bpe {
     val merges = mergesFor(s, dir)
     val applied = appliedExpr(merges,
       "concat(' ', regexp_replace(w, '(.)', '$1 '))")
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .select(col("doc_id"),
         expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
       .select(col("doc_id"),

@@ -128,7 +128,7 @@ object Classifier {
   private def labeled(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val stopCsv = Relational.stopwords.mkString(",")
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .withColumn("norm", TextOps.normText(col("text")))
       .withColumn("toks", expr(TextOps.toksExpr))
       .withColumn("y",

@@ -252,7 +252,7 @@ object Curation {
     * itself is O(sources) rows. */
   def c7DatasetCard(s: SparkSession, dir: String): DataFrame = {
     val quality = TextAnalysis.t2QualityScore(s, dir).select("doc_id", "score")
-    val base = Tables.documents(s, dir)
+    val base = Tables.documentsSpread(s, dir)
       .withColumn("h", md5(TextOps.normText(col("text"))))
       .withColumn("ws_tokens",
         size(expr("filter(split(text, ' '), t -> t <> '')")).cast("long"))
@@ -402,7 +402,7 @@ object Curation {
   }
 
   def c9DsirSelect(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    val toks = Tables.documentsSpread(s, dir)
       .select(col("doc_id"), col("lang"),
         explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
       .withColumn("b", c9BucketCol(col("word")))
@@ -566,7 +566,7 @@ object Curation {
         .otherwise(lit(" ")),
       col("text"))
     val base = TextAnalysis.gopherCols(
-      Tables.documents(s, dir)
+      Tables.documentsSpread(s, dir)
         .withColumn("canon",
           expr(s"url_canon(${TextAnalysis.t14UrlSql(1)})"))
         .withColumn("p1",
@@ -1146,7 +1146,7 @@ object Curation {
     // frame back on doc_id would be a corpus self-join, two exchanges
     // a scan-local projection never needs
     val q = TextAnalysis.t2ScoreCols(
-        Tables.documents(s, dir).select("doc_id", "source", "text"))
+        Tables.documentsSpread(s, dir).select("doc_id", "source", "text"))
       .withColumn("score_u", expr(c22ScoreUnitsSql("score")))
       .select("doc_id", "source", "score_u")
     val hist = q.groupBy("source", "score_u").agg(count(lit(1)).as("c"))

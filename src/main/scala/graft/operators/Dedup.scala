@@ -20,7 +20,7 @@ object Dedup {
     * one row per distinct content hash with its multiplicity and the
     * kept (minimum) doc_id. */
   def d1Exact(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .withColumn("h", md5(TextOps.normText(col("text"))))
       .groupBy("h")
       .agg(count(lit(1)).as("cnt"), min("doc_id").as("keep_doc_id"))
@@ -50,7 +50,7 @@ object Dedup {
   def minhashBands(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val sig = (0 until NumHashes).foldLeft(
-      TextOps.withShingles(Tables.documents(s, dir))
+      TextOps.withShingles(Tables.documentsSpread(s, dir))
         .filter(size(col("toks")) >= MinToks)) {
       (df, j) => df.withColumn(s"h$j", expr(minhashExpr(j)))
     }
@@ -73,7 +73,7 @@ object Dedup {
     * boilerplate pages duplicate millions of times, it is the difference
     * between a linear pipeline and an unrunnable one. */
   private def contentGroups(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .withColumn("norm", TextOps.normText(col("text")))
       .withColumn("h", md5(col("norm")))
       .groupBy("h")
@@ -163,7 +163,7 @@ object Dedup {
     * projection. */
   def d3Simhash(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .withColumn("norm", TextOps.normText(col("text")))
       .withColumn("toks", expr(TextOps.toksExpr))
       .withColumn("simhash", expr("simhash60(toks)"))
@@ -344,7 +344,14 @@ object Dedup {
     * and shingle sets, eagerly materialized (three consumers below). */
   private def d4Groups(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    Tables.documents(s, dir)
+    // Parallelism must follow COMPUTE, not scan bytes (the r14 s12
+    // lesson, found here by the r16 d4 band adjudication): a compact
+    // corpus's single-split scan serialized the ENTIRE normText + md5
+    // partial-agg map onto one task — slow (50k docs single-threaded
+    // at the 10× probe) and hypersensitive to machine load, the true
+    // source of d4's wandering 4.4–21.5× single-run 10× band. See
+    // Tables.documentsSpread for the adaptive rule.
+    Tables.documentsSpread(s, dir)
       .withColumn("norm", TextOps.normText(col("text")))
       .withColumn("cb", expr("n_chars div 100"))
       .groupBy(md5(col("norm")).as("h"), col("lang"), col("cb"))
@@ -488,7 +495,7 @@ object Dedup {
     * (doc_a, doc_b, inter, union_sz, jaccard), unthresholded. */
   def d4Confirm(s: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val sets = Tables.documents(s, dir)
+    val sets = Tables.documentsSpread(s, dir)
       .withColumn("norm", TextOps.normText(col("text")))
       .withColumn("toks", expr(TextOps.toksExpr))
       .withColumn("shset", expr("array_distinct(word_shingles(toks))"))
@@ -715,7 +722,7 @@ object Dedup {
     * (airflow/dags/twitter_airflow.py:69-92) extended across CORPORA —
     * the same shingle machinery as d4, pointed at a held-out set. */
   def d9Decontaminate(s: SparkSession, dir: String): DataFrame = {
-    val docs = TextOps.withShingles(Tables.documents(s, dir))
+    val docs = TextOps.withShingles(Tables.documentsSpread(s, dir))
       .withColumn("shset",
         expr(s"array_distinct(word_shingles(toks, $D9ShingleW))"))
     val isBench = TextAnalysis.sampleBucket(col("doc_id")) < D9BenchPct
@@ -835,7 +842,7 @@ object Dedup {
         expr(s"array_distinct(word_shingles(toks, $D9ShingleW))"))
         .as("shingle"))
       .distinct()
-    val train = TextOps.withShingles(Tables.documents(s, dir))
+    val train = TextOps.withShingles(Tables.documentsSpread(s, dir))
       .withColumn("shset",
         expr(s"array_distinct(word_shingles(toks, $D9ShingleW))"))
       .select(col("doc_id"), size(col("shset")).cast("long").as("n_shingles"),
@@ -881,7 +888,7 @@ object Dedup {
       .select(col("bench_id"),
         explode(expr(s"array_distinct(word_shingles(toks, $D9ShingleW))"))
           .as("shingle"))
-    val train = TextOps.withShingles(Tables.documents(s, dir))
+    val train = TextOps.withShingles(Tables.documentsSpread(s, dir))
       .filter(!(TextAnalysis.sampleBucket(col("doc_id")) < D9BenchPct))
       .withColumn("shset",
         expr(s"array_distinct(word_shingles(toks, $D9ShingleW))"))
@@ -942,7 +949,7 @@ object Dedup {
     val success = new org.apache.hadoop.fs.Path(s"$path/bands.parquet", "_SUCCESS")
     val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(success)) {
-      val groups = Tables.documents(s, dir)
+      val groups = Tables.documentsSpread(s, dir)
         .withColumn("norm", TextOps.normText(col("text")))
         .groupBy(md5(col("norm")).as("ch"))
         .agg(min("doc_id").as("rep"), first("norm").as("norm"))
@@ -1414,7 +1421,7 @@ object Dedup {
     val success = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(success)) {
-      Tables.documents(s, dir)
+      Tables.documentsSpread(s, dir)
         .withColumn("norm", TextOps.normText(col("text")))
         .groupBy(md5(col("norm")).as("ch"))
         .agg(min("doc_id").as("rep"), first("norm").as("cnorm"))
@@ -1598,7 +1605,10 @@ object Dedup {
     * every comparison is exact in both engines. */
   def d14Containment(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val docsT = Tables.documents(s, dir)
+    // adaptive spread: the normalize/tokenize/shingle kernels below
+    // otherwise serialize onto a compact corpus's single scan split
+    // (Tables.documentsSpread — the r16 d4-band root cause)
+    val docsT = Tables.documentsSpread(s, dir)
       .withColumn("norm", TextOps.normText(col("text")))
       .withColumn("toks", expr(TextOps.toksExpr))
       .select(col("doc_id"), col("toks"))

@@ -39,7 +39,7 @@ object TextAnalysis {
     * deterministic priority order on ties. */
   def t1LangId(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    val base = Tables.documents(s, dir)
+    val base = Tables.documentsSpread(s, dir)
       .withColumn("norm", TextOps.normText(col("text")))
       .withColumn("toks", expr(TextOps.toksExpr))
       .withColumn("s_en", expr(markerCount("en")))
@@ -62,7 +62,7 @@ object TextAnalysis {
     * model-based scoring. */
   def t2QualityScore(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    t2ScoreCols(Tables.documents(s, dir))
+    t2ScoreCols(Tables.documentsSpread(s, dir))
       .select("doc_id", "n_tok", "avg_tok_len", "stop_ratio", "score")
       .orderBy("doc_id")
   }
@@ -94,7 +94,7 @@ object TextAnalysis {
   /** t3: token counting — whitespace tokens, regex word tokens, and a
     * BPE-ish bounded-piece count (greedy ≤4-char chunks). */
   def t3TokenCount(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .withColumn("ws_tokens",
         size(expr("filter(split(text, ' '), t -> t <> '')")))
       .withColumn("re_tokens",
@@ -108,7 +108,7 @@ object TextAnalysis {
     * polynomial rolling hash mod 1e9+7 (one fold over the chars). */
   def t4Fingerprint(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .withColumn("norm", TextOps.normText(col("text")))
       .withColumn("fp_md5", md5(col("norm")))
       // native codegen'd fold (graft.functions.RollHash); the HOF
@@ -618,7 +618,7 @@ object TextAnalysis {
         .when(col("doc_id") % T12PlantModB === 0,
           concat(col("text"), lit(T12PlantB)))
         .otherwise(col("text"))
-    gopherCols(Tables.documents(s, dir).withColumn("ptext", planted))
+    gopherCols(Tables.documentsSpread(s, dir).withColumn("ptext", planted))
       .select(col("doc_id"),
         col("n_words").cast("int").as("n_words"),
         col("n_lines").cast("int").as("n_lines"),
@@ -749,7 +749,7 @@ object TextAnalysis {
     * the t10 inventory and the t10 tagging side read. */
   private def t10SpanFrame(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .withColumn("norm", TextOps.normText(t10Planted))
       .withColumn("toks", expr(TextOps.toksExpr))
       .select(col("doc_id"),
@@ -871,7 +871,7 @@ object TextAnalysis {
       graft.functions.ScrubSpans(
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("toks"),
         inv, T10SpanW))
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .withColumn("norm", TextOps.normText(t10Planted))
       .withColumn("toks", expr(TextOps.toksExpr))
       .withColumn("_sc", scrub)
@@ -1000,7 +1000,7 @@ object TextAnalysis {
   def t13Normalize(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val deco = T13Deco.map(d => lit(d))
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .withColumn("raw", concat(
         when(col("doc_id") % 3 === 0, deco(0))
           .when(col("doc_id") % 3 === 1, deco(1))
@@ -1187,7 +1187,7 @@ object TextAnalysis {
     * keyed exchanges, all linear in the collapsed frames — no
     * corpus-sized sort, no vocabulary broadcast. */
   def t16Keywords(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.documentsSpread(s, dir)
     val tf = docs
       .select(col("doc_id"),
         explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
@@ -1377,7 +1377,7 @@ object TextAnalysis {
     * explode, one row per scoring-eligible doc. */
   private def t17Keys(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .withColumn("ptext", t17Planted)
       .select(col("doc_id"),
         expr(s"t17_bigram_keys(ptext, $T17Buckets)").as("ks"))
@@ -1522,7 +1522,7 @@ object TextAnalysis {
       .select(explode(expr("filter(split(text, ' '), x -> x <> '')"))
         .as("word"))
       .groupBy("word").agg(count(lit(1)).as(as))
-    val c1 = counts(Tables.documents(s, dir).select("text"), "c1")
+    val c1 = counts(Tables.documentsSpread(s, dir).select("text"), "c1")
     val c2 = counts(
       s.read.parquet(Curation.c12SnapshotPath(s, dir)).select("text"), "c2")
     val j = c1.join(c2, Seq("word"), "full_outer")

@@ -269,7 +269,7 @@ object TextAnalysis {
       lit("-9012-"),
       lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
       lit(" v1.2.3 build 999.1.1.1 order ORD4111222233334444 now"))
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .withColumn("pii_text", planted)
       .transform(piiScrub)
       .select(col("doc_id"), col("n_emails"), col("n_phones"),
@@ -310,7 +310,7 @@ object TextAnalysis {
       concat(col("text"), lit(" "),
         expr(s"repeat('$T7PlantPhrase ', $T7PlantReps)")))
       .otherwise(col("text"))
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .withColumn("rep_text", planted)
       .withColumn("norm", TextOps.normText(col("rep_text")))
       .withColumn("toks", expr(TextOps.toksExpr))
@@ -443,7 +443,7 @@ object TextAnalysis {
       else {
         t8TrainCount.incrementAndGet()
         graft.functions.GraftFunctions.register(s)
-        val rows = Tables.documents(s, dir)
+        val rows = Tables.documentsSpread(s, dir)
           .withColumn("norm", t8PlantedNorm)
           .select(explode(expr("char_shingles(norm, 2)")).as("b"))
           .groupBy("b").agg(count(lit(1)).as("c"))
@@ -478,7 +478,7 @@ object TextAnalysis {
       graft.functions.RareBigramStats(
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("norm"),
         model))
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .withColumn("norm", t8PlantedNorm)
       .withColumn("_st", stats)
       .select(col("doc_id"),
@@ -513,7 +513,7 @@ object TextAnalysis {
     * output volume is input bytes × (window/stride) ≈ 1.33×. At 100 TB
     * it runs at read time like t1–t4. */
   def t9DocChunks(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.documentsSpread(s, dir)
       .withColumn("norm", TextOps.normText(col("text")))
       .select(col("doc_id"), col("norm"),
         posexplode(expr(

@@ -90,13 +90,37 @@ object MemProbe {
     println(f"""{"probe":"memprobe_env","heapGB":$heapGb%.1f,"cores":$cpus,""" +
       f""""memoryFraction":"${spark.conf.get("spark.memory.fraction", "0.6")}"}""")
 
+    // names must come from the Heavy list itself — a valid gate-query
+    // name outside it would pass a registry check and then be silently
+    // filtered to an EMPTY probe run (r16 review finding #4)
     val only = sys.env.get("SPARK_GRAFT_MEMPROBE_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     only.foreach { set =>
-      val unknown = set -- SparkEntry.queries.keySet
-      require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
+      val unknown = set -- Heavy.toSet
+      require(unknown.isEmpty,
+        s"not in MemProbe.Heavy: ${unknown.mkString(",")}")
     }
     val names = Heavy.filter(n => only.forall(_.contains(n)))
+
+    // Artifact-warmth contract (r16 review finding #2): fingerprint-
+    // keyed WRITE-ONCE artifacts (d11/d14 signature indexes, trained
+    // centroids/codebooks, c28's shard tree, d9 benchmarks) are NOT
+    // cleared per query — they are the offline-train/offline-stage
+    // production shape, so admission/search entries here measure the
+    // QUERY's memory, not one-time staging. Set
+    // SPARK_GRAFT_MEMPROBE_COLD=1 to wipe them once at startup and
+    // measure the staging jobs under pressure too.
+    if (sys.env.get("SPARK_GRAFT_MEMPROBE_COLD").contains("1")) {
+      Seq("target/dedupindex", "target/incdata", "target/graft-centroids",
+        "target/graft-pq", "target/admitshard", "target/benchdata",
+        "target/ivfinc", "target/ivfindex", "target/semdedupinc",
+        "target/snapdata", "target/zorder")
+        .foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+    }
 
     for (n <- names) {
       // every query pays its OWN subtree: the confirmed-pairs /

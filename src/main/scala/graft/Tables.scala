@@ -59,7 +59,7 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "documents"))
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(p(dir, "embeddings"))
 
-  /** `documents`, guaranteed at least session-level scan parallelism
+  /** `documents`, guaranteed at least CLUSTER-CORE scan parallelism
     * for a COMPUTE-HEAVY first pass (normalize/tokenize/shingle/
     * fingerprint kernels: orders of magnitude more work per row than
     * the scan bytes suggest). A compact corpus — one small parquet
@@ -70,14 +70,29 @@ object Tables {
     * hypersensitive to machine load). ADAPTIVE, not unconditional: a
     * production-scale corpus already has ≫ cores splits, and a
     * round-robin exchange there would shuffle the full text corpus
-    * for nothing — the repartition engages only when the planned scan
-    * parallelism is below the session target. The partition probe is
-    * metadata-only (physical planning, no job). */
+    * for nothing. The comparison point is `defaultParallelism`
+    * (total executor cores — the quantity the spread exists to keep
+    * busy), deliberately NOT `spark.sql.shuffle.partitions`: a
+    * cluster session sizes the latter at 2–3× cores PLUS the
+    * largest-shuffle floor (GraftSession.clusterBuilder — thousands),
+    * and comparing against it would re-shuffle a corpus whose scan
+    * already saturates every core (r16 review finding #1); the
+    * repartition target is cores too — one task wave, not thousands
+    * of slivers of a compact corpus. The partition probe (physical
+    * planning, no job, one FS listing) is memoized per corpus
+    * fingerprint — several operators consult it more than once per
+    * query (the embCountCache pattern). */
   def documentsSpread(s: SparkSession, dir: String): DataFrame = {
     val df = documents(s, dir)
-    val target = s.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val cores = s.sparkContext.defaultParallelism
+    val parts = scanPartsCache.computeIfAbsent(
+      fingerprint(s, dir, "documents"),
+      _ => Integer.valueOf(df.rdd.getNumPartitions)).intValue
+    if (parts < cores) df.repartition(cores) else df
   }
+
+  private val scanPartsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** Metadata-only fingerprint of one table: path + per-file
     * (name, length, mtime). One FS listing, no data read — the cache key

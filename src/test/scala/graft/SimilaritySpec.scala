@@ -951,9 +951,14 @@ class SimilaritySpec extends AnyFunSuite {
         v.forall(x => !x.isNaN && !x.isInfinite)))
 
       // Lloyd must not be a no-op: the trained quantizer's objective
-      // (mean max-cosine of the sample to its nearest centroid) must
-      // be at least the seed set's (k-means iteration is monotone;
-      // small slack for the float round at write-out)
+      // (mean max-cosine of the sample to its nearest centroid) should
+      // improve on the seed set's. NOT a theorem — Lloyd is monotone
+      // for SSE / renormalized spherical k-means, not for max-cosine
+      // with arithmetic-mean updates, and the distributed path's float
+      // sums are partition-order dependent — so the bound carries
+      // empirical headroom (measured gap ≈ +0.05 on this seeded
+      // corpus, asserted at -0.02), guarding against a broken update
+      // step, not against ULP drift
       val sample = rows.map(_._2)
       def cos(a: Array[Float], b: Array[Float]): Double = {
         var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -971,8 +976,10 @@ class SimilaritySpec extends AnyFunSuite {
         .sortBy(r => (org.apache.commons.codec.digest.DigestUtils
           .md5Hex(r._1.toString), r._1))
         .take(cells).map(_._2).toArray
-      assert(objective(trained) >= objective(seedSet) - 1e-3,
-        "distributed Lloyd scored below its own seed set")
+      val (objT, objS) = (objective(trained), objective(seedSet))
+      info(f"distributed Lloyd objective: seeds $objS%.4f -> trained $objT%.4f")
+      assert(objT >= objS - 0.02,
+        f"distributed Lloyd scored $objT%.4f, below its seed set $objS%.4f")
     } finally s.conf.unset("spark.graft.kmeans.driverMaxSample")
   }
 }

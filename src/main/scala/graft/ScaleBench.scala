@@ -81,6 +81,7 @@ object ScaleBench {
       if (reps > 1) {
         graft.operators.Dedup.clearConfirmedCache()
         graft.operators.Dedup.clearClusterCache()
+        graft.operators.Similarity.clearEdgeCache()
         run("d6_dedup_pipeline", sfDir)
         run("d6_dedup_pipeline", out)
       }

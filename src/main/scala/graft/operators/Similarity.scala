@@ -842,6 +842,29 @@ object Similarity {
   val S14Beam = 32
   val S14Hops = 4
 
+  /** Symmetrized s12 kNN edges for a corpus — the substrate s14's
+    * beam search walks, memoized per (SparkContext, corpus
+    * fingerprint) and eagerly localCheckpointed (the
+    * Dedup.confirmedPairs pattern: the graph BUILD is the expensive
+    * subtree, and in production is a persisted artifact built once
+    * per corpus generation; searches pay only the beam walk). The
+    * build runs inside computeIfAbsent's bin lock — the same
+    * single-driver trade the Dedup memo documents. */
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[graft] def clearEdgeCache(): Unit = edgeCache.clear()
+
+  private[graft] def s12SymEdges(s: SparkSession, dir: String): DataFrame =
+    edgeCache.computeIfAbsent(
+      s.sparkContext.applicationId + "/" + corpusFingerprint(s, dir),
+      _ => {
+        val knn = s12KnnGraph(s, dir)
+          .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
+        knn.unionByName(
+            knn.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct().localCheckpoint(true)
+      })
+
   /** s14: GRAPH ANN SEARCH — greedy beam search over the s12 kNN
     * graph, the capability the graph exists to feed (HNSW/NSG-style
     * search: navigate edges toward the query instead of scanning
@@ -862,8 +885,11 @@ object Similarity {
     *
     * Edges are SYMMETRIZED first (kNN edges are directed src → its
     * [[S12K]] nearest; search walks both directions — the NN-Descent
-    * convention): union + distinct, checkpointed ONCE and reused by
-    * every hop.
+    * convention): union + distinct via [[s12SymEdges]] — checkpointed
+    * once and MEMOIZED per corpus fingerprint (the confirmedPairs
+    * pattern: the graph build is the expensive subtree; production
+    * persists it once per corpus generation and every search pays
+    * only the beam walk).
     *
     * Scale shape: the beam frame is queries × [[S14Beam]] rows —
     * broadcast-joined against the corpus-sized edge and vector
@@ -881,11 +907,7 @@ object Similarity {
   def s14AnnGraph(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
-    val knn = s12KnnGraph(s, dir)
-      .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
-    val edges = knn.unionByName(
-        knn.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
+    val edges = s12SymEdges(s, dir)
     val q = queriesDf(s, dir)
     val nodes = e.select(col("vec_id").as("node"), col("embedding").as("ne"))
     val entryId = e.agg(min("vec_id")).collect()(0).getLong(0)

@@ -39,7 +39,11 @@ object MemProbe {
   val Heavy: Seq[String] = Seq(
     "d14_containment", "c28_admit_shard", "c30_curation_v2",
     "q36_pagerank", "q49_bfs_hops", "s12_knn_graph", "c27_histograms",
-    "c8_split_leakfree", "d8_dedup_clusters", "m4_media_dedup")
+    "c8_split_leakfree", "d8_dedup_clusters", "m4_media_dedup",
+    // round 17: owns the persisted kNN-graph artifact — its COLD run
+    // measures the graph staging (s12 build + three partitioned
+    // writes), the largest one-time job of the similarity family
+    "s15_graph_admit")
 
   private final class SpillListener extends SparkListener {
     val memSpill = new AtomicLong
@@ -87,8 +91,6 @@ object MemProbe {
       ScaleBench.generate(spark, sfDir, out)
 
     val heapGb = Runtime.getRuntime.maxMemory / 1e9
-    println(f"""{"probe":"memprobe_env","heapGB":$heapGb%.1f,"cores":$cpus,""" +
-      f""""memoryFraction":"${spark.conf.get("spark.memory.fraction", "0.6")}"}""")
 
     // names must come from the Heavy list itself — a valid gate-query
     // name outside it would pass a registry check and then be silently
@@ -110,17 +112,31 @@ object MemProbe {
     // QUERY's memory, not one-time staging. Set
     // SPARK_GRAFT_MEMPROBE_COLD=1 to wipe them once at startup and
     // measure the staging jobs under pressure too.
-    if (sys.env.get("SPARK_GRAFT_MEMPROBE_COLD").contains("1")) {
-      Seq("target/dedupindex", "target/incdata", "target/graft-centroids",
-        "target/graft-pq", "target/admitshard", "target/benchdata",
-        "target/ivfinc", "target/ivfindex", "target/semdedupinc",
-        "target/snapdata", "target/zorder")
-        .foreach { d =>
+    val wiped: Seq[String] =
+      if (sys.env.get("SPARK_GRAFT_MEMPROBE_COLD").contains("1")) {
+        // the trained-model dirs are RESOLVED from the same confs the
+        // operators read (a relocated artifact dir would otherwise be
+        // missed and the probe would silently measure warm staging —
+        // r16 ADVICE); the staged-data dirs are the operators' fixed
+        // paths. The env JSON line below records what was actually
+        // wiped, so a cold artifact is self-describing.
+        val dirs = Seq(
+          spark.conf.get("spark.graft.centroids.dir",
+            "target/graft-centroids"),
+          spark.conf.get("spark.graft.pq.dir", "target/graft-pq"),
+          "target/dedupindex", "target/incdata", "target/admitshard",
+          "target/benchdata", "target/ivfinc", "target/ivfindex",
+          "target/semdedupinc", "target/knngraph", "target/snapdata",
+          "target/zorder")
+        dirs.flatMap { d =>
           val p = new org.apache.hadoop.fs.Path(d)
           val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          if (fs.exists(p)) fs.delete(p, true)
+          if (fs.exists(p)) { fs.delete(p, true); Some(d) } else None
         }
-    }
+      } else Seq.empty
+    println(f"""{"probe":"memprobe_env","heapGB":$heapGb%.1f,"cores":$cpus,""" +
+      f""""memoryFraction":"${spark.conf.get("spark.memory.fraction", "0.6")}",""" +
+      s""""coldWiped":[${wiped.map("\"" + _ + "\"").mkString(",")}]}""")
 
     for (n <- names) {
       // every query pays its OWN subtree: the confirmed-pairs /

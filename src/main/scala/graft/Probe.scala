@@ -46,6 +46,8 @@ object Probe {
     if (sections("q36b")) probeQ36B(spark) // not in the default set
     if (sections("d11")) probeD11(spark, sfDir) // not in the default set
     if (sections("s8")) probeS8(spark, sfDir) // not in the default set
+    if (sections("s15")) probeS15(spark, sfDir) // not in the default set
+    if (sections("decade")) probeDecade(spark, sfDir) // not in the default set
     if (sections("ev100")) probeEv100(spark, sfDir) // not in the default set
     if (sections("cdc")) probeCdc(spark) // not in the default set
     if (sections("c20")) probeC20(spark, sfDir) // not in the default set
@@ -465,6 +467,118 @@ object Probe {
       println(f"[s8] $tier%-4s indexBuild=${(t1 - t0) / 1e9}%6.2fs " +
         f"admitFixed=${(t2 - t1) / 1e9}%6.2fs " +
         f"query=${(t3 - t2) / 1e9}%6.2fs rows=$n")
+    }
+  }
+
+  /** ---- s15 graph-admission cost vs corpus size (round 17): the
+    * claim is the d11/s8 admission contract for the GRAPH artifact —
+    * the graph BUILD is the pay-once corpus pass (s12 + the three
+    * partitioned layers, grows with corpus), while ADMITTING a
+    * fixed-size shard is corpus-CAPPED: affected-old volume ≤ landed
+    * cells × nprobe × occupancy, a CONSTANT for a fixed shard because
+    * occupancy is pinned by the corpus-scaled quantizer. The cap is
+    * only visible once the corpus outgrows it (landed·4·128 ≈ 16k
+    * vectors for a 32-vector shard) — below that the affected set
+    * saturates the whole corpus and admission degenerates to a
+    * rebuild-sized pass, which is exactly what the small gate corpora
+    * show; the 10×→100× tiers are where the cap bites and the delta
+    * flattens. Timed is the admission DELTA (merged affected + new
+    * edges); the corpus-sized pass-through union is production's next
+    * edge-generation write. Not in the default set. */
+  private def probeS15(spark: SparkSession, sfDir: String): Unit = {
+    println("== s15: fixed-shard graph admission vs 1x/10x/100x ==")
+    val e = Tables.embeddings(spark, sfDir)
+    val mId = e.agg(max(col("vec_id"))).head().getLong(0) + 1
+    def replicate(copies: Int, out: String): Unit =
+      e.crossJoin(spark.range(copies).withColumnRenamed("id", "copy"))
+        .withColumn("vec_id", col("vec_id") + col("copy") * mId)
+        .withColumn("embedding", expr("transform(embedding, (x, i) -> " +
+          "CAST(x + CAST(copy AS FLOAT) * CAST(0.003 AS FLOAT) * " +
+          "CAST(i % 7 AS FLOAT) AS FLOAT))"))
+        .select("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    val x10 = "target/probe/s15x10"
+    val x100 = "target/probe/s15x100"
+    replicate(10, x10)
+    replicate(100, x100)
+    // the FIXED shard: 32 corpus vectors re-keyed far above every tier
+    val shard = e.filter(col("vec_id") % 4 === 0).limit(32)
+      .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+        col("embedding"))
+      .localCheckpoint(true)
+    val conf = spark.sparkContext.hadoopConfiguration
+    for ((tier, dir) <- Seq(("1x", sfDir), ("10x", x10), ("100x", x100))) {
+      val fp = Tables.fingerprint(spark, dir, "embeddings")
+      // wipe this tier's graph artifact (any quantizer signature) so
+      // the build is timed cold; the quantizer itself stays warm —
+      // training cost is probeS8's subject, not this section's
+      for (stale <- Seq(s"target/knngraph")) {
+        val p = new org.apache.hadoop.fs.Path(stale)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p))
+          fs.listStatus(p).filter(_.getPath.getName.startsWith(fp))
+            .foreach(st => fs.delete(st.getPath, true))
+      }
+      operators.Similarity.clearEdgeCache()
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      operators.Similarity.graphIndexPath(spark, dir)
+      val t1 = System.nanoTime()
+      val (untouched, delta) =
+        operators.Similarity.s15AdmitParts(spark, dir, shard)
+      val nDelta = delta.count()
+      val t2 = System.nanoTime()
+      val nAll = nDelta + untouched.count()
+      val nAffected = delta.select("query_id").distinct().count()
+      println(f"[s15] $tier%-4s graphBuild=${(t1 - t0) / 1e9}%6.2fs " +
+        f"admitDelta=${(t2 - t1) / 1e9}%6.2fs " +
+        f"affectedNodes=$nAffected deltaRows=$nDelta allRows=$nAll")
+    }
+  }
+
+  /** ---- second-decade linearity check (round 17, r16 ask #7): the
+    * ≥5× rows of the 10× sweep (c26 7.3×, q11 6.8×, q28 6.0×, q1
+    * 5.8×, q23 5.8×) carry a "linear with constants" claim argued
+    * from ONE decade (sf0.1 → 10×). This measures the two cheapest
+    * (q1, q23) at a THIRD tier — 100× of their input tables — so the
+    * claim gets a second decade: wall(100×)/wall(10×) ≤ ~10 reads
+    * linear-or-better. Each tier runs the query TWICE: run1 includes
+    * q23's per-JVM bucket staging (what the sweep measures — staging
+    * is ∝ data and re-paid per session), run2 is the steady-state
+    * query over warm bucket tables. Not in the default set. */
+  private def probeDecade(spark: SparkSession, sfDir: String): Unit = {
+    println("== decade: q1/q23 at 10x and 100x (second-decade check) ==")
+    val out10 = "target/sf1sim"
+    if (!new java.io.File(s"$out10/lineitem.parquet").exists())
+      ScaleBench.generate(spark, sfDir, out10)
+    val out100 = "target/probe/decade100"
+    if (!new java.io.File(s"$out100/lineitem.parquet/_SUCCESS").exists()) {
+      val copies = spark.range(100).withColumnRenamed("id", "copy")
+      val o = Tables.orders(spark, sfDir)
+      val mOrd = o.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+      val oc = o.columns
+      o.crossJoin(copies)
+        .withColumn("o_orderkey", col("o_orderkey") + col("copy") * mOrd)
+        .select(oc.map(col).toIndexedSeq: _*)
+        .write.mode("overwrite").parquet(s"$out100/orders.parquet")
+      val l = Tables.lineitem(spark, sfDir)
+      val lc = l.columns
+      l.crossJoin(copies)
+        .withColumn("l_orderkey", col("l_orderkey") + col("copy") * mOrd)
+        .select(lc.map(col).toIndexedSeq: _*)
+        .write.mode("overwrite").parquet(s"$out100/lineitem.parquet")
+    }
+    for (q <- Seq("q1_multi_agg", "q23_bucketed_join")) {
+      for ((tier, dir) <- Seq(("10x", out10), ("100x", out100))) {
+        for (run <- 1 to 2) {
+          spark.catalog.clearCache(); System.gc()
+          val t0 = System.nanoTime()
+          SparkEntry.queries(q)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          println(f"[decade] $q%-18s $tier%-5s run$run " +
+            f"wall=${(System.nanoTime() - t0) / 1e9}%7.2fs")
+        }
+      }
     }
   }
 

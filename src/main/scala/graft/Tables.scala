@@ -85,14 +85,23 @@ object Tables {
   def documentsSpread(s: SparkSession, dir: String): DataFrame = {
     val df = documents(s, dir)
     val cores = s.sparkContext.defaultParallelism
+    // keyed by (applicationId, fingerprint), not fingerprint alone: the
+    // probed split count depends on session config (parallelism,
+    // maxPartitionBytes), so a second SparkSession in the same JVM must
+    // re-probe rather than inherit the first session's decision
     val parts = scanPartsCache.computeIfAbsent(
-      fingerprint(s, dir, "documents"),
+      s.sparkContext.applicationId + "/" + fingerprint(s, dir, "documents"),
       _ => Integer.valueOf(df.rdd.getNumPartitions)).intValue
     if (parts < cores) df.repartition(cores) else df
   }
 
   private val scanPartsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Drop every memoized scan-partition probe (the hook the other
+    * per-corpus memos expose — ScaleBench/MemProbe-style harnesses that
+    * rewrite a corpus in place under one session can re-probe). */
+  private[graft] def clearScanPartsCache(): Unit = scanPartsCache.clear()
 
   /** Metadata-only fingerprint of one table: path + per-file
     * (name, length, mtime). One FS listing, no data read — the cache key

@@ -266,10 +266,19 @@ object Graph {
     var ranks = outdeg
       .select(col("src").as("node"), lit(PrScale).as("rank"))
       .localCheckpoint(true)
+    // both consumers of the raw edge list (the degree-attached probe
+    // side and the init rank vector) are materialized — release its
+    // blocks: the MemProbe floor analysis showed retained checkpoint
+    // blocks are part of q36's concurrent memory demand, and nothing
+    // reads `edges` again (localCheckpoint truncates lineage, so a
+    // released frame fails loudly if that invariant is ever broken)
+    org.apache.spark.sql.graftbridge.GraftCheckpoints
+      .releaseLocalCheckpoint(edges)
     // the adaptive choice: counting the eagerly-checkpointed rank
     // vector is a cached-partition count, not a recompute
     val useBroadcast = ranks.count() <= broadcastMaxNodes
     for (_ <- 1 to PrIters) {
+      val prev = ranks
       val rankSide = if (useBroadcast) broadcast(ranks) else ranks
       ranks = eo.join(rankSide, col("src") === col("node"))
         .select(col("dst"), expr("rank div outdeg").as("contrib"))
@@ -277,6 +286,10 @@ object Graph {
         .select(col("dst").as("node"),
           expr("150000 + (85 * inflow) div 100").as("rank"))
         .localCheckpoint(true)
+      // round N's vector is dead once round N+1 is materialized —
+      // keep exactly two rank vectors live regardless of PrIters
+      org.apache.spark.sql.graftbridge.GraftCheckpoints
+        .releaseLocalCheckpoint(prev)
     }
     ranks
   }

@@ -237,7 +237,12 @@ object Similarity {
           var best = 0; var bestCos = -2.0; var c = 0
           while (c < cells) {
             val cs = cos(v, cents(c))
-            if (cs > bestCos) { bestCos = cs; best = c }
+            // >= : exact-cosine ties assign to the HIGHER cell index —
+            // the same (cos DESC, id DESC) rule as the ivf_rank_cells
+            // kernel the DISTRIBUTED Lloyd assigns with, so which side
+            // of the driverMaxSample cap a corpus lands on can never
+            // change trained output on a tie-bearing sample (r16 ADVICE)
+            if (cs >= bestCos) { bestCos = cs; best = c }
             c += 1
           }
           pCounts(best) += 1
@@ -745,6 +750,36 @@ object Similarity {
     * hold < k others legitimately emit fewer edges. At every gate SF
     * kc = 4 ≤ cp, so the restriction covers all buckets and the
     * ranking equals the flat order row-for-row (spec-pinned). */
+  /** The fused TWO-LEVEL cell-ranking kernel Column for the corpus's
+    * trained s12 quantizer, applied to `inputCol` — the one spelling
+    * shared by the s12 build, the graph artifact's assignment layer,
+    * s14's query-probe seeding and s15's shard admission (drift between
+    * any two of them would silently break the frozen-quantizer
+    * contract). Built PROGRAMMATICALLY (catalyst Literals through the
+    * GraftColumns bridge), not via expr(): the fine centroid literal
+    * is corpus-scaled — K·64 float literals is megabytes of SQL text
+    * at the 100× probe, re-parsed per invocation; the constructed
+    * Literal carries the array directly. */
+  private[graft] def s12RankCol(s: SparkSession, dir: String,
+      inputCol: String = "embedding"): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
+    val cents = s12CentroidsFor(s, dir)
+    val (coarse, fineCoarse) = s12CoarseFor(cents)
+    val cp = math.min(S12CoarseProbes, coarse.length)
+    org.apache.spark.sql.graftbridge.GraftColumns.column(
+      graft.functions.IvfRankCells2(
+        UnresolvedAttribute(inputCol),
+        Literal.create(coarse.flatten,
+          ArrayType(FloatType, containsNull = false)),
+        Literal.create(cents.flatten,
+          ArrayType(FloatType, containsNull = false)),
+        Literal.create(fineCoarse,
+          ArrayType(IntegerType, containsNull = false)),
+        cp))
+  }
+
   def s12KnnGraph(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // corpus-scaled quantizer (fixed ~128 occupancy) + the fused
@@ -757,26 +792,7 @@ object Similarity {
     // ranking (spec-pinned row-for-row) and the oracle replays the
     // two-level rule itself.
     val cents = s12CentroidsFor(s, dir)
-    val (coarse, fineCoarse) = s12CoarseFor(cents)
-    val cp = math.min(S12CoarseProbes, coarse.length)
-    // the kernel Column is built PROGRAMMATICALLY (catalyst Literals
-    // through the GraftColumns bridge), not via expr(): the fine
-    // centroid literal is corpus-scaled — K·64 float literals is
-    // megabytes of SQL text at the 100× probe, re-parsed per
-    // invocation; the constructed Literal carries the array directly
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType}
-    val rankCol = org.apache.spark.sql.graftbridge.GraftColumns.column(
-      graft.functions.IvfRankCells2(
-        UnresolvedAttribute("embedding"),
-        Literal.create(coarse.flatten,
-          ArrayType(FloatType, containsNull = false)),
-        Literal.create(cents.flatten,
-          ArrayType(FloatType, containsNull = false)),
-        Literal.create(fineCoarse,
-          ArrayType(IntegerType, containsNull = false)),
-        cp))
+    val rankCol = s12RankCol(s, dir)
     val cellExpr = element_at(rankCol, lit(1))
     val probeExpr = slice(rankCol, 1, S12Probes)
     // the q side pays the same per-row rank kernel as the candidate
@@ -842,28 +858,106 @@ object Similarity {
   val S14Beam = 32
   val S14Hops = 4
 
+  /** The persisted kNN-GRAPH artifact — the s8 inverted-list contract
+    * applied to the graph family: production builds the graph ONCE per
+    * corpus generation, persists it as a lake table, and every search
+    * (s14) or admission (s15) pays only its own bounded work. Keyed by
+    * corpus fingerprint AND the resolved centroid signature (r16
+    * ADVICE: the distributed-Lloyd path is not bit-deterministic
+    * across retrains, so a wiped/retrained quantizer must never be
+    * paired with edges derived from the old one — the signature in the
+    * path makes that structurally impossible). Three `_SUCCESS`-gated,
+    * write-once layers:
+    *  - `assign/` — (vec_id, embedding, probes) PARTITIONED BY the
+    *    assigned cell: the member lookup behind s14's query-probe
+    *    seeding and s15's new-vector candidates is a partition-pruned
+    *    read of nprobe cells, never a corpus scan;
+    *  - `probed/` — (vec_id, embedding) PARTITIONED BY probed cell
+    *    (the REVERSE adjacency of the probe relation, ×[[S12Probes]]
+    *    storage): "which vectors probe cell c" is the question graph
+    *    admission asks per landed cell, and answering it from the
+    *    forward layer would scan every vector's probe list — the
+    *    classic inverted-index trade, storage for admission-side
+    *    partition pruning;
+    *  - `edges/` — the directed kNN edge table (query_id, rnk,
+    *    neighbor_id, cos), written from the audited [[s12KnnGraph]]
+    *    plan; cosines are STORED so admission can re-rank an affected
+    *    vector's merged candidate list without recomputing its old
+    *    candidates (top-k of a disjoint union = top-k of the merged
+    *    top-k lists under the shared total order). */
+  private[graft] def graphIndexPath(s: SparkSession, dir: String): String = {
+    graft.functions.GraftFunctions.register(s)
+    val sig = centroidSig(s12CentroidsFor(s, dir)).take(8)
+    val path =
+      s"target/knngraph/${corpusFingerprint(s, dir)}-$sig"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def missing(layer: String) =
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$path/$layer", "_SUCCESS"))
+    if (missing("assign")) {
+      val rankCol = s12RankCol(s, dir)
+      Tables.embeddings(s, dir)
+        // explicit-N spread before the kernel pass — the s12 rule:
+        // parallelism follows rank work, not the scan's few-file split
+        .repartition(s.sessionState.conf.numShufflePartitions)
+        .select(col("vec_id"), col("embedding"),
+          slice(rankCol, 1, S12Probes).as("probes"))
+        .withColumn("cell", element_at(col("probes"), 1))
+        // co-locate each cell onto one writer task BEFORE partitionBy:
+        // the corpus-scaled quantizer has n/128 cells, and a dynamic
+        // partitioned write from N round-robin tasks opens up to
+        // N × cells files (the 100× probe measured the un-repartitioned
+        // spelling stalling in exactly that file churn — ~50k writers
+        // for 1563 cells); hash-clustering on the partition column
+        // bounds it at one file per cell
+        .repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(s"$path/assign")
+    }
+    if (missing("probed"))
+      s.read.parquet(s"$path/assign")
+        .select(col("vec_id"), col("embedding"),
+          explode(col("probes")).as("pcell"))
+        .repartition(col("pcell")) // one writer task per probed cell
+        .write.partitionBy("pcell").mode("overwrite")
+        .parquet(s"$path/probed")
+    if (missing("edges"))
+      s12KnnGraph(s, dir).write.mode("overwrite").parquet(s"$path/edges")
+    path
+  }
+
   /** Symmetrized s12 kNN edges for a corpus — the substrate s14's
-    * beam search walks, memoized per (SparkContext, corpus
-    * fingerprint) and eagerly localCheckpointed (the
-    * Dedup.confirmedPairs pattern: the graph BUILD is the expensive
-    * subtree, and in production is a persisted artifact built once
-    * per corpus generation; searches pay only the beam walk). The
-    * build runs inside computeIfAbsent's bin lock — the same
-    * single-driver trade the Dedup memo documents. */
+    * beam search walks: read from the persisted [[graphIndexPath]]
+    * edge layer (built once per corpus generation × quantizer
+    * signature), symmetrized, then memoized per (SparkContext,
+    * artifact path) and eagerly localCheckpointed so repeated searches
+    * in one JVM pay neither the read nor the distinct. The memo key
+    * is the artifact PATH — which embeds the centroid signature, so a
+    * mid-application quantizer retrain can never serve edges from the
+    * old geometry (r16 ADVICE). */
   private val edgeCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private[graft] def clearEdgeCache(): Unit = edgeCache.clear()
+  private[graft] def clearEdgeCache(): Unit = {
+    // release the checkpoint blocks too — a cleared entry is
+    // unreachable, and its executor storage would otherwise stay
+    // pinned for the application lifetime (r16 ADVICE)
+    edgeCache.values.forEach(df => org.apache.spark.sql.graftbridge
+      .GraftCheckpoints.releaseLocalCheckpoint(df))
+    edgeCache.clear()
+  }
 
-  private[graft] def s12SymEdges(s: SparkSession, dir: String): DataFrame =
+  private[graft] def s12SymEdges(s: SparkSession, dir: String): DataFrame = {
+    val path = graphIndexPath(s, dir)
     edgeCache.computeIfAbsent(
-      s.sparkContext.applicationId + "/" + corpusFingerprint(s, dir),
+      s.sparkContext.applicationId + "/" + path,
       _ => {
-        val knn = s12KnnGraph(s, dir)
+        val knn = s.read.parquet(s"$path/edges")
           .select(col("query_id").as("src"), col("neighbor_id").as("dst"))
         knn.unionByName(
             knn.select(col("dst").as("src"), col("src").as("dst")))
           .distinct().localCheckpoint(true)
       })
+  }
 
   /** s14: GRAPH ANN SEARCH — greedy beam search over the s12 kNN
     * graph, the capability the graph exists to feed (HNSW/NSG-style
@@ -904,27 +998,75 @@ object Similarity {
     * s10 iterative-operator rule). Oracle: the s12 edge derivation
     * replayed as CTEs (trained literals inlined) + the [[S14Hops]]
     * beam rounds unrolled as stacked CTEs (the s10 pattern). */
-  def s14AnnGraph(s: SparkSession, dir: String): DataFrame = {
+  /** Seeds per query drawn from the PROBED IVF CELLS — the s3
+    * composition that gives an OUT-OF-CORPUS query real entry points
+    * (r16 verdict ask #3: a query with no adjacency rows used to fall
+    * back to the single global entry, and the entry-only search
+    * measured 0.53 recall@3 vs the raw graph's 0.73). 2·[[S12K]]: an
+    * out-of-corpus query gets seed fan-out comparable to an in-corpus
+    * node's symmetrized adjacency (out-degree [[S12K]] + its reverse
+    * edges). */
+  val S14SeedK = 2 * S12K
+
+  def s14AnnGraph(s: SparkSession, dir: String): DataFrame =
+    s14AnnGraphFor(s, dir, queriesDf(s, dir))
+
+  /** [[s14AnnGraph]] over an EXPLICIT (query_id, qe) frame — the
+    * production entry point: queries need not be corpus members.
+    * CONTRACT: a query_id must not collide with a corpus vec_id unless
+    * the query IS that vector (ids key the adjacency seeding and the
+    * self-exclusion, the same rule the s8/d12 increment contracts
+    * state). */
+  private[graft] def s14AnnGraphFor(s: SparkSession, dir: String,
+      q: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
+    val idx = graphIndexPath(s, dir)
     val edges = s12SymEdges(s, dir)
-    val q = queriesDf(s, dir)
     val nodes = e.select(col("vec_id").as("node"), col("embedding").as("ne"))
     val entryId = e.agg(min("vec_id")).collect()(0).getLong(0)
     val wBeam = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("node"))
+    // seed leg 3: the query's probed IVF cells' best members — rank
+    // the frozen quantizer's cells scan-locally on the QUERY frame
+    // (the same fused kernel every layer of the artifact was built
+    // with), then a PARTITION-PRUNED read of the assign/ layer at the
+    // probed cells, cosine, top-[[S14SeedK]] per query. For an
+    // IN-CORPUS query the top-[[S12K]] of this leg is exactly its s12
+    // out-edge list (same probes, same members, same tie rule), so the
+    // leg strictly widens the seed set; for an out-of-corpus query it
+    // is the ONLY data-dependent leg. Cost: queries × nprobe pruned
+    // cell reads — request-sized, never a corpus scan.
+    val qprobe = q
+      .select(col("query_id"), col("qe"),
+        explode(slice(s12RankCol(s, dir, "qe"), 1, S12Probes)).as("qc"))
+      .localCheckpoint(true) // query-sized; reused for the cell list + join
+    val probedCells = qprobe.select("qc").distinct().collect()
+      .map(_.getInt(0))
+    val seedProbe = s.read.parquet(s"$idx/assign")
+      .filter(col("cell").isin(probedCells.map(Integer.valueOf): _*))
+      .select(col("vec_id").as("node"), col("embedding").as("ne"),
+        col("cell"))
+      .join(broadcast(qprobe),
+        col("cell") === col("qc") && col("query_id") =!= col("node"))
+      .select(col("query_id"), col("node"),
+        VectorOps.cosine("qe", "ne").as("cos"))
+      .withColumn("rnk", row_number().over(wBeam))
+      .filter(col("rnk") <= S14SeedK)
+      .select("query_id", "node")
     // seed = the global entry + the query's own adjacency (the
     // NN-Descent in-corpus convention: a kNN-graph search for a
     // corpus-member query starts from that member's own edges —
     // without them, a degree-[[S12K]] graph is too sparse to navigate
     // from a single fixed entry and the search UNDERPERFORMS the raw
-    // graph: measured 0.53 vs 0.73 recall@3 at sf0.1. An
-    // out-of-corpus query contributes no adjacency rows and falls
-    // back to the global entry alone.)
+    // graph: measured 0.53 vs 0.73 recall@3 at sf0.1) + the probed
+    // cells' best members (real entry points for a query with no
+    // adjacency — and strictly more seeds for one that has it).
     val seed = q.select(col("query_id"), lit(entryId).as("node"))
       .unionByName(broadcast(q.select("query_id"))
         .join(edges, col("query_id") === col("src"))
         .select(col("query_id"), col("dst").as("node")))
+      .unionByName(seedProbe)
       .distinct()
     var beam = seed
       .join(nodes, "node")
@@ -958,6 +1100,160 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("node").as("neighbor_id"),
         col("cos"))
       .orderBy("query_id", "rnk")
+  }
+
+  /** s15: INCREMENTAL kNN-GRAPH ADMISSION — the d11/s8 admission
+    * contract applied to the persisted graph artifact: ingest a new
+    * embedding shard into the corpus kNN graph WITHOUT rebuilding it,
+    * with the result provably identical to a full s12 rebuild over
+    * corpus ∪ shard under the frozen quantizer (the oracle runs that
+    * rebuild in SQL — increment ≡ batch is hash-proven at the gate,
+    * the d11 pattern). A production lake builds the graph once per
+    * corpus generation ([[graphIndexPath]]) and admits shards; a graph
+    * that can only be rebuilt is not a lake artifact.
+    *
+    * The rebuild-equivalence decomposes into three bounded pieces
+    * (all under the FROZEN two-level quantizer, so no old vector's
+    * probe list can move):
+    *  1. NEW-vector edges: the shard is cell-ranked scan-local
+    *     ([[s12RankCol]] on shard rows only), and its candidates are
+    *     the members of its probed cells — a PARTITION-PRUNED read of
+    *     the artifact's `assign/` layer plus the shard itself (new
+    *     vectors can neighbor each other). ∝ shard × nprobe ×
+    *     occupancy.
+    *  2. AFFECTED-old updates: an old vector's candidate set changes
+    *     iff a new vector LANDED in one of its probed cells. The
+    *     artifact's `probed/` layer is the inverted probe index, so
+    *     "who probes a landed cell" is a partition-pruned read of the
+    *     landed cells — ≈ nprobe × occupancy old vectors per landed
+    *     cell, corpus-independent. Each affected vector's new top-k is
+    *     the re-rank of (its STORED top-k edges ∪ its top-k among the
+    *     new arrivals): top-k of a disjoint union equals top-k of the
+    *     merged per-side top-k lists under the shared
+    *     (cos DESC, id ASC) total order, and stored cosines came from
+    *     the same fold — so no old candidate is ever re-scored.
+    *  3. UNTOUCHED rows pass through from `edges/` byte-identical
+    *     (one broadcast anti-join on the affected-id list).
+    *
+    * Admission work is ∝ shard + affected (both corpus-independent at
+    * fixed shard size — Probe's s15 section measures it flat 1×→10×);
+    * the only corpus-sized term is the OUTPUT relation itself, which
+    * production writes as the next edge-table generation. Shard: the
+    * s8 increment (every [[S8Mod]]th vector re-keyed past max id,
+    * embedding unchanged) — deterministic, so the oracle derives it
+    * in SQL; each copy's planted nearest neighbor is its source at
+    * cosine exactly 1.0. */
+  def s15GraphAdmit(s: SparkSession, dir: String): DataFrame =
+    s15Admit(s, dir, s.read.parquet(s8IncrementPath(s, dir)))
+
+  /** The admission core over an explicit (vec_id, embedding) shard —
+    * factored like [[d12Admit]]/[[s8WriteAssigned]] so the scale probe
+    * can admit a FIXED shard against growing corpora. CONTRACT: every
+    * shard vec_id must exceed every corpus vec_id. */
+  private[graft] def s15Admit(s: SparkSession, dir: String,
+      incVecs: DataFrame): DataFrame = {
+    val (untouched, delta) = s15AdmitParts(s, dir, incVecs)
+    untouched.unionByName(delta).orderBy("query_id", "rnk")
+  }
+
+  /** The two halves of an admission: (untouched pass-through rows,
+    * bounded delta = merged affected + new-vector edges). Split so the
+    * scale probe can time the ADMISSION WORK (the delta — ∝ shard +
+    * affected) apart from the corpus-sized pass-through union that
+    * production spells as the next edge-table generation's write. */
+  private[graft] def s15AdmitParts(s: SparkSession, dir: String,
+      incVecs: DataFrame): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.register(s)
+    val idx = graphIndexPath(s, dir)
+    val inc = incVecs
+      .select(col("vec_id"), col("embedding"),
+        slice(s12RankCol(s, dir), 1, S12Probes).as("probes"))
+      .withColumn("cell", element_at(col("probes"), 1))
+      .localCheckpoint(true) // shard-sized; reused by every piece below
+    // driver-side cell-id lists (shard-bounded, ≤ shard × nprobe ints):
+    // `landed` prunes the affected-old read, `probed` the member read
+    val landed = inc.select("cell").distinct().collect()
+      .map(_.getInt(0)).map(Integer.valueOf)
+    val probed = inc.select(explode(col("probes")).as("pc")).distinct()
+      .collect().map(_.getInt(0)).map(Integer.valueOf)
+    val wEdge = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+
+    // 1. new-vector edges: shard probes × (old members of those cells
+    //    ∪ the shard itself), shard side broadcast — members never
+    //    shuffle, and the read is partition-pruned to the probed cells
+    val members = s.read.parquet(s"$idx/assign")
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+        col("cell"))
+      .unionByName(inc.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("ne"), col("cell")))
+    val newEdges = members
+      .join(broadcast(inc
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+            explode(col("probes")).as("cell"))),
+        Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorOps.cosine("qe", "ne").as("cos"))
+      .withColumn("rnk", row_number().over(wEdge))
+      .filter(col("rnk") <= S12K)
+
+    // 2. affected-old updates: probers of the landed cells (pruned
+    //    inverted-index read), paired with the new arrivals in the
+    //    cell they probe, then merged with their STORED edge lists
+    val affected = s.read.parquet(s"$idx/probed")
+      .filter(col("pcell").isin(landed: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("pcell"))
+    val candNew = affected
+      .join(broadcast(inc.select(col("cell").as("pcell"),
+          col("vec_id").as("neighbor_id"), col("embedding").as("ne"))),
+        Seq("pcell"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorOps.cosine("qe", "ne").as("cos"))
+    val affIds = affected.select("query_id").distinct()
+      .localCheckpoint(true) // landed-cells-bounded; reused by 2 joins
+    val oldEdges = s.read.parquet(s"$idx/edges")
+    val merged = oldEdges
+      .join(broadcast(affIds), Seq("query_id"), "left_semi")
+      .select("query_id", "neighbor_id", "cos")
+      .unionByName(candNew)
+      .withColumn("rnk", row_number().over(wEdge))
+      .filter(col("rnk") <= S12K)
+
+    // 3. untouched rows pass through with their stored ranks
+    val untouched = oldEdges
+      .join(broadcast(affIds), Seq("query_id"), "left_anti")
+      .select("query_id", "rnk", "neighbor_id", "cos")
+    val delta = merged.select("query_id", "rnk", "neighbor_id", "cos")
+      .unionByName(newEdges.select("query_id", "rnk", "neighbor_id", "cos"))
+    (untouched, delta)
+  }
+
+  /** DuckDB mirror of [[s15GraphAdmit]]: the FULL s12 rebuild over
+    * corpus ∪ the SQL-derived shard (same [[S8Mod]] re-keying) with
+    * the frozen trained literals inlined — the increment ≡ batch
+    * equivalence, hash-checked whole. */
+  private[graft] def s15OracleSql(cent: Array[Array[Float]],
+      coarse: Array[Array[Float]], fineCoarse: Array[Int],
+      cp: Int): String =
+    s"""WITH mx AS (SELECT max(vec_id) AS m FROM embeddings),
+       |eu AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT e.vec_id + mx.m + 1 AS vec_id, e.embedding
+       |  FROM embeddings e, mx WHERE e.vec_id % $S8Mod = 0),
+       |${s12EdgeCtes(cent, coarse, fineCoarse, cp, rel = "eu")}
+       |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, cos
+       |FROM ranked WHERE rnk <= $S12K ORDER BY query_id, rnk""".stripMargin
+
+  /** [[s15OracleSql]] via the operator's own coarse derivation — the
+    * s12/s14 pattern, sharing their trained-literal resolution. */
+  private[graft] def s15OracleFor(cent: Array[Array[Float]]): String = {
+    val (coarse, fineCoarse) = s12CoarseFor(cent)
+    s15OracleSql(cent, coarse, fineCoarse,
+      math.min(S12CoarseProbes, coarse.length))
   }
 
   /** s10 candidate-pool size per query (the relevance top-N MMR
@@ -2538,7 +2834,7 @@ object Similarity {
     * so the two oracles can never drift on what the graph IS. */
   private def s12EdgeCtes(cent: Array[Array[Float]],
       coarse: Array[Array[Float]], fineCoarse: Array[Int],
-      cp: Int): String = {
+      cp: Int, rel: String = "embeddings"): String = {
     def litVec(v: Array[Float]) =
       v.map(x => s"CAST($x AS FLOAT)").mkString("[", ",", "]")
     val vals = cent.zipWithIndex
@@ -2553,7 +2849,7 @@ object Similarity {
        |coarse_scored AS (
        |  SELECT e.vec_id, c.ccid,
        |    ${VectorOps.sqlCosine("e.embedding", "cv")} AS ccos
-       |  FROM embeddings e CROSS JOIN ccent c),
+       |  FROM $rel e CROSS JOIN ccent c),
        |coarse_top AS (
        |  SELECT vec_id, ccid FROM (
        |    SELECT vec_id, ccid, row_number() OVER (PARTITION BY vec_id
@@ -2563,7 +2859,7 @@ object Similarity {
        |scored_cells AS (
        |  SELECT e.vec_id, e.embedding, f.cid,
        |    ${VectorOps.sqlCosine("e.embedding", "fv")} AS ccos
-       |  FROM embeddings e
+       |  FROM $rel e
        |  JOIN coarse_top t ON t.vec_id = e.vec_id
        |  JOIN cent f ON f.fcc = t.ccid),
        |ranked_cells AS (
@@ -2645,7 +2941,14 @@ object Similarity {
        |  FROM gq
        |  UNION
        |  SELECT gq.query_id, e.dst AS node
-       |  FROM gq JOIN gedges e ON e.src = gq.query_id),
+       |  FROM gq JOIN gedges e ON e.src = gq.query_id
+       |  UNION
+       |  -- the probe-seed leg: the query's probed cells' best members
+       |  -- (for the in-corpus gate queries this is exactly `ranked`
+       |  -- restricted to them — same probes, members, tie rule)
+       |  SELECT query_id, neighbor_id AS node
+       |  FROM ranked
+       |  WHERE query_id < $NumQueries AND rnk <= $S14SeedK),
        |beam0 AS MATERIALIZED (
        |  SELECT query_id, node, cos FROM (
        |    SELECT query_id, node, cos, row_number() OVER (
@@ -2756,6 +3059,7 @@ object Similarity {
       ("s3_ann_ivf" -> s3OracleSql(cent)) +
       ("s12_knn_graph" -> s12OracleFor(s12CentroidsFor(s, dir))) +
       ("s14_ann_graph" -> s14OracleFor(s12CentroidsFor(s, dir))) +
+      ("s15_graph_admit" -> s15OracleFor(s12CentroidsFor(s, dir))) +
       ("s9_ann_filtered" -> s9OracleSql(cent)) +
       ("d10_semdedup" -> d10OracleSql(cent)) +
       ("s6_ann_pq" -> s6OracleSql(pq)) +
@@ -2787,6 +3091,9 @@ object Similarity {
           lastS12Key.flatMap(k => Option(centroidCache.get(k)))
             .getOrElse(c))) +
         ("s14_ann_graph" -> s14OracleFor(
+          lastS12Key.flatMap(k => Option(centroidCache.get(k)))
+            .getOrElse(c))) +
+        ("s15_graph_admit" -> s15OracleFor(
           lastS12Key.flatMap(k => Option(centroidCache.get(k)))
             .getOrElse(c))) +
         ("s9_ann_filtered" -> s9OracleSql(c)) +
@@ -2887,6 +3194,7 @@ object Similarity {
     "s9_ann_filtered" -> s9FilteredAnn, // oracle: filtered s3 replay
     "s12_knn_graph" -> s12KnnGraph, // oracle: generated, corpus-as-queries
     "s14_ann_graph" -> s14AnnGraph, // oracle: s12 edge replay + hop unroll
+    "s15_graph_admit" -> s15GraphAdmit, // oracle: full rebuild over the union
 
     "s10_mmr_diversify" -> s10MmrDiversify, // oracle: k-step CTE unroll
     "d10_semdedup" -> d10SemDedup, // oracle generated with inlined centroids

@@ -982,4 +982,121 @@ class SimilaritySpec extends AnyFunSuite {
         f"distributed Lloyd scored $objT%.4f, below its seed set $objS%.4f")
     } finally s.conf.unset("spark.graft.kmeans.driverMaxSample")
   }
+
+  test("s14 OUT-OF-CORPUS queries (r16 ask #3): probe-seeded beam over a " +
+    "held-out corpus reaches the in-corpus recall floor") {
+    import org.apache.spark.sql.functions.col
+    // stage the corpus WITHOUT the five gate query vectors, so they
+    // become genuinely out-of-corpus: zero adjacency rows — the path
+    // that used to seed from the single global entry alone (measured
+    // 0.53 recall@3 at sf0.1, BELOW the raw graph's 0.73). The probe
+    // seeds (the query's nearest IVF cells' best members, read
+    // partition-pruned from the artifact's assign/ layer) are the fix.
+    val hold = "target/test-s14-holdout"
+    val e = graft.Tables.embeddings(s, dir)
+    e.filter(col("vec_id") >= Similarity.NumQueries)
+      .write.mode("overwrite").parquet(s"$hold/embeddings.parquet")
+    val q = e.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val out = Similarity.s14AnnGraphFor(s, hold, q).collect()
+    val held = s.read.parquet(s"$hold/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val heldIds = held.map(_._1).toSet
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (qid, rs) =>
+      assert(!heldIds.contains(qid), "query id collided with the corpus")
+      assert(rs.forall(r => heldIds.contains(r.getLong(2))),
+        "neighbor outside the held-out corpus")
+      assert(rs.length <= Similarity.TopK)
+    }
+    // exact ground truth against the HELD-OUT corpus (driver-side —
+    // the corpus is spec-sized), same (cos DESC, id ASC) tie rule
+    val queries = e.filter(col("vec_id") < Similarity.NumQueries)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val hits = queries.map { case (qid, qv) =>
+      val truth = held.sortBy { case (id, v) => (-pqCos(qv, v), id) }
+        .take(Similarity.TopK).map(_._1).toSet
+      val got = byQ.getOrElse(qid, Array.empty).map(_.getLong(2)).toSet
+      (got & truth).size
+    }.sum
+    val recall = hits.toDouble / (queries.length * Similarity.TopK)
+    info(f"s14 out-of-corpus recall@${Similarity.TopK} = $recall%.2f")
+    assert(recall >= 0.6, f"out-of-corpus recall $recall%.2f fell below " +
+      "the in-corpus floor — probe seeding regressed")
+  }
+
+  test("s15 graph admission: planted copies resolve to their source at " +
+    "cos 1.0, per-node top lists only improve, empty shard is identity, " +
+    "re-run deterministic, cell reads partition-pruned") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val e = graft.Tables.embeddings(s, dir)
+    val maxId = e.agg(org.apache.spark.sql.functions.max("vec_id"))
+      .head().getLong(0)
+    val out = Similarity.s15GraphAdmit(s, dir)
+    val rows = out.collect()
+    // planted ground truth: every shard vector is an exact copy of its
+    // source (embedding unchanged, id re-keyed past the corpus), so its
+    // rank-1 edge is the source at cosine ~1.0 (the shared left fold
+    // computes dot/(√n·√n), which can land 1 ulp ABOVE 1.0 — both
+    // engines compute the identical value, the gate hash proves it;
+    // the spec asserts the 1-ulp band)
+    val newIds = rows.map(_.getLong(0)).filter(_ > maxId).distinct
+    assert(newIds.nonEmpty, "no admitted vectors in the output")
+    newIds.foreach { nid =>
+      val r1 = rows.find(r => r.getLong(0) == nid && r.getInt(1) == 1).get
+      assert(r1.getLong(2) == nid - maxId - 1, s"copy $nid rank-1 source")
+      assert(math.abs(r1.getDouble(3) - 1.0) < 1e-14,
+        s"copy $nid cosine ${r1.getDouble(3)} not ~1.0")
+    }
+    // monotone improvement: admission only ADDS candidates, so each old
+    // vector's cosine list at every rank is >= its pre-admission list
+    val stored = s.read
+      .parquet(s"${Similarity.graphIndexPath(s, dir)}/edges").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(_.getDouble(3))).toMap
+    rows.filter(_.getLong(0) <= maxId).groupBy(_.getLong(0))
+      .foreach { case (qid, rs) =>
+        val now = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+        val before = stored.getOrElse(qid, Array.empty[Double])
+        before.zip(now).foreach { case (b, n) =>
+          assert(n >= b, s"node $qid rank cosine regressed: $n < $b")
+        }
+        assert(now.length >= before.length, s"node $qid lost edges")
+      }
+    // empty shard admits to the identity (untouched pass-through only)
+    val empty = e.filter(col("vec_id") < 0)
+      .select("vec_id", "embedding")
+    val idRows = Similarity.s15Admit(s, dir, empty).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val storedRows = s.read
+      .parquet(s"${Similarity.graphIndexPath(s, dir)}/edges").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(idRows.sorted.sameElements(storedRows.sorted),
+      "empty-shard admission is not the identity")
+    // deterministic re-run (artifact + frozen quantizer: nothing to drift)
+    val again = Similarity.s15GraphAdmit(s, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(again.sorted.sameElements(rows
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sorted), "re-run drifted")
+    // partition pruning: the artifact reads in the bounded delta carry
+    // cell/pcell PartitionFilters (the s8 assertion for the graph)
+    val (_, delta) = Similarity.s15AdmitParts(s, dir,
+      s.read.parquet(Similarity.s8IncrementPath(s, dir)))
+    val scans = TestSpark.flattenPlan(delta.queryExecution.executedPlan)
+      .collect { case f: FileSourceScanExec => f }
+      .filter(_.relation.location.rootPaths.exists(
+        _.toString.contains("knngraph")))
+    val pruned = scans.filter(f =>
+      f.relation.partitionSchema.fieldNames.exists(
+        n => n == "cell" || n == "pcell"))
+    assert(pruned.nonEmpty, "no partitioned artifact scan in the delta")
+    pruned.foreach { f =>
+      assert(f.partitionFilters.nonEmpty,
+        s"unpruned partitioned read: ${f.relation.location.rootPaths}")
+    }
+  }
 }

@@ -902,6 +902,72 @@ object Dedup {
       .orderBy("bench_id")
   }
 
+  // ------------------------------------------- d16 exact-substring spans
+
+  /** Minimum reported common-substring length, in TOKENS. A run of n
+    * consecutive matching [[D9ShingleW]]-shingles on one alignment
+    * diagonal is an exact common substring of n + W − 1 tokens; 12
+    * demands runs of ≥ 5 shingles — long enough that coincidental
+    * phrase reuse doesn't fire, short enough that real leaked spans
+    * (planted near-dup families: 39–89 tokens) always do. */
+  val D16MinSpan = 12
+
+  /** d16: EXACT-SUBSTRING contamination spans — the span-granular
+    * sibling of d9 (which only FLAGS a training doc sharing ≥ 2
+    * distinct 8-grams with the benchmark slice): report every maximal
+    * exact common substring of ≥ [[D16MinSpan]] tokens between a
+    * training doc and a benchmark doc, with positions on BOTH sides —
+    * the artifact a redaction job consumes (cut `tok_start …
+    * tok_start+span_len` from the doc) and an eval audit cites
+    * (`bench_start` localizes the leak in the benchmark item). This is
+    * the suffix-array "exact substring" decontamination of Lee et al.
+    * (2022), "Deduplicating Training Data Makes Language Models
+    * Better", re-expressed relationally: a length-≥-k common substring
+    * is exactly a maximal run of consecutive matching k-shingles on
+    * one alignment diagonal, so suffix arrays become a join + a
+    * gaps-and-islands window — Spark-native, no per-partition
+    * imperative state.
+    *
+    * Plan shape: positional 8-shingles on both sides (one map pass —
+    * the kernel shingle pass d2/d4/d9 already ride); the benchmark
+    * side (the deterministic [[D9BenchPct]]% slice, stand-in for an
+    * MBs-sized eval suite) is BROADCAST, so the corpus side matches
+    * map-side with no shuffle of the exploded shingle volume. Matches
+    * then shuffle ONCE on (doc, bench_doc, diagonal) — match-bounded,
+    * not corpus-bounded — for the island window
+    * (`pos − row_number()`), and maximal runs fall out of one
+    * aggregation. At 100 TB the corpus never shuffles; only true
+    * cross-corpus matches do.
+    *
+    * Reference behavior anchor: dedup-on-ingest semantics
+    * (airflow/dags/twitter_airflow.py:69-92) at span granularity —
+    * the d9 inventory machinery extended with alignment positions. */
+  def d16ContamSpans(s: SparkSession, dir: String): DataFrame = {
+    val W = D9ShingleW
+    val base = TextOps.withShingles(Tables.documentsSpread(s, dir))
+      .filter(size(col("toks")) >= W)
+      .select(col("doc_id"),
+        posexplode(expr(s"word_shingles(toks, $W)")).as(Seq("pos0", "shingle")))
+      .withColumn("pos", (col("pos0") + 1).cast("long"))
+    val isBench = TextAnalysis.sampleBucket(col("doc_id")) < D9BenchPct
+    val bench = base.filter(isBench)
+      .select(col("doc_id").as("bench_doc"), col("shingle"),
+        col("pos").as("bpos"))
+    val train = base.filter(!isBench).select("doc_id", "shingle", "pos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id", "bench_doc", "diag").orderBy("pos")
+    train.join(broadcast(bench), Seq("shingle"))
+      .withColumn("diag", col("pos") - col("bpos"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "bench_doc", "diag", "grp")
+      .agg(min("pos").as("tok_start"),
+        (count(lit(1)) + (W - 1)).as("span_len"))
+      .filter(col("span_len") >= D16MinSpan)
+      .select(col("doc_id"), col("bench_doc"), col("tok_start"),
+        (col("tok_start") - col("diag")).as("bench_start"), col("span_len"))
+      .orderBy("doc_id", "bench_doc", "tok_start", "bench_start")
+  }
+
   // ------------------------------------------------ d11 incremental dedup
 
   /** d11 increment derivation constants: every [[D11Mod]]th corpus doc
@@ -1736,6 +1802,39 @@ object Dedup {
          |$sqlD9Ctes
          |SELECT doc_id, n_shared, n_shingles FROM d9over
          |ORDER BY doc_id""".stripMargin,
+    // positional 8-shingles on both sides, islands per alignment
+    // diagonal (pos − row_number), maximal runs → spans — the exact
+    // integer algebra of d16ContamSpans, no rounding anywhere
+    "d16_contam_spans" ->
+      s"""${TextOps.sqlShingleCte},
+         |posg AS (
+         |  SELECT doc_id,
+         |    unnest(${TextOps.sqlShinglesW(D9ShingleW)}) AS shingle,
+         |    unnest(generate_series(1, len(toks) - ${D9ShingleW - 1}))
+         |      AS pos
+         |  FROM tok_t WHERE len(toks) >= $D9ShingleW),
+         |dbench AS (
+         |  SELECT doc_id AS bench_doc, shingle, pos AS bpos FROM posg
+         |  WHERE ${TextAnalysis.sqlSampleBucket("doc_id")} < $D9BenchPct),
+         |dtrain AS (
+         |  SELECT doc_id, shingle, pos FROM posg
+         |  WHERE NOT (${TextAnalysis.sqlSampleBucket("doc_id")} < $D9BenchPct)),
+         |mm AS (
+         |  SELECT t.doc_id, b.bench_doc, t.pos, t.pos - b.bpos AS diag
+         |  FROM dtrain t JOIN dbench b ON t.shingle = b.shingle),
+         |isl AS (
+         |  SELECT *, pos - row_number() OVER (
+         |    PARTITION BY doc_id, bench_doc, diag ORDER BY pos) AS grp
+         |  FROM mm),
+         |sp AS (
+         |  SELECT doc_id, bench_doc, diag,
+         |    CAST(min(pos) AS BIGINT) AS tok_start,
+         |    CAST(count(*) + ${D9ShingleW - 1} AS BIGINT) AS span_len
+         |  FROM isl GROUP BY doc_id, bench_doc, diag)
+         |SELECT doc_id, bench_doc, tok_start,
+         |  CAST(tok_start - diag AS BIGINT) AS bench_start, span_len
+         |FROM sp WHERE span_len >= $D16MinSpan
+         |ORDER BY doc_id, bench_doc, tok_start, bench_start""".stripMargin,
     // the staged benchmarks table is DERIVED deterministically from the
     // bench sample bucket (d9BenchmarksPath), so the oracle reproduces
     // its inventory from `documents` — the train side is the WHOLE
@@ -1914,6 +2013,7 @@ object Dedup {
     "d6_dedup_pipeline" -> d6DedupPipeline,
     "d8_dedup_clusters" -> d8DedupClusters,
     "d9_decontaminate" -> d9Decontaminate,
+    "d16_contam_spans" -> d16ContamSpans,
     "d9_decontaminate_xt" -> d9DecontaminateXt,
     "d9_report" -> d9Report,
     "d11_dedup_incremental" -> d11DedupIncremental,

@@ -1543,6 +1543,70 @@ object TextAnalysis {
     movers.unionAll(total).orderBy("word")
   }
 
+  // ----------------------------------------------------------------- t19
+
+  /** Training-sequence length (tokens) for t19 packing. */
+  val T19SeqLen = 128
+  /** Packing shards — production sets this in the thousands (one window
+    * sort per shard); the gate keeps 8 so each shard carries multiple
+    * sequences at every SF. */
+  val T19Shards = 8
+
+  /** t19: SEQUENCE PACKING — the pretraining "concat-and-chunk" step
+    * that turns a ragged document corpus into fixed-length training
+    * sequences (GPT-style packing: documents are concatenated in a
+    * deterministic order and split every [[T19SeqLen]] tokens, so a
+    * document may span sequence boundaries and a sequence may hold
+    * many documents). Distinct from c6 by design: c6 packs WHOLE
+    * documents (no splits — a sequence may run over budget by one
+    * doc); t19 cuts exactly, so every sequence but each shard's tail
+    * is full — the zero-padding-waste layout attention masks are
+    * built for. The output is the PACKING MANIFEST — one row per
+    * (document, sequence) piece: which slice of the doc
+    * (`tok_start`, `tok_len`) lands at which offset (`seq_off`) of
+    * which training sequence (`shard`, `seq_id`) — the index a
+    * tokenizer-writer job joins against to emit the actual token
+    * shards. Every sequence except the last of each shard is exactly
+    * full (TextAnalysisSpec pins the invariants).
+    *
+    * Scale shape: packing is a PREFIX SUM, so a single global order
+    * would serialize the corpus through one sort. Instead docs hash
+    * into [[T19Shards]] independent streams (doc_id % shards — the
+    * production spelling shards by the same key the corpus is already
+    * bucketed on) and each shard packs independently: one hash
+    * shuffle + per-shard window cumsum, embarrassingly parallel
+    * across shards, deterministic given (shard, doc_id) order. All
+    * arithmetic is integral — the oracle is exact, no rounding.
+    *
+    * Reference anchor: the course stops at per-doc token counts
+    * (luigi/wordcount_map_reduce.py:24-43 → t3); packing is the
+    * standard next step of a public LLM data pipeline (e.g. the
+    * "packed dataset" construction in public pretraining codebases). */
+  def t19SeqPack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = T19SeqLen
+    val tok = Tables.documentsSpread(s, dir)
+      .withColumn("shard", (col("doc_id") % T19Shards).cast("int"))
+      .withColumn("tok",
+        size(expr("filter(split(text, ' '), t -> t <> '')")).cast("long"))
+      .filter(col("tok") > 0)
+      .select("doc_id", "shard", "tok")
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    tok
+      .withColumn("prev", sum("tok").over(w) - col("tok"))
+      .withColumn("seq_id",
+        explode(expr(s"sequence(prev div $L, (prev + tok - 1) div $L)")))
+      .withColumn("tok_start",
+        greatest(lit(0L), col("seq_id") * L - col("prev")))
+      .withColumn("tok_len",
+        least(col("tok"), (col("seq_id") + 1) * L - col("prev"))
+          - col("tok_start"))
+      .withColumn("seq_off",
+        col("prev") + col("tok_start") - col("seq_id") * L)
+      .select("shard", "seq_id", "doc_id", "tok_start", "tok_len", "seq_off")
+      .orderBy("shard", "seq_id", "doc_id")
+  }
+
   // ---------------------------------------------------------------- oracle
 
   /** Stop-word IN-list shared by the t2 and c1 oracles. */
@@ -1783,6 +1847,33 @@ object TextAnalysis {
          |  CAST(length(substr(norm, CAST(chunk_off AS INTEGER) + 1,
          |    $T9ChunkChars)) AS INTEGER) AS chunk_len
          |FROM off_t ORDER BY doc_id, chunk_idx""".stripMargin,
+    // integral concat-and-chunk arithmetic replayed exactly: same
+    // shard hash, same per-shard cumsum, same boundary algebra
+    "t19_seq_pack" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, CAST(doc_id % $T19Shards AS INTEGER) AS shard,
+         |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+         |      AS BIGINT) AS tok
+         |  FROM documents),
+         |cum AS (
+         |  SELECT doc_id, shard, tok,
+         |    CAST(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id) - tok
+         |      AS BIGINT) AS prev
+         |  FROM tok WHERE tok > 0),
+         |ex AS (
+         |  SELECT doc_id, shard, tok, prev,
+         |    unnest(generate_series(prev // $T19SeqLen,
+         |                           (prev + tok - 1) // $T19SeqLen)) AS seq_id
+         |  FROM cum)
+         |SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+         |  CAST(GREATEST(0, seq_id * $T19SeqLen - prev) AS BIGINT)
+         |    AS tok_start,
+         |  CAST(LEAST(tok, (seq_id + 1) * $T19SeqLen - prev)
+         |       - GREATEST(0, seq_id * $T19SeqLen - prev) AS BIGINT)
+         |    AS tok_len,
+         |  CAST(prev + GREATEST(0, seq_id * $T19SeqLen - prev)
+         |       - seq_id * $T19SeqLen AS BIGINT) AS seq_off
+         |FROM ex ORDER BY shard, seq_id, doc_id""".stripMargin,
     // v2 replayed via the shared c12 CTEs; one shared contribution
     // spelling, ln rounded at birth, BIGINT sums
     "t18_kl_drift" ->
@@ -1994,6 +2085,7 @@ object TextAnalysis {
     "t16_keywords" -> t16Keywords,
     "t17_ccnet_ppl" -> t17CcnetPpl,
     "t18_kl_drift" -> t18KlDrift,
+    "t19_seq_pack" -> t19SeqPack,
     "d13_url_dedup" -> d13UrlDedup,
   )
 }

@@ -465,4 +465,72 @@ class DedupSpec extends AnyFunSuite {
     assert(got.toSet == brute,
       "rare-shingle banding must equal the brute force on this corpus")
   }
+
+  test("d16 spans equal a token-diagonal brute force; every span is a " +
+    "genuine maximal exact common substring") {
+    val W = Dedup.D9ShingleW
+    val got = Dedup.d16ContamSpans(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+
+    // the engines' shared normalization/tokenization, replayed
+    val toks = Tables.documents(s, dir).collect().map { r =>
+      val norm = r.getString(1).trim.replaceAll("\\s+", " ").toLowerCase
+      r.getLong(0) -> norm.split(" ").filter(_.nonEmpty).toVector
+    }.toMap
+    val bench = toks.keySet.filter(TestSpark.sampleBucket(_) <
+      Dedup.D9BenchPct)
+    val train = toks.keySet -- bench
+
+    // candidate prefilter: pairs sharing at least one 8-shingle
+    def shingleSet(v: Vector[String]): Set[String] =
+      if (v.length < W) Set.empty
+      else (0 to v.length - W).map(i => v.slice(i, i + W).mkString(" ")).toSet
+    val benchSh = bench.toSeq.map(b => b -> shingleSet(toks(b)))
+
+    // independent spelling: maximal runs of matching TOKENS per
+    // alignment diagonal (not shingles) — a maximal token run of
+    // length n ≥ MinSpan is exactly what d16 must report
+    val brute = (for {
+      d <- train.toSeq; (b, bsh) <- benchSh
+      if shingleSet(toks(d)).exists(bsh.contains)
+      dt = toks(d); bt = toks(b)
+      diag <- -(bt.length - 1) to (dt.length - 1)
+      } yield {
+        val spans = scala.collection.mutable.ListBuffer
+          .empty[(Long, Long, Long, Long, Long)]
+        var i = math.max(0, diag)
+        var run = 0
+        while (i <= dt.length) {
+          val j = i - diag
+          val m = i < dt.length && j >= 0 && j < bt.length && dt(i) == bt(j)
+          if (m) run += 1
+          else {
+            if (run >= Dedup.D16MinSpan)
+              spans += ((d, b, (i - run + 1).toLong, (i - run - diag + 1).toLong,
+                run.toLong))
+            run = 0
+          }
+          i += 1
+        }
+        spans.toList
+      }).flatten.toSet
+    assert(got == brute,
+      s"d16 spans != token-diagonal brute force (${got.size} vs ${brute.size})")
+    assert(got.nonEmpty, "no spans on the gate corpus — test is vacuous")
+
+    // spot the semantics: each reported slice really is equal text and
+    // really is maximal (extending either end breaks it or hits a border)
+    got.foreach { case (d, b, ts, bs, len) =>
+      val dt = toks(d); val bt = toks(b)
+      val a = dt.slice(ts.toInt - 1, ts.toInt - 1 + len.toInt)
+      val c = bt.slice(bs.toInt - 1, bs.toInt - 1 + len.toInt)
+      assert(a == c && a.length == len.toInt, s"span ($d,$b,$ts) not equal")
+      val leftOk = ts == 1 || bs == 1 ||
+        dt(ts.toInt - 2) != bt(bs.toInt - 2)
+      val rightOk = ts - 1 + len == dt.length || bs - 1 + len == bt.length ||
+        dt(ts.toInt - 1 + len.toInt) != bt(bs.toInt - 1 + len.toInt)
+      assert(leftOk && rightOk, s"span ($d,$b,$ts) not maximal")
+    }
+  }
 }

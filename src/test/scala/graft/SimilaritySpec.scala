@@ -1099,4 +1099,56 @@ class SimilaritySpec extends AnyFunSuite {
         s"unpruned partitioned read: ${f.relation.location.rootPaths}")
     }
   }
+
+  test("s16 SQ8 matches a driver replay; error ≤ half a quantization step; " +
+    "recall floored vs s1") {
+    val rows = Similarity.s16Sq8Search(s, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val emb = graft.Tables.embeddings(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+    // exact per-dimension stats (min/max are order-independent)
+    val dims = emb.values.head.length
+    val mn = Array.tabulate(dims)(i => emb.values.map(_(i).toDouble).min)
+    val mx = Array.tabulate(dims)(i => emb.values.map(_(i).toDouble).max)
+    def scale(i: Int): Double = (mx(i) - mn(i)) / Similarity.Sq8Levels
+    // the engines' shared encode → reconstruct arithmetic, replayed
+    def recon(v: Array[Float]): Array[Float] = Array.tabulate(dims) { i =>
+      if (mx(i) <= mn(i)) mn(i).toFloat
+      else {
+        val code = math.min(255L, math.max(0L,
+          math.floor((v(i).toDouble - mn(i)) / scale(i)).toLong))
+        (mn(i) + (code + 0.5) * scale(i)).toFloat
+      }
+    }
+
+    // 1. reconstruction error is bounded by half a step everywhere
+    //    (mid-rise dequantization; data is inside [mn, mx] by
+    //    construction, so no clamp can exceed the bound)
+    emb.values.foreach { v =>
+      val r = recon(v)
+      (0 until dims).foreach { i =>
+        assert(math.abs(r(i) - v(i)) <= scale(i) / 2 + 1e-6,
+          s"dim $i error ${math.abs(r(i) - v(i))} > step/2 ${scale(i) / 2}")
+      }
+    }
+
+    // 2. the Spark result IS the driver replay (same floats, same fold,
+    //    same tie rule) — encode/decode cannot drift between engines
+    val expected = (0L until Similarity.NumQueries).flatMap { qid =>
+      emb.toSeq.filter(_._1 != qid)
+        .map { case (nid, cv) => (nid, pqCos(emb(qid), recon(cv))) }
+        .sortBy { case (nid, c) => (-c, nid) }.take(Similarity.TopK)
+        .zipWithIndex.map { case ((nid, c), k) => (qid, k + 1, nid, c) }
+    }
+    assert(rows.toSeq == expected, "Spark SQ8 result != driver replay")
+
+    // 3. one byte per dimension keeps the ranking: recall@k vs exact s1
+    val truth = Similarity.s1BruteForce(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val found = rows.map(r => (r._1, r._3)).toSet
+    val recall = (truth & found).size.toDouble / truth.size
+    info(f"SQ8 recall@${Similarity.TopK} vs s1 = $recall%.2f")
+    assert(recall >= 0.8, f"SQ8 recall $recall%.2f below floor")
+  }
 }

@@ -788,4 +788,60 @@ class TextAnalysisSpec extends AnyFunSuite {
     // drift is genuinely nonzero and the total row carries it
     assert(out.find(_._1 == "~total").get._4 != 0L)
   }
+
+  test("t19 packing manifest: sequences full except the shard tail, " +
+    "pieces tile every document, tokens conserved") {
+    val L = TextAnalysis.T19SeqLen
+    val rows = TextAnalysis.t19SeqPack(s, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))) // shard, seq, doc, start, len, off
+    assert(rows.nonEmpty)
+
+    // per-document ws-token counts, replayed driver-side (t3 spelling)
+    val tok = graft.Tables.documents(s, dir)
+      .selectExpr("doc_id",
+        "size(filter(split(text, ' '), t -> t <> '')) AS tok").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+
+    // every piece sits inside its sequence and inside its document
+    rows.foreach { case (_, _, doc, start, len, off) =>
+      assert(len > 0 && start >= 0 && off >= 0 && off + len <= L)
+      assert(start + len <= tok(doc))
+    }
+    // every sequence is exactly full except the last of its shard
+    val lastSeq = rows.groupBy(_._1).map { case (sh, rs) =>
+      sh -> rs.map(_._2).max }
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((sh, seq), rs) =>
+      val filled = rs.map(_._5).sum
+      if (seq != lastSeq(sh)) assert(filled == L,
+        s"shard $sh seq $seq holds $filled of $L tokens")
+      else assert(filled <= L)
+      // pieces tile the sequence contiguously from offset 0
+      val sorted = rs.sortBy(_._6)
+      assert(sorted.head._6 == 0)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._6 + a._5 == b._6, "gap in sequence")
+        case _ =>
+      }
+    }
+    // pieces of one document are contiguous slices covering [0, tok)
+    rows.groupBy(_._3).foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.head._4 == 0L)
+      assert(sorted.map(_._5).sum == tok(doc), s"doc $doc not fully packed")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 + a._5 == b._4, "gap in doc slices")
+        case _ =>
+      }
+      // consecutive doc pieces land on consecutive sequences of one shard
+      assert(rs.map(_._1).distinct.length == 1)
+      val seqs = rs.sortBy(_._4).map(_._2)
+      seqs.sliding(2).foreach {
+        case Array(a, b) => assert(b == a + 1)
+        case _ =>
+      }
+    }
+    // nothing lost: every doc with tokens appears
+    assert(rows.map(_._3).toSet == tok.filter(_._2 > 0).keySet)
+  }
 }

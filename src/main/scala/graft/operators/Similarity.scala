@@ -1397,22 +1397,37 @@ object Similarity {
   /** Codes per byte — SQ8 quantizes each dimension to one of 256 levels. */
   val Sq8Levels = 256
 
-  /** Spark-SQL fragment: the SQ8 code for dimension `i` (1-based) of
-    * array-column `v`, given per-dimension stat arrays `mn_arr`/`mx_arr`
-    * (array<double>, 1-based). Integer code in [0, 255] stored with a
-    * −128 offset so it fits a TINYINT — the production byte-per-dim
-    * layout. `floor` returns BIGINT in Spark; the DuckDB mirror
-    * ([[sq8CodeSql]]) casts its DOUBLE `FLOOR` to BIGINT so both sides
-    * clamp in integer space. x = mx lands on (mx−mn)/scale = 256
-    * exactly → clamped to 255. */
-  private def sq8CodeSpark(v: String, i: String): String =
-    s"""CAST(IF(element_at(mx_arr, $i) <= element_at(mn_arr, $i), 0,
-       |  least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
-       |    floor((CAST(element_at($v, $i) AS DOUBLE) - element_at(mn_arr, $i))
-       |      / ((element_at(mx_arr, $i) - element_at(mn_arr, $i))
-       |         / ${Sq8Levels.toDouble}D))))) - 128 AS TINYINT)""".stripMargin
+  /** Spark-SQL fragment: encode→decode FUSED over the raw float column
+    * `v` — the integer code never leaves the expression, so the scan
+    * pays ONE 64-element pass per row. Value-identical to routing
+    * through [[sq8CodeSql]]'s TINYINT (the −128/+128 round trip is
+    * exact on integers 0..255, and the oracle DOES materialize the
+    * byte codes — hash-equality of the final ranking proves the fused
+    * spelling rides the same byte grid). The first, two-column
+    * spelling (a `codes` transform column + a recon transform reading
+    * it) collapsed under Catalyst's project inlining into O(dims²)
+    * interpreted lambda evals per row — 6.8× on the 10× sweep; the
+    * fuse restored the linear 64-eval pass. */
+  private def sq8ReconFusedSpark(v: String, i: String): String =
+    s"""CAST(IF(element_at(mx_arr, $i) <= element_at(mn_arr, $i),
+       |  element_at(mn_arr, $i),
+       |  element_at(mn_arr, $i)
+       |    + (least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+       |         floor((CAST(element_at($v, $i) AS DOUBLE)
+       |                - element_at(mn_arr, $i))
+       |           / ((element_at(mx_arr, $i) - element_at(mn_arr, $i))
+       |              / ${Sq8Levels.toDouble}D)))) + 0.5D)
+       |      * ((element_at(mx_arr, $i) - element_at(mn_arr, $i))
+       |         / ${Sq8Levels.toDouble}D)) AS FLOAT)""".stripMargin
 
-  /** DuckDB mirror of [[sq8CodeSpark]] — identical guard, clamp, offset. */
+  /** The SQ8 code for dimension `i` (1-based) of float-array column
+    * `v` given stat arrays `mn_arr`/`mx_arr` (DOUBLE, 1-based): clamp
+    * floor((x − mn)/scale) into [0, 255] (x = mx lands on exactly 256
+    * → clamped), stored with a −128 offset so it fits a TINYINT — the
+    * production byte-per-dim layout, materialized by the ORACLE's enc
+    * CTE (the Spark side fuses encode→decode, [[sq8ReconFusedSpark]]).
+    * Degenerate dimension (mx ≤ mn) → code 0, guarded identically on
+    * both sides. */
   private def sq8CodeSql(v: String, i: String): String =
     s"""CAST(CASE WHEN mx_arr[$i] <= mn_arr[$i] THEN 0
        |  ELSE LEAST(255, GREATEST(0,
@@ -1420,21 +1435,15 @@ object Similarity {
        |      / ((mx_arr[$i] - mn_arr[$i]) / ${Sq8Levels.toDouble})) AS BIGINT)))
        |  END - 128 AS TINYINT)""".stripMargin
 
-  /** Spark-SQL fragment: reconstruct dimension `i` from TINYINT code
-    * array `cd` — mid-rise dequantization mn + (code + 0.5)·scale, cast
-    * to FLOAT so the scoring input is the same 4-byte type the raw
-    * corpus carries (and the native [[graft.functions.CosineSim]]
-    * kernel reads). A degenerate dimension (mx ≤ mn) reconstructs to
-    * mn — guarded on BOTH sides so no NaN/Inf can enter the fold. */
-  private def sq8ReconSpark(cd: String, i: String): String =
-    s"""CAST(IF(element_at(mx_arr, $i) <= element_at(mn_arr, $i),
-       |  element_at(mn_arr, $i),
-       |  element_at(mn_arr, $i)
-       |    + ((CAST(element_at($cd, $i) AS BIGINT) + 128) + 0.5D)
-       |      * ((element_at(mx_arr, $i) - element_at(mn_arr, $i))
-       |         / ${Sq8Levels.toDouble}D)) AS FLOAT)""".stripMargin
-
-  /** DuckDB mirror of [[sq8ReconSpark]]. */
+  /** DuckDB mirror of [[sq8ReconFusedSpark]]'s decode half, reading the
+    * materialized TINYINT code array `cd` — mid-rise dequantization
+    * mn + (code + 0.5)·scale, cast to FLOAT so the scoring input is
+    * the same 4-byte type the raw corpus carries. A degenerate
+    * dimension (mx ≤ mn) reconstructs to mn — guarded on BOTH sides so
+    * no NaN/Inf can enter the fold. The oracle deliberately keeps the
+    * TWO-step byte-materialized spelling a production index uses, so
+    * the gate's hash-equality proves the Spark fuse rides the exact
+    * byte grid. */
   private def sq8ReconSql(cd: String, i: String): String =
     s"""CAST(CASE WHEN mx_arr[$i] <= mn_arr[$i] THEN mn_arr[$i]
        |  ELSE mn_arr[$i]
@@ -1460,16 +1469,19 @@ object Similarity {
     *   2. fold the 64 rows to ONE stats row (sort_array(collect_list)
     *      → ordered mn/mx arrays) and broadcast-cross it onto the
     *      corpus — the d14/c29 stat-frame pattern;
-    *   3. ENCODE: codes = array<tinyint> (this column is what a
-    *      production index persists; the probe side reads bytes only);
-    *   4. SEARCH (asymmetric, ADC-style): raw float query vs
-    *      RECONSTRUCTED candidate — reconstruct is row-local HOF
-    *      arithmetic, scoring is the native fused cosine kernel,
-    *      top-k per query one window.
-    * Scale: encode is one corpus map pass (staging, write-once);
-    * search scans codes with a broadcast query set — the s1 plan over
-    * a 4×-smaller relation. Recall@3 vs exact s1: 0.93 at sf0.001
-    * (spec-floored ≥ 0.8 at 3 SFs).
+    *   3. SEARCH (asymmetric, ADC-style): raw float query vs the
+    *      candidate RECONSTRUCTED onto the 256-level byte grid —
+    *      encode→decode fused into one row-local 64-element pass
+    *      ([[sq8ReconFusedSpark]]; a production index persists
+    *      [[sq8CodeSql]]'s TINYINT codes as its staged artifact and
+    *      decodes from bytes at read — same arithmetic, split at the
+    *      storage boundary, and the ORACLE keeps that two-step
+    *      byte-materialized spelling so the hash gate proves the fuse
+    *      rides the byte grid); scoring is the native fused cosine
+    *      kernel, top-k per query one window.
+    * Scale: one corpus map pass + the s1 broadcast-query plan over a
+    * relation a production deployment stores 4× smaller. Recall@3 vs
+    * exact s1: 0.93 at sf0.001 (spec-floored ≥ 0.8).
     *
     * Reference anchor: the course's Dask notebooks stop at exact
     * pairwise similarity (dask/dask_dataframes.ipynb); SQ8 is the
@@ -1490,15 +1502,17 @@ object Similarity {
           .as("mn_arr"),
         expr("transform(sort_array(collect_list(struct(pos, mx))), x -> x.mx)")
           .as("mx_arr"))
-    // 3: encode — the byte-per-dimension index column.
-    val codes = e.crossJoin(broadcast(stats))
-      .withColumn("codes",
-        expr(s"transform(sequence(1, 64), i -> ${sq8CodeSpark("embedding", "i")})"))
-      .select(col("vec_id").as("neighbor_id"), col("codes"),
-        col("mn_arr"), col("mx_arr"))
-    // 4: asymmetric search — raw query against reconstructed candidate.
-    val cand = codes.withColumn("re",
-      expr(s"transform(sequence(1, 64), i -> ${sq8ReconSpark("codes", "i")})"))
+    // 3+4 candidate side: encode→decode fused into ONE 64-element pass
+    // per row ([[sq8ReconFusedSpark]] — the byte grid is identical to
+    // the oracle's materialized TINYINT codes; a separate `codes`
+    // column would collapse into O(dims²) inlined evals). A production
+    // index PERSISTS [[sq8CodeSpark]]'s codes column as its staged
+    // artifact and reconstructs from bytes at read — same arithmetic,
+    // split at the storage boundary.
+    val cand = e.crossJoin(broadcast(stats))
+      .withColumn("re",
+        expr(s"transform(sequence(1, 64), i -> ${sq8ReconFusedSpark("embedding", "i")})"))
+      .select(col("vec_id").as("neighbor_id"), col("re"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     cand.crossJoin(broadcast(queriesDf(s, dir)))

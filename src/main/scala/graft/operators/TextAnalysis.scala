@@ -1609,6 +1609,38 @@ object TextAnalysis {
 
   // ---------------------------------------------------------------- oracle
 
+  /** The whole t19 packing derivation as DuckDB CTE text ending at
+    * `t19m(shard, seq_id, doc_id, tok_start, tok_len, seq_off)` — ONE
+    * spelling of the manifest algebra shared by the t19 oracle and
+    * st15's closed-sequence aggregation oracle (the t17/c25 shared-CTE
+    * discipline: the two oracles cannot drift on what the packing is). */
+  private[graft] def t19ManifestCtes: String =
+    s"""t19tok AS (
+       |  SELECT doc_id, CAST(doc_id % $T19Shards AS INTEGER) AS shard,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+       |      AS BIGINT) AS tok
+       |  FROM documents),
+       |t19cum AS (
+       |  SELECT doc_id, shard, tok,
+       |    CAST(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id) - tok
+       |      AS BIGINT) AS prev
+       |  FROM t19tok WHERE tok > 0),
+       |t19ex AS (
+       |  SELECT doc_id, shard, tok, prev,
+       |    unnest(generate_series(prev // $T19SeqLen,
+       |                           (prev + tok - 1) // $T19SeqLen)) AS seq_id
+       |  FROM t19cum),
+       |t19m AS (
+       |  SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+       |    CAST(GREATEST(0, seq_id * $T19SeqLen - prev) AS BIGINT)
+       |      AS tok_start,
+       |    CAST(LEAST(tok, (seq_id + 1) * $T19SeqLen - prev)
+       |         - GREATEST(0, seq_id * $T19SeqLen - prev) AS BIGINT)
+       |      AS tok_len,
+       |    CAST(prev + GREATEST(0, seq_id * $T19SeqLen - prev)
+       |         - seq_id * $T19SeqLen AS BIGINT) AS seq_off
+       |  FROM t19ex)""".stripMargin
+
   /** Stop-word IN-list shared by the t2 and c1 oracles. */
   private[operators] val sqlStopList: String =
     Relational.stopwords.map(w => s"'$w'").mkString(", ")
@@ -1850,30 +1882,9 @@ object TextAnalysis {
     // integral concat-and-chunk arithmetic replayed exactly: same
     // shard hash, same per-shard cumsum, same boundary algebra
     "t19_seq_pack" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, CAST(doc_id % $T19Shards AS INTEGER) AS shard,
-         |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
-         |      AS BIGINT) AS tok
-         |  FROM documents),
-         |cum AS (
-         |  SELECT doc_id, shard, tok,
-         |    CAST(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id) - tok
-         |      AS BIGINT) AS prev
-         |  FROM tok WHERE tok > 0),
-         |ex AS (
-         |  SELECT doc_id, shard, tok, prev,
-         |    unnest(generate_series(prev // $T19SeqLen,
-         |                           (prev + tok - 1) // $T19SeqLen)) AS seq_id
-         |  FROM cum)
-         |SELECT shard, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
-         |  CAST(GREATEST(0, seq_id * $T19SeqLen - prev) AS BIGINT)
-         |    AS tok_start,
-         |  CAST(LEAST(tok, (seq_id + 1) * $T19SeqLen - prev)
-         |       - GREATEST(0, seq_id * $T19SeqLen - prev) AS BIGINT)
-         |    AS tok_len,
-         |  CAST(prev + GREATEST(0, seq_id * $T19SeqLen - prev)
-         |       - seq_id * $T19SeqLen AS BIGINT) AS seq_off
-         |FROM ex ORDER BY shard, seq_id, doc_id""".stripMargin,
+      s"""WITH $t19ManifestCtes
+         |SELECT shard, seq_id, doc_id, tok_start, tok_len, seq_off
+         |FROM t19m ORDER BY shard, seq_id, doc_id""".stripMargin,
     // v2 replayed via the shared c12 CTEs; one shared contribution
     // spelling, ln rounded at birth, BIGINT sums
     "t18_kl_drift" ->

@@ -360,6 +360,76 @@ object Streams {
   def st8Query(s: SparkSession, dir: String): DataFrame =
     funnelBatch(Tables.events(s, dir)).orderBy("user_id")
 
+  // ------------------------------------------------------------- st15
+
+  case class PackDoc(doc_id: Long, tok: Long)
+  /** `filled` = tokens consumed in the shard so far (the running
+    * cumsum); `openDocs` = manifest pieces already landed in the
+    * still-open sequence. */
+  case class PackState(filled: Long, openDocs: Long)
+  case class PackSeqOut(shard: Int, seq_id: Long, n_docs: Long,
+      n_tokens: Long)
+
+  /** st15 (streaming spelling): LIVE SEQUENCE PACKING — t19's
+    * concat-and-chunk packer over a document ingest stream, emitting a
+    * sequence's summary row the MOMENT it fills (the trigger a
+    * tokenizer-writer job tails: every emitted row is a ready-to-write,
+    * exactly-full training sequence; the still-open tail sequence per
+    * shard is never emitted, so append mode is exact — no row is ever
+    * revised). State per shard is TWO LONGS (running token cumsum +
+    * pieces in the open sequence) regardless of stream length — packing
+    * is a prefix sum, and a prefix sum's streaming state is just the
+    * prefix.
+    *
+    * Ordering contract (the st7 arrival-rank trade): the stream packs
+    * in ARRIVAL order per shard (within a trigger, ties sort by
+    * doc_id — the only total order a stream can offer); the batch
+    * formulation ([[st15Query]]) is the deterministic doc_id-order
+    * spelling the gate pins, and under in-id-order feeds the two agree
+    * exactly (StreamsSpec drives multiple triggers and asserts parity
+    * plus no-re-emission). Scale shape: one hash shuffle on the shard
+    * key, O(shards) state, emission volume = closed sequences. */
+  def packStream(docs: Dataset[PackDoc],
+      seqLen: Int = TextAnalysis.T19SeqLen): Dataset[PackSeqOut] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(d => (d.doc_id % TextAnalysis.T19Shards).toInt)
+      .flatMapGroupsWithState[PackState, PackSeqOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Int, ds: Iterator[PackDoc], state: GroupState[PackState]) =>
+          val sorted = ds.toSeq.sortBy(_.doc_id)
+          var st = state.getOption.getOrElse(PackState(0L, 0L))
+          val out = scala.collection.mutable.ListBuffer.empty[PackSeqOut]
+          for (d <- sorted if d.tok > 0) {
+            var remaining = d.tok
+            while (remaining > 0) {
+              // one loop pass = one manifest piece of this doc
+              val room = seqLen - (st.filled % seqLen)
+              val take = math.min(room, remaining)
+              st = PackState(st.filled + take, st.openDocs + 1)
+              remaining -= take
+              if (st.filled % seqLen == 0) {
+                out += PackSeqOut(shard, st.filled / seqLen - 1,
+                  st.openDocs, seqLen.toLong)
+                st = st.copy(openDocs = 0L)
+              }
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** st15 (batch formulation, the gate spelling): the CLOSED sequences
+    * of t19's manifest — exactly-full ones; each shard's under-full
+    * tail is the still-open sequence the stream hasn't emitted. One
+    * combinable aggregation over the manifest. */
+  def st15Query(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.t19SeqPack(s, dir)
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("tok_len").as("n_tokens"))
+      .filter(col("n_tokens") === TextAnalysis.T19SeqLen.toLong)
+      .orderBy("shard", "seq_id")
+
   // ------------------------------------------------------------- st12
 
   /** One event of the st12 enrichment feed: `d` is the ISO lookup
@@ -630,6 +700,17 @@ object Streams {
   }
 
   val oracle: Map[String, String] = Map(
+    // the closed sequences of t19's manifest, derived from the SHARED
+    // t19 CTE text (the two oracles cannot drift on what the packing
+    // is); exactly-full ⟺ closed — each shard's under-full tail is
+    // the stream's still-open sequence
+    "st15_stream_pack" ->
+      s"""WITH ${graft.operators.TextAnalysis.t19ManifestCtes}
+         |SELECT shard, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(tok_len) AS BIGINT) AS n_tokens
+         |FROM t19m GROUP BY shard, seq_id
+         |HAVING sum(tok_len) = ${graft.operators.TextAnalysis.T19SeqLen}
+         |ORDER BY shard, seq_id""".stripMargin,
     // the maintained-counter read must equal q52's direct scan —
     // SAME oracle text: the decayed score is a function of the
     // (day, item) counts alone, which is what the state maintains
@@ -1007,5 +1088,6 @@ object Streams {
     "st7_stream_cap" -> st7Query,
     "st8_stream_funnel" -> st8Query,
     "st12_stream_pit" -> st12Query,
+    "st15_stream_pack" -> st15Query,
   )
 }

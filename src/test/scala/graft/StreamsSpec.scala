@@ -714,4 +714,47 @@ class StreamsSpec extends AnyFunSuite {
         "no compression — counter table as large as the click stream")
     } finally q.stop()
   }
+
+  test("st15: streaming packer emits each closed sequence exactly once " +
+    "and agrees with the batch closed-sequence spelling") {
+    val sess = s
+    import sess.implicits._
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(expr("filter(split(text, ' '), t -> t <> '')"))
+          .cast("long").as("tok"))
+      .as[Streams.PackDoc].collect().sortBy(_.doc_id)
+    val input = MemoryStream[Streams.PackDoc](s)
+    val q = Streams.packStream(input.toDS())
+      .writeStream.format("memory").queryName("st15_out")
+      .outputMode("append").start()
+    try {
+      val expected = Streams.st15Query(s, dir).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted
+      def emitted() = s.table("st15_out").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      // three in-id-order triggers: per shard, arrival order = id order,
+      // so the stream must converge to exactly the batch closed set
+      val (a, rest) = docs.splitAt(docs.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 3)
+      input.addData(a)
+      q.processAllAvailable()
+      val afterFirst = emitted()
+      assert(afterFirst.toSet.subsetOf(expected.toSet),
+        "mid-stream emission not a prefix of the batch truth")
+      input.addData(b)
+      q.processAllAvailable()
+      input.addData(c)
+      q.processAllAvailable()
+      val got = emitted()
+      // append mode accumulated every emission: duplicates would remain
+      assert(got.distinct.length == got.length,
+        "a closed sequence was emitted more than once")
+      assert(got.sorted == expected,
+        "stream-closed sequences != batch closed sequences")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
 }

@@ -942,9 +942,17 @@ object Dedup {
     * Reference behavior anchor: dedup-on-ingest semantics
     * (airflow/dags/twitter_airflow.py:69-92) at span granularity —
     * the d9 inventory machinery extended with alignment positions. */
-  def d16ContamSpans(s: SparkSession, dir: String): DataFrame = {
+  def d16ContamSpans(s: SparkSession, dir: String): DataFrame =
+    d16SpansOver(Tables.documentsSpread(s, dir))
+
+  /** The d16 core over an explicit `(doc_id, text)` frame — factored so
+    * the spec can plant corner corpora the gate data lacks (two
+    * disjoint runs on ONE alignment diagonal must stay two islands;
+    * the review that forced this factoring caught the ORACLE merging
+    * them — its `sp` CTE grouped without the island key `grp`). */
+  private[graft] def d16SpansOver(docs: DataFrame): DataFrame = {
     val W = D9ShingleW
-    val base = TextOps.withShingles(Tables.documentsSpread(s, dir))
+    val base = TextOps.withShingles(docs)
       .filter(size(col("toks")) >= W)
       .select(col("doc_id"),
         posexplode(expr(s"word_shingles(toks, $W)")).as(Seq("pos0", "shingle")))
@@ -1830,7 +1838,7 @@ object Dedup {
          |  SELECT doc_id, bench_doc, diag,
          |    CAST(min(pos) AS BIGINT) AS tok_start,
          |    CAST(count(*) + ${D9ShingleW - 1} AS BIGINT) AS span_len
-         |  FROM isl GROUP BY doc_id, bench_doc, diag)
+         |  FROM isl GROUP BY doc_id, bench_doc, diag, grp)
          |SELECT doc_id, bench_doc, tok_start,
          |  CAST(tok_start - diag AS BIGINT) AS bench_start, span_len
          |FROM sp WHERE span_len >= $D16MinSpan

@@ -533,4 +533,41 @@ class DedupSpec extends AnyFunSuite {
       assert(leftOk && rightOk, s"span ($d,$b,$ts) not maximal")
     }
   }
+
+  test("d16 islands: two disjoint runs on ONE alignment diagonal stay " +
+    "two spans; sub-threshold runs never merge past the floor") {
+    val sess = s
+    import sess.implicits._
+    // ids chosen by bucket, not hardcoded: bench < 20%, train >= 20%
+    val benchId = (0L to 200L)
+      .find(TestSpark.sampleBucket(_) < Dedup.D9BenchPct).get
+    val trainIds = (0L to 200L)
+      .filter(TestSpark.sampleBucket(_) >= Dedup.D9BenchPct).take(2)
+    def words(p: String, n: Int) = (1 to n).map(p + _).mkString(" ")
+    // pair 1: two 13-token shared runs separated by DIFFERING gaps —
+    // same diagonal (gap lengths equal), two genuine spans
+    val runA = words("d16qa", 13); val runC = words("d16qc", 13)
+    // pair 2 (same bench doc, second train doc): two 10-token shared
+    // runs (3 consecutive 8-shingles each — BELOW the 12 floor); a
+    // GROUP BY that dropped the island key would sum 3+3 shingles
+    // into a phantom span_len 13 ≥ 12
+    val runX = words("d16qx", 10); val runY = words("d16qy", 10)
+    val docs = Seq(
+      (benchId, s"$runA ${words("d16gb", 3)} $runC " +
+        s"$runX ${words("d16hb", 5)} $runY"),
+      (trainIds(0), s"$runA ${words("d16gt", 3)} $runC"),
+      (trainIds(1), s"$runX ${words("d16ht", 5)} $runY")
+    ).toDF("doc_id", "text")
+    val got = Dedup.d16SpansOver(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // train doc 1: spans (1,1,13) and (17,17,13) — NOT one merged row
+    assert(got.filter(_._1 == trainIds(0)) == Set(
+      (trainIds(0), benchId, 1L, 1L, 13L),
+      (trainIds(0), benchId, 17L, 17L, 13L)),
+      s"two same-diagonal runs must stay two spans; got $got")
+    // train doc 2: both runs are 10 < 12 — nothing may surface
+    assert(!got.exists(_._1 == trainIds(1)),
+      "sub-threshold islands summed past the floor — island key lost")
+  }
 }

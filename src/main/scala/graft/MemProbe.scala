@@ -145,6 +145,7 @@ object MemProbe {
       // probe that measures a cache hit proves nothing
       graft.operators.Dedup.clearConfirmedCache()
       graft.operators.Dedup.clearClusterCache()
+      graft.Tables.clearScanPartsCache()
       spark.catalog.clearCache(); System.gc()
       val l = new SpillListener
       spark.sparkContext.addSparkListener(l)

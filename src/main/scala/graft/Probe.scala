@@ -510,8 +510,12 @@ object Probe {
     for ((tier, dir) <- Seq(("1x", sfDir), ("10x", x10), ("100x", x100))) {
       val fp = Tables.fingerprint(spark, dir, "embeddings")
       // wipe this tier's graph artifact (any quantizer signature) so
-      // the build is timed cold; the quantizer itself stays warm —
-      // training cost is probeS8's subject, not this section's
+      // the build is timed cold; warm the quantizer OUTSIDE the timed
+      // window — the replicated tiers are rewritten each run (fresh
+      // fingerprint), so without this the 10×/100× builds would also
+      // pay cold k-means training while the stable 1× tier loads warm
+      // centroids, skewing exactly the scaling comparison this section
+      // reports (r17 review); training cost is probeS8's subject
       for (stale <- Seq(s"target/knngraph")) {
         val p = new org.apache.hadoop.fs.Path(stale)
         val fs = p.getFileSystem(conf)
@@ -519,20 +523,32 @@ object Probe {
           fs.listStatus(p).filter(_.getPath.getName.startsWith(fp))
             .foreach(st => fs.delete(st.getPath, true))
       }
+      operators.Similarity.s12CentroidsFor(spark, dir)
       operators.Similarity.clearEdgeCache()
       spark.catalog.clearCache(); System.gc()
       val t0 = System.nanoTime()
-      operators.Similarity.graphIndexPath(spark, dir)
+      val artifact = operators.Similarity.graphIndexPath(spark, dir)
       val t1 = System.nanoTime()
       val (untouched, delta) =
         operators.Similarity.s15AdmitParts(spark, dir, shard)
       val nDelta = delta.count()
       val t2 = System.nanoTime()
       val nAll = nDelta + untouched.count()
-      val nAffected = delta.select("query_id").distinct().count()
+      // affected OLD nodes — the quantity the landed×nprobe×occupancy
+      // cap bounds; the 32 shard ids ride delta too and must not
+      // inflate the metric (r17 review)
+      val nAffected = delta.select("query_id")
+        .filter(col("query_id") < 1000000000L).distinct().count()
       println(f"[s15] $tier%-4s graphBuild=${(t1 - t0) / 1e9}%6.2fs " +
         f"admitDelta=${(t2 - t1) / 1e9}%6.2fs " +
         f"affectedNodes=$nAffected deltaRows=$nDelta allRows=$nAll")
+      // the replicated tiers' fingerprints never recur — delete their
+      // three-layer artifacts (several × the tier's embedding bytes)
+      // or repeated probe runs fill the disk (r17 review)
+      if (tier != "1x") {
+        val ap = new org.apache.hadoop.fs.Path(artifact)
+        ap.getFileSystem(conf).delete(ap, true)
+      }
     }
   }
 
@@ -549,7 +565,10 @@ object Probe {
   private def probeDecade(spark: SparkSession, sfDir: String): Unit = {
     println("== decade: q1/q23 at 10x and 100x (second-decade check) ==")
     val out10 = "target/sf1sim"
-    if (!new java.io.File(s"$out10/lineitem.parquet").exists())
+    // _SUCCESS, not bare existence: a generation that died mid-write
+    // must regenerate, not silently time q1/q23 over truncated data
+    // (the out100 branch below always checked this; r17 review)
+    if (!new java.io.File(s"$out10/lineitem.parquet/_SUCCESS").exists())
       ScaleBench.generate(spark, sfDir, out10)
     val out100 = "target/probe/decade100"
     if (!new java.io.File(s"$out100/lineitem.parquet/_SUCCESS").exists()) {

@@ -82,6 +82,7 @@ object ScaleBench {
         graft.operators.Dedup.clearConfirmedCache()
         graft.operators.Dedup.clearClusterCache()
         graft.operators.Similarity.clearEdgeCache()
+        graft.Tables.clearScanPartsCache()
         run("d6_dedup_pipeline", sfDir)
         run("d6_dedup_pipeline", out)
       }

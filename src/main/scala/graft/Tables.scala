@@ -85,12 +85,15 @@ object Tables {
   def documentsSpread(s: SparkSession, dir: String): DataFrame = {
     val df = documents(s, dir)
     val cores = s.sparkContext.defaultParallelism
-    // keyed by (applicationId, fingerprint), not fingerprint alone: the
-    // probed split count depends on session config (parallelism,
-    // maxPartitionBytes), so a second SparkSession in the same JVM must
-    // re-probe rather than inherit the first session's decision
+    // keyed by (SESSION identity, fingerprint), not fingerprint alone:
+    // the probed split count depends on session config (parallelism,
+    // maxPartitionBytes), so a sibling SparkSession in the same JVM
+    // must re-probe rather than inherit another session's decision —
+    // and applicationId is SHARED by every session of one SparkContext
+    // (r17 review), so the key uses the session object's identity
     val parts = scanPartsCache.computeIfAbsent(
-      s.sparkContext.applicationId + "/" + fingerprint(s, dir, "documents"),
+      System.identityHashCode(s).toString + "/" +
+        fingerprint(s, dir, "documents"),
       _ => Integer.valueOf(df.rdd.getNumPartitions)).intValue
     if (parts < cores) df.repartition(cores) else df
   }

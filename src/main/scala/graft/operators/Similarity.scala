@@ -885,11 +885,29 @@ object Similarity {
     *    vector's merged candidate list without recomputing its old
     *    candidates (top-k of a disjoint union = top-k of the merged
     *    top-k lists under the shared total order). */
+  /** Serializes [[graphIndexPath]]'s check-then-build per artifact
+    * path: two threads of one JVM (concurrent s14 search + s15
+    * admission, parallel suites) must not race two overlapping
+    * `mode("overwrite")` jobs into the same layer directory — the
+    * single-driver trade the edgeCache's computeIfAbsent used to
+    * provide before the build moved behind the persisted artifact
+    * (r17 review). Cross-JVM writers remain the lake's
+    * one-writer-per-generation contract, as for s8/d11. */
+  private val graphBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private[graft] def graphIndexPath(s: SparkSession, dir: String): String = {
     graft.functions.GraftFunctions.register(s)
     val sig = centroidSig(s12CentroidsFor(s, dir)).take(8)
+    // the path carries EVERY input the three layers are a function of:
+    // corpus fingerprint, trained-quantizer signature, AND the edge
+    // derivation constants — bumping S12K/S12Probes/S12CoarseProbes in
+    // a later round must invalidate the artifact, not silently serve
+    // stale-depth edges under a valid _SUCCESS (r17 review)
     val path =
-      s"target/knngraph/${corpusFingerprint(s, dir)}-$sig"
+      s"target/knngraph/${corpusFingerprint(s, dir)}-$sig" +
+        s"-k$S12K-p$S12Probes-cp$S12CoarseProbes"
+    graphBuildLocks.computeIfAbsent(path, _ => new Object).synchronized {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     def missing(layer: String) =
@@ -924,6 +942,7 @@ object Similarity {
     if (missing("edges"))
       s12KnnGraph(s, dir).write.mode("overwrite").parquet(s"$path/edges")
     path
+    }
   }
 
   /** Symmetrized s12 kNN edges for a corpus — the substrate s14's

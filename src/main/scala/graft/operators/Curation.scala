@@ -1926,7 +1926,84 @@ object Curation {
     s.table(livet).select("g", "n_docs", "sum_chars").orderBy("g")
   }
 
+  /** Epoch ceiling of [[c31EpochPlan]] in milli-epochs: no source is
+    * repeated more than 4 passes however small it is (past ~4 epochs
+    * repetition hurts — the Muennighoff et al. 2023 data-constrained
+    * scaling result; the c5/mBERT α-upweight must respect it). */
+  val C31MaxEpochsMilli = 4000L
+  /** Fixed-point scale of the epoch column (1000 = 1.0 epochs). */
+  val C31EpochScale = 1000L
+
+  /** c31: the EPOCH-ALLOCATION PLAN — the per-source data-recipe
+    * table a training run is provisioned from ("how many passes over
+    * each source, how many tokens does that contribute, what share of
+    * the mixture is it"). The α = 0.5 temperature rule of
+    * [[c5MixtureSample]] lifted from doc-acceptance to EPOCH space:
+    * the head source trains exactly 1.0 epochs
+    * ([[C31EpochScale]] milli), a source at 1/x the head's tokens
+    * trains sqrt(x) epochs, capped at [[C31MaxEpochsMilli]] — the
+    * standard data-constrained recipe (upsample the tail, never past
+    * the repetition ceiling). Token counts are c7's whitespace
+    * tokens; epochs land as FLOORED fixed-point integers (the c5
+    * bucket discipline: divide/sqrt/multiply are IEEE
+    * correctly-rounded, so both engines floor identically), and
+    * everything downstream (allocated tokens, mixture share in basis
+    * points) is exact bigint arithmetic — hash-green with no float in
+    * the output.
+    *
+    * Scale shape: ONE corpus kernel pass (the split/filter token
+    * count, map-side-combinable into an O(sources) frame, eagerly
+    * checkpointed), then all planning arithmetic runs on that tiny
+    * frame (two broadcast scalar joins) — at 100 TB the plan costs
+    * one linear scan, and the recipe itself never moves data. */
+  def c31EpochPlan(s: SparkSession, dir: String): DataFrame = {
+    val perSrc = Tables.documentsSpread(s, dir)
+      .withColumn("ws_tokens",
+        size(expr("filter(split(text, ' '), t -> t <> '')")).cast("long"))
+      .groupBy("source").agg(sum("ws_tokens").as("n_tokens"))
+      .localCheckpoint(true) // O(sources) rows; one corpus pass total
+    val nmax = perSrc.agg(max("n_tokens").as("n_max"))
+    val alloc = perSrc.crossJoin(broadcast(nmax))
+      .withColumn("epochs_milli",
+        least(lit(C31MaxEpochsMilli),
+          floor(lit(C31EpochScale.toDouble) *
+            sqrt(col("n_max").cast("double") /
+              col("n_tokens").cast("double")))).cast("long"))
+      .withColumn("alloc_tokens",
+        expr(s"n_tokens * epochs_milli div $C31EpochScale"))
+    val tot = alloc.agg(sum("alloc_tokens").as("tot"))
+    alloc.crossJoin(broadcast(tot))
+      .withColumn("share_bp", expr("(10000 * alloc_tokens) div tot"))
+      .select("source", "n_tokens", "epochs_milli", "alloc_tokens",
+        "share_bp")
+      .orderBy("source")
+  }
+
   val oracle: Map[String, String] = Map(
+    // same temperature arithmetic on the same whitespace-token sums;
+    // HUGEINT intermediates cast back so dtypes match Spark's longs
+    "c31_epoch_plan" ->
+      s"""WITH per_src AS (
+         |  SELECT source,
+         |    CAST(sum(len(list_filter(string_split(text, ' '),
+         |      t -> t <> ''))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |mx AS (SELECT max(n_tokens) AS n_max FROM per_src),
+         |alloc AS (
+         |  SELECT source, n_tokens, epochs_milli,
+         |    n_tokens * epochs_milli // $C31EpochScale AS alloc_tokens
+         |  FROM (
+         |    SELECT source, n_tokens,
+         |      CAST(least($C31MaxEpochsMilli,
+         |        floor(${C31EpochScale}.0 * sqrt(CAST(n_max AS DOUBLE)
+         |          / CAST(n_tokens AS DOUBLE)))) AS BIGINT)
+         |        AS epochs_milli
+         |    FROM per_src CROSS JOIN mx)),
+         |tot AS (SELECT sum(alloc_tokens) AS tot FROM alloc)
+         |SELECT source, n_tokens, epochs_milli,
+         |  CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+         |  CAST((10000 * alloc_tokens) // tot AS BIGINT) AS share_bp
+         |FROM alloc CROSS JOIN tot ORDER BY source""".stripMargin,
     // the maintained MV must equal an independent full re-aggregation
     // of the derived v2 snapshot — delta maintenance ≡ recompute
     "c20_incremental_mv" ->
@@ -2705,5 +2782,6 @@ object Curation {
     "c29_analyze" -> c29Analyze,
     "c18_expectations" -> c18Expectations,
     "c20_incremental_mv" -> c20IncrementalMv,
+    "c31_epoch_plan" -> c31EpochPlan,
   )
 }

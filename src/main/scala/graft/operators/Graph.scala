@@ -504,6 +504,60 @@ object Graph {
        |ORDER BY dist, node""".stripMargin
   }
 
+  /** COMMUNITY DETECTION core: synchronous label propagation
+    * (Raghavan et al. 2007) — every node starts as its own label; each
+    * synchronous round replaces a node's label with the MODE of its
+    * neighbors' labels (ties → smallest label, the deterministic
+    * variant of Raghavan's random tie-break — integral ids make the
+    * tie rule total). A FIXED round count keeps the output
+    * deterministic and oracle-replayable (asynchronous /
+    * converge-until-stable LP is visit-order-dependent, which no SQL
+    * replay could mirror); Raghavan reports ~95% of nodes settled by
+    * round 5, and labels travel at most `rounds` hops, so community
+    * diameter is bounded by construction.
+    *
+    * The iteration shape is the THIRD distinct iterative pattern in
+    * this family — mode relabeling, beside q36's value re-aggregation
+    * and q49's frontier growth: per round one edge-sized keyed join +
+    * one map-side-combinable (node, label) count + one node-sized
+    * row_number. Per-round eager localCheckpoint with the q36 release
+    * discipline (at most two label vectors live regardless of round
+    * count; the input edge frame is the CALLER's — never released
+    * here).
+    *
+    * Scale shape: per-round traffic is bounded by the edge count,
+    * never node×labels (a node contributes one (node, neighbor-label)
+    * row per edge, combined map-side); the row_number window
+    * partitions on the id the count just shuffled on. At 10⁹-node
+    * graphs each round is two keyed shuffles of edge-bounded frames —
+    * the budget the [[connectedComponents]] star rounds already
+    * carry.
+    *
+    * `edges` needs BOTH directions present (src, dst); returns one
+    * (id, label) row per node with degree ≥ 1. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("id")
+      .orderBy(col("c").desc, col("label"))
+    for (_ <- 1 to rounds) {
+      val prev = labels
+      labels = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("id", "label")
+        .localCheckpoint(true)
+      org.apache.spark.sql.graftbridge.GraftCheckpoints
+        .releaseLocalCheckpoint(prev)
+    }
+    labels
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_pagerank" -> q36Pagerank,
     "q45_triangles" -> q45Triangles,

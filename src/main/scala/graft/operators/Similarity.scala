@@ -648,6 +648,96 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** s17 radius: a range query keeps every probed candidate at cosine
+    * ≥ this. 0.3 sits above the corpus's organic pairwise band's
+    * center (max organic pairs 0.48–0.60, bulk far lower — see
+    * [[D10Tau]], which marks duplicates at the same bar), so each
+    * query recovers a small neighborhood, not the corpus. */
+  val S17Tau = 0.3
+  /** s17 per-query result ceiling — a production radius query always
+    * bounds its output (a τ set too low must degrade to "the cap's
+    * best", never to an unbounded result set). */
+  val S17Cap = 50
+
+  /** s17: RANGE (radius) SEARCH — "everything within cosine τ of
+    * these vectors", the retrieval-expansion / near-dup-audit shape
+    * that top-k cannot express (k fixes the output size; a radius
+    * query's size is data-dependent, so it needs the [[S17Cap]]
+    * guard instead). Same IVF pruning as s3 — the query probes its
+    * [[IvfProbes]] best cells and candidates are the probed cells'
+    * members only — then a threshold filter replaces the top-k rank:
+    * monotone in the (cos DESC, neighbor ASC) ranking order, so
+    * rank-within-threshold ≡ threshold-within-rank and the capped
+    * output is deterministic. Scale shape: identical to s3's (one
+    * scan-local assignment pass, one keyed shuffle on cell id, a
+    * broadcast query side); the threshold makes the FINAL output
+    * request-sized even when a cell is dense — the window's
+    * WindowGroupLimit prunes per-query groups at the cap. Oracle:
+    * the s3 replay with the same threshold + cap, trained centroids
+    * inlined. */
+  def s17RangeSearch(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val centroids: Array[(Int, Array[Float])] =
+      centroidsFor(s, dir).zipWithIndex.map { case (v, i) => (i, v) }
+    val structsArr = centroidStructsArr(centroids)
+    val cellExpr = expr(s"array_max($structsArr).id")
+    val probeExpr = expr(
+      s"transform(slice(reverse(array_sort($structsArr)), 1, $IvfProbes)," +
+        " x -> x.id)")
+    val q = Tables.embeddings(s, dir).filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(probeExpr).as("qc"))
+    val cand = Tables.embeddings(s, dir)
+      .withColumn("cell", cellExpr)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ce"),
+        col("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand.join(broadcast(q),
+        col("cell") === col("qc") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorOps.cosine("qe", "ce"))
+      .filter(col("cos") >= S17Tau)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= S17Cap)
+      .select("query_id", "rnk", "neighbor_id", "cos")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** DuckDB mirror of [[s17RangeSearch]] — [[s3OracleSql]]'s probing
+    * replay with the radius filter + cap in place of the top-k. */
+  private[graft] def s17OracleSql(cent: Array[Array[Float]]): String = {
+    def litVec(v: Array[Float]) =
+      v.map(x => s"CAST($x AS FLOAT)").mkString("[", ",", "]")
+    val vals = cent.zipWithIndex
+      .map { case (v, i) => s"($i, ${litVec(v)})" }.mkString(",\n    ")
+    s"""WITH cent(cid, cv) AS (VALUES
+       |    $vals),
+       |scored_cells AS (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |    ${VectorOps.sqlCosine("embedding", "cv")} AS ccos
+       |  FROM embeddings e CROSS JOIN cent c),
+       |ranked_cells AS (
+       |  SELECT vec_id, embedding, cid, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY ccos DESC, cid DESC) AS crnk
+       |  FROM scored_cells),
+       |cells AS (
+       |  SELECT vec_id AS neighbor_id, embedding AS ce, cid AS cell
+       |  FROM ranked_cells WHERE crnk = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, cid AS qc
+       |  FROM ranked_cells WHERE vec_id < $NumQueries AND crnk <= $IvfProbes),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${VectorOps.sqlCosine("qe", "ce")} AS cos
+       |  FROM qprobe JOIN cells ON cells.cell = qprobe.qc
+       |    AND cells.neighbor_id <> qprobe.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored WHERE cos >= $S17Tau)
+       |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, cos
+       |FROM ranked WHERE rnk <= $S17Cap ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** s9 candidate predicate: labels ≡ 0 (mod [[S9LabelMod]]) — the
     * metadata filter (license class, language, tenant) a production
     * vector search almost always carries alongside the vector. Keeps
@@ -1272,6 +1362,91 @@ object Similarity {
   private[graft] def s15OracleFor(cent: Array[Array[Float]]): String = {
     val (coarse, fineCoarse) = s12CoarseFor(cent)
     s15OracleSql(cent, coarse, fineCoarse,
+      math.min(S12CoarseProbes, coarse.length))
+  }
+
+  // ------------------------------------------- s18 semantic communities
+
+  /** Synchronous LP rounds for [[s18GraphCommunities]] — labels travel
+    * ≤ 4 hops, matching [[S14Hops]]' beam horizon on the same graph. */
+  val S18Rounds = 4
+  /** Output size: the largest communities. */
+  val S18TopK = 30
+
+  /** s18: SEMANTIC COMMUNITY DETECTION — label propagation
+    * ([[Graph.labelPropagation]], the deterministic synchronous-mode
+    * variant) over the s12 kNN graph's symmetrized edges: the
+    * UNSUPERVISED TOPIC-CLUSTER step of a training-data pipeline
+    * (name the semantic neighborhoods so mixture balancing, per-topic
+    * caps, and near-dup cluster reports have a label to hang on when
+    * no taxonomy exists — the d8 duplicate-cluster id at semantic
+    * altitude). The graph is the PERSISTED lake artifact s14 walks
+    * ([[s12SymEdges]] — memoized, centroid-signature-keyed), so
+    * communities, beam search, and the admission path can never
+    * disagree on what the graph is.
+    *
+    * Shape: [[S18Rounds]] mode-relabel rounds over edge-bounded
+    * frames (the q36/q49/LP iterative family; per-round cost
+    * 2·|E| = 2·n·[[S12K]] rows map-side-combined), then one
+    * node-sized count. Output: (-1, n_communities) stacked over the
+    * [[S18TopK]] largest (community, size) rows — the q45 stacking
+    * convention, exact integers. Oracle: the s12 edge replay (the
+    * SHARED s12EdgeCtes fragment — trained literals inlined) + the
+    * LP rounds unrolled as MATERIALIZED stacked CTEs (the s14
+    * pattern). */
+  def s18GraphCommunities(s: SparkSession, dir: String): DataFrame = {
+    val labels = Graph.labelPropagation(s12SymEdges(s, dir), S18Rounds)
+    val comm = labels.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("size"))
+      .localCheckpoint(true) // reused by the total row and the top-k
+    val total = comm.agg(count(lit(1)).as("size"))
+      .select(lit(-1L).as("community"), col("size"))
+    val top = comm.orderBy(col("size").desc, col("community"))
+      .limit(S18TopK)
+    total.unionAll(top).orderBy("community")
+  }
+
+  /** DuckDB mirror of [[s18GraphCommunities]]: the shared s12 edge
+    * derivation + [[S18Rounds]] synchronous LP rounds unrolled — mode
+    * via the same (count DESC, label ASC) row_number. */
+  private[graft] def s18OracleSql(cent: Array[Array[Float]],
+      coarse: Array[Array[Float]], fineCoarse: Array[Int],
+      cp: Int): String = {
+    val rounds = (1 to S18Rounds).map { r =>
+      s"""lp$r AS MATERIALIZED (
+         |  SELECT id, label FROM (
+         |    SELECT e.src AS id, l.label, count(*) AS c, row_number()
+         |      OVER (PARTITION BY e.src
+         |            ORDER BY count(*) DESC, l.label) AS rn
+         |    FROM gedges e JOIN lp${r - 1} l ON l.id = e.dst
+         |    GROUP BY e.src, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${s12EdgeCtes(cent, coarse, fineCoarse, cp)},
+       |gknn AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM ranked WHERE rnk <= $S12K),
+       |gedges AS MATERIALIZED (
+       |  SELECT query_id AS src, neighbor_id AS dst FROM gknn
+       |  UNION
+       |  SELECT neighbor_id AS src, query_id AS dst FROM gknn),
+       |lp0 AS (SELECT DISTINCT src AS id, src AS label FROM gedges),
+       |$rounds,
+       |comm AS (
+       |  SELECT label AS community, CAST(count(*) AS BIGINT) AS size
+       |  FROM lp$S18Rounds GROUP BY label),
+       |topc AS (
+       |  SELECT community, size FROM comm
+       |  ORDER BY size DESC, community LIMIT $S18TopK)
+       |SELECT CAST(community AS BIGINT) AS community, size FROM (
+       |  SELECT -1 AS community, CAST(count(*) AS BIGINT) AS size
+       |  FROM comm
+       |  UNION ALL SELECT community, size FROM topc) t
+       |ORDER BY community""".stripMargin
+  }
+
+  private[graft] def s18OracleFor(cent: Array[Array[Float]]): String = {
+    val (coarse, fineCoarse) = s12CoarseFor(cent)
+    s18OracleSql(cent, coarse, fineCoarse,
       math.min(S12CoarseProbes, coarse.length))
   }
 
@@ -3249,7 +3424,9 @@ object Similarity {
       ("s12_knn_graph" -> s12OracleFor(s12CentroidsFor(s, dir))) +
       ("s14_ann_graph" -> s14OracleFor(s12CentroidsFor(s, dir))) +
       ("s15_graph_admit" -> s15OracleFor(s12CentroidsFor(s, dir))) +
+      ("s18_graph_communities" -> s18OracleFor(s12CentroidsFor(s, dir))) +
       ("s9_ann_filtered" -> s9OracleSql(cent)) +
+      ("s17_range_search" -> s17OracleSql(cent)) +
       ("d10_semdedup" -> d10OracleSql(cent)) +
       ("s6_ann_pq" -> s6OracleSql(pq)) +
       ("s7_ann_ivfpq" -> s7OracleSql(cent, pq)) +
@@ -3285,7 +3462,11 @@ object Similarity {
         ("s15_graph_admit" -> s15OracleFor(
           lastS12Key.flatMap(k => Option(centroidCache.get(k)))
             .getOrElse(c))) +
+        ("s18_graph_communities" -> s18OracleFor(
+          lastS12Key.flatMap(k => Option(centroidCache.get(k)))
+            .getOrElse(c))) +
         ("s9_ann_filtered" -> s9OracleSql(c)) +
+        ("s17_range_search" -> s17OracleSql(c)) +
         ("d10_semdedup" -> d10OracleSql(c)) +
         ("s6_ann_pq" -> s6OracleSql(p)) +
         ("s7_ann_ivfpq" -> s7OracleSql(c, p)) +
@@ -3382,9 +3563,11 @@ object Similarity {
     "s2_ann_lsh" -> s2Lsh,
     "s3_ann_ivf" -> s3Ivf, // oracle generated with inlined centroids
     "s9_ann_filtered" -> s9FilteredAnn, // oracle: filtered s3 replay
+    "s17_range_search" -> s17RangeSearch, // oracle: radius s3 replay
     "s12_knn_graph" -> s12KnnGraph, // oracle: generated, corpus-as-queries
     "s14_ann_graph" -> s14AnnGraph, // oracle: s12 edge replay + hop unroll
     "s15_graph_admit" -> s15GraphAdmit, // oracle: full rebuild over the union
+    "s18_graph_communities" -> s18GraphCommunities, // oracle: edge replay + LP unroll
     "s16_ann_sq8" -> s16Sq8Search, // oracle: static SQL (exact min/max stats)
 
     "s10_mmr_diversify" -> s10MmrDiversify, // oracle: k-step CTE unroll

@@ -1233,4 +1233,36 @@ class CurationSpec extends AnyFunSuite {
     assert(eb.distinct.length == b, "cents fences should be distinct")
     assert(qb.length == b)
   }
+
+  test("c31 epoch plan: head source trains exactly 1.0 epochs, the " +
+      "sqrt-temperature upweight is monotone and capped, arithmetic exact") {
+    val rows = Curation.c31EpochPlan(s, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val nmax = rows.map(_._2).max
+    rows.foreach { case (src, nTok, em, alloc, shareBp) =>
+      // epoch band: 1.0 <= epochs <= the repetition ceiling
+      assert(em >= Curation.C31EpochScale && em <= Curation.C31MaxEpochsMilli,
+        s"$src epochs_milli $em outside band")
+      // the head source trains exactly one pass
+      if (nTok == nmax) assert(em == Curation.C31EpochScale)
+      // replay the fixed-point rule exactly
+      val want = math.min(Curation.C31MaxEpochsMilli,
+        math.floor(Curation.C31EpochScale.toDouble *
+          math.sqrt(nmax.toDouble / nTok.toDouble)).toLong)
+      assert(em == want, s"$src epochs $em != replay $want")
+      // allocation is exact integer arithmetic on those columns
+      assert(alloc == nTok * em / Curation.C31EpochScale)
+      assert(shareBp >= 0 && shareBp <= 10000)
+    }
+    // smaller sources never train fewer epochs than bigger ones
+    rows.sortBy(_._2).map(_._3).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b)
+      case _ =>
+    }
+    // floored shares sum to within a row-count of the full budget
+    val shareSum = rows.map(_._5).sum
+    assert(shareSum <= 10000 && shareSum > 10000 - rows.length)
+  }
 }

@@ -218,4 +218,60 @@ class GraphSpec extends AnyFunSuite {
     // leaked in
     assert(out.values.forall(_ <= Graph.BfsMaxHops))
   }
+
+  /** Driver-side synchronous LP replay — mode of neighbor labels,
+    * ties to the smallest label. */
+  private def lpReplay(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val both = edges ++ edges.map(_.swap)
+    val adj = both.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels = adj.keys.map(k => k -> k).toMap
+    for (_ <- 1 to rounds) {
+      labels = adj.map { case (n, nbrs) =>
+        val counts = nbrs.groupBy(labels).view.mapValues(_.size)
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    labels
+  }
+
+  private def lpOf(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = edges.toDF("src", "dst")
+    val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    Graph.labelPropagation(sym, rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("label propagation matches a driver replay and separates two " +
+      "planted cliques joined by one bridge edge") {
+    // two 6-cliques {0..5}, {10..15} plus bridge 5–10: LP must settle
+    // each clique on its own minimum label without the bridge merging
+    // them (the mode inside a clique drowns one cross label)
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = clique(0L to 5L) ++ clique(10L to 15L) :+ (5L, 10L)
+    val got = lpOf(edges, rounds = 4)
+    assert(got == lpReplay(edges, 4))
+    assert((0L to 5L).map(got).toSet.size == 1)
+    assert((10L to 15L).map(got).toSet.size == 1)
+    assert(got(0L) != got(15L), "bridge edge must not merge the cliques")
+    // and on a seeded random graph the distributed rounds replay exactly
+    val rnd = new scala.util.Random(11)
+    val rand = Seq.fill(500)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    assert(lpOf(rand, 3) == lpReplay(rand, 3))
+  }
+
+  test("label propagation tie rule: tied neighbor modes resolve to the " +
+      "smallest label in both engines' spelling") {
+    // node 100's four neighbors carry pairwise-distinct then pairwise-
+    // tied labels across the rounds — every mode it takes is a tie, so
+    // the equality below holds only if the distributed (count DESC,
+    // label ASC) rule matches the replay's minBy((-c, l)) exactly
+    val edges = Seq((1L, 2L), (7L, 8L),
+      (100L, 1L), (100L, 2L), (100L, 7L), (100L, 8L))
+    val got = lpOf(edges, rounds = 2)
+    assert(got == lpReplay(edges, 2))
+  }
 }

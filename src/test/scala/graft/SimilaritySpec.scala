@@ -1151,4 +1151,61 @@ class SimilaritySpec extends AnyFunSuite {
     info(f"SQ8 recall@${Similarity.TopK} vs s1 = $recall%.2f")
     assert(recall >= 0.8, f"SQ8 recall $recall%.2f below floor")
   }
+
+  test("s17 range search: every hit clears the radius, ranks are dense " +
+      "per query, and s3's above-threshold top-k is contained in it") {
+    val rows = Similarity.s17RangeSearch(s, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty, "radius search returned nothing at the gate tau")
+    // radius + cap contracts
+    rows.foreach { case (q, _, n, c) =>
+      assert(c >= Similarity.S17Tau, s"($q,$n) cos $c below tau")
+      assert(q != n)
+    }
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.length <= Similarity.S17Cap)
+      assert(g.map(_._2).sorted.toSeq == (1 to g.length),
+        "per-query ranks must be dense from 1")
+      // descending cosine along the rank order (ties broken by id)
+      val byRnk = g.sortBy(_._2)
+      byRnk.sliding(2).foreach {
+        case Array((_, _, n1, c1), (_, _, n2, c2)) =>
+          assert(c1 > c2 || (c1 == c2 && n1 < n2))
+        case _ =>
+      }
+    }
+    // same probing as s3 ⇒ every s3 hit at cos ≥ tau must appear here
+    val s3Above = Similarity.s3Ivf(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .filter(_._3 >= Similarity.S17Tau)
+    val got = rows.map(r => (r._1, r._3)).toSet
+    s3Above.foreach { case (q, n, _) =>
+      assert(got.contains((q, n)), s"s3 hit ($q,$n) above tau missing from s17")
+    }
+  }
+
+  test("s18 communities: labels partition the corpus, the total row " +
+      "counts them, and structure is non-degenerate at the gate SF") {
+    val nVecs = Tables.embeddings(s, dir).count()
+    val labels = graft.operators.Graph
+      .labelPropagation(Similarity.s12SymEdges(s, dir), Similarity.S18Rounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every corpus vector gets exactly one label (the kNN graph gives
+    // every node degree >= S12K, so LP covers the corpus)
+    assert(labels.length == nVecs)
+    assert(labels.map(_._1).distinct.length == labels.length)
+    val commSizes = labels.groupBy(_._2).view.mapValues(_.size).toMap
+    // non-degenerate: more than one community, none swallowing the corpus
+    assert(commSizes.size > 1, "LP collapsed the semantic graph")
+    assert(commSizes.values.max < nVecs)
+    // the gate entry's total row and top rows restate exactly that
+    val out = Similarity.s18GraphCommunities(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.find(_._1 == -1L).map(_._2).contains(commSizes.size.toLong))
+    out.filter(_._1 != -1L).foreach { case (comm, size) =>
+      assert(commSizes.get(comm).map(_.toLong).contains(size))
+    }
+    info(s"s18: ${commSizes.size} communities over $nVecs vectors, " +
+      s"largest ${commSizes.values.max}")
+  }
 }

@@ -305,11 +305,82 @@ object Bpe {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** c32: TOKENIZER FERTILITY per source — the tokenizer-efficiency
+    * report a pipeline runs per domain before committing a vocabulary
+    * ("how many pieces per word / chars per piece does THIS tokenizer
+    * cost on THAT source"): a domain the tokenizer fragments (high
+    * pieces-per-word) pays more sequence length per byte of signal,
+    * which skews any token-denominated mixture (c31's allocations,
+    * c6/t19's packing density). Composes c10's trained merge chain —
+    * the SAME applied expression, so the fertility numbers can never
+    * disagree with the tokenizer the corpus actually ships — and
+    * collapses per-doc counts to per-source sums (map-side
+    * combinable; one corpus kernel pass like c31's). Ratios land as
+    * FLOORED milli fixed-point integers of exact bigint sums
+    * (NULLIF-guarded in both engines), so the gate is hash-exact.
+    *
+    * Scale shape: the merge chain is scan-local projection; the only
+    * shuffle is an O(sources) combinable agg. At 100 TB: one linear
+    * kernel pass, recipe-sized output. */
+  def c32BpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val merges = mergesFor(s, dir)
+    val applied = appliedExpr(merges,
+      "concat(' ', regexp_replace(w, '(.)', '$1 '))")
+    Tables.documentsSpread(s, dir)
+      .select(col("source"),
+        expr("filter(split(text, ' '), w -> w <> '')").as("ws"))
+      .select(col("source"),
+        size(col("ws")).cast("long").as("nw"),
+        expr("aggregate(transform(ws, w -> length(w)), 0, (a, b) -> a + b)")
+          .cast("long").as("nc"),
+        expr(s"""aggregate(transform(ws, w ->
+          size(filter(split($applied, ' '), p -> p <> ''))),
+          0, (a, b) -> a + b)""").cast("long").as("np"))
+      .groupBy("source")
+      .agg(sum("nw").as("n_words"), sum("nc").as("n_chars_sym"),
+        sum("np").as("n_pieces"))
+      .withColumn("pieces_per_word_milli",
+        expr("(1000 * n_pieces) div nullif(n_words, 0)"))
+      .withColumn("chars_per_piece_milli",
+        expr("(1000 * n_chars_sym) div nullif(n_pieces, 0)"))
+      .orderBy("source")
+  }
+
+  /** Generated fertility oracle — the tokenize replay grouped to
+    * per-source sums with the same milli fixed-point ratios. */
+  private def sqlFertilityOracle(merges: Seq[Merge]): String = {
+    val applied = appliedExpr(merges,
+      "(' ' || regexp_replace(w, '(.)', '\\1 ', 'g'))")
+    s"""WITH per_doc AS (
+       |  SELECT source,
+       |    CAST(len(ws) AS BIGINT) AS nw,
+       |    CAST(list_reduce(list_prepend(0,
+       |      list_transform(ws, w -> length(w))), (a, b) -> a + b)
+       |      AS BIGINT) AS nc,
+       |    CAST(list_reduce(list_prepend(0, list_transform(ws, w ->
+       |      len(list_filter(string_split($applied, ' '), p -> p <> '')))),
+       |      (a, b) -> a + b) AS BIGINT) AS np
+       |  FROM (
+       |    SELECT source,
+       |      list_filter(string_split(text, ' '), w -> w <> '') AS ws
+       |    FROM documents) t)
+       |SELECT source,
+       |  CAST(sum(nw) AS BIGINT) AS n_words,
+       |  CAST(sum(nc) AS BIGINT) AS n_chars_sym,
+       |  CAST(sum(np) AS BIGINT) AS n_pieces,
+       |  CAST((1000 * sum(np)) // nullif(sum(nw), 0) AS BIGINT)
+       |    AS pieces_per_word_milli,
+       |  CAST((1000 * sum(nc)) // nullif(sum(np), 0) AS BIGINT)
+       |    AS chars_per_piece_milli
+       |FROM per_doc GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** Corpus-aware oracle (the Verify dump path): trains on demand for
     * the explicit corpus, like Similarity.oracleFor. */
   def oracleFor(s: SparkSession, dir: String): Map[String, String] = Map(
     "c10_bpe_merges" -> sqlMergesOracle,
-    "c10_bpe_tokenize" -> sqlTokenizeOracle(mergesFor(s, dir)))
+    "c10_bpe_tokenize" -> sqlTokenizeOracle(mergesFor(s, dir)),
+    "c32_bpe_fertility" -> sqlFertilityOracle(mergesFor(s, dir)))
 
   /** Static form — fails loudly if no training has happened (same
     * contract as Similarity.oracle: a premature dump must not
@@ -324,7 +395,8 @@ object Bpe {
     trained match {
       case Some(m) => Map(
         "c10_bpe_merges" -> sqlMergesOracle,
-        "c10_bpe_tokenize" -> sqlTokenizeOracle(m))
+        "c10_bpe_tokenize" -> sqlTokenizeOracle(m),
+        "c32_bpe_fertility" -> sqlFertilityOracle(m))
       case None => throw new IllegalStateException(
         "c10_bpe_tokenize oracle requested but no merges are trained — " +
           "run Bpe.mergesFor for the gate corpus first, or use " +
@@ -335,5 +407,6 @@ object Bpe {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c10_bpe_merges" -> c10BpeMerges,
     "c10_bpe_tokenize" -> c10BpeTokenize,
+    "c32_bpe_fertility" -> c32BpeFertility,
   )
 }

@@ -558,15 +558,128 @@ object Graph {
     labels
   }
 
+  /** q55 edge cost: strong trade relationships are cheap to traverse —
+    * cost = max(1, [[SsspCostScale]] / #distinct orders on the edge).
+    * Integer arithmetic end-to-end, so path costs are exact. */
+  val SsspCostScale = 1000L
+
+  /** q55: bounded WEIGHTED shortest paths (multi-source) over the
+    * trade graph — q49's reachability upgraded with edge costs: "the
+    * cheapest route to every account within [[BfsMaxHops]] relaxation
+    * rounds", the weighted blast-radius / influence-cost query (edge
+    * cost inversely proportional to trade volume: heavily-traded
+    * links are short). Same sources as q49.
+    *
+    * Algorithm: Bellman–Ford limited to [[BfsMaxHops]] rounds — after
+    * round h, dist(v) is EXACTLY the cheapest path using ≤ h edges
+    * (the well-defined bounded-radius semantics; full SSSP is the
+    * maxIter→diameter limit). Implemented as DELTA relaxation — the
+    * FOURTH iterative pattern in this family (min-plus relaxation,
+    * beside value re-aggregation / frontier growth / mode
+    * relabeling): only edges out of nodes IMPROVED last round relax
+    * (a non-improved node's contributions were already min-merged a
+    * round earlier, so the delta rounds produce bit-identical dist
+    * vectors to full relaxation — which is what the oracle unrolls),
+    * then one full-outer min-merge into the settled vector. Work per
+    * round ∝ the improved set's out-edges — output-bounded like q49,
+    * not graph-bounded like q36.
+    *
+    * Scale shape: per round one keyed join (improved side shrinks
+    * monotonically in practice), one map-side-combinable min, one
+    * node-sized merge; settled/improved eagerly localCheckpointed
+    * with the q36 release discipline. Costs and distances are exact
+    * longs — the gate is hash-exact with no arithmetic discipline
+    * beyond determinism. */
+  def q55CheapestPath(s: SparkSession, dir: String): DataFrame = {
+    val trade = graft.Tables.orders(s, dir)
+      .join(graft.Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey").cast("long") * 2).as("a"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("b"))
+      .agg(countDistinct(col("o_orderkey")).as("w"))
+      .select(col("a"), col("b"),
+        greatest(lit(1L), expr(s"$SsspCostScale div w")).as("cost"))
+    val edges = trade
+      .select(col("a").as("src"), col("b").as("dst"), col("cost"))
+      .unionAll(trade
+        .select(col("b").as("src"), col("a").as("dst"), col("cost")))
+      .localCheckpoint(true)
+    var dist = graft.Tables.customer(s, dir)
+      .filter(col("c_custkey") < BfsSources)
+      .select((col("c_custkey").cast("long") * 2).as("node"))
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var improved = dist
+    // the one checkpointed frame per round; dist/improved are cheap
+    // selects over it, so releasing IT frees the round (the release
+    // helper is a no-op on derived plans by design)
+    var prevRound: DataFrame = dist
+    for (_ <- 1 to BfsMaxHops) {
+      val released = prevRound
+      val cand = edges
+        .join(improved, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("dist") + col("cost")).as("d"))
+        .groupBy("node").agg(min("d").as("d"))
+      val merged = dist.join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          coalesce(least(col("dist"), col("d")), col("dist"), col("d"))
+            .as("dist"),
+          (col("dist").isNull || col("d") < col("dist")).as("imp"))
+        .localCheckpoint(true)
+      dist = merged.select("node", "dist")
+      improved = merged.filter(col("imp")).select("node", "dist")
+      prevRound = merged
+      org.apache.spark.sql.graftbridge.GraftCheckpoints
+        .releaseLocalCheckpoint(released)
+    }
+    dist
+      .select(when(col("node") % 2 === 0,
+          concat(lit("c"), expr("node div 2")))
+        .otherwise(concat(lit("s"), expr("(node - 1) div 2")))
+        .as("node"), col("dist"))
+      .orderBy("dist", "node")
+  }
+
+  /** The q55 oracle: FULL Bellman–Ford relaxation unrolled — per-round
+    * equal to the delta rounds by the standard argument above. */
+  private[operators] def sqlCheapestPathOracle: String = {
+    val rounds = (1 to BfsMaxHops).map { h =>
+      s"""d$h AS (
+         |  SELECT node, min(d) AS dist FROM (
+         |    SELECT node, dist AS d FROM d${h - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.dist + e.cost AS d
+         |    FROM edges e JOIN d${h - 1} p ON p.node = e.src)
+         |  GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH trade AS (
+       |  SELECT 'c' || o_custkey AS a, 's' || l_suppkey AS b,
+       |    greatest(1, $SsspCostScale // count(DISTINCT o_orderkey))
+       |      AS cost
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2),
+       |edges AS (
+       |  SELECT a AS src, b AS dst, cost FROM trade
+       |  UNION ALL SELECT b AS src, a AS dst, cost FROM trade),
+       |d0 AS (
+       |  SELECT 'c' || c_custkey AS node, CAST(0 AS BIGINT) AS dist
+       |  FROM customer WHERE c_custkey < $BfsSources),
+       |$rounds
+       |SELECT node, CAST(dist AS BIGINT) AS dist FROM d$BfsMaxHops
+       |ORDER BY dist, node""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_pagerank" -> q36Pagerank,
     "q45_triangles" -> q45Triangles,
     "q49_bfs_hops" -> q49BfsHops,
+    "q55_cheapest_path" -> q55CheapestPath,
   )
 
   val oracle: Map[String, String] = Map(
     "q36_pagerank" -> sqlPagerankOracle,
     "q45_triangles" -> sqlTrianglesOracle,
     "q49_bfs_hops" -> sqlBfsOracle,
+    "q55_cheapest_path" -> sqlCheapestPathOracle,
   )
 }

@@ -146,4 +146,33 @@ class BpeSpec extends AnyFunSuite {
     // the corpus really exercises merging: strictly fewer pieces than chars
     assert(rows.map(_.getInt(3)).sum < rows.map(_.getInt(2)).sum)
   }
+
+  test("c32 fertility: per-source sums restate the per-doc tokenize " +
+      "counts exactly and the milli ratios are the floored quotients") {
+    import org.apache.spark.sql.functions.col
+    val out = Bpe.c32BpeFertility(s, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(out.nonEmpty)
+    // replay the aggregation from the ALREADY-GATED per-doc counts:
+    // same merge chain => the report cannot drift from the tokenizer
+    val src = Tables.documents(s, dir).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perDoc = Bpe.c10BpeTokenize(s, dir).collect()
+      .map(r => (src(r.getLong(0)), r.getInt(1).toLong, r.getInt(2).toLong,
+        r.getInt(3).toLong))
+    val want = perDoc.groupBy(_._1).view.mapValues { g =>
+      (g.map(_._2).sum, g.map(_._3).sum, g.map(_._4).sum)
+    }.toMap
+    assert(out.keySet == want.keySet)
+    want.foreach { case (source, (nw, nc, np)) =>
+      val (gnw, gnc, gnp, ppw, cpp) = out(source)
+      assert((gnw, gnc, gnp) == (nw, nc, np), s"$source sums drift")
+      assert(ppw == 1000 * np / nw, s"$source pieces/word ratio")
+      assert(cpp == 1000 * nc / np, s"$source chars/piece ratio")
+      // fertility sanity: a word is at least one piece, a piece at
+      // least one char
+      assert(ppw >= 1000 && cpp >= 1000)
+    }
+  }
 }

@@ -219,6 +219,43 @@ class GraphSpec extends AnyFunSuite {
     assert(out.values.forall(_ <= Graph.BfsMaxHops))
   }
 
+  test("q55 cheapest paths match a full Bellman-Ford driver replay " +
+      "(delta relaxation ≡ full relaxation), sources at 0, BFS set covered") {
+    import org.apache.spark.sql.functions._
+    val out = Graph.q55CheapestPath(s, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // driver replay: the same weighted graph, FULL relaxation rounds
+    val trade = graft.Tables.orders(s, dir)
+      .join(graft.Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(concat(lit("c"), col("o_custkey")).as("a"),
+        concat(lit("s"), col("l_suppkey")).as("b"))
+      .agg(countDistinct("o_orderkey").as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        math.max(1L, Graph.SsspCostScale / r.getLong(2))))
+    val edges = trade.map { case (a, b, c) => (a, b, c) } ++
+      trade.map { case (a, b, c) => (b, a, c) }
+    var dist = graft.Tables.customer(s, dir)
+      .filter(col("c_custkey") < Graph.BfsSources)
+      .select(concat(lit("c"), col("c_custkey"))).collect()
+      .map(r => r.getString(0) -> 0L).toMap
+    for (_ <- 1 to Graph.BfsMaxHops) {
+      val relaxed = edges.flatMap { case (u, v, c) =>
+        dist.get(u).map(du => v -> (du + c))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      dist = (dist.keySet ++ relaxed.keySet).map { n =>
+        n -> math.min(dist.getOrElse(n, Long.MaxValue),
+          relaxed.getOrElse(n, Long.MaxValue))
+      }.toMap
+    }
+    assert(out == dist, "distributed delta relaxation != full replay")
+    // sources at cost 0; weighted reach equals the unweighted BFS set
+    // (same graph, same horizon — costs change values, not coverage)
+    (0L until Graph.BfsSources).foreach(i => assert(out(s"c$i") == 0L))
+    val bfs = Graph.q49BfsHops(s, dir).collect().map(_.getString(0)).toSet
+    assert(out.keySet == bfs)
+  }
+
   /** Driver-side synchronous LP replay — mode of neighbor labels,
     * ties to the smallest label. */
   private def lpReplay(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {

@@ -55,7 +55,79 @@ object Probe {
     if (sections("d14")) probeD14(spark, sfDir) // not in the default set
     if (sections("d4")) probeD4(spark, sfDir) // not in the default set
     if (sections("s12")) probeS12(spark, sfDir) // not in the default set
+    if (sections("lp")) probeLp(spark) // not in the default set
     spark.stop()
+  }
+
+  /** ---- LP + bounded-SSSP planted-graph scale probe (round 17): the
+    * two newest iterative cores at 10×/100× node counts — the same
+    * planted-graph treatment d8/q36/q49 got. Claims measured: (1) LP
+    * cost is linear in edges with rounds FIXED (the per-round
+    * edge-join + combinable mode shape), verified on planted
+    * 10-cliques where 4 synchronous rounds provably settle every
+    * clique on its minimum id — communities must equal n/10 exactly
+    * at every tier; (2) a hub-free giant component prices the
+    * worst-case relabel traffic (no assertion beyond completion —
+    * wall is the datum); (3) delta-relaxation SSSP cost follows the
+    * REACHED set, not the graph (the q49 output-bounded argument,
+    * now measured for the weighted core). Not in the default set. */
+  private def probeLp(spark: SparkSession): Unit = {
+    import graft.operators.Graph
+    println("== lp/sssp: planted graphs at 10x/100x node counts ==")
+    // all 45 intra-clique pairs per 10-node block, both directions
+    def cliques(n: Long) = {
+      val base = spark.range(n).select(col("id"),
+        (col("id") - col("id") % 10).as("g"))
+      val e = base.select(col("id").as("src"), col("g").as("g1"))
+        .join(base.select(col("id").as("dst"), col("g").as("g2")),
+          col("g1") === col("g2") && col("src") =!= col("dst"))
+        .select("src", "dst")
+      e
+    }
+    // one giant component, skew-free pseudo-random attachment
+    def giant(n: Long) = {
+      val fwd = spark.range(1, n)
+        .select(expr("pmod(xxhash64(id), id)").as("src"), col("id").as("dst"))
+      fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    }
+    def run(name: String, n: Long, mk: Long => org.apache.spark.sql.DataFrame,
+        expectComms: Long): Unit = {
+      spark.catalog.clearCache(); System.gc()
+      val edges = mk(n).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val labels = Graph.labelPropagation(edges, rounds = 4)
+      labels.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val comms = labels.agg(countDistinct("label")).head().getLong(0)
+      if (expectComms > 0) require(comms == expectComms,
+        s"$name: $comms communities, expected $expectComms")
+      println(f"""{"probe":"$name","nodes":$n,"communities":$comms,""" +
+        f""""sec":$sec%.2f}""")
+      org.apache.spark.sql.graftbridge.GraftCheckpoints
+        .releaseLocalCheckpoint(edges)
+    }
+    def runSssp(name: String, n: Long): Unit = {
+      spark.catalog.clearCache(); System.gc()
+      val edges = giant(n)
+        .withColumn("cost", (pmod(col("dst"), lit(7L)) + 1).cast("long"))
+        .localCheckpoint(true)
+      val sources = spark.range(3).select(col("id").as("node"))
+      val t0 = System.nanoTime()
+      val dist = Graph.boundedSssp(edges, sources, rounds = 4)
+      dist.write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val reached = dist.count()
+      println(f"""{"probe":"$name","nodes":$n,"reached":$reached,""" +
+        f""""sec":$sec%.2f}""")
+      org.apache.spark.sql.graftbridge.GraftCheckpoints
+        .releaseLocalCheckpoint(edges)
+    }
+    run("lp_warmup", 50000, cliques, 5000)
+    for (n <- Seq(50000L, 500000L, 5000000L)) {
+      run(s"lp_cliques_n$n", n, cliques, n / 10)
+      run(s"lp_giant_n$n", n, giant, -1)
+      runSssp(s"sssp_giant_n$n", n)
+    }
   }
 
   /** ---- d4's round-13 scale claim: df-capped rarest-K blocking

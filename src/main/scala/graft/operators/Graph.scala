@@ -536,21 +536,27 @@ object Graph {
     * `edges` needs BOTH directions present (src, dst); returns one
     * (id, label) row per node with degree ≥ 1. */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
-    val w = Window.partitionBy("id")
-      .orderBy(col("c").desc, col("label"))
     for (_ <- 1 to rounds) {
       val prev = labels
+      // mode pick as a SORT-FREE two-level hash agg: maximize
+      // (count, -label) lexicographically ≡ (count DESC, label ASC),
+      // the row_number-window spelling the oracle keeps. The planted
+      // 100×-clique probe measured the two spellings at parity on this
+      // box (the per-round (node, label) count shuffle dominates, not
+      // the window sort) — the agg form is kept because a hash agg
+      // cannot hit the window sort's spill path on wide tiers, and the
+      // count shuffle it keeps is map-side combinable. Ids are node
+      // ids ≥ 0, so the negation cannot overflow.
       labels = edges
         .join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src").as("id"), col("label"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("id", "label")
+        .groupBy("id")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("id"), (-col("m.nl")).as("label"))
         .localCheckpoint(true)
       org.apache.spark.sql.graftbridge.GraftCheckpoints
         .releaseLocalCheckpoint(prev)
@@ -590,23 +596,16 @@ object Graph {
     * with the q36 release discipline. Costs and distances are exact
     * longs — the gate is hash-exact with no arithmetic discipline
     * beyond determinism. */
-  def q55CheapestPath(s: SparkSession, dir: String): DataFrame = {
-    val trade = graft.Tables.orders(s, dir)
-      .join(graft.Tables.lineitem(s, dir),
-        col("o_orderkey") === col("l_orderkey"))
-      .groupBy((col("o_custkey").cast("long") * 2).as("a"),
-        (col("l_suppkey").cast("long") * 2 + 1).as("b"))
-      .agg(countDistinct(col("o_orderkey")).as("w"))
-      .select(col("a"), col("b"),
-        greatest(lit(1L), expr(s"$SsspCostScale div w")).as("cost"))
-    val edges = trade
-      .select(col("a").as("src"), col("b").as("dst"), col("cost"))
-      .unionAll(trade
-        .select(col("b").as("src"), col("a").as("dst"), col("cost")))
-      .localCheckpoint(true)
-    var dist = graft.Tables.customer(s, dir)
-      .filter(col("c_custkey") < BfsSources)
-      .select((col("c_custkey").cast("long") * 2).as("node"))
+  /** The bounded-Bellman–Ford core: delta relaxation of `edges`
+    * (src, dst, cost — both directions present) from `sources`
+    * (node), `rounds` rounds. Returns (node, dist) — exactly the
+    * cheapest cost using ≤ `rounds` edges, bit-equal to full
+    * relaxation (see [[q55CheapestPath]]). Factored out so the
+    * planted-graph scale probe can drive it at 10×/100× node counts
+    * without the trade-table build. */
+  private[graft] def boundedSssp(edges: DataFrame, sources: DataFrame,
+      rounds: Int): DataFrame = {
+    var dist = sources.select(col("node"))
       .withColumn("dist", lit(0L))
       .localCheckpoint(true)
     var improved = dist
@@ -614,7 +613,7 @@ object Graph {
     // selects over it, so releasing IT frees the round (the release
     // helper is a no-op on derived plans by design)
     var prevRound: DataFrame = dist
-    for (_ <- 1 to BfsMaxHops) {
+    for (_ <- 1 to rounds) {
       val released = prevRound
       val cand = edges
         .join(improved, col("src") === col("node"))
@@ -633,6 +632,26 @@ object Graph {
         .releaseLocalCheckpoint(released)
     }
     dist
+  }
+
+  def q55CheapestPath(s: SparkSession, dir: String): DataFrame = {
+    val trade = graft.Tables.orders(s, dir)
+      .join(graft.Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey").cast("long") * 2).as("a"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("b"))
+      .agg(countDistinct(col("o_orderkey")).as("w"))
+      .select(col("a"), col("b"),
+        greatest(lit(1L), expr(s"$SsspCostScale div w")).as("cost"))
+    val edges = trade
+      .select(col("a").as("src"), col("b").as("dst"), col("cost"))
+      .unionAll(trade
+        .select(col("b").as("src"), col("a").as("dst"), col("cost")))
+      .localCheckpoint(true)
+    val sources = graft.Tables.customer(s, dir)
+      .filter(col("c_custkey") < BfsSources)
+      .select((col("c_custkey").cast("long") * 2).as("node"))
+    boundedSssp(edges, sources, BfsMaxHops)
       .select(when(col("node") % 2 === 0,
           concat(lit("c"), expr("node div 2")))
         .otherwise(concat(lit("s"), expr("(node - 1) div 2")))

@@ -233,9 +233,28 @@ object CatalogStats {
   private[graft] def histogramFor(df: DataFrame, n: String): Histogram = {
     import org.apache.spark.sql.expressions.Window
     val b = Curation.C27Buckets
+    // the collapsed distinct-value histogram has FOUR consumers below
+    // (bounds scalar, the two-phase cumulative, the fence aggregate, the
+    // per-bin NDV aggregate); un-materialized each re-ran the full table
+    // scan + keyed collapse — 4 scans per histogram column (measured:
+    // c29_analyze paid ~10 scans/run across its two tables). One
+    // eager localCheckpoint holds the NDV-bounded collapsed frame
+    // instead; blocks released before returning. At 100 TB the frame is
+    // distinct-value-sized — storing ~16 B/value once beats re-scanning
+    // and re-shuffling the column 4× (guide §1.2: remove passes first).
     val hist = df.select(col(n).cast("double").as("u"))
       .filter(col("u").isNotNull)
       .groupBy("u").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    try histogramOver(hist, b)
+    finally org.apache.spark.sql.graftbridge.GraftCheckpoints
+      .releaseLocalCheckpoint(hist)
+  }
+
+  /** [[histogramFor]]'s math over an already-materialized collapsed
+    * (u, c) distinct-value histogram. */
+  private def histogramOver(hist: DataFrame, b: Int): Histogram = {
+    import org.apache.spark.sql.expressions.Window
     val g = hist.agg(min("u").as("lo"), max("u").as("hi"),
       sum("c").as("nv")).collect()(0)
     if (g.isNullAt(0)) return Histogram(0d, Array.empty)

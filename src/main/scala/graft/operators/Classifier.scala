@@ -199,10 +199,34 @@ object Classifier {
     weightsFrame(s, dir).orderBy("f")
 
   /** t15_clf_scores: score every doc with the trained model —
-    * zero-shuffle scan-local token walk against the literal weight
-    * map (OOV buckets score 0 via coalesce; docs with no tokens score
-    * exactly the prior). */
+    * zero-shuffle scan-local token walk (OOV buckets score 0; docs
+    * with no tokens score exactly the prior) through the codegen'd
+    * [[graft.functions.ClfScore]] kernel: one call per row, one md5
+    * per token. The retired `aggregate(toks, …)` HOF spelling
+    * evaluated INTERPRETED per token (the verify-skill gotcha) and is
+    * kept as [[t15ScoresHofSpelling]], spec-pinned bit-identical. */
   def t15ClfScores(s: SparkSession, dir: String): DataFrame = {
+    val m = modelFor(s, dir)
+    scoresFrom(labeled(s, dir), scoreKernelCol(m))
+  }
+
+  /** The trained model as a codegen'd score Column over a `toks`
+    * array<string> attribute — shared by t15 scoring and the c30
+    * composed DAG. Weight map densified over all [[ClfBuckets]]
+    * buckets (0 = unobserved), so the kernel's array load reproduces
+    * `coalesce(element_at(weight_map, bucket), 0)` exactly. */
+  private[operators] def scoreKernelCol(m: ClfModel): Column =
+    org.apache.spark.sql.graftbridge.GraftColumns.column(
+      graft.functions.ClfScore(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("toks"),
+        Array.tabulate(ClfBuckets)(b => m.weights.getOrElse(b, 0L)),
+        ClfBuckets, m.priorMicro))
+
+  /** Spec-only HOF spelling of scoring (the pre-kernel shipped shape):
+    * the interpreted `aggregate` walk the kernel is pinned bit-equal
+    * to. */
+  private[graft] def t15ScoresHofSpelling(
+      s: SparkSession, dir: String): DataFrame = {
     val m = modelFor(s, dir)
     val wm = typedlit(m.weights)
     scoresFrom(labeled(s, dir),

@@ -556,7 +556,6 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(s)
     val m = Classifier.modelFor(s, dir)
-    val wm = typedlit(m.weights)
     val deco = TextAnalysis.T13Deco
     val raw30 = concat(
       when(col("doc_id") % 3 === 0, lit(deco(0)))
@@ -578,10 +577,10 @@ object Curation {
         .withColumn("ptext", col("norm30")))
       .withColumn("norm", TextOps.normText(col("norm30")))
       .withColumn("toks", expr(TextOps.toksExpr))
-      .withColumn("score_micro", lit(m.priorMicro) +
-        aggregate(col("toks"), lit(0L), (acc, t) => acc +
-          coalesce(element_at(wm,
-            TextAnalysis.bucketMod(t, Classifier.ClfBuckets)), lit(0L))))
+      // codegen'd classifier walk (graft.functions.ClfScore) — the
+      // interpreted aggregate() HOF this pass shipped with ran per
+      // token; bit-identical by ClassifierSpec's kernel≡HOF pin
+      .withColumn("score_micro", Classifier.scoreKernelCol(m))
       .withColumn("p3", col("p1") && col("passes_gopher"))
       .select("doc_id", "lang", "source", "chg", "p1", "p3", "score_micro")
       .localCheckpoint(true)
@@ -793,7 +792,13 @@ object Curation {
     * staged v2 is a genuine second parquet ([[c12SnapshotPath]] —
     * the d9_xt production-plumbing argument: a second path, a second
     * read, zero operators below the scan change). */
-  def c12SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+  def c12SnapshotDiff(s: SparkSession, dir: String): DataFrame =
+    c12DiffCore(s, dir).orderBy("doc_id")
+
+  /** The c12 diff WITHOUT the presentation sort — the internal input
+    * [[c13ApplyDiff]] derives its changeset from (a merge consumer
+    * must not pay a global order-by it immediately re-filters). */
+  private def c12DiffCore(s: SparkSession, dir: String): DataFrame = {
     // presence is keyed on marker columns, NOT on hash nullity — a doc
     // with NULL text must read as present-with-null-content (changed /
     // unchanged via the null-safe compare), never as absent
@@ -807,7 +812,6 @@ object Curation {
           .when(col("p2").isNull, lit("removed"))
           .when(col("h1") <=> col("h2"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
-      .orderBy("doc_id")
   }
 
   /** Partition count for [[c13ApplyDiff]]'s versioned documents table
@@ -842,7 +846,13 @@ object Curation {
       s, c13Table(s, dir), "pt",
       Tables.documents(s, dir).select(col("doc_id"), col("text"))
         .withColumn("pt", pmod(col("doc_id"), lit(C13Parts))))
-    val diff = c12SnapshotDiff(s, dir)
+    // the diff (a v1⋈v2 full-outer join over two md5 scans) feeds BOTH
+    // changeset sides; filtered to touched keys it is changeset-sized —
+    // evaluate it ONCE instead of once per side (and without c12's
+    // presentation sort, which the filters below would discard anyway)
+    val diff = c12DiffCore(s, dir)
+      .filter(col("status") =!= "unchanged")
+      .localCheckpoint(true)
     val v2 = s.read.parquet(c12SnapshotPath(s, dir))
     val upserts = diff.filter(col("status").isin("added", "changed"))
       .join(v2, Seq("doc_id"))
@@ -852,6 +862,8 @@ object Curation {
       .select(col("doc_id"), pmod(col("doc_id"), lit(C13Parts)).as("pt"))
     graft.sources.Sources.mergeIntoPartitioned(
       s, t, "pt", "doc_id", upserts, deletes)
+    org.apache.spark.sql.graftbridge.GraftCheckpoints
+      .releaseLocalCheckpoint(diff)
     s.table(t).select(col("doc_id"), md5(col("text")).as("h"))
       .orderBy("doc_id")
   }
@@ -1401,11 +1413,26 @@ object Curation {
       .join(broadcast(offs), Seq("col_name", "hb"))
       .withColumn("cum", col("incum") + col("off"))
       .join(tot, "col_name")
-    val idx = s.range(1, C27Buckets + 1).toDF("bucket")
-    cum.crossJoin(broadcast(idx))
-      .groupBy("col_name", "bucket")
-      .agg(min(when(col("cum") * C27Buckets >= col("bucket") * col("n"),
-        col("u"))).as("ub"), max("n").as("n_rows"))
+    // fence extraction as ONE aggregate with B conditional mins + a
+    // stack back to rows — the histogramFor spelling. The retired
+    // crossJoin(range(B)) form expanded the NDV-sized cumulative frame
+    // ×B (≈4.8M rows at sf0.1) through a second keyed shuffle; the
+    // conditional aggs reduce map-side to one row per partition per
+    // col_name, so the fence shuffle carries partials only. Same rank
+    // arithmetic, same output rows/order — the unchanged DuckDB oracle
+    // hash-proves the rewrite.
+    val fenceAggs = (1 to C27Buckets).map { i =>
+      min(when(col("cum") * C27Buckets >= lit(i.toLong) * col("n"),
+        col("u"))).as(s"ub_$i")
+    }
+    val stackSql = (1 to C27Buckets)
+      .map(i => s"CAST($i AS BIGINT), ub_$i").mkString(", ")
+    cum.groupBy("col_name")
+      .agg(max("n").as("n_rows"), fenceAggs: _*)
+      .select(col("col_name"),
+        expr(s"stack($C27Buckets, $stackSql) AS (bucket, ub)"),
+        col("n_rows"))
+      .select("col_name", "bucket", "ub", "n_rows")
       .orderBy("col_name", "bucket")
   }
 
@@ -2661,7 +2688,10 @@ object Curation {
         shard.select(col("doc_id").as("vec_id"), col("embedding")))
       .select(col("vec_id").as("doc_id"), col("cell"),
         col("is_new_unique").as("sem_ok"))
-    val verdicts = sig.join(sem, "doc_id")
+    // shard-sized (one row per shard doc); TWO consumers — the physical
+    // admit below and the final read-back join — so materialize the two
+    // screen probes once instead of re-running both per consumer
+    val verdicts = sig.join(sem, "doc_id").localCheckpoint(true)
     val admitted = verdicts
       .filter(col("sig_ok") === 1 && col("sem_ok") === 1)
       .select(col("doc_id").as("vec_id"))

@@ -456,22 +456,31 @@ object Graph {
       .select(col("a").as("src"), col("b").as("dst"))
       .unionAll(trade.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(true)
-    var settled = graft.Tables.customer(s, dir)
+    val level0 = graft.Tables.customer(s, dir)
       .filter(col("c_custkey") < BfsSources)
       .select((col("c_custkey").cast("long") * 2).as("node"))
       .withColumn("dist", lit(0))
       .localCheckpoint(true)
-    var frontier = settled.select("node")
+    // the settled set is kept as the LIST of checkpointed levels and
+    // unioned lazily where consumed (anti-join build side, final
+    // output) — re-checkpointing the whole accumulated set every round
+    // paid one extra eager job per hop and re-materialized rows the
+    // level checkpoints already hold (the union of ≤ hops+1 cached
+    // RDD scans costs no recompute). Strictly less pinned storage too:
+    // only the disjoint levels persist, never the h copies of their
+    // growing union.
+    val levels = scala.collection.mutable.ArrayBuffer(level0)
+    var frontier = level0.select("node")
     for (h <- 1 to BfsMaxHops) {
       val next = edges.join(frontier, col("src") === col("node"))
         .select(col("dst").as("node")).distinct()
-        .join(settled, Seq("node"), "left_anti")
+        .join(levels.reduce(_ unionByName _), Seq("node"), "left_anti")
         .withColumn("dist", lit(h))
         .localCheckpoint(true)
-      settled = settled.unionByName(next).localCheckpoint(true)
+      levels += next
       frontier = next.select("node")
     }
-    settled
+    levels.reduce(_ unionByName _)
       .select(when(col("node") % 2 === 0,
           concat(lit("c"), expr("node div 2")))
         .otherwise(concat(lit("s"), expr("(node - 1) div 2")))

@@ -98,11 +98,22 @@ object Linkage {
       .agg(min("c_custkey").as("c_custkey"))
     val dirtyNames = dirty.groupBy("d_name")
       .agg(sort_array(collect_list(col("d_id"))).as("members"))
+    // join on the 64-bit HASH of each deletion key, not the key string:
+    // the candidate join's build side carries every exploded key (names
+    // × ~19), and hashing fixed-width longs shrinks its exchange/
+    // broadcast bytes ~3× and its hash-relation build (the measured
+    // load-sensitive serial driver cost — SURVEY §5 q46 adjudication).
+    // Result-identical: distance ≤ 1 names ALWAYS share a deletion key
+    // (SymSpell completeness), so a hash collision can only ADD
+    // candidates, and the exact levenshtein verify already discards
+    // every non-match (guide §2.3: shuffle keys, not payloads).
     val cleanKeys = cleanNames
       .select(col("c_custkey"), col("c_name"),
-        explode(expr(delKeysExpr("c_name"))).as("k"))
+        explode(expr(delKeysExpr("c_name"))).as("ks"))
+      .select(col("c_custkey"), col("c_name"), xxhash64(col("ks")).as("k"))
     val dirtyKeys = dirtyNames
-      .select(col("d_name"), explode(expr(delKeysExpr("d_name"))).as("k"))
+      .select(col("d_name"), explode(expr(delKeysExpr("d_name"))).as("ks"))
+      .select(col("d_name"), xxhash64(col("ks")).as("k"))
     val w = Window.partitionBy("d_name")
       .orderBy(col("dist"), col("c_custkey"))
     val best = dirtyKeys.join(cleanKeys, "k")
@@ -165,10 +176,14 @@ object Linkage {
       max(when(col("rec_id") <= maxId, 1).otherwise(0)).as("is_clean"))
     val masters = names.filter(col("is_clean") === 1)
     val incoming = names.filter(col("is_clean") === 0)
+    // hashed deletion keys — the q46 spelling and argument (a collision
+    // only adds candidates; the exact levenshtein verify removes them)
     val mKeys = masters.select(col("nid").as("m_nid"),
-      col("name").as("m_name"), explode(expr(delKeysExpr("name"))).as("k"))
+        col("name").as("m_name"), explode(expr(delKeysExpr("name"))).as("ks"))
+      .select(col("m_nid"), col("m_name"), xxhash64(col("ks")).as("k"))
     val iKeys = incoming.select(col("nid"), col("name"),
-      explode(expr(delKeysExpr("name"))).as("k"))
+        explode(expr(delKeysExpr("name"))).as("ks"))
+      .select(col("nid"), col("name"), xxhash64(col("ks")).as("k"))
     val matches = iKeys.join(mKeys, "k")
       .select("nid", "name", "m_nid", "m_name").distinct()
       .filter(levenshtein(col("name"), col("m_name")) <= FuzzyMaxDist)

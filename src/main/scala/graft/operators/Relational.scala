@@ -555,16 +555,50 @@ object Relational {
     * All arithmetic stays on the exact grid (see above), so the
     * rewrite is bit-identical to the builtin, and the oracle keeps
     * DuckDB's independent quantile_cont as the cross-check. */
+  /** Width of the value-range buckets the quantile family's two-phase
+    * cumulative counts run within (the c27HistB/t17HistB sibling):
+    * 2¹⁴ spans cent-valued price columns in a few hundred parallel
+    * windows per group. */
+  private val RankHistB = 16384L
+
+  /** (grp, v, cnt) histogram → + `cum` (running count of rows with
+    * value ≤ v within grp) and `n` (group total), via the c27/t17
+    * TWO-PHASE prefix sum instead of one serial per-group window: a
+    * bare `Window.partitionBy(grp).orderBy(v)` puts a group's ENTIRE
+    * distinct-value histogram in ONE task (~198k serial rows per
+    * returnflag at sf0.1; the whole column's distinct values at
+    * 100 TB — the "q33 sin" t17's scaladoc names). Values must be
+    * NONNEGATIVE so `v div` [[RankHistB]] buckets are lexicographic
+    * RANGES of v: in-bucket cumulative sums run as hundreds of
+    * parallel windows, an exclusive prefix of per-bucket totals (the
+    * only serial frame, bucket-count-sized) broadcasts back,
+    * cum = offset + in-bucket cum; `n` rides the same bucket-total
+    * frame instead of a second whole-partition window pass. All
+    * integer sums — bit-identical to the global window, which the
+    * DuckDB oracles keep (hash-equality proves two-phase ≡ global,
+    * the t17/c27 argument). */
+  private def rankedHist(hist: DataFrame, grp: String, v: String): DataFrame = {
+    val hbed = hist.withColumn("hb", expr(s"$v div ${RankHistB}L"))
+    val inW = Window.partitionBy(grp, "hb").orderBy(v)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = hbed.groupBy(col(grp), col("hb")).agg(sum("cnt").as("bc"))
+      .withColumn("off",
+        coalesce(sum("bc").over(Window.partitionBy(grp).orderBy("hb")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum("bc").over(Window.partitionBy(grp)))
+      .select(col(grp), col("hb"), col("off"), col("n"))
+    hbed.withColumn("incum", sum("cnt").over(inW))
+      .join(broadcast(offs), Seq(grp, "hb"))
+      .withColumn("cum", col("incum") + col("off"))
+      .drop("hb", "incum", "off")
+  }
+
   def q33Quantiles(s: SparkSession, dir: String): DataFrame = {
     val hist = Tables.lineitem(s, dir)
       .select(col("l_returnflag"),
         expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
       .groupBy("l_returnflag", "cents").agg(count(lit(1)).as("cnt"))
-    val wOrd = Window.partitionBy("l_returnflag").orderBy("cents")
-    val wAll = Window.partitionBy("l_returnflag")
-    var ranked = hist
-      .withColumn("cum", sum("cnt").over(wOrd))
-      .withColumn("n", sum("cnt").over(wAll))
+    var ranked = rankedHist(hist, "l_returnflag", "cents")
     val qs = Seq("25" -> 0.25, "50" -> 0.5, "75" -> 0.75)
     qs.foreach { case (tag, q) =>
       // rank position rp = q·(n−1): exact (q is an exact binary
@@ -622,11 +656,10 @@ object Relational {
       .select(col("l_returnflag"),
         expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
       .groupBy("l_returnflag", "cents").agg(count(lit(1)).as("cnt"))
-    val wOrd = Window.partitionBy("l_returnflag").orderBy("cents")
-    val wAll = Window.partitionBy("l_returnflag")
-    val ranked = hist
-      .withColumn("cum", sum("cnt").over(wOrd))
-      .withColumn("n", sum("cnt").over(wAll))
+    // two-phase cum + joined group totals (rankedHist) — the serial
+    // per-flag window this scaladoc's "plan shape is q33's" used to
+    // share is replaced in both entries at once
+    val ranked = rankedHist(hist, "l_returnflag", "cents")
     def valueAt(rank: org.apache.spark.sql.Column) =
       max(when(col("cum") - col("cnt") < rank && rank <= col("cum"),
         col("cents")))
@@ -662,25 +695,33 @@ object Relational {
     val raw = Tables.lineitem(s, dir)
       .select(col("l_returnflag"),
         expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
-    val wOrd = Window.partitionBy("l_returnflag").orderBy("cents")
-    val wAll = Window.partitionBy("l_returnflag")
     def medianOf(hist: DataFrame, v: String): DataFrame = {
-      val ranked = hist
-        .withColumn("cum", sum("cnt").over(
-          Window.partitionBy("l_returnflag").orderBy(v)))
-        .withColumn("n", sum("cnt").over(wAll))
+      // the q33/q39 two-phase cum (values nonnegative: cents, |dev|)
+      val ranked = rankedHist(hist, "l_returnflag", v)
       ranked.groupBy("l_returnflag")
         .agg(max(when(col("cum") - col("cnt") < expr("(50 * n + 99) div 100")
           && expr("(50 * n + 99) div 100") <= col("cum"), col(v)))
           .as("m"))
     }
-    val med = medianOf(
-      raw.groupBy("l_returnflag", "cents").agg(count(lit(1)).as("cnt")),
-      "cents").withColumnRenamed("m", "med_cents")
-    val devHist = raw.join(broadcast(med), Seq("l_returnflag"))
+    // ONE corpus scan: the deviation histogram is a pure function of
+    // the (flag, cents) histogram — dev = |cents − med| re-keyed with
+    // the counts summed — so deriving it FROM the checkpointed cents
+    // histogram replaces the second lineitem scan + corpus-sized
+    // (flag, dev) shuffle with a histogram-sized re-aggregation
+    // (guide §2.3: aggregate before you shuffle). Bit-identical: for
+    // every raw row, dev is determined by its cents value, so summing
+    // histogram counts over colliding devs equals counting raw rows.
+    val hist = raw.groupBy("l_returnflag", "cents")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // feeds the median rank AND the dev histogram
+    val med = medianOf(hist, "cents").withColumnRenamed("m", "med_cents")
+      .localCheckpoint(true) // group-cardinality; read again at output time
+    val devHist = hist.join(broadcast(med), Seq("l_returnflag"))
       .withColumn("dev", abs(col("cents") - col("med_cents")))
-      .groupBy("l_returnflag", "dev").agg(count(lit(1)).as("cnt"))
+      .groupBy("l_returnflag", "dev").agg(sum("cnt").as("cnt"))
       .localCheckpoint(true) // feeds the MAD rank AND the outlier count
+    org.apache.spark.sql.graftbridge.GraftCheckpoints
+      .releaseLocalCheckpoint(hist) // med + devHist were its only readers
     val mad = medianOf(devHist, "dev").withColumnRenamed("m", "mad_cents")
     devHist
       .join(broadcast(mad), Seq("l_returnflag"))

@@ -1193,6 +1193,10 @@ object TextAnalysis {
         explode(expr("filter(split(text, ' '), x -> x <> '')")).as("word"))
       .filter(!col("word").isin(Relational.stopwords: _*))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      // TWO consumers (the df aggregation below and the tf⋈df join
+      // probe): un-materialized, the corpus explode + keyed collapse
+      // ran twice per query — once per consumer
+      .localCheckpoint(true)
     val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val nd = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window

@@ -628,12 +628,18 @@ object Streams {
         Seq(col("m.op").as("op"), col("m.text").as("text")): _*)
 
   def st10ApplyBatch(s: SparkSession, table: String, log: DataFrame): Unit = {
+    // compacted batch is changeset-sized; evaluate the log scan + LWW
+    // aggregate ONCE — the upsert and delete sides are filters over it,
+    // not two re-derivations of it
     val latest = lwwLatest(log, "doc_id")
       .withColumn("pt", pmod(col("doc_id"), lit(St10Parts)))
-    graft.sources.Sources.mergeIntoPartitioned(
+      .localCheckpoint(true)
+    try graft.sources.Sources.mergeIntoPartitioned(
       s, table, "pt", "doc_id",
       latest.filter(col("op") === "upsert").select("doc_id", "text", "pt"),
       latest.filter(col("op") === "delete").select("doc_id", "pt"))
+    finally org.apache.spark.sql.graftbridge.GraftCheckpoints
+      .releaseLocalCheckpoint(latest)
   }
 
   /** st10 (streaming spelling): the change feed applied continuously —

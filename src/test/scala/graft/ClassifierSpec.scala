@@ -23,15 +23,17 @@ class ClassifierSpec extends AnyFunSuite {
       s"classifier failed to learn: acc $acc vs majority $majority")
   }
 
-  test("t15 scan-local HOF scoring is bit-identical to the codegen'd " +
-      "broadcast-join spelling (the t11 kernel-vs-fallback pin)") {
-    val hof = Classifier.t15ClfScores(s, dir).collect()
+  test("t15 kernel scoring (ClfScore) is bit-identical to the " +
+      "interpreted HOF walk AND the broadcast-join spelling corpus-wide " +
+      "(the t11 kernel-vs-fallback pin)") {
+    def tup(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("y"),
         r.getAs[Long]("score_micro"), r.getAs[Int]("pred"))).toSeq
-    val join = Classifier.t15ScoresJoinSpelling(s, dir).collect()
-      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("y"),
-        r.getAs[Long]("score_micro"), r.getAs[Int]("pred"))).toSeq
-    assert(hof == join)
+    val kernel = tup(Classifier.t15ClfScores(s, dir))
+    val hof = tup(Classifier.t15ScoresHofSpelling(s, dir))
+    val join = tup(Classifier.t15ScoresJoinSpelling(s, dir))
+    assert(kernel == hof)
+    assert(kernel == join)
   }
 
   test("t15 model is a fingerprint-keyed once-per-corpus artifact, " +

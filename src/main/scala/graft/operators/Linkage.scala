@@ -116,9 +116,18 @@ object Linkage {
       .select(col("d_name"), xxhash64(col("ks")).as("k"))
     val w = Window.partitionBy("d_name")
       .orderBy(col("dist"), col("c_custkey"))
-    val best = dirtyKeys.join(cleanKeys, "k")
+    // the distinct is CUT (eager localCheckpoint) before the verify:
+    // left lazy, Catalyst pushes the deterministic levenshtein filter
+    // through the aggregate INTO the join condition, so the verify ran
+    // per key-match INSTANCE (~10–19× per pair on dense ids — the
+    // probe measured the pushed spelling at +1.7 s of the 5.2 s wall)
+    // instead of once per distinct candidate pair; the checkpointed
+    // frame is candidate-bounded (≤ keys × bucket size)
+    val cand = dirtyKeys.join(cleanKeys, "k")
       .select("d_name", "c_custkey", "c_name")
       .distinct()
+      .localCheckpoint(true)
+    val best = cand
       .withColumn("dist", levenshtein(col("d_name"), col("c_name")))
       .filter(col("dist") <= FuzzyMaxDist)
       .withColumn("rnk", row_number().over(w))
@@ -184,8 +193,11 @@ object Linkage {
     val iKeys = incoming.select(col("nid"), col("name"),
         explode(expr(delKeysExpr("name"))).as("ks"))
       .select(col("nid"), col("name"), xxhash64(col("ks")).as("k"))
-    val matches = iKeys.join(mKeys, "k")
+    // distinct cut before the verify — the q46 pushed-levenshtein fix
+    val mcand = iKeys.join(mKeys, "k")
       .select("nid", "name", "m_nid", "m_name").distinct()
+      .localCheckpoint(true)
+    val matches = mcand
       .filter(levenshtein(col("name"), col("m_name")) <= FuzzyMaxDist)
       .groupBy("nid")
       .agg(count(lit(1)).as("n_matches"), min("m_nid").as("m_min"))

@@ -144,10 +144,30 @@ object Bench {
 
     // machine-speed context, stamped INTO the artifact (a fast-machine
     // total read without it misleads cross-round diffs): median ratio
-    // of this run's pins to the r4 reference pins (SURVEY §6). < 1 =
-    // this machine ran faster than the reference rounds.
-    val referencePins = Map(
-      "pin_shuffle_agg" -> 0.425, "pin_sort" -> 1.341, "pin_hash_cpu" -> 0.349)
+    // of this run's pins to the reference pins (SURVEY §6). < 1 =
+    // this machine ran faster than the reference rounds. References
+    // are PER CORE COUNT: pins parallelize, so an 8-core run's pins
+    // sit 2-3.4x above the 32-core numbers on an IDLE box, and
+    // comparing them against 32-core references false-flagged the
+    // driver's own 8-core scaling run as loaded (r17 verdict #4) —
+    // poisoning the one axis that run exists to measure. 32-core refs
+    // are the r4 originals (unchanged); 8-core refs are the driver's
+    // r17 8-core run (BENCH_r17_c8.json — quiet per the r17 verdict's
+    // adjudication, its 2.26 "pin_ratio" being exactly this artifact).
+    val referencePinsByCpus = Map(
+      32 -> Map(
+        "pin_shuffle_agg" -> 0.425, "pin_sort" -> 1.341,
+        "pin_hash_cpu" -> 0.349),
+      8 -> Map(
+        "pin_shuffle_agg" -> 0.276, "pin_sort" -> 3.032,
+        "pin_hash_cpu" -> 1.183))
+    val pinRefKnown = referencePinsByCpus.contains(cpus.toInt)
+    val referencePins = referencePinsByCpus.getOrElse(
+      cpus.toInt, referencePinsByCpus(32))
+    if (!pinRefKnown)
+      System.err.println(s"[bench] no reference pins at $cpus cores — " +
+        "pin_ratio is vs the 32-core references and the loaded-run " +
+        "guard is skipped (direction-only evidence)")
     // guarded lookup: a pin added/renamed without a reference entry must
     // degrade to "not in the ratio" — not throw after the whole sweep ran
     val pinRatios = pinnedResults.flatMap { case (n, (m, _)) =>
@@ -162,7 +182,7 @@ object Bench {
     // the artifact so a cross-round diff of raw BENCH jsons cannot
     // misread a 2.7x-loaded total (round 9's driver run) as a slowdown.
     val LoadedPinRatio = 1.5
-    val loaded = pinRatio > LoadedPinRatio
+    val loaded = pinRefKnown && pinRatio > LoadedPinRatio
     if (loaded)
       System.err.println(f"[bench] WARNING: pin_ratio $pinRatio%.2f > " +
         f"$LoadedPinRatio — machine is loaded; totals are an UPPER BOUND, " +
@@ -204,6 +224,17 @@ object Bench {
     Option(detailPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
     java.nio.file.Files.write(
       detailPath, detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // ALSO write a core-count-stamped sibling: the driver benches the
+    // same tree at two core counts, and each run OVERWRITING the one
+    // default path blinded the driver's per-query and scaling
+    // comparisons in r17 (PERF per_query empty — r17 verdict #3). The
+    // stamped copies coexist, so bench-detail-c32/-c8 can be compared
+    // after the fact; the stdout line points at the stamped path.
+    val stampedPath = detailPath.resolveSibling(
+      detailPath.getFileName.toString.replaceAll("\\.json$", "") +
+        s"-c$cpus.json")
+    java.nio.file.Files.write(
+      stampedPath, detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // stdout gets a COMPACT line: the driver harvester keeps only the
     // last ~2000 chars of output and parses the JSON line from that
     // tail — at 145+ queries the full per-query map alone is ~4000
@@ -232,16 +263,34 @@ object Bench {
           case _ => ""
         }
       } catch { case _: Exception => "" }
-    val top = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(10)
-    println(
+    // the stdout "queries" map carries as many entries as fit, SLOWEST
+    // first: the full 162-query map (~4.4 KB) cannot fit the driver
+    // harvester's 2000-char tail window (rounds 4/12 lost the whole
+    // line to exactly that), and r17's 10-entry cap left the driver's
+    // per-query comparison empty (PERF n_common 0). Slowest-first fill
+    // to a fixed char budget keeps every entry that meaningfully moves
+    // the total inside the window whatever the query count; the FULL
+    // map is in the detail file (and the committed BENCH_local
+    // artifact). Reporting-only change — the timing protocol above is
+    // untouched (declared in OPTIMIZATION_r18.md).
+    val ranked = results.filter(_._2._1 >= 0).sortBy(-_._2._1)
+    def lineWith(qs: Seq[(String, Double)]): String =
       f"""{"metric":"total_wall","value":$total%.3f,"unit":"sec","runs":$runs,""" +
         s""""n_queries":${results.length},""" +
-        s""""top10":${fmtMap(top.map(r => r._1 -> r._2._1))},""" +
+        s""""queries":${fmtMap(qs.map(r => r._1 -> r._2))},""" +
         s""""pinned":${fmtMap(pinnedResults.map(r => r._1 -> r._2._1))},""" +
         f""""memo_build_sec":$memoBuildSec%.3f,"pin_ratio":$pinRatio%.3f,""" +
         s""""loaded":$loaded,""" + oracleRef +
         f""""noise":$noise%.3f,"failed":$fs,""" +
-        s""""queries_detail":"$detailPath","sf":"$sfDir"}""")
+        s""""queries_detail":"$stampedPath","sf":"$sfDir"}"""
+    // 2000-char window minus sbt's "[success] Total time ..." trailer
+    // (~80 chars) minus slack for a stray WARN line
+    val LineBudget = 1800
+    val keep = ranked.indices.reverse
+      .find(i => lineWith(ranked.take(i + 1)
+        .map(r => r._1 -> r._2._1)).length <= LineBudget)
+      .map(_ + 1).getOrElse(ranked.length.min(10))
+    println(lineWith(ranked.take(keep).map(r => r._1 -> r._2._1)))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

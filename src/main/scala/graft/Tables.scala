@@ -112,6 +112,17 @@ object Tables {
     * pairs): a re-ingested corpus at the same path changes file
     * lengths/mtimes and misses the cache, so a long-lived JVM can never
     * serve results computed on a previous corpus generation. */
+  /** Metadata-only on-disk size of one table (sum of file lengths, one
+    * FS listing, no data read, no Spark job) — the cheap scale probe
+    * size-adaptive operators gate on (the quantile family's serial-
+    * window escape): row counts would need a footer read or a job,
+    * but every size gate here only needs order-of-magnitude. */
+  def tableBytes(s: SparkSession, dir: String, table: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(p(dir, table))
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(path).map(_.getLen).sum
+  }
+
   def fingerprint(s: SparkSession, dir: String, table: String): String = {
     val path = new org.apache.hadoop.fs.Path(p(dir, table))
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -912,7 +912,10 @@ object Curation {
       .filter(col("user_id") % C15ForgetMod === 0)
       .select("user_id", "dt").distinct()
     graft.sources.Sources.mergeIntoPartitioned(
-      s, t, "dt", "user_id", s.table(t).limit(0), deleteKeys)
+      s, t, "dt", "user_id", s.table(t).limit(0), deleteKeys,
+      // delete-only: a limit(0) upsert side re-derives for free, and a
+      // re-applied (no-op) erasure must not pay a materialization job
+      materializeUpserts = false)
     s.table(t).groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
         countDistinct("user_id").as("n_users"),
@@ -1949,7 +1952,12 @@ object Curation {
     graft.sources.Sources.mergeIntoPartitioned(
       s, livet, "pg", "g",
       merged.filter(col("n_docs") > 0L),
-      merged.filter(col("n_docs") <= 0L).select("g", "pg"))
+      merged.filter(col("n_docs") <= 0L).select("g", "pg"),
+      // group-cardinality delta over the staged changeset parquet —
+      // re-deriving it per consumer is cheaper than a checkpoint job
+      // (r18 A/B: 1.44 s lazy vs 1.55 s materialized; the r17 +14%
+      // quiet regression adjudicated)
+      materializeUpserts = false)
     s.table(livet).select("g", "n_docs", "sum_chars").orderBy("g")
   }
 

@@ -26,8 +26,36 @@ import graft.Tables
   */
 object Linkage {
   /** Match threshold (edit distance). 1 = the SymSpell single-delete
-    * neighborhood; the staged perturbations are calibrated to it. */
+    * neighborhood; the staged perturbations are calibrated to it.
+    * MUST stay 1 while the deletion-key join hashes its keys: at
+    * dist ≤ 1 a hash collision can only ADD candidates the exact
+    * levenshtein verify discards, because SymSpell completeness
+    * guarantees every true match already shares a REAL deletion key —
+    * at any larger threshold the completeness argument needs
+    * recursive deletes, and the hashed and string-key spellings could
+    * diverge on collision-added candidates (r17 advice #4; the
+    * requires at the hashed joins below pin this coupling in code). */
   val FuzzyMaxDist = 1
+
+  /** Name-count floor above which the candidate frame is CUT (eager
+    * localCheckpoint between the candidate DISTINCT and the
+    * levenshtein verify). Left lazy, Catalyst pushes the verify into
+    * the join condition and runs the O(len²) levenshtein per
+    * key-match INSTANCE (~10–19× per pair on dense ids) instead of
+    * per distinct pair — the r17 q46 plan defect, worth −36% in the
+    * driver's own run. The cut costs one candidate-sized
+    * materialization job, so BELOW this floor (where the instance
+    * blow-up is small absolute work) the lazy plan is cheaper — the
+    * r17 verdict's q53 adjudication (+29% quiet from an
+    * unconditional cut on ~20k names; re-measured r18 on the
+    * same-JVM alternating protocol at sf0.1: q53 lazy median 1.55 s
+    * vs cut 1.65 s — the lazy side wins below the floor. q46 keeps
+    * its UNCONDITIONAL cut: the same protocol (Q46Ab) reads cut
+    * median 3.23 s spread 0.30 vs pushed median 4.15 s spread 2.30 —
+    * its candidate×instance volume is ~an order larger per name and
+    * load-amplified). Conf-settable without a rebuild
+    * (spark.graft.linkage.q53CutMinNames). */
+  val Q53CutMinNames = 200000L
 
   /** Deterministic dirty-list derivation: every [[DirtyMod]]th customer
     * arrives re-keyed past the corpus max; those whose key divides
@@ -123,10 +151,15 @@ object Linkage {
     // probe measured the pushed spelling at +1.7 s of the 5.2 s wall)
     // instead of once per distinct candidate pair; the checkpointed
     // frame is candidate-bounded (≤ keys × bucket size)
+    require(FuzzyMaxDist == 1,
+      "hashed deletion-key join requires the single-delete neighborhood")
     val cand = dirtyKeys.join(cleanKeys, "k")
       .select("d_name", "c_custkey", "c_name")
       .distinct()
       .localCheckpoint(true)
+    // leased, not leaked: the returned frame reads this checkpoint
+    // lazily, so it stays readable until the next q46 call releases it
+    graft.CheckpointLease.swap(s, "linkage.q46", cand)
     val best = cand
       .withColumn("dist", levenshtein(col("d_name"), col("c_name")))
       .filter(col("dist") <= FuzzyMaxDist)
@@ -193,10 +226,26 @@ object Linkage {
     val iKeys = incoming.select(col("nid"), col("name"),
         explode(expr(delKeysExpr("name"))).as("ks"))
       .select(col("nid"), col("name"), xxhash64(col("ks")).as("k"))
-    // distinct cut before the verify — the q46 pushed-levenshtein fix
-    val mcand = iKeys.join(mKeys, "k")
+    require(FuzzyMaxDist == 1,
+      "hashed deletion-key join requires the single-delete neighborhood")
+    // distinct cut before the verify — the q46 pushed-levenshtein fix,
+    // SIZE-GATED on the record count (maxId ≈ customer count, already
+    // collected above): below [[Q53CutMinNames]] the lazy plan's
+    // pushed verify is cheaper than the cut's materialization job
+    // (measurements at the constant's scaladoc). Both spellings are
+    // result-identical — the cut changes WHERE the verify runs, never
+    // what it keeps (r17 shipped the lazy spelling hash-green, r17opt
+    // the cut spelling hash-green).
+    val mcand0 = iKeys.join(mKeys, "k")
       .select("nid", "name", "m_nid", "m_name").distinct()
-      .localCheckpoint(true)
+    val mcand =
+      if (maxId >= s.conf.get("spark.graft.linkage.q53CutMinNames",
+          Q53CutMinNames.toString).toLong) {
+        val c = mcand0.localCheckpoint(true)
+        // leased, not leaked: readable until the next q53 call
+        graft.CheckpointLease.swap(s, "linkage.q53", c)
+        c
+      } else mcand0
     val matches = mcand
       .filter(levenshtein(col("name"), col("m_name")) <= FuzzyMaxDist)
       .groupBy("nid")

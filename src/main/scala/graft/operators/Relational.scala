@@ -561,24 +561,72 @@ object Relational {
     * windows per group. */
   private val RankHistB = 16384L
 
+  /** Input-size floor (table parquet bytes) above which the quantile
+    * family takes the TWO-PHASE cumulative spelling; below it the one
+    * serial per-group window is strictly cheaper (measured r17→r18:
+    * two-phase cost q33 +18% / q39 +27% quiet at sf0.1 — the r17
+    * verdict's adjudication item #1 — because its fixed machinery,
+    * one extra histogram pass + a broadcast-build barrier, dwarfs the
+    * ~198k-row serial window it parallelizes). 256 MiB of lineitem
+    * parquet ≈ 10M rows ≈ the largest per-group distinct-value
+    * histogram a single window task should ever hold; conf-settable
+    * so a cluster can move the trade without a rebuild. Both
+    * spellings are bit-identical (integer sums, same rank algebra —
+    * r16 shipped serial, r17 shipped two-phase, both 162/162
+    * hash-green vs the oracle's independent global-window spelling),
+    * so the gate changes the PLAN only, never the result. */
+  private def rankedHistTwoPhase(s: SparkSession, dir: String): Boolean =
+    Tables.tableBytes(s, dir, "lineitem") >= s.conf.get(
+      "spark.graft.quantile.twoPhaseMinBytes",
+      (256L * 1024 * 1024).toString).toLong
+
   /** (grp, v, cnt) histogram → + `cum` (running count of rows with
-    * value ≤ v within grp) and `n` (group total), via the c27/t17
-    * TWO-PHASE prefix sum instead of one serial per-group window: a
-    * bare `Window.partitionBy(grp).orderBy(v)` puts a group's ENTIRE
-    * distinct-value histogram in ONE task (~198k serial rows per
-    * returnflag at sf0.1; the whole column's distinct values at
-    * 100 TB — the "q33 sin" t17's scaladoc names). Values must be
-    * NONNEGATIVE so `v div` [[RankHistB]] buckets are lexicographic
-    * RANGES of v: in-bucket cumulative sums run as hundreds of
+    * value ≤ v within grp) and `n` (group total).
+    *
+    * `twoPhase = false`: one keyed window pass (the r16 spelling) —
+    * a group's ENTIRE distinct-value histogram lands in ONE task,
+    * fine below [[rankedHistTwoPhase]]'s floor, the "q33 sin" above
+    * it (the whole column's distinct values at 100 TB).
+    *
+    * `twoPhase = true`: the c27/t17 two-phase prefix sum — values
+    * must be NONNEGATIVE so `v div` [[RankHistB]] buckets are
+    * lexicographic RANGES of v (guarded per row below: a signed
+    * column fails loudly instead of returning wrong ranks — r17
+    * advice #1): in-bucket cumulative sums run as hundreds of
     * parallel windows, an exclusive prefix of per-bucket totals (the
     * only serial frame, bucket-count-sized) broadcasts back,
     * cum = offset + in-bucket cum; `n` rides the same bucket-total
-    * frame instead of a second whole-partition window pass. All
-    * integer sums — bit-identical to the global window, which the
-    * DuckDB oracles keep (hash-equality proves two-phase ≡ global,
-    * the t17/c27 argument). */
-  private def rankedHist(hist: DataFrame, grp: String, v: String): DataFrame = {
-    val hbed = hist.withColumn("hb", expr(s"$v div ${RankHistB}L"))
+    * frame. The histogram feeds BOTH the window branch and the
+    * bucket-total branch; un-materialized, Catalyst's per-branch
+    * column pruning defeats exchange reuse and the whole input scan +
+    * histogram aggregation ran TWICE (r17's q33/q39 plans:
+    * two `Scan parquet` of lineitem — the measured regression), so a
+    * non-checkpointed input is cut here and leased
+    * ([[graft.CheckpointLease]]: readable until the next rankedHist
+    * call on the session). All integer sums — bit-identical to the
+    * serial window, which the DuckDB oracles keep (hash-equality
+    * proves two-phase ≡ global, the t17/c27 argument). */
+  private def rankedHist(hist: DataFrame, grp: String, v: String,
+      twoPhase: Boolean, materialized: Boolean = false): DataFrame = {
+    if (!twoPhase) {
+      val wOrd = Window.partitionBy(grp).orderBy(v)
+      val wAll = Window.partitionBy(grp)
+      return hist
+        .withColumn("cum", sum("cnt").over(wOrd))
+        .withColumn("n", sum("cnt").over(wAll))
+    }
+    val h =
+      if (materialized) hist
+      else {
+        val cut = hist.localCheckpoint(true)
+        graft.CheckpointLease.swap(
+          hist.sparkSession, "relational.rankedHist", cut)
+        cut
+      }
+    val hbed = h.withColumn("hb",
+      when(col(v) >= 0, expr(s"$v div ${RankHistB}L"))
+        .otherwise(raise_error(lit(
+          s"rankedHist: negative $v breaks the bucket-range invariant"))))
     val inW = Window.partitionBy(grp, "hb").orderBy(v)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offs = hbed.groupBy(col(grp), col("hb")).agg(sum("cnt").as("bc"))
@@ -598,7 +646,8 @@ object Relational {
       .select(col("l_returnflag"),
         expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
       .groupBy("l_returnflag", "cents").agg(count(lit(1)).as("cnt"))
-    var ranked = rankedHist(hist, "l_returnflag", "cents")
+    var ranked = rankedHist(hist, "l_returnflag", "cents",
+      twoPhase = rankedHistTwoPhase(s, dir))
     val qs = Seq("25" -> 0.25, "50" -> 0.5, "75" -> 0.75)
     qs.foreach { case (tag, q) =>
       // rank position rp = q·(n−1): exact (q is an exact binary
@@ -656,10 +705,11 @@ object Relational {
       .select(col("l_returnflag"),
         expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
       .groupBy("l_returnflag", "cents").agg(count(lit(1)).as("cnt"))
-    // two-phase cum + joined group totals (rankedHist) — the serial
-    // per-flag window this scaladoc's "plan shape is q33's" used to
-    // share is replaced in both entries at once
-    val ranked = rankedHist(hist, "l_returnflag", "cents")
+    // two-phase cum + joined group totals (rankedHist) above the size
+    // floor, the serial per-flag window below it — the same gate as
+    // q33 (this scaladoc's "plan shape is q33's" holds either way)
+    val ranked = rankedHist(hist, "l_returnflag", "cents",
+      twoPhase = rankedHistTwoPhase(s, dir))
     def valueAt(rank: org.apache.spark.sql.Column) =
       max(when(col("cum") - col("cnt") < rank && rank <= col("cum"),
         col("cents")))
@@ -695,9 +745,12 @@ object Relational {
     val raw = Tables.lineitem(s, dir)
       .select(col("l_returnflag"),
         expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("cents"))
+    val twoPhase = rankedHistTwoPhase(s, dir)
     def medianOf(hist: DataFrame, v: String): DataFrame = {
-      // the q33/q39 two-phase cum (values nonnegative: cents, |dev|)
-      val ranked = rankedHist(hist, "l_returnflag", v)
+      // the q33/q39 size-gated cum (values nonnegative: cents, |dev|);
+      // inputs below are already checkpointed — no internal cut
+      val ranked = rankedHist(hist, "l_returnflag", v,
+        twoPhase = twoPhase, materialized = true)
       ranked.groupBy("l_returnflag")
         .agg(max(when(col("cum") - col("cnt") < expr("(50 * n + 99) div 100")
           && expr("(50 * n + 99) div 100") <= col("cum"), col(v)))

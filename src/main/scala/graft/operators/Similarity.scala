@@ -2291,7 +2291,10 @@ object Similarity {
       .filter(col("vec_id") % S11ForgetMod === 0)
       .select("vec_id", "cell").distinct()
     graft.sources.Sources.mergeIntoPartitioned(
-      s, t, "cell", "vec_id", s.table(t).limit(0), deleteKeys)
+      s, t, "cell", "vec_id", s.table(t).limit(0), deleteKeys,
+      // delete-only (the c15 contract): limit(0) upserts re-derive for
+      // free; an idempotent re-apply must not pay a materialization job
+      materializeUpserts = false)
     val cents = centroidsFor(s, dir).zipWithIndex.map { case (v, i) => (i, v) }
     val probeExpr = expr(
       s"transform(slice(reverse(array_sort(${centroidStructsArr(cents)}))," +

@@ -285,20 +285,34 @@ object Sources {
     * (the [[appendOnce]] pattern). */
   def mergeIntoPartitioned(s: SparkSession, table: String, partCol: String,
                            keyCol: String, upserts: DataFrame,
-                           deleteKeys: DataFrame): Unit = {
+                           deleteKeys: DataFrame,
+                           materializeUpserts: Boolean = true): Unit = {
     // The upsert frame is a lazily DERIVED view (a snapshot diff, a
     // batch-vs-current compare) carrying FULL data rows, with three
     // consumers below — the partition collect, the touched-key
-    // anti-join side, the new-rows union — so it was re-derived per
-    // consumer (c13 paid its v1⋈v2 full-outer diff per consumer).
-    // Materialize it ONCE (changeset-sized by this method's contract);
-    // blocks released before returning so repeated maintenance calls
-    // never accumulate pinned storage. deleteKeys stays LAZY on
-    // purpose: it is a narrow (key, part) frame whose two extra
-    // consumers read it COLUMN-PRUNED (part-only, key-only), which is
-    // cheaper than materializing the full distinct — measured on c15,
-    // where an eager checkpoint of the delete footprint cost +39%.
-    val up = upserts.localCheckpoint(true)
+    // anti-join side, the new-rows union — so by default it is
+    // materialized ONCE (changeset-sized by this method's contract)
+    // instead of re-derived per consumer (c13 paid its v1⋈v2
+    // full-outer diff per consumer); blocks released before returning
+    // so repeated maintenance calls never accumulate pinned storage.
+    // `materializeUpserts = false` is for callers whose upsert side is
+    // trivially re-derivable — empty `limit(0)` delete-only flows
+    // (c15, s11), a group-cardinality delta over an already-staged
+    // changeset (c20), or filters over a frame the CALLER already
+    // checkpointed (st10's LWW batch — r17 advice #2's
+    // double-materialization case): there the checkpoint's own
+    // materialization job costs more than three pruned re-derivations
+    // (r18 same-JVM A/B medians at sf0.1: c15 1.03→0.93 s, c20
+    // 1.55→1.44 s lazy; vs c13 1.79→1.90 s, c17 1.80→2.20 s,
+    // st12 1.82→2.09 s where the expensive-changeset callers keep the
+    // default), and a no-op merge (c15 re-apply) never pays a job at
+    // all. deleteKeys stays LAZY on purpose: it is a narrow
+    // (key, part) frame whose two extra consumers read it
+    // COLUMN-PRUNED (part-only, key-only), which is cheaper than
+    // materializing the full distinct — measured on c15, where an
+    // eager checkpoint of the delete footprint cost +39%.
+    val doMat = materializeUpserts
+    val up = if (doMat) upserts.localCheckpoint(true) else upserts
     val del = deleteKeys
     def release(df: DataFrame): Unit =
       org.apache.spark.sql.graftbridge.GraftCheckpoints.releaseLocalCheckpoint(df)
@@ -340,7 +354,7 @@ object Sources {
           ident, emptied.map(v => Map(partCol -> v)).toIndexedSeq,
           ignoreIfNotExists = true, purge = false, retainData = false)
       }
-    } finally release(up)
+    } finally if (doMat) release(up)
   }
 
   /** Parallel-fetch ingest fan-out (luigi/taxi_data_import.py:40-76:

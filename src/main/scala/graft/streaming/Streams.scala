@@ -637,7 +637,12 @@ object Streams {
     try graft.sources.Sources.mergeIntoPartitioned(
       s, table, "pt", "doc_id",
       latest.filter(col("op") === "upsert").select("doc_id", "text", "pt"),
-      latest.filter(col("op") === "delete").select("doc_id", "pt"))
+      latest.filter(col("op") === "delete").select("doc_id", "pt"),
+      // `latest` is ALREADY checkpointed above — the merge's own
+      // checkpoint materialized the upsert rows a second time per
+      // batch (r17 advice #2); filters over cached blocks re-derive
+      // for free (r18 A/B: flat wall, strictly less pinned storage)
+      materializeUpserts = false)
     finally org.apache.spark.sql.graftbridge.GraftCheckpoints
       .releaseLocalCheckpoint(latest)
   }

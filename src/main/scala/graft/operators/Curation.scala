@@ -616,6 +616,17 @@ object Curation {
       .select("doc_id", "lang", "source", "chg", "p1", "p3", "p4", "p5",
         "p6", "score_micro")
       .localCheckpoint(true)
+    // `flagged` just materialized and was base's LAST reader (thr/hist/
+    // tot all fed the join above) — free base's blocks immediately;
+    // flagged itself is read lazily by the returned frame, so it is
+    // leased until the next c30Flags call (c30_report and
+    // c30_curation_v2 each rebuild the flag frame per the
+    // no-result-caching rule; previously BOTH pinned base+flagged per
+    // run for the application lifetime — the r17 verdict's c30 GC
+    // suspect)
+    org.apache.spark.sql.graftbridge.GraftCheckpoints
+      .releaseLocalCheckpoint(base)
+    graft.CheckpointLease.swap(s, "curation.c30flags", flagged)
     val mixc = flagged.filter(col("p6")).groupBy("lang")
       .agg(count(lit(1)).as("n_docs"))
     val mixn = mixc.agg(max("n_docs").as("n_max"))
@@ -1997,6 +2008,8 @@ object Curation {
         size(expr("filter(split(text, ' '), t -> t <> '')")).cast("long"))
       .groupBy("source").agg(sum("ws_tokens").as("n_tokens"))
       .localCheckpoint(true) // O(sources) rows; one corpus pass total
+    // leased: read lazily by the returned plan until the next c31 call
+    graft.CheckpointLease.swap(s, "curation.c31", perSrc)
     val nmax = perSrc.agg(max("n_tokens").as("n_max"))
     val alloc = perSrc.crossJoin(broadcast(nmax))
       .withColumn("epochs_milli",
@@ -2698,8 +2711,11 @@ object Curation {
         col("is_new_unique").as("sem_ok"))
     // shard-sized (one row per shard doc); TWO consumers — the physical
     // admit below and the final read-back join — so materialize the two
-    // screen probes once instead of re-running both per consumer
+    // screen probes once instead of re-running both per consumer.
+    // Leased: the returned join reads verdicts lazily until the next
+    // c28 call on this session releases it
     val verdicts = sig.join(sem, "doc_id").localCheckpoint(true)
+    graft.CheckpointLease.swap(s, "curation.c28", verdicts)
     val admitted = verdicts
       .filter(col("sig_ok") === 1 && col("sem_ok") === 1)
       .select(col("doc_id").as("vec_id"))
@@ -2708,6 +2724,10 @@ object Curation {
     val outPath = new org.apache.hadoop.fs.Path(shardPath)
       .getParent.toString + "/indexed"
     Similarity.s8WriteAssigned(s, dir, admitted, outPath)
+    // the eager write above was shard's LAST reader (the read-back join
+    // below reads the written tree + verdicts) — free its blocks now
+    org.apache.spark.sql.graftbridge.GraftCheckpoints
+      .releaseLocalCheckpoint(shard)
     // explicit schema: a corpus whose semantic tail rejects the WHOLE
     // shard (legitimate — e.g. every negated vector collides) leaves a
     // zero-partition tree that schema inference cannot read

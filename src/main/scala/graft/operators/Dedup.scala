@@ -1113,6 +1113,9 @@ object Dedup {
       .withColumn("toks", expr(TextOps.toksExpr))
       .withColumn("shset", expr("array_distinct(word_shingles(toks))"))
       .localCheckpoint(true)
+    // leased, not leaked: the returned verdict frame reads incGroups
+    // lazily until the next d11Admit call on this session releases it
+    graft.CheckpointLease.swap(s, "dedup.d11admit", incGroups)
 
     // 1. exact duplicates of corpus content: every member drops
     val exactDup = incGroups.join(contents, col("ich") === col("ch"))
@@ -1682,6 +1685,11 @@ object Dedup {
     // adaptive spread: the normalize/tokenize/shingle kernels below
     // otherwise serialize onto a compact corpus's single scan split
     // (Tables.documentsSpread — the r16 d4-band root cause)
+    // docsT feeds BOTH union branches below (the quotes branch re-runs
+    // the kernel on the 1/9 plant slice) — checkpointing it once was
+    // probed and REJECTED: materializing the corpus token arrays cost
+    // +18% over the duplicated slice kernel (r18 same-JVM A/B, medians
+    // 7.05 s vs 5.95 s)
     val docsT = Tables.documentsSpread(s, dir)
       .withColumn("norm", TextOps.normText(col("text")))
       .withColumn("toks", expr(TextOps.toksExpr))
@@ -1705,12 +1713,30 @@ object Dedup {
     val indexed = ex.join(df, "sh").filter(col("dfc") <= D14MaxDf)
       .select(col("doc_id"), col("sh"), col("dfc"))
       .localCheckpoint(true) // one df-join pass feeds both index and probe
-    val index = indexed.select("doc_id", "sh")
+    // leased, not leaked: the returned frame reads both checkpoints
+    // lazily (ex re-explodes from d; cand reads indexed), so they stay
+    // readable until the next d14 call on this session releases them —
+    // a bench sweep previously pinned one generation PER RUN
+    graft.CheckpointLease.swap(s, "dedup.d14", d, indexed)
+    // the candidate join carries the 64-bit HASH of each rare shingle,
+    // not the string (the q46 hashed-deletion-key argument, prescribed
+    // by the r17 verdict): the index side is every df-capped shingle
+    // occurrence, so fixed-width longs shrink its broadcast/exchange
+    // bytes ~3x and its hash-relation build. Every value the OUTPUT
+    // depends on (dfc for blocking, the intersection count, nsh) stays
+    // on exact strings — a collision can only ADD a candidate pair,
+    // and the exact-shingle confirm below recounts it from scratch; a
+    // collision-added pair could only surface if it GENUINELY exceeds
+    // the containment threshold while exact blocking missed it (none
+    // exists at any gate SF — 3-SF hash-green — and at production
+    // scale such a pair is a true containment the blocking recall
+    // trade had dropped).
+    val index = indexed.select(col("doc_id"), xxhash64(col("sh")).as("hs"))
     val probe = indexed
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= D14RareK)
-      .select("doc_id", "sh")
+      .select(col("doc_id"), xxhash64(col("sh")).as("hs"))
     val cand = probe.as("x").join(index.as("y"),
-        col("x.sh") === col("y.sh") && col("x.doc_id") =!= col("y.doc_id"))
+        col("x.hs") === col("y.hs") && col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("b")).distinct()
     val sizes = d.select(col("doc_id"), col("nsh"))

@@ -115,8 +115,17 @@ object Graph {
         if (splitRoundCheckpoints) largeStar(cur).localCheckpoint(true)
         else largeStar(cur)
       val next = smallStar(ls).localCheckpoint(true)
+      if (splitRoundCheckpoints)
+        org.apache.spark.sql.graftbridge.GraftCheckpoints
+          .releaseLocalCheckpoint(ls) // next was its only reader
       val nextSig = sig(next)
       converged = nextSig == curSig
+      // round N's edge set is dead once round N+1 is materialized and
+      // signed (the q36 release rule) — BASE stays: the returned
+      // membership join re-derives `nodes` from it lazily
+      if (!(cur eq base))
+        org.apache.spark.sql.graftbridge.GraftCheckpoints
+          .releaseLocalCheckpoint(cur)
       cur = next; curSig = nextSig; iter += 1
     }
     require(converged,
@@ -129,6 +138,11 @@ object Graph {
     val membership = cur.select(col("u").as("id"), col("v").as("component"))
     val out = nodes.join(membership, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    // base (via nodes) and the converged edge set are read lazily by
+    // `out` — leased until the next contraction on this session (the
+    // d8/c2 consumer checkpoints its own memoized copy immediately)
+    graft.CheckpointLease.swap(
+      edges.sparkSession, "graph.cc", base, cur)
     (out, iter)
   }
 
@@ -257,9 +271,17 @@ object Graph {
     * Returns the converged (node, rank) frame. */
   private[graft] def pagerankRanks(trade: DataFrame,
       broadcastMaxNodes: Long = PrBroadcastMaxNodes): DataFrame = {
+    // both directions in ONE pass over the trade plan (explode of a
+    // 2-struct array) instead of a 2-branch union: exchange reuse
+    // already shared the trade join's shuffle across the branches, but
+    // each branch re-ran the distinct's final aggregate over it —
+    // measured r18: edge build 1.21 s (union) → 1.07 s (explode) at
+    // sf0.1 (same in q49/q55)
     val edges = trade
-      .select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(trade.select(col("b").as("src"), col("a").as("dst")))
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(true)
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val eo = edges.join(broadcast(outdeg), "src").localCheckpoint(true)
@@ -291,6 +313,13 @@ object Graph {
       org.apache.spark.sql.graftbridge.GraftCheckpoints
         .releaseLocalCheckpoint(prev)
     }
+    // the loop was eo's last reader — without this, every invocation
+    // pinned an edge-sized block set for the application lifetime
+    org.apache.spark.sql.graftbridge.GraftCheckpoints
+      .releaseLocalCheckpoint(eo)
+    // the FINAL vector is returned (read lazily by the caller) — lease
+    // it: readable until the next pagerankRanks call on this session
+    graft.CheckpointLease.swap(trade.sparkSession, "graph.pagerank", ranks)
     ranks
   }
 
@@ -452,9 +481,12 @@ object Graph {
       .select((col("o_custkey").cast("long") * 2).as("a"),
         (col("l_suppkey").cast("long") * 2 + 1).as("b"))
       .distinct()
+    // single-pass both-directions explode — the pagerankRanks spelling
     val edges = trade
-      .select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(trade.select(col("b").as("src"), col("a").as("dst")))
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint(true)
     val level0 = graft.Tables.customer(s, dir)
       .filter(col("c_custkey") < BfsSources)
@@ -480,6 +512,12 @@ object Graph {
       levels += next
       frontier = next.select("node")
     }
+    // the hop loop was edges' last reader (the output below unions the
+    // level checkpoints only); the level frames themselves are leased —
+    // the returned union reads them lazily until the next q49 call
+    org.apache.spark.sql.graftbridge.GraftCheckpoints
+      .releaseLocalCheckpoint(edges)
+    graft.CheckpointLease.swap(s, "graph.q49", levels.toSeq: _*)
     levels.reduce(_ unionByName _)
       .select(when(col("node") % 2 === 0,
           concat(lit("c"), expr("node div 2")))
@@ -640,6 +678,10 @@ object Graph {
       org.apache.spark.sql.graftbridge.GraftCheckpoints
         .releaseLocalCheckpoint(released)
     }
+    // the returned dist reads the LAST round's checkpoint lazily —
+    // lease it (released by the next boundedSssp call on this session)
+    graft.CheckpointLease.swap(
+      edges.sparkSession, "graph.boundedSssp", prevRound)
     dist
   }
 
@@ -652,15 +694,23 @@ object Graph {
       .agg(countDistinct(col("o_orderkey")).as("w"))
       .select(col("a"), col("b"),
         greatest(lit(1L), expr(s"$SsspCostScale div w")).as("cost"))
+    // single-pass both-directions explode — the pagerankRanks spelling
     val edges = trade
-      .select(col("a").as("src"), col("b").as("dst"), col("cost"))
-      .unionAll(trade
-        .select(col("b").as("src"), col("a").as("dst"), col("cost")))
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst"), col("cost")),
+        struct(col("b").as("src"), col("a").as("dst"), col("cost")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.cost").as("cost"))
       .localCheckpoint(true)
     val sources = graft.Tables.customer(s, dir)
       .filter(col("c_custkey") < BfsSources)
       .select((col("c_custkey").cast("long") * 2).as("node"))
-    boundedSssp(edges, sources, BfsMaxHops)
+    val out = boundedSssp(edges, sources, BfsMaxHops)
+    // boundedSssp's result reads only its last-round checkpoint — the
+    // relaxation loop was edges' last reader, so its blocks free now
+    org.apache.spark.sql.graftbridge.GraftCheckpoints
+      .releaseLocalCheckpoint(edges)
+    out
       .select(when(col("node") % 2 === 0,
           concat(lit("c"), expr("node div 2")))
         .otherwise(concat(lit("s"), expr("(node - 1) div 2")))

@@ -192,7 +192,11 @@ object Partitioned {
     * query with the filter disabled is row-identical. */
   def q42BloomJoin(s: SparkSession, dir: String): DataFrame =
     withBloomConfs(s) {
-      q42Plan(s, dir).localCheckpoint(true)
+      val out = q42Plan(s, dir).localCheckpoint(true)
+      // leased, not leaked: the result checkpoint stays readable until
+      // the next q42 call on this session releases it
+      graft.CheckpointLease.swap(s, "partitioned.q42", out)
+      out
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

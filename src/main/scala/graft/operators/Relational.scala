@@ -775,6 +775,9 @@ object Relational {
       .localCheckpoint(true) // feeds the MAD rank AND the outlier count
     org.apache.spark.sql.graftbridge.GraftCheckpoints
       .releaseLocalCheckpoint(hist) // med + devHist were its only readers
+    // med/devHist are read lazily by the returned frame — leased until
+    // the next q48 call on this session (previously pinned per run)
+    graft.CheckpointLease.swap(s, "relational.q48", med, devHist)
     val mad = medianOf(devHist, "dev").withColumnRenamed("m", "mad_cents")
     devHist
       .join(broadcast(mad), Seq("l_returnflag"))

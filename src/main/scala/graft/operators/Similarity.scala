@@ -1197,12 +1197,20 @@ object Similarity {
         .join(broadcast(q), "query_id")
         .select(col("query_id"), col("node"),
           VectorOps.cosine("qe", "ne").as("cos"))
+      val prevBeam = beam
       beam = beam.unionByName(scoredNew)
         .withColumn("rnk", row_number().over(wBeam))
         .filter(col("rnk") <= S14Beam)
         .select("query_id", "node", "cos")
         .localCheckpoint(true)
+      // hop N's beam is dead once hop N+1 materializes (the q36
+      // release rule: two beams live regardless of hop count)
+      org.apache.spark.sql.graftbridge.GraftCheckpoints
+        .releaseLocalCheckpoint(prevBeam)
     }
+    // the FINAL beam is read lazily by the returned frame — leased
+    // until the next s14 call on this session
+    graft.CheckpointLease.swap(s, "similarity.s14", beam)
     beam.filter(col("query_id") =!= col("node"))
       .withColumn("rnk", row_number().over(wBeam))
       .filter(col("rnk") <= TopK)
@@ -1524,8 +1532,21 @@ object Similarity {
         .filter(col("rnk") === 1)
         .select(col("query_id"), col("neighbor_id"),
           lit(step).as("step"), col("mmr"))
+      val prevSel = sel
       sel = sel.unionByName(next).localCheckpoint(true)
+      // step N's selection is dead once step N+1 materializes (the
+      // q36 release rule: two selections live regardless of k)
+      org.apache.spark.sql.graftbridge.GraftCheckpoints
+        .releaseLocalCheckpoint(prevSel)
     }
+    // the greedy loop was cand/pairs' last reader; the FINAL selection
+    // is read lazily by the returned frame — leased until the next s10
+    // call on this session
+    org.apache.spark.sql.graftbridge.GraftCheckpoints
+      .releaseLocalCheckpoint(cand)
+    org.apache.spark.sql.graftbridge.GraftCheckpoints
+      .releaseLocalCheckpoint(pairs)
+    graft.CheckpointLease.swap(s, "similarity.s10", sel)
     sel.orderBy("query_id", "step")
   }
 

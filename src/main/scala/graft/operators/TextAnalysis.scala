@@ -1197,6 +1197,11 @@ object TextAnalysis {
       // probe): un-materialized, the corpus explode + keyed collapse
       // ran twice per query — once per consumer
       .localCheckpoint(true)
+    // leased, not leaked: the returned frame reads tf lazily, so the
+    // corpus-token-sized block set stays pinned until the NEXT t16
+    // call on this session releases it (r17 advice #3 — previously it
+    // pinned one generation per invocation for the application life)
+    graft.CheckpointLease.swap(s, "text.t16", tf)
     val dfT = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val nd = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window

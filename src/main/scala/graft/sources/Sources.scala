@@ -160,7 +160,9 @@ object Sources {
     val slice = s.table(table)
       .filter(col(partCol).isin(fragmented: _*))
       .localCheckpoint(true)
-    overwritePartitions(slice, table, partCol)
+    try overwritePartitions(slice, table, partCol)
+    finally org.apache.spark.sql.graftbridge.GraftCheckpoints
+      .releaseLocalCheckpoint(slice) // the write was its only reader
     fragmented.length
   }
 
@@ -192,10 +194,12 @@ object Sources {
     // per-writer option, never a session-conf mutation: a concurrent
     // write on the same session must not inherit dynamic mode, and two
     // concurrent compactions must not race a save/restore
-    slice.repartition(col(partCol))
+    try slice.repartition(col(partCol))
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol).parquet(path)
+    finally org.apache.spark.sql.graftbridge.GraftCheckpoints
+      .releaseLocalCheckpoint(slice) // the write was its only reader
     fragmented.length
   }
 

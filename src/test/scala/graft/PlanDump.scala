@@ -8,7 +8,9 @@ import java.nio.file.{Files, Paths}
   * plan is shown, the Explain.scala discipline) and writes
   * `.explain("formatted")` output to one file per query.
   *
-  * Usage: sbt "Test/runMain graft.PlanDump <sfDir> <outDir> <tag> <q1,q2,...>"
+  * Usage: sbt "Test/runMain graft.PlanDump <sfDir> <outDir> <tag>
+  *   <q1,q2,...> [confKey=value ...]" — trailing key=value args set
+  * runtime confs first (dump a size-gated spelling's OTHER branch).
   *
   * Lives in src/test (not src/main) so a dump run never invalidates
   * the PLANS.txt product-source stamp.
@@ -21,6 +23,10 @@ object PlanDump {
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val spark = GraftSession.get()
     spark.sparkContext.setLogLevel("WARN")
+    args.drop(4).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    }
     Files.createDirectories(Paths.get(outDir))
     for (name <- names) {
       val df = SparkEntry.queries(name)(spark, dir)
